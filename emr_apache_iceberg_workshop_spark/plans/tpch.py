@@ -1,0 +1,409 @@
+"""Relational query surface over the driver's TPC-H-ish tables.
+
+Covers the reference's operator inventory (SURVEY.md §2: P1-P3 filters and
+projections, A1 counts, O1 ordered limit, F3/F4 scalar fns) widened to the
+full relational surface Catalyst gives us: multi-way joins, hash
+aggregation, semi/anti joins, set ops, rollup.
+
+Plan-quality conventions (checked via .explain at sf0.1):
+- small dims (region/nation/customer/supplier/part) joined with an
+  explicit `F.broadcast` hint → BroadcastHashJoin, no shuffle on the fact
+  side for the dim key.
+- filters expressed on raw scan columns so they reach PushedFilters.
+- aggregates use functions.exact (decimal-exact sums) — deterministic
+  under any partitioning AND bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..catalog import load_table, load_tables, TABLES
+from ..functions import dsum, davg, osum, oavg
+from ..operators import top_k
+from .registry import query
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+_O_REV = "l_extendedprice * (1 - l_discount)"
+
+
+# --------------------------------------------------------------------------
+# Q1: pricing summary — groupBy + 8 aggregates (TPC-H Q1 shape)
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_quantity', 2)} AS sum_qty,
+           {osum('l_extendedprice', 2)} AS sum_base_price,
+           {osum(_O_REV, 6)} AS sum_disc_price,
+           {osum(f'{_O_REV} * (1 + l_tax)', 8)} AS sum_charge,
+           {oavg('l_quantity', 2)} AS avg_qty,
+           {oavg('l_extendedprice', 2)} AS avg_price,
+           {oavg('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "reference:A1"),
+)
+def q01_pricing_summary(spark, sf_dir) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(_rev(), 6).alias("sum_disc_price"),
+            dsum(_rev() * (1 + F.col("l_tax")), 8).alias("sum_charge"),
+            davg(F.col("l_quantity"), 2).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            davg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3: shipping priority — 3-way join + agg + top-k
+@query(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {osum(_O_REV, 6)} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk", "reference:O1"),
+)
+def q03_shipping_priority(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    agg = (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_rev(), 6).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
+
+
+# --------------------------------------------------------------------------
+# Q5-shape: regional revenue — 6-way join, broadcast dims
+@query(
+    "q05_region_revenue",
+    oracle=f"""
+    SELECT n_name, {osum(_O_REV, 6)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg"),
+)
+def q05_region_revenue(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation", "region"])
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    nat = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(_rev(), 6).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-20 customers by lineitem revenue (join + agg + ordered limit)
+@query(
+    "q_top_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, {osum(_O_REV, 6)} AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "topk"),
+)
+def q_top_customers(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    agg = (
+        t["lineitem"]
+        .join(F.broadcast(t["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(_rev(), 6).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20)
+
+
+# --------------------------------------------------------------------------
+# P1/P2/F3 parity: filter + projection + computed columns
+@query(
+    "q_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           strftime(l_shipdate, '%Y') AS ship_year,
+           l_quantity >= 30 AS bulk_flag
+    FROM lineitem
+    WHERE l_extendedprice > 0 AND l_quantity > 0
+      AND l_returnflag = 'R' AND l_discount >= 0.05
+    """,
+    tags=("filter", "project", "reference:P1,P2,F3"),
+)
+def q_filter_project(spark, sf_dir) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_extendedprice") > 0)
+            & (F.col("l_quantity") > 0)
+            & (F.col("l_returnflag") == "R")
+            & (F.col("l_discount") >= 0.05)
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            _rev().alias("revenue"),
+            F.date_format("l_shipdate", "yyyy").alias("ship_year"),
+            (F.col("l_quantity") >= 30).alias("bulk_flag"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 parity: COUNT(*) per table
+@query(
+    "q_table_counts",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, COUNT(*) AS n_rows FROM {t}" for t in TABLES
+    ),
+    tags=("agg", "reference:A1"),
+)
+def q_table_counts(spark, sf_dir) -> DataFrame:
+    parts = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("tbl"), "n_rows")
+        for t in TABLES
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins: per-nation customers with and without orders
+@query(
+    "q_semi_anti",
+    oracle="""
+    SELECT n_name,
+           COUNT(CASE WHEN has_ord THEN 1 END) AS with_orders,
+           COUNT(CASE WHEN NOT has_ord THEN 1 END) AS without_orders
+    FROM (
+      SELECT c.c_custkey, c.c_nationkey,
+             EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_ord
+      FROM customer c
+    )
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join:semi", "join:anti"),
+)
+def q_semi_anti(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    with_o = (
+        t["customer"].join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .withColumn("has_ord", F.lit(True))
+    )
+    without_o = (
+        t["customer"].join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .withColumn("has_ord", F.lit(False))
+    )
+    return (
+        with_o.unionAll(without_o)
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.when(F.col("has_ord"), 1)).alias("with_orders"),
+            F.count(F.when(~F.col("has_ord"), 1)).alias("without_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT on yearly active customer sets
+@query(
+    "q_set_ops",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1995' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1996' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+    """,
+    tags=("setop",),
+)
+def q_set_ops(spark, sf_dir) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def actives(y0: str, y1: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y0}-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(f"{y1}-01-01 00:00:00").cast("timestamp_ntz"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = actives("1995", "1996"), actives("1996", "1997")
+    return (
+        y95.intersect(y96).select(F.lit("both").alias("cohort"), "o_custkey")
+        .unionAll(y95.exceptAll(y96).select(F.lit("only_1995").alias("cohort"), "o_custkey"))
+        .unionAll(y96.exceptAll(y95).select(F.lit("only_1996").alias("cohort"), "o_custkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup: revenue by region/nation hierarchy with subtotals
+@query(
+    "q_rollup_revenue",
+    oracle=f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           {osum('o_totalprice', 2)} AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    tags=("agg:rollup",),
+)
+def q_rollup_revenue(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(dsum(F.col("o_totalprice"), 2).alias("total_price"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Order priority check (TPC-H Q4 shape: semi join + conditional agg)
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > TIMESTAMP '1997-01-01')
+    GROUP BY o_orderpriority
+    """,
+    tags=("join:semi", "agg"),
+)
+def q04_order_priority(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    late_li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        orders.join(late_li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Part stats by brand/type (groupBy over dimension attrs; TPC-H Q14-ish mix)
+@query(
+    "q_part_revenue_share",
+    oracle=f"""
+    SELECT p_brand,
+           {osum(_O_REV, 6)} AS revenue,
+           {osum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_O_REV} ELSE 0 END", 6)} AS promo_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join", "agg:conditional"),
+)
+def q_part_revenue_share(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            dsum(_rev(), 6).alias("revenue"),
+            dsum(F.when(F.col("p_type").startswith("PROMO"), _rev()).otherwise(F.lit(0.0)), 6).alias(
+                "promo_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
