@@ -1,1 +1,283 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication operators over `documents` / `embeddings` (north-star
+extension: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+near-dup — each oracle-checked against DuckDB).
+
+Cross-engine determinism: every hash is md5 (identical hex in both
+engines); minhash = MIN over md5-strings (order-independent); set sizes
+via |A∩B| = |A|+|B|-|A∪B| computed from `array_distinct`/`list_distinct`
+(whose internal order differs between engines — only sizes are used).
+
+Scale design (100 TB):
+- shingle/minhash/simhash signatures are per-row array lambdas — no
+  shuffle, linear scan, codegen'd.
+- candidate generation joins on band keys / shingles (equi-join shuffle on
+  a high-cardinality key), NOT O(n²) pairs. The only quadratic step is the
+  final verify over *candidates*, which LSH keeps small. The all-pairs
+  simhash join here is exact small-scale verification; the banded variant
+  is the production path (see d_minhash_lsh).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..catalog import load_table
+from .registry import query
+from .textops import TOKS_S, TOKS_D
+
+# 3-token shingles (element_at is 1-based in Spark; [] is 1-based in DuckDB)
+SHINGLES_S = f"""
+  CASE WHEN size({TOKS_S}) >= 3 THEN
+    array_distinct(transform(sequence(1, size({TOKS_S}) - 2),
+      i -> concat_ws(' ', element_at({TOKS_S}, i), element_at({TOKS_S}, i + 1),
+                     element_at({TOKS_S}, i + 2))))
+  ELSE array() END
+""".strip()
+
+SHINGLES_D = f"""
+  list_distinct(list_transform(generate_series(1, len({TOKS_D}) - 2),
+    i -> {TOKS_D}[i] || ' ' || {TOKS_D}[i + 1] || ' ' || {TOKS_D}[i + 2]))
+""".strip()
+
+N_MINHASH = 12
+N_BANDS = 4  # 3 rows per band
+
+
+def _minhash_exprs(dialect: str) -> list[str]:
+    """K min-hashes: MIN over md5('<seed>|'||shingle) strings."""
+    out = []
+    for s in range(N_MINHASH):
+        if dialect == "spark":
+            out.append(
+                f"array_min(transform(__sh, x -> md5(concat('{s}|', x)))) AS mh{s}"
+            )
+        else:
+            out.append(f"list_min(list_transform(__sh, x -> md5('{s}|' || x))) AS mh{s}")
+    return out
+
+
+def _band_exprs() -> list[str]:
+    """Band keys: md5 of 3 consecutive minhashes (same SQL both dialects)."""
+    return [
+        f"md5(concat_ws('|', mh{3 * b}, mh{3 * b + 1}, mh{3 * b + 2})) AS band{b}"
+        for b in range(N_BANDS)
+    ]
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content hash; canonical = min doc_id
+@query(
+    "d_exact_dup",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_hash,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+    FROM documents
+    """,
+    tags=("dedup:exact", "window"),
+)
+def d_exact_dup(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("text_hash", F.md5("text"))
+    w = Window.partitionBy("text_hash")
+    return docs.select(
+        "doc_id",
+        "text_hash",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup: shingle equi-join candidates + exact verify
+@query(
+    "d_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_D} AS sh FROM documents),
+         sz AS (SELECT doc_id, len(sh) AS n FROM s),
+         e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+               FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3
+    """,
+    tags=("dedup:jaccard", "join"),
+)
+def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
+    sz = s.selectExpr("doc_id", "size(sh) AS n")
+    e = s.selectExpr("doc_id", "explode(sh) AS shingle")
+    ea, eb = e.alias("a"), e.alias("b")
+    p = (
+        ea.join(eb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ja = (
+        p.join(F.broadcast(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
+        .join(F.broadcast(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+        .withColumn("jaccard", F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+    return ja.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding: candidates share ≥1 band; verify with est + true sim
+@query(
+    "d_minhash_lsh",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_D} AS __sh FROM documents),
+         m AS (SELECT doc_id, __sh, {', '.join(_minhash_exprs('duck'))} FROM s),
+         b AS (SELECT *, {', '.join(_band_exprs())} FROM m),
+         long AS (
+           SELECT doc_id, band_idx, band_key FROM (
+             SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM b
+             UNION ALL SELECT doc_id, 1, band1 FROM b
+             UNION ALL SELECT doc_id, 2, band2 FROM b
+             UNION ALL SELECT doc_id, 3, band3 FROM b)
+         ),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM long x JOIN long y
+                  ON x.band_key = y.band_key AND x.band_idx = y.band_idx
+                     AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(list_zip(
+                  [ma.mh0, ma.mh1, ma.mh2, ma.mh3, ma.mh4, ma.mh5, ma.mh6, ma.mh7, ma.mh8, ma.mh9, ma.mh10, ma.mh11],
+                  [mb.mh0, mb.mh1, mb.mh2, mb.mh3, mb.mh4, mb.mh5, mb.mh6, mb.mh7, mb.mh8, mb.mh9, mb.mh10, mb.mh11]),
+                p -> p[1] = p[2])) AS DOUBLE) / {N_MINHASH} AS est_sim,
+           CAST(len(ma.__sh) + len(mb.__sh)
+                - len(list_distinct(list_concat(ma.__sh, mb.__sh))) AS DOUBLE)
+             / len(list_distinct(list_concat(ma.__sh, mb.__sh))) AS jaccard
+    FROM cand JOIN m ma ON ma.doc_id = doc_a JOIN m mb ON mb.doc_id = doc_b
+    """,
+    tags=("dedup:minhash-lsh", "join"),
+)
+def d_minhash_lsh(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS __sh")
+    m = s.selectExpr("doc_id", "__sh", *_minhash_exprs("spark"))
+    b = m.selectExpr("*", *_band_exprs())
+    stack_args = ", ".join(f"{i}, band{i}" for i in range(N_BANDS))
+    long = b.selectExpr("doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)")
+    x, y = long.alias("x"), long.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    mh_arr = "array(" + ", ".join(f"mh{i}" for i in range(N_MINHASH)) + ")"
+    ma = m.selectExpr("doc_id AS doc_a", f"{mh_arr} AS mha", "__sh AS sha")
+    mb = m.selectExpr("doc_id AS doc_b", f"{mh_arr} AS mhb", "__sh AS shb")
+    return (
+        cand.join(F.broadcast(ma), "doc_a")
+        .join(F.broadcast(mb), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"CAST(size(filter(zip_with(mha, mhb, (x, y) -> x = y), v -> v)) AS DOUBLE) / {N_MINHASH} AS est_sim",
+            "CAST(size(sha) + size(shb) - size(array_distinct(concat(sha, shb))) AS DOUBLE)"
+            " / size(array_distinct(concat(sha, shb))) AS jaccard",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit) near-dup: hamming distance ≤ 3 over all pairs
+def _simhash_expr(dialect: str) -> str:
+    toks = f"array_distinct({TOKS_S})" if dialect == "spark" else f"list_distinct({TOKS_D})"
+    size_fn, filt = ("size", "filter") if dialect == "spark" else ("len", "list_filter")
+    high = "'8','9','a','b','c','d','e','f'"
+    terms = []
+    for bit in range(32):
+        cnt = f"{size_fn}({filt}({toks}, x -> substr(md5(x), {bit + 1}, 1) IN ({high})))"
+        terms.append(f"(CASE WHEN 2 * {cnt} > {size_fn}({toks}) THEN {1 << bit} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "d_simhash",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_simhash_expr('duck')} AS simhash FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS simhash_a, b.simhash AS simhash_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup:simhash", "join"),
+)
+def d_simhash(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.selectExpr("doc_id", f"{_simhash_expr('spark')} AS simhash")
+    a = h.selectExpr("doc_id AS doc_a", "simhash AS simhash_a")
+    b = h.selectExpr("doc_id AS doc_b", "simhash AS simhash_b")
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("CAST(bit_count(simhash_a ^ simhash_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "simhash_a", "simhash_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact decimal dot products, pairs > 0.4
+_DOT_D = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+)
+
+
+@query(
+    "d_embedding_neardup",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, label, embedding AS e,
+                      sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS nrm
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_DOT_D.format(a='a.e', b='b.e')} / (a.nrm * b.nrm) AS cosine,
+           a.label = b.label AS same_label
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_DOT_D.format(a='a.e', b='b.e')} / (a.nrm * b.nrm) > 0.4
+    """,
+    tags=("dedup:embedding", "similarity"),
+)
+def d_embedding_neardup(spark, sf_dir) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # positional explode once → self-join on position → exact decimal dot.
+    # (matmul-as-join: scales via shuffle on pos/vec, no O(n²·d) driver work)
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    nrm = (
+        flat.groupBy("vec_id")
+        .agg(F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).cast("double").alias("sq"))
+        .selectExpr("vec_id", "sqrt(sq) AS nrm")
+    )
+    fa = flat.selectExpr("vec_id AS vec_a", "label AS label_a", "pos", "v AS va")
+    fb = flat.selectExpr("vec_id AS vec_b", "label AS label_b", "pos", "v AS vb")
+    dots = (
+        fa.join(fb, ["pos"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b", "label_a", "label_b")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    )
+    return (
+        dots.join(F.broadcast(nrm.selectExpr("vec_id AS vec_a", "nrm AS nrm_a")), "vec_a")
+        .join(F.broadcast(nrm.selectExpr("vec_id AS vec_b", "nrm AS nrm_b")), "vec_b")
+        .withColumn("cosine", F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cosine") > 0.4)
+        .select("vec_a", "vec_b", "cosine", (F.col("label_a") == F.col("label_b")).alias("same_label"))
+    )

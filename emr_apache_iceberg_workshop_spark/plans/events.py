@@ -154,7 +154,7 @@ def q_latest_event(spark, sf_dir) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
     FROM events
     GROUP BY event_type
@@ -189,7 +189,7 @@ def q_props_stats(spark, sf_dir) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS session_no
       FROM flagged
     )
-    SELECT user_id, session_no, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
            strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
            strftime(MAX(ts), '{TS_FMT_DUCK}') AS session_end
     FROM sess GROUP BY user_id, session_no

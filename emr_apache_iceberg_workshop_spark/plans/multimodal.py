@@ -1,1 +1,70 @@
-"""Placeholder — filled in as operators land."""
+"""Multimodal pipeline queries: binary payloads + Pandas-UDF decode
+(operators/multimodal.py) with SQL oracles over the same derivations.
+
+The oracle recomputes the fake-decoder arithmetic from octet_length —
+proving the Arrow binary round-trip (string → utf8 bytes → Python bytes →
+metadata) is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..catalog import load_table
+from ..operators.multimodal import attach_payload, decode_metadata, sample_frames
+from .registry import query
+
+_MODALITY_D = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+
+@query(
+    "m_decode_metadata",
+    oracle=f"""
+    SELECT doc_id, {_MODALITY_D} AS modality,
+           octet_length(encode(text)) AS byte_len,
+           octet_length(encode(text)) % 640 AS width,
+           (octet_length(encode(text)) * 7) % 480 AS height,
+           octet_length(encode(text)) % 30 + 1 AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def m_decode_metadata(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_metadata(attach_payload(docs))
+
+
+@query(
+    "m_frame_sample",
+    oracle=f"""
+    WITH meta AS (SELECT doc_id, {_MODALITY_D} AS modality,
+                         octet_length(encode(text)) % 30 + 1 AS n_frames
+                  FROM documents)
+    SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+    FROM meta WHERE modality = 'video'
+    """,
+    tags=("multimodal", "explode"),
+)
+def m_frame_sample(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(decode_metadata(attach_payload(docs)))
+
+
+@query(
+    "m_modality_stats",
+    oracle=f"""
+    SELECT {_MODALITY_D} AS modality, COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents GROUP BY 1
+    """,
+    tags=("multimodal", "agg"),
+)
+def m_modality_stats(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    meta = decode_metadata(attach_payload(docs))
+    return meta.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.max("byte_len").alias("max_bytes"),
+    )

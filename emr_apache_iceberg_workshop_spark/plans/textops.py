@@ -1,1 +1,206 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators over `documents` (north-star extension;
+BASELINE.json: "text analysis" as a first-class component).
+
+All tokenization is `regexp_extract_all(text, '[a-z0-9]+')` — the same
+function name and regex semantics in Spark (Java regex) and DuckDB (RE2)
+for this simple character-class pattern, so both engines see identical
+token lists. Everything else composes array lambdas (`transform`/`filter`
+in Spark SQL, `list_transform`/`list_filter` in DuckDB) — JVM-side,
+whole-stage-codegen'd, no Python UDFs in the hot path.
+
+Scale: per-row array ops are embarrassingly parallel (no shuffle); the
+only shuffles are the final aggregations. At 100 TB, token frequency uses
+partial (map-side) aggregation automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..catalog import load_table
+from ..operators import top_k
+from .registry import query
+
+# Token expressions — Spark SQL and DuckDB dialect twins.
+TOKS_S = "regexp_extract_all(text, '[a-z0-9]+', 0)"
+TOKS_D = "regexp_extract_all(text, '[a-z0-9]+')"
+
+# Language-marker stopword sets for the n-gram-free language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "les", "et", "un", "une"),
+    "zh": ("shi", "bu", "wo", "ni", "ta"),
+}
+_LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+
+def _score(dialect: str, lang: str) -> str:
+    """Count of language-marker tokens (size/len + filter/list_filter)."""
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    if dialect == "spark":
+        return f"size(filter({TOKS_S}, x -> x IN ({words})))"
+    return f"len(list_filter({TOKS_D}, x -> x IN ({words})))"
+
+
+def _predicted(dialect: str) -> str:
+    """argmax over language scores, ties broken by _LANG_ORDER."""
+    scores = {lg: _score(dialect, lg) for lg in _LANG_ORDER}
+    branches = []
+    for lg in _LANG_ORDER:
+        others = [scores[o] for o in _LANG_ORDER if o != lg]
+        geq = " AND ".join(f"{scores[lg]} >= {o}" for o in others)
+        branches.append(f"WHEN {geq} THEN '{lg}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t_token_stats",
+    oracle=f"""
+    SELECT doc_id, source, length(text) AS n_chars_calc,
+           len({TOKS_D}) AS n_tokens,
+           len(list_distinct({TOKS_D})) AS n_distinct_tokens,
+           CASE WHEN len({TOKS_D}) > 0
+                THEN CAST(list_sum(list_transform({TOKS_D}, x -> length(x))) AS DOUBLE)
+                     / len({TOKS_D})
+                ELSE 0.0 END AS avg_token_len
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def t_token_stats(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "source",
+        "CAST(length(text) AS BIGINT) AS n_chars_calc",
+        f"CAST(size({TOKS_S}) AS BIGINT) AS n_tokens",
+        f"CAST(size(array_distinct({TOKS_S})) AS BIGINT) AS n_distinct_tokens",
+        f"""CASE WHEN size({TOKS_S}) > 0
+             THEN CAST(aggregate({TOKS_S}, 0L, (acc, x) -> acc + length(x)) AS DOUBLE)
+                  / size({TOKS_S})
+             ELSE 0.0D END AS avg_token_len""",
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len({TOKS_D}) AS n_tokens,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / length(text) ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len({TOKS_D}) > 0
+                THEN CAST({_score('duck', 'en')} AS DOUBLE) / len({TOKS_D})
+                ELSE 0.0 END AS stopword_ratio,
+           len(list_distinct({TOKS_D})) AS vocab,
+           CASE WHEN len({TOKS_D}) > 0
+                THEN CAST(len(list_distinct({TOKS_D})) AS DOUBLE) / len({TOKS_D})
+                ELSE 0.0 END AS ttr
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def t_quality_score(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars_calc",
+        f"CAST(size({TOKS_S}) AS BIGINT) AS n_tokens",
+        """CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / length(text)
+             ELSE 0.0D END AS punct_ratio""",
+        f"""CASE WHEN size({TOKS_S}) > 0
+             THEN CAST({_score('spark', 'en')} AS DOUBLE) / size({TOKS_S})
+             ELSE 0.0D END AS stopword_ratio""",
+        f"CAST(size(array_distinct({TOKS_S})) AS BIGINT) AS vocab",
+        f"""CASE WHEN size({TOKS_S}) > 0
+             THEN CAST(size(array_distinct({TOKS_S})) AS DOUBLE) / size({TOKS_S})
+             ELSE 0.0D END AS ttr""",
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t_langid_confusion",
+    oracle=f"""
+    SELECT {_predicted('duck')} AS predicted_lang, lang AS actual_lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("text", "langid"),
+)
+def t_langid_confusion(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(f"{_predicted('spark')} AS predicted_lang", "lang AS actual_lang")
+        .groupBy("predicted_lang", "actual_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string({TOKS_D}, ' ')) AS fp_norm,
+           md5(substr(array_to_string({TOKS_D}, ' '), 1, 64)) AS fp_prefix64,
+           list_min(list_transform({TOKS_D}, x -> md5(x))) AS fp_min_token
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def t_fingerprint(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"md5(concat_ws(' ', {TOKS_S})) AS fp_norm",
+        f"md5(substr(concat_ws(' ', {TOKS_S}), 1, 64)) AS fp_prefix64",
+        f"array_min(transform({TOKS_S}, x -> md5(x))) AS fp_min_token",
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t_token_freq",
+    oracle=f"""
+    SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest({TOKS_D}) AS token FROM documents)
+    GROUP BY token ORDER BY freq DESC, token LIMIT 50
+    """,
+    tags=("text", "tokens", "topk"),
+)
+def t_token_freq(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.selectExpr("doc_id", f"explode({TOKS_S}) AS token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+    )
+    return top_k(agg, [F.col("freq").desc(), F.col("token")], 50)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t_lang_profile",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def t_lang_profile(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -59,6 +59,37 @@ def canon(rows, colnames):
     return out
 
 
+_SPARK2ARROW = {
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "bool",
+    "date": "date32[day]",
+    "timestamp_ntz": "timestamp[us]",
+    "binary": "binary",
+}
+
+
+def _dtype_mismatches(sdf, arrow_schema):
+    """Compare Spark output types with the oracle's Arrow types by name."""
+    duck = {f.name: str(f.type) for f in arrow_schema}
+    bad = []
+    for f in sdf.schema:
+        want = _SPARK2ARROW.get(f.dataType.simpleString(), f.dataType.simpleString())
+        got = duck.get(f.name)
+        if got is None:
+            continue  # name mismatch reported separately
+        if got == "large_string":
+            got = "string"
+        if want != got:
+            bad.append(f"{f.name}: spark={f.dataType.simpleString()} duck-arrow={got}")
+    return bad
+
+
 def compare_one(spark, con, spec, sf_dir: str, verbose: bool = True):
     t0 = time.time()
     sdf = spec.fn(spark, sf_dir)
@@ -67,6 +98,7 @@ def compare_one(spark, con, spec, sf_dir: str, verbose: bool = True):
     t_spark = time.time() - t0
 
     t0 = time.time()
+    arrow = con.execute(spec.oracle).arrow()
     cur = con.execute(spec.oracle)
     duck_cols = [d[0] for d in cur.description]
     duck_rows = cur.fetchall()
@@ -75,6 +107,7 @@ def compare_one(spark, con, spec, sf_dir: str, verbose: bool = True):
     problems = []
     if sorted(spark_cols) != sorted(duck_cols):
         problems.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    problems += [f"dtype: {m}" for m in _dtype_mismatches(sdf, arrow.schema)]
     if len(spark_rows) != len(duck_rows):
         problems.append(f"row count: spark={len(spark_rows)} duck={len(duck_rows)}")
     if not problems:
