@@ -1,0 +1,158 @@
+"""Structured Streaming jobs (SURVEY.md §2.9).
+
+The reference has no streaming runtime — its incremental semantics are
+hand-rolled checkpoints (S4/S8) with a known double-processing gap on
+crash between write and checkpoint. These jobs are the Spark-native
+upgrades the survey calls for:
+
+- `stream_ingest_available_now`: file-source ingestion with
+  `Trigger.AvailableNow` + transactional checkpointLocation — replaces the
+  mtime watermark (S2-S4) with exactly-once file tracking.
+- `windowed_event_counts`: watermarked tumbling-window aggregation — the
+  streaming twin of plans/events.q_event_windows (late data handled by
+  event-time watermark instead of latest-wins merge).
+- `sessionize_stateful`: applyInPandasWithState custom stateful operator —
+  gap-based sessionization with explicit per-key state.
+
+Scale: file-source streaming scales by listing parallelism + maxFilesPerTrigger;
+state store partitioning follows spark.sql.shuffle.partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+)
+
+
+def stream_ingest_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str = EVENTS_DDL,
+) -> int:
+    """Ingest all currently-available files exactly once; returns rows
+    written this run. Re-running with the same checkpoint is a no-op for
+    already-seen files (the transactional upgrade of raw-bronze's S4)."""
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .option("sep", "\t")
+        .option("header", "true")
+        .csv(input_dir)
+        .withColumn("input_file", F.input_file_name())
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = 0
+    for p in q.recentProgress:
+        n += p["numInputRows"]
+    return n
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window agg (append-mode-compatible).
+
+    Watermarks require TIMESTAMP (not NTZ); with the session pinned to UTC
+    the cast preserves wall-clock values."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_agg_available_now(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str, query_name: str = "windowed_out"
+) -> DataFrame:
+    """Drive the windowed agg over a parquet directory to completion via the
+    memory sink (complete mode) and return the result table."""
+    events = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    agg = windowed_event_counts(events)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+# -- custom stateful operator ----------------------------------------------
+
+_SESSION_GAP_SEC = 30 * 60
+
+STATE_SCHEMA = "n_events long, session_start double, last_ts double, session_no long"
+OUTPUT_SCHEMA = (
+    "user_id long, session_no long, n_events long, session_start double, session_end double"
+)
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit closed sessions; keep the open session in state."""
+    (user_id,) = key
+    if state.exists:
+        n_events, session_start, last_ts, session_no = state.get
+    else:
+        n_events, session_start, last_ts, session_no = 0, None, None, 0
+
+    out_rows = []
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts_sec"]):
+            if last_ts is not None and ts - last_ts > _SESSION_GAP_SEC:
+                out_rows.append((user_id, session_no, n_events, session_start, last_ts))
+                session_no += 1
+                n_events, session_start = 0, ts
+            elif session_start is None:
+                session_start = ts
+            n_events += 1
+            last_ts = ts
+
+    state.update((n_events, session_start, last_ts, session_no))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "session_no", "n_events", "session_start", "session_end"],
+        )
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState gap-sessionization (streaming twin of
+    plans/events.q_sessionization; emits only CLOSED sessions)."""
+    prepped = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double").alias("ts_sec")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,115 @@
+"""Structured Streaming jobs driven to completion with AvailableNow."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from emr_apache_iceberg_workshop_spark.streaming import (
+    run_windowed_agg_available_now,
+    sessionize_stateful,
+    stream_ingest_available_now,
+)
+
+TSV_HEADER = "event_id\tts\tuser_id\tevent_type\tvalue"
+
+
+def _write_tsv(path: str, rows: list[str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(TSV_HEADER + "\n" + "\n".join(rows) + "\n")
+
+
+def test_available_now_ingest_exactly_once(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    _write_tsv(
+        f"{inp}/b1.csv",
+        [
+            "1\t2024-01-01 00:00:00\t10\tclick\t1.5",
+            "2\t2024-01-01 00:05:00\t10\tview\t2.0",
+        ],
+    )
+    assert stream_ingest_available_now(spark, inp, out, ckpt) == 2
+    assert spark.read.parquet(out).count() == 2
+
+    # re-run with no new files: exactly-once, nothing reprocessed
+    assert stream_ingest_available_now(spark, inp, out, ckpt) == 0
+    assert spark.read.parquet(out).count() == 2
+
+    # new file → only its rows processed
+    _write_tsv(f"{inp}/b2.csv", ["3\t2024-01-01 01:00:00\t11\tclick\t0.5"])
+    assert stream_ingest_available_now(spark, inp, out, ckpt) == 1
+    df = spark.read.parquet(out)
+    assert df.count() == 3
+    assert df.filter(F.col("input_file").contains("b2.csv")).count() == 1
+
+
+def test_windowed_agg_matches_batch(spark, tmp_path):
+    # stream the events parquet (µs-normalized) and compare to a batch agg
+    from emr_apache_iceberg_workshop_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "events_parquet")
+    ev.write.parquet(src)
+
+    out = run_windowed_agg_available_now(
+        spark, src, str(tmp_path / "ckpt"), query_name="win_test"
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    got = {(r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()}
+    want = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_sessionization_closed_sessions(spark, tmp_path):
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df.write.parquet(str(tmp_path / "in" / name))
+
+    def run_trigger():
+        src = spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+        ).option("pathGlobFilter", "*.parquet").parquet(str(tmp_path / "in" / "*"))
+        q = (
+            sessionize_stateful(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "user_id long, session_no long, n_events long, session_start double, session_end double"
+        ).parquet(str(tmp_path / "out")).collect()
+
+    write_batch(
+        "b1",
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", 1.0),
+            (2, "2024-01-01 00:10:00", 7, "click", 1.0),  # same session (gap 10m)
+            (3, "2024-01-01 01:00:00", 7, "click", 1.0),  # gap 50m → closes session 0
+            (4, "2024-01-01 00:00:00", 8, "view", 1.0),   # other user, stays open
+        ],
+    )
+    closed = run_trigger()
+    assert len(closed) == 1
+    r = closed[0]
+    assert (r["user_id"], r["session_no"], r["n_events"]) == (7, 0, 2)
+    assert r["session_end"] - r["session_start"] == 600.0
+
+    # second trigger: state persisted across runs — a late event for user 8
+    # beyond the gap closes user 8's open 1-event session
+    write_batch("b2", [(5, "2024-01-01 02:00:00", 8, "view", 1.0)])
+    closed2 = run_trigger()
+    assert {(r["user_id"], r["session_no"], r["n_events"]) for r in closed2} >= {(8, 0, 1)}
