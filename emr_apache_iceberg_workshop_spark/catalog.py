@@ -53,3 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before compute-bound per-row work (hashing,
+    shingling, vector math). A single small parquet file scans as ONE input
+    split, so without this the expensive projection runs on one core. At
+    100 TB the scan itself yields thousands of splits and this becomes a
+    cheap no-op-ish shuffle; the pattern (decouple compute parallelism from
+    input-file layout) is still the right one for small-input/expensive-CPU
+    stages. Explicit numPartitions → AQE won't coalesce it back down.
+    """
+    from .session import default_parallelism
+
+    return df.repartition(partitions or default_parallelism())

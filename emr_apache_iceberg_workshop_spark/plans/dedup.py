@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, fan_out
 from .registry import query
 from .textops import TOKS_S, TOKS_D
 
@@ -80,7 +80,7 @@ def _band_exprs() -> list[str]:
 def d_exact_dup(spark, sf_dir) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").withColumn("text_hash", F.md5("text"))
+    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn("text_hash", F.md5("text"))
     w = Window.partitionBy("text_hash")
     return docs.select(
         "doc_id",
@@ -110,7 +110,7 @@ def d_exact_dup(spark, sf_dir) -> DataFrame:
     tags=("dedup:jaccard", "join"),
 )
 def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
     sz = s.selectExpr("doc_id", "size(sh) AS n")
     e = s.selectExpr("doc_id", "explode(sh) AS shingle")
@@ -161,7 +161,7 @@ def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
     tags=("dedup:minhash-lsh", "join"),
 )
 def d_minhash_lsh(spark, sf_dir) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS __sh")
     m = s.selectExpr("doc_id", "__sh", *_minhash_exprs("spark"))
     b = m.selectExpr("*", *_band_exprs())
@@ -220,7 +220,7 @@ def _simhash_expr(dialect: str) -> str:
     tags=("dedup:simhash", "join"),
 )
 def d_simhash(spark, sf_dir) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     h = docs.selectExpr("doc_id", f"{_simhash_expr('spark')} AS simhash")
     a = h.selectExpr("doc_id AS doc_a", "simhash AS simhash_a")
     b = h.selectExpr("doc_id AS doc_b", "simhash AS simhash_b")
@@ -255,29 +255,32 @@ _DOT_D = (
     tags=("dedup:embedding", "similarity"),
 )
 def d_embedding_neardup(spark, sf_dir) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # positional explode once → self-join on position → exact decimal dot.
-    # (matmul-as-join: scales via shuffle on pos/vec, no O(n²·d) driver work)
-    flat = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    nrm = (
-        flat.groupBy("vec_id")
-        .agg(F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).cast("double").alias("sq"))
-        .selectExpr("vec_id", "sqrt(sq) AS nrm")
+    # Pair-join on vec_id with the smaller side broadcast; dot product stays
+    # per-row via zip_with + aggregate (exact DECIMAL(38,12) accumulation —
+    # order-independent, so it hash-matches DuckDB's list_sum of the same
+    # decimals). This avoids the O(n²·d)-row shuffle a posexplode/position
+    # join would create. At 100 TB the brute-force O(n²) pair verify is only
+    # ever run on LSH/IVF candidate sets (see s_lsh_topk / s_ivf_topk); this
+    # exact variant is the small-n correctness anchor.
+    # DECIMAL(30,12), not (38,12): Spark's (38,12)+(38,12) addition would
+    # exceed precision 38 and silently drop scale to 11; (30,12)+(30,12) →
+    # (31,12) stays exact, and scale 12 matches the oracle's rounding.
+    dot_s = (
+        "CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12))), "
+        "CAST(0 AS DECIMAL(30,12)), "
+        "(acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)"
     )
-    fa = flat.selectExpr("vec_id AS vec_a", "label AS label_a", "pos", "v AS va")
-    fb = flat.selectExpr("vec_id AS vec_b", "label AS label_b", "pos", "v AS vb")
-    dots = (
-        fa.join(fb, ["pos"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b", "label_a", "label_b")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    n = emb.selectExpr(
+        "vec_id", "label", "embedding AS e",
+        f"sqrt({dot_s.format(a='embedding', b='embedding')}) AS nrm",
     )
+    a = n.selectExpr("vec_id AS vec_a", "label AS label_a", "e AS ea", "nrm AS nrm_a")
+    b = n.selectExpr("vec_id AS vec_b", "label AS label_b", "e AS eb", "nrm AS nrm_b")
     return (
-        dots.join(F.broadcast(nrm.selectExpr("vec_id AS vec_a", "nrm AS nrm_a")), "vec_a")
-        .join(F.broadcast(nrm.selectExpr("vec_id AS vec_b", "nrm AS nrm_b")), "vec_b")
-        .withColumn("cosine", F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")))
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.expr(dot_s.format(a="ea", b="eb")) / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cosine") > 0.4)
         .select("vec_a", "vec_b", "cosine", (F.col("label_a") == F.col("label_b")).alias("same_label"))
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, fan_out
 from .registry import query
 
 TOPK = 10
@@ -100,7 +100,7 @@ def _topk_join(queries_flat, cand_flat, nrm, extra_keys=()):
     tags=("similarity:brute-force", "topk"),
 )
 def s_cosine_topk(spark, sf_dir) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     flat, nrm = _flat_norms(emb)
     qf = flat.filter(F.expr(QUERY_FILTER))
     return _topk_join(qf, flat, nrm)
@@ -126,7 +126,7 @@ def s_cosine_topk(spark, sf_dir) -> DataFrame:
     tags=("similarity:lsh", "topk"),
 )
 def s_lsh_topk(spark, sf_dir) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn("bucket", F.expr(_BUCKET_S))
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn("bucket", F.expr(_BUCKET_S))
     flat = emb.select("vec_id", "bucket", F.posexplode("embedding").alias("pos", "v")).withColumn(
         "v", F.col("v").cast("double")
     )
@@ -176,7 +176,7 @@ def s_lsh_topk(spark, sf_dir) -> DataFrame:
     tags=("similarity:ivf", "topk"),
 )
 def s_ivf_topk(spark, sf_dir) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     flat = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v")).withColumn(
         "v", F.col("v").cast("double")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, fan_out
 from ..operators import top_k
 from .registry import query
 
@@ -71,7 +71,7 @@ def _predicted(dialect: str) -> str:
     tags=("text", "tokens"),
 )
 def t_token_stats(spark, sf_dir) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.selectExpr(
         "doc_id",
         "source",
@@ -107,7 +107,7 @@ def t_token_stats(spark, sf_dir) -> DataFrame:
     tags=("text", "quality"),
 )
 def t_quality_score(spark, sf_dir) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.selectExpr(
         "doc_id",
         "CAST(length(text) AS BIGINT) AS n_chars_calc",
@@ -135,7 +135,7 @@ def t_quality_score(spark, sf_dir) -> DataFrame:
     tags=("text", "langid"),
 )
 def t_langid_confusion(spark, sf_dir) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.selectExpr(f"{_predicted('spark')} AS predicted_lang", "lang AS actual_lang")
         .groupBy("predicted_lang", "actual_lang")
@@ -156,7 +156,7 @@ def t_langid_confusion(spark, sf_dir) -> DataFrame:
     tags=("text", "fingerprint"),
 )
 def t_fingerprint(spark, sf_dir) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.selectExpr(
         "doc_id",
         f"md5(concat_ws(' ', {TOKS_S})) AS fp_norm",
@@ -176,7 +176,7 @@ def t_fingerprint(spark, sf_dir) -> DataFrame:
     tags=("text", "tokens", "topk"),
 )
 def t_token_freq(spark, sf_dir) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     agg = (
         docs.selectExpr("doc_id", f"explode({TOKS_S}) AS token")
         .groupBy("token")
@@ -197,7 +197,7 @@ def t_token_freq(spark, sf_dir) -> DataFrame:
     tags=("text", "agg"),
 )
 def t_lang_profile(spark, sf_dir) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
