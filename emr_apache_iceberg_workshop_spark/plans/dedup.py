@@ -111,7 +111,11 @@ def d_exact_dup(spark, sf_dir) -> DataFrame:
 )
 def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
+    # Cache the shingle table: tokenize+shingle (regexp + md5-free array
+    # build) is the dominant per-row cost and feeds three consumers (sz, and
+    # both sides of the self-join). At 100 TB this would be a materialized
+    # signature table written once and joined from parquet.
+    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh").persist()
     sz = s.selectExpr("doc_id", "size(sh) AS n")
     e = s.selectExpr("doc_id", "explode(sh) AS shingle")
     ea, eb = e.alias("a"), e.alias("b")
@@ -163,7 +167,9 @@ def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
 def d_minhash_lsh(spark, sf_dir) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS __sh")
-    m = s.selectExpr("doc_id", "__sh", *_minhash_exprs("spark"))
+    # Cache minhash signatures: 12 md5-min passes over every shingle list is
+    # the dominant cost and feeds banding + both verify sides (ma, mb).
+    m = s.selectExpr("doc_id", "__sh", *_minhash_exprs("spark")).persist()
     b = m.selectExpr("*", *_band_exprs())
     stack_args = ", ".join(f"{i}, band{i}" for i in range(N_BANDS))
     long = b.selectExpr("doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)")
@@ -278,8 +284,17 @@ def d_embedding_neardup(spark, sf_dir) -> DataFrame:
     )
     a = n.selectExpr("vec_id AS vec_a", "label AS label_a", "e AS ea", "nrm AS nrm_a")
     b = n.selectExpr("vec_id AS vec_b", "label AS label_b", "e AS eb", "nrm AS nrm_b")
+    # Two-phase: cheap double-precision dot prunes the n² pair set first
+    # (float error over d=64 terms ≪ 1e-9, so a 1e-6 margin below the 0.4
+    # threshold cannot drop a true match); the exact-decimal dot — ~20×
+    # costlier per pair from BigDecimal churn — runs only on survivors.
+    approx = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(F.expr(approx.format(a="ea", b="eb")) / (F.col("nrm_a") * F.col("nrm_b")) > 0.4 - 1e-6)
         .withColumn("cosine", F.expr(dot_s.format(a="ea", b="eb")) / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cosine") > 0.4)
         .select("vec_a", "vec_b", "cosine", (F.col("label_a") == F.col("label_b")).alias("same_label"))

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..catalog import load_table, fan_out
+from ..catalog import load_table
 from ..operators.multimodal import attach_payload, decode_metadata, sample_frames
 from .registry import query
 
@@ -30,7 +30,7 @@ _MODALITY_D = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'vid
     tags=("multimodal", "pandas-udf"),
 )
 def m_decode_metadata(spark, sf_dir) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return decode_metadata(attach_payload(docs))
 
 
@@ -46,7 +46,7 @@ def m_decode_metadata(spark, sf_dir) -> DataFrame:
     tags=("multimodal", "explode"),
 )
 def m_frame_sample(spark, sf_dir) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return sample_frames(decode_metadata(attach_payload(docs)))
 
 
@@ -61,7 +61,7 @@ def m_frame_sample(spark, sf_dir) -> DataFrame:
     tags=("multimodal", "agg"),
 )
 def m_modality_stats(spark, sf_dir) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     meta = decode_metadata(attach_payload(docs))
     return meta.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_docs"),
