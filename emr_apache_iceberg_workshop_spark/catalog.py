@@ -30,9 +30,11 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables: always broadcast-join these (≤ a few MB even at
-# large SF since they grow sub-linearly in this schema).
-BROADCAST_TABLES = ("region", "nation", "supplier", "part", "customer")
+# Truly constant-size dimensions — safe to broadcast-hint at ANY scale
+# (5 / 25 rows regardless of SF). Everything else (customer, supplier,
+# part, orders) grows linearly with SF: leave those joins unhinted and let
+# AQE's runtime-size decision pick broadcast vs sort-merge.
+BROADCAST_TABLES = ("region", "nation")
 
 _EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"

@@ -1,1 +1,3 @@
-from .exact import dsum, davg, osum, oavg, TS_FMT_SPARK, TS_FMT_DUCK  # noqa: F401
+from .exact import (  # noqa: F401
+    dsum, davg, osum, oavg, sdot, sdot_approx, odot, TS_FMT_SPARK, TS_FMT_DUCK,
+)

@@ -44,6 +44,44 @@ def osum(expr: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
 
 
+def sdot(a: str, b: str) -> str:
+    """Spark SQL expr: exact dot product of two float arrays (→ double).
+
+    Per-element products rounded to DECIMAL scale 12, then summed exactly —
+    order-independent, so bit-identical to `odot` regardless of
+    partitioning. DECIMAL(30,12), not (38,12): Spark's (38,12)+(38,12)
+    addition would exceed precision 38 and silently drop scale to 11;
+    (30,12)+(30,12) → (31,12) stays exact, and scale 12 matches the
+    oracle's per-product rounding.
+    """
+    return (
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12))), "
+        "CAST(0 AS DECIMAL(30,12)), "
+        "(acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)"
+    )
+
+
+def sdot_approx(a: str, b: str) -> str:
+    """Spark SQL expr: fast double dot product (~20× cheaper than `sdot` —
+    no BigDecimal churn). NOT cross-engine exact; use only to prefilter
+    with a safety margin (float error over d≤1024 terms ≪ 1e-9) before an
+    exact `sdot` on survivors."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def odot(a: str, b: str) -> str:
+    """DuckDB SQL twin of `sdot` (list_sum of DECIMAL(38,12) products;
+    same scale-12 per-product rounding, exact decimal sum)."""
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+    )
+
+
 def oavg(expr: str, scale: int = 2) -> str:
     """DuckDB SQL twin of `davg`."""
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE) / COUNT(*))"

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..catalog import load_table, fan_out
+from ..functions import sdot, sdot_approx, odot
 from .registry import query
 from .textops import TOKS_S, TOKS_D
 
@@ -240,47 +241,32 @@ def d_simhash(spark, sf_dir) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup: exact decimal dot products, pairs > 0.4
-_DOT_D = (
-    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-    "p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
-)
-
-
 @query(
     "d_embedding_neardup",
     oracle=f"""
     WITH n AS (SELECT vec_id, label, embedding AS e,
-                      sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS nrm
+                      sqrt({odot('embedding', 'embedding')}) AS nrm
                FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_DOT_D.format(a='a.e', b='b.e')} / (a.nrm * b.nrm) AS cosine,
+           {odot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine,
            a.label = b.label AS same_label
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE {_DOT_D.format(a='a.e', b='b.e')} / (a.nrm * b.nrm) > 0.4
+    WHERE {odot('a.e', 'b.e')} / (a.nrm * b.nrm) > 0.4
     """,
     tags=("dedup:embedding", "similarity"),
 )
 def d_embedding_neardup(spark, sf_dir) -> DataFrame:
     # Pair-join on vec_id with the smaller side broadcast; dot product stays
-    # per-row via zip_with + aggregate (exact DECIMAL(38,12) accumulation —
-    # order-independent, so it hash-matches DuckDB's list_sum of the same
-    # decimals). This avoids the O(n²·d)-row shuffle a posexplode/position
-    # join would create. At 100 TB the brute-force O(n²) pair verify is only
-    # ever run on LSH/IVF candidate sets (see s_lsh_topk / s_ivf_topk); this
-    # exact variant is the small-n correctness anchor.
-    # DECIMAL(30,12), not (38,12): Spark's (38,12)+(38,12) addition would
-    # exceed precision 38 and silently drop scale to 11; (30,12)+(30,12) →
-    # (31,12) stays exact, and scale 12 matches the oracle's rounding.
-    dot_s = (
-        "CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
-        "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12))), "
-        "CAST(0 AS DECIMAL(30,12)), "
-        "(acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)"
-    )
+    # per-row via zip_with + aggregate (functions.exact.sdot — exact decimal
+    # accumulation, order-independent, hash-matches DuckDB's list_sum of the
+    # same decimals). This avoids the O(n²·d)-row shuffle a posexplode
+    # position join would create. At 100 TB the brute-force O(n²) pair
+    # verify is only ever run on LSH/IVF candidate sets (see s_lsh_topk /
+    # s_ivf_topk); this exact variant is the small-n correctness anchor.
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     n = emb.selectExpr(
         "vec_id", "label", "embedding AS e",
-        f"sqrt({dot_s.format(a='embedding', b='embedding')}) AS nrm",
+        f"sqrt({sdot('embedding', 'embedding')}) AS nrm",
     )
     a = n.selectExpr("vec_id AS vec_a", "label AS label_a", "e AS ea", "nrm AS nrm_a")
     b = n.selectExpr("vec_id AS vec_b", "label AS label_b", "e AS eb", "nrm AS nrm_b")
@@ -288,14 +274,10 @@ def d_embedding_neardup(spark, sf_dir) -> DataFrame:
     # (float error over d=64 terms ≪ 1e-9, so a 1e-6 margin below the 0.4
     # threshold cannot drop a true match); the exact-decimal dot — ~20×
     # costlier per pair from BigDecimal churn — runs only on survivors.
-    approx = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> "
-        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .filter(F.expr(approx.format(a="ea", b="eb")) / (F.col("nrm_a") * F.col("nrm_b")) > 0.4 - 1e-6)
-        .withColumn("cosine", F.expr(dot_s.format(a="ea", b="eb")) / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.expr(sdot_approx("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b")) > 0.4 - 1e-6)
+        .withColumn("cosine", F.expr(sdot("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cosine") > 0.4)
         .select("vec_a", "vec_b", "cosine", (F.col("label_a") == F.col("label_b")).alias("same_label"))
     )

@@ -12,7 +12,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MODULES = ["tpch", "events", "textops", "dedup", "similarity", "multimodal"]
+_MODULES = ["tpch", "events", "textops", "dedup", "similarity", "multimodal", "temporal"]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
 

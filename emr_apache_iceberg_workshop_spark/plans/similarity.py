@@ -3,18 +3,20 @@
 Three tiers, all exact-decimal dot products (see functions/exact.py for
 why that is bit-identical to the DuckDB oracle):
 
-- `s_cosine_topk` — brute-force top-k: the correctness baseline. The
-  Spark plan is matmul-as-join: posexplode once → equi-join on position →
-  partial-agg dot products. Scales as |Q|·|N| but distributes perfectly
-  (shuffle keys are (pos) then (qid, vid)); at 100 TB you bound |Q| or
-  move to the bucketed variants below.
+- `s_cosine_topk` — brute-force top-k: the correctness baseline.
 - `s_lsh_topk` — random-hyperplane-style LSH, deterministically derived
-  from sign bits of 8 fixed dimensions: query only compares within its
-  bucket. The scale path: the candidate join is an equi-join on
-  `bucket`, so cost is Σ bucket²  ≪ n².
+  from sign bits of 8 fixed dimensions: a query only compares within its
+  bucket, so cost is Σ bucket² ≪ n².
 - `s_ivf_topk` — IVF-style: `label` is the cluster id (a real IVF would
-  k-means; the routing/search structure is identical): assign each query
-  to its own partition's centroid list, search only that partition.
+  k-means; the routing/search structure is identical).
+
+Plan shape (the 100 TB story): the QUERY set is broadcast and the
+CANDIDATE corpus streams through the join — no corpus shuffle, cost is one
+scan of the corpus regardless of its size. Dot products run per-pair via
+zip_with/aggregate (JVM-side array lambdas), not a posexplode position
+join (which would shuffle |corpus|·d rows). Ranking is a per-query
+window over the scored candidates — partial top-k could push into the
+scan with an `applyInPandas` per-bucket heap if k·|Q| ever dominates.
 
 A vectorized Pandas-UDF fast path (float64, not oracle-exact) is in
 operators/similarity_fast.py and benchmarked separately.
@@ -25,15 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..catalog import load_table, fan_out
+from ..functions import sdot, odot
 from .registry import query
 
 TOPK = 10
 QUERY_FILTER = "vec_id % 100 = 0"  # deterministic query subset
-
-_DOT_D = (
-    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-    "p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
-)
 
 # sign-bit bucket over 8 fixed dims (1-based in both engines)
 _BUCKET_S = "concat(" + ", ".join(
@@ -44,40 +42,41 @@ _BUCKET_D = "concat(" + ", ".join(
 ) + ")"
 
 
-def _flat_norms(emb):
-    """(vec_id, pos, v) positional explode + per-vector L2 norms."""
-    flat = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v")).withColumn(
-        "v", F.col("v").cast("double")
+def _normed(spark, sf_dir, extra_exprs: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id, e, nrm, *extras) with exact-decimal L2 norms."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return emb.selectExpr(
+        "vec_id",
+        "embedding AS e",
+        f"sqrt({sdot('embedding', 'embedding')}) AS nrm",
+        *extra_exprs,
     )
-    nrm = (
-        flat.groupBy("vec_id")
-        .agg(F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).cast("double").alias("sq"))
-        .selectExpr("vec_id", "sqrt(sq) AS nrm")
-    )
-    return flat, nrm
 
 
-def _topk_join(queries_flat, cand_flat, nrm, extra_keys=()):
-    """Exact cosine top-k: join on position, decimal-sum dots, rank."""
-    q = queries_flat.selectExpr("vec_id AS q_id", "pos", "v AS qv", *extra_keys)
-    c = cand_flat.selectExpr("vec_id AS c_id", "pos", "v AS cv", *extra_keys)
-    on = ["pos", *extra_keys]
-    dots = (
-        q.join(c, on)
-        .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id")
-        .agg(F.sum((F.col("qv") * F.col("cv")).cast("decimal(38,12)")).cast("double").alias("dot"))
+def _topk_pairs(n: DataFrame, bucket_col: str | None) -> DataFrame:
+    """Broadcast the query subset against the candidate stream, score with
+    the exact dot, rank per query."""
+    extra = [bucket_col] if bucket_col else []
+    q = n.filter(F.expr(QUERY_FILTER)).selectExpr(
+        "vec_id AS q_id", "e AS qe", "nrm AS q_nrm", *extra
+    )
+    c = n.selectExpr("vec_id AS c_id", "e AS ce", "nrm AS c_nrm", *extra)
+    cond = F.col("q_id") != F.col("c_id")
+    joined = (
+        c.join(F.broadcast(q.withColumnRenamed(bucket_col, "__qb")), F.col(bucket_col) == F.col("__qb"))
+        if bucket_col
+        else c.join(F.broadcast(q), F.lit(True))
     )
     scored = (
-        dots.join(F.broadcast(nrm.selectExpr("vec_id AS q_id", "nrm AS q_nrm")), "q_id")
-        .join(F.broadcast(nrm.selectExpr("vec_id AS c_id", "nrm AS c_nrm")), "c_id")
-        .withColumn("cosine", F.col("dot") / (F.col("q_nrm") * F.col("c_nrm")))
+        joined.filter(cond)
+        .withColumn("cosine", F.expr(sdot("qe", "ce")) / (F.col("q_nrm") * F.col("c_nrm")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    out_extra = [bucket_col] if bucket_col else []
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOPK)
-        .select("q_id", "c_id", "cosine", "rank")
+        .select("q_id", "c_id", *out_extra, "cosine", "rank")
     )
 
 
@@ -86,11 +85,11 @@ def _topk_join(queries_flat, cand_flat, nrm, extra_keys=()):
     "s_cosine_topk",
     oracle=f"""
     WITH n AS (SELECT vec_id, embedding AS e,
-                      sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS nrm
+                      sqrt({odot('embedding', 'embedding')}) AS nrm
                FROM embeddings),
          scored AS (
            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-                  {_DOT_D.format(a='q.e', b='c.e')} / (q.nrm * c.nrm) AS cosine
+                  {odot('q.e', 'c.e')} / (q.nrm * c.nrm) AS cosine
            FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
     SELECT q_id, c_id, cosine,
            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
@@ -100,10 +99,7 @@ def _topk_join(queries_flat, cand_flat, nrm, extra_keys=()):
     tags=("similarity:brute-force", "topk"),
 )
 def s_cosine_topk(spark, sf_dir) -> DataFrame:
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    flat, nrm = _flat_norms(emb)
-    qf = flat.filter(F.expr(QUERY_FILTER))
-    return _topk_join(qf, flat, nrm)
+    return _topk_pairs(_normed(spark, sf_dir), bucket_col=None)
 
 
 # --------------------------------------------------------------------------
@@ -111,11 +107,11 @@ def s_cosine_topk(spark, sf_dir) -> DataFrame:
     "s_lsh_topk",
     oracle=f"""
     WITH n AS (SELECT vec_id, embedding AS e, {_BUCKET_D} AS bucket,
-                      sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS nrm
+                      sqrt({odot('embedding', 'embedding')}) AS nrm
                FROM embeddings),
          scored AS (
            SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket,
-                  {_DOT_D.format(a='q.e', b='c.e')} / (q.nrm * c.nrm) AS cosine
+                  {odot('q.e', 'c.e')} / (q.nrm * c.nrm) AS cosine
            FROM n q JOIN n c ON q.bucket = c.bucket
                  AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
     SELECT q_id, c_id, bucket, cosine,
@@ -126,34 +122,8 @@ def s_cosine_topk(spark, sf_dir) -> DataFrame:
     tags=("similarity:lsh", "topk"),
 )
 def s_lsh_topk(spark, sf_dir) -> DataFrame:
-    emb = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn("bucket", F.expr(_BUCKET_S))
-    flat = emb.select("vec_id", "bucket", F.posexplode("embedding").alias("pos", "v")).withColumn(
-        "v", F.col("v").cast("double")
-    )
-    nrm = (
-        flat.groupBy("vec_id")
-        .agg(F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).cast("double").alias("sq"))
-        .selectExpr("vec_id", "sqrt(sq) AS nrm")
-    )
-    q = flat.filter(F.expr(QUERY_FILTER)).selectExpr("vec_id AS q_id", "bucket", "pos", "v AS qv")
-    c = flat.selectExpr("vec_id AS c_id", "bucket", "pos", "v AS cv")
-    dots = (
-        q.join(c, ["bucket", "pos"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id", "bucket")
-        .agg(F.sum((F.col("qv") * F.col("cv")).cast("decimal(38,12)")).cast("double").alias("dot"))
-    )
-    scored = (
-        dots.join(F.broadcast(nrm.selectExpr("vec_id AS q_id", "nrm AS q_nrm")), "q_id")
-        .join(F.broadcast(nrm.selectExpr("vec_id AS c_id", "nrm AS c_nrm")), "c_id")
-        .withColumn("cosine", F.col("dot") / (F.col("q_nrm") * F.col("c_nrm")))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOPK)
-        .select("q_id", "c_id", "bucket", "cosine", "rank")
-    )
+    n = _normed(spark, sf_dir, (f"{_BUCKET_S} AS bucket",))
+    return _topk_pairs(n, bucket_col="bucket")
 
 
 # --------------------------------------------------------------------------
@@ -161,11 +131,11 @@ def s_lsh_topk(spark, sf_dir) -> DataFrame:
     "s_ivf_topk",
     oracle=f"""
     WITH n AS (SELECT vec_id, label, embedding AS e,
-                      sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS nrm
+                      sqrt({odot('embedding', 'embedding')}) AS nrm
                FROM embeddings),
          scored AS (
            SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.label,
-                  {_DOT_D.format(a='q.e', b='c.e')} / (q.nrm * c.nrm) AS cosine
+                  {odot('q.e', 'c.e')} / (q.nrm * c.nrm) AS cosine
            FROM n q JOIN n c ON q.label = c.label
                  AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
     SELECT q_id, c_id, label, cosine,
@@ -176,31 +146,5 @@ def s_lsh_topk(spark, sf_dir) -> DataFrame:
     tags=("similarity:ivf", "topk"),
 )
 def s_ivf_topk(spark, sf_dir) -> DataFrame:
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    flat = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v")).withColumn(
-        "v", F.col("v").cast("double")
-    )
-    nrm = (
-        flat.groupBy("vec_id")
-        .agg(F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).cast("double").alias("sq"))
-        .selectExpr("vec_id", "sqrt(sq) AS nrm")
-    )
-    q = flat.filter(F.expr(QUERY_FILTER)).selectExpr("vec_id AS q_id", "label", "pos", "v AS qv")
-    c = flat.selectExpr("vec_id AS c_id", "label", "pos", "v AS cv")
-    dots = (
-        q.join(c, ["label", "pos"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id", "label")
-        .agg(F.sum((F.col("qv") * F.col("cv")).cast("decimal(38,12)")).cast("double").alias("dot"))
-    )
-    scored = (
-        dots.join(F.broadcast(nrm.selectExpr("vec_id AS q_id", "nrm AS q_nrm")), "q_id")
-        .join(F.broadcast(nrm.selectExpr("vec_id AS c_id", "nrm AS c_nrm")), "c_id")
-        .withColumn("cosine", F.col("dot") / (F.col("q_nrm") * F.col("c_nrm")))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOPK)
-        .select("q_id", "c_id", "label", "cosine", "rank")
-    )
+    n = _normed(spark, sf_dir, ("label",))
+    return _topk_pairs(n, bucket_col="label")

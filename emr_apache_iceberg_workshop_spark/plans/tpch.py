@@ -6,9 +6,12 @@ full relational surface Catalyst gives us: multi-way joins, hash
 aggregation, semi/anti joins, set ops, rollup.
 
 Plan-quality conventions (checked via .explain at sf0.1):
-- small dims (region/nation/customer/supplier/part) joined with an
-  explicit `F.broadcast` hint → BroadcastHashJoin, no shuffle on the fact
-  side for the dim key.
+- explicit `F.broadcast` hints ONLY on truly constant-size sides
+  (region: 5 rows, nation: 25 rows — fixed at any SF). Scale-dependent
+  tables (customer/supplier/part/orders grow linearly with SF) are left
+  unhinted: AQE's runtime-size broadcast decision picks BroadcastHashJoin
+  when the filtered side is actually small, and falls back to sort-merge
+  when it isn't — the only answer that is right at both sf0.1 and 100 TB.
 - filters expressed on raw scan columns so they reach PushedFilters.
 - aggregates use functions.exact (decimal-exact sums) — deterministic
   under any partitioning AND bit-identical to the DuckDB oracle.
@@ -96,7 +99,7 @@ def q03_shipping_priority(spark, sf_dir) -> DataFrame:
     orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
     li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
     agg = (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+        li.join(orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_rev(), 6).alias("revenue"))
@@ -141,10 +144,10 @@ def q05_region_revenue(spark, sf_dir) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -174,8 +177,8 @@ def q_top_customers(spark, sf_dir) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
     agg = (
         t["lineitem"]
-        .join(F.broadcast(t["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
             dsum(_rev(), 6).alias("revenue"),
@@ -335,7 +338,7 @@ def q_rollup_revenue(spark, sf_dir) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders", "customer", "nation", "region"])
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")
@@ -397,7 +400,7 @@ def q_part_revenue_share(spark, sf_dir) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             dsum(_rev(), 6).alias("revenue"),
@@ -406,4 +409,136 @@ def q_part_revenue_share(spark, sf_dir) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape: single-pass filtered aggregate — the pushdown showcase
+# (.explain must show all three predicates in PushedFilters and a 4-column
+# ReadSchema; at 100 TB this reads only matching row groups)
+@query(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {osum('l_extendedprice * l_discount', 4)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "pushdown"),
+)
+def q06_forecast_revenue(spark, sf_dir) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated comparison via window: orders above their customer's average
+# (exact decimal sum/count per key — cross-engine-deterministic ratio)
+@query(
+    "q_above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    WHERE o_totalprice > cust_avg
+    """,
+    tags=("window:agg", "correlated"),
+)
+def q_above_avg_orders(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        orders.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE: all subtotal combinations over (orderpriority, orderstatus)
+@query(
+    "q_cube_orders",
+    oracle=f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           {osum('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg:cube",),
+)
+def q_cube_orders(spark, sf_dir) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# String-function surface: upper/substr/length/replace/trim/levenshtein —
+# identical semantics in Spark (Java) and DuckDB for ASCII inputs
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           substr(c_name, 10, 9) AS cust_num,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+           length(c_name) AS name_len,
+           replace(c_mktsegment, 'MACHINERY', 'MACHINES') AS segment_renamed,
+           c_name LIKE '%00' AS ends_00,
+           levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    WHERE c_custkey % 7 = 0
+    """,
+    tags=("scalar:string",),
+)
+def q_string_funcs(spark, sf_dir) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.regexp_replace("c_mktsegment", "MACHINERY", "MACHINES").alias("segment_renamed"),
+        F.col("c_name").like("%00").alias("ends_00"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("bigint").alias("seg_dist"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
     )
