@@ -1,1 +1,1 @@
-from .relational import dedup_latest, merge_upsert, top_k  # noqa: F401
+from .relational import dedup_latest, merge_upsert, salted_join, top_k  # noqa: F401

@@ -77,3 +77,61 @@ def sample_frames(meta: DataFrame, every: int = 10) -> DataFrame:
             F.explode(F.expr(f"sequence(0L, n_frames - 1, CAST({every} AS BIGINT))")).alias("frame_idx"),
         )
     )
+
+
+FEATURE_DIM = 8
+FEATURES_SCHEMA = "doc_id long, modality string, " + ", ".join(
+    f"f{i} double" for i in range(FEATURE_DIM)
+)
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """STUB feature extractor: 8 deterministic doubles from the md5 digest
+    (a real implementation would run an image/audio embedding model —
+    none installed here). md5 keeps it oracle-reproducible in SQL."""
+    import hashlib
+
+    dig = hashlib.md5(payload).hexdigest()
+    return [int(dig[2 * i : 2 * i + 2], 16) / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: binary payload → fixed-width float
+    columns. Arrow-batched; at 100 TB this is the GPU-inference slot (swap
+    `_fake_features` for a model call, batch size = Arrow batch)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(_fake_features)
+            out = {"doc_id": pdf["doc_id"], "modality": pdf["modality"]}
+            for i in range(FEATURE_DIM):
+                out[f"f{i}"] = feats.map(lambda v, i=i: v[i])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, out_width long, out_height long, scale double"
+)
+
+
+def resize_images(meta: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planner for image rows: computes output geometry JVM-side
+    (aspect-preserving fit into max_side × max_side; never upscales).
+    The pixel resample itself is the stubbed codec step — payload plumbing
+    and geometry are the testable Spark surface."""
+    w, h = F.col("width"), F.col("height")
+    long_side = F.greatest(w, h)
+    scale = F.when(long_side > max_side, F.lit(max_side) / long_side).otherwise(F.lit(1.0))
+    return (
+        meta.filter(F.col("modality") == "image")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.floor(w * scale).cast("long").alias("out_width"),
+            F.floor(h * scale).cast("long").alias("out_height"),
+            scale.alias("scale"),
+        )
+    )

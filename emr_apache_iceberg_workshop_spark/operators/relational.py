@@ -103,3 +103,32 @@ def top_k(df: DataFrame, order_by: Sequence, k: int) -> DataFrame:
     """Ordered limit → TakeOrderedAndProject (per-partition top-k + driver
     merge; no full sort, no single-partition shuffle)."""
     return df.orderBy(*order_by).limit(k)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join resilient to hot keys: spreads each skewed-side key across
+    `salt` sub-partitions and replicates the other side `salt`× so every
+    sub-partition can complete the join locally.
+
+    AQE's skew-join splitting (enabled in session.py) handles most cases at
+    runtime; use this when skew is known ahead of time (power-law user_id,
+    null-heavy keys) or when AQE is unavailable (streaming joins). The
+    salt column is derived from spark_partition_id + a per-row counter —
+    any distribution works, join output is identical to the unsalted join.
+    Cost: `other` inflates salt× (keep it the smaller side).
+    """
+    skw = skewed.withColumn(
+        "__salt",
+        F.pmod(
+            F.spark_partition_id().cast("long") * 1_000_003 + F.monotonically_increasing_id(),
+            F.lit(salt),
+        ).cast("int"),
+    )
+    oth = other.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return skw.join(oth, [*keys, "__salt"], how).drop("__salt")

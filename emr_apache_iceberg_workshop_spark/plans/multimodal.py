@@ -11,7 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..catalog import load_table
-from ..operators.multimodal import attach_payload, decode_metadata, sample_frames
+from ..operators.multimodal import (
+    attach_payload, decode_metadata, extract_features, resize_images, sample_frames,
+)
 from .registry import query
 
 _MODALITY_D = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
@@ -68,3 +70,52 @@ def m_modality_stats(spark, sf_dir) -> DataFrame:
         F.sum("byte_len").alias("total_bytes"),
         F.max("byte_len").alias("max_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Feature extraction: md5-derived fake embedding (GPU-inference slot) —
+# oracle recomputes the same bytes → md5 → per-pair hex value / 255
+_F_COLS_D = ", ".join(
+    "CAST(CAST('0x' || substr(md5(text), {a}, 2) AS INTEGER) AS DOUBLE) / 255.0 AS f{i}".format(
+        a=2 * i + 1, i=i
+    )
+    for i in range(8)
+)
+
+
+@query(
+    "m_extract_features",
+    oracle=f"""
+    SELECT doc_id, {_MODALITY_D} AS modality, {_F_COLS_D}
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "features"),
+)
+def m_extract_features(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# Resize planning for image rows (aspect-preserving fit, never upscale)
+@query(
+    "m_resize_plan",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, {_MODALITY_D} AS modality,
+             octet_length(encode(text)) % 640 AS width,
+             (octet_length(encode(text)) * 7) % 480 AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+           CAST(floor(width * scale) AS BIGINT) AS out_width,
+           CAST(floor(height * scale) AS BIGINT) AS out_height, scale
+    FROM (SELECT *, CASE WHEN GREATEST(width, height) > 256
+                         THEN 256.0 / GREATEST(width, height) ELSE 1.0 END AS scale
+          FROM meta)
+    WHERE modality = 'image'
+    """,
+    tags=("multimodal", "resize"),
+)
+def m_resize_plan(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(decode_metadata(attach_payload(docs)))

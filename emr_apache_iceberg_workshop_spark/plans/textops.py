@@ -204,3 +204,37 @@ def t_lang_profile(spark, sf_dir) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-style pre-tokenization: GPT-2-ish regex (leading-space word chunks,
+# number chunks, punctuation runs) — the token-count estimator a training-
+# data pipeline uses before the real BPE merge table. The alternation uses
+# only literal classes so Java regex (Spark) and RE2 (DuckDB) agree.
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+_BPE_S = f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)"
+_BPE_D = f"regexp_extract_all(lower(text), '{_BPE_RE}')"
+
+
+@query(
+    "t_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id, source,
+           len({_BPE_D}) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           CAST(length(text) AS DOUBLE) / GREATEST(len({_BPE_D}), 1) AS chars_per_token
+    FROM documents
+    """,
+    tags=("textops:bpe", "tokenize"),
+)
+def t_bpe_tokens(spark, sf_dir) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({_BPE_S})").cast("bigint").alias("n_bpe_tokens"),
+        F.expr("size(split(text, ' ', -1))").cast("bigint").alias("n_ws_tokens"),
+        (F.length("text").cast("double") / F.expr(f"greatest(size({_BPE_S}), 1)")).alias(
+            "chars_per_token"
+        ),
+    )

@@ -1,0 +1,54 @@
+"""Unit tests for composable operators not covered by the oracle harness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_apache_iceberg_workshop_spark.operators import salted_join
+from emr_apache_iceberg_workshop_spark.operators.multimodal import (
+    FEATURE_DIM, _fake_features, extract_features, attach_payload,
+)
+
+
+@pytest.fixture(scope="module")
+def skew_data(spark):
+    # hot key: 9000 of 10000 rows share user_id=1
+    rows = [(1 if i % 10 else i, float(i)) for i in range(10_000)]
+    big = spark.createDataFrame(rows, "user_id long, v double")
+    dim = spark.createDataFrame([(i, f"u{i}") for i in range(10_000)], "user_id long, name string")
+    return big, dim
+
+
+def test_salted_join_matches_plain_join(skew_data):
+    big, dim = skew_data
+    plain = big.join(dim, "user_id").select("user_id", "v", "name")
+    salted = salted_join(big, dim, ["user_id"], salt=8).select("user_id", "v", "name")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_outer(skew_data):
+    big, dim = skew_data
+    missing = dim.filter(F.col("user_id") < 5000)
+    plain = big.join(missing, "user_id", "left").select("user_id", "v", "name")
+    salted = salted_join(big, missing, ["user_id"], how="left", salt=4).select(
+        "user_id", "v", "name"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_fake_features_deterministic_and_bounded():
+    v1 = _fake_features(b"hello world")
+    v2 = _fake_features(b"hello world")
+    assert v1 == v2
+    assert len(v1) == FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in v1)
+
+
+def test_extract_features_schema(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
+    out = extract_features(attach_payload(df))
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert len(out.columns) == 2 + FEATURE_DIM
