@@ -43,6 +43,7 @@ def main() -> int:
         n = df.count()
         times[name] = round(time.time() - t0, 3)
         print(f"  {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+        spark.catalog.clearCache()  # isolate queries: no cross-query cache reuse
 
     total = round(sum(times.values()), 3)
     out = {
