@@ -34,6 +34,11 @@ def main() -> int:
     # per-process; total still includes this warmup under "startup").
     t0 = time.time()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # spawn the Python/Arrow worker pool too — several queries use
+    # mapInPandas and the first one would otherwise absorb worker startup
+    spark.range(1024).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     startup = time.time() - t0
 
     times: dict[str, float] = {}

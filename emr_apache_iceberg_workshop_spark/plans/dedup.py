@@ -256,27 +256,56 @@ def d_simhash(spark, sf_dir) -> DataFrame:
     tags=("dedup:embedding", "similarity"),
 )
 def d_embedding_neardup(spark, sf_dir) -> DataFrame:
-    # Pair-join on vec_id with the smaller side broadcast; dot product stays
-    # per-row via zip_with + aggregate (functions.exact.sdot — exact decimal
-    # accumulation, order-independent, hash-matches DuckDB's list_sum of the
-    # same decimals). This avoids the O(n²·d)-row shuffle a posexplode
-    # position join would create. At 100 TB the brute-force O(n²) pair
-    # verify is only ever run on LSH/IVF candidate sets (see s_lsh_topk /
-    # s_ivf_topk); this exact variant is the small-n correctness anchor.
+    # Two-phase exact near-dup:
+    #   1) CANDIDATES — vectorized numpy (BLAS) cosine over broadcast corpus
+    #      inside mapInPandas: each partition multiplies its slice A against
+    #      the full matrix B (A @ B.T), keeping pairs above 0.4 - 1e-6.
+    #      float64 matmul error over d=64 ≪ 1e-9, so the margin cannot drop
+    #      a true match. This replaces ~n²·d interpreted lambda ops with
+    #      one BLAS call per partition.
+    #   2) VERIFY — exact-decimal sdot (functions/exact.py) recomputed
+    #      Spark-side for survivors only: order-independent, bit-identical
+    #      to the DuckDB oracle.
+    # The corpus broadcast bounds this at "fits in executor memory" — the
+    # same bound any brute-force O(n²) verify has. At 100 TB the candidate
+    # step is LSH/IVF (s_lsh_topk / s_ivf_topk); this exact variant is the
+    # correctness anchor run on bounded sets.
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    B = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrms = np.sqrt((B * B).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, B, nrms))
+
+    def candidates(it):
+        ids_b, Bm, nr = bc.value
+        id_to_row = {v: i for i, v in enumerate(ids_b)}
+        for pdf in it:
+            idx = np.array([id_to_row[v] for v in pdf["vec_id"]], dtype=np.int64)
+            A = Bm[idx]
+            cos = (A @ Bm.T) / np.outer(nr[idx], nr)
+            ai, bi = np.nonzero(cos > 0.4 - 1e-6)
+            ga = ids_b[idx[ai]]
+            gb = ids_b[bi]
+            keep = ga < gb
+            yield pd.DataFrame({"vec_a": ga[keep], "vec_b": gb[keep]})
+
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    n = emb.selectExpr(
+    cand = emb.select("vec_id").mapInPandas(candidates, "vec_a long, vec_b long")
+
+    n = load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "label", "embedding AS e",
         f"sqrt({sdot('embedding', 'embedding')}) AS nrm",
     )
-    a = n.selectExpr("vec_id AS vec_a", "label AS label_a", "e AS ea", "nrm AS nrm_a")
-    b = n.selectExpr("vec_id AS vec_b", "label AS label_b", "e AS eb", "nrm AS nrm_b")
-    # Two-phase: cheap double-precision dot prunes the n² pair set first
-    # (float error over d=64 terms ≪ 1e-9, so a 1e-6 margin below the 0.4
-    # threshold cannot drop a true match); the exact-decimal dot — ~20×
-    # costlier per pair from BigDecimal churn — runs only on survivors.
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .filter(F.expr(sdot_approx("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b")) > 0.4 - 1e-6)
+        cand.join(n.selectExpr("vec_id AS vec_a", "label AS label_a", "e AS ea", "nrm AS nrm_a"), "vec_a")
+        .join(n.selectExpr("vec_id AS vec_b", "label AS label_b", "e AS eb", "nrm AS nrm_b"), "vec_b")
         .withColumn("cosine", F.expr(sdot("ea", "eb")) / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cosine") > 0.4)
         .select("vec_a", "vec_b", "cosine", (F.col("label_a") == F.col("label_b")).alias("same_label"))

@@ -542,3 +542,100 @@ def q_string_funcs(spark, sf_dir) -> DataFrame:
         F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("bigint").alias("seg_dist"),
         F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution (left outer join +
+# two-level aggregation)
+@query(
+    "q13_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("join:outer", "agg:two-level"),
+)
+def q13_custdist(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-quantity orders (HAVING on a grouped sum, then
+# join back to headers)
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {osum('l_quantity', 2)} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 210
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, total_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+    """,
+    tags=("agg:having", "join"),
+)
+def q18_large_orders(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 210)
+    )
+    return big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "total_qty",
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: customers above global average balance with no orders
+# (scalar subquery + anti join)
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("join:anti", "subquery:scalar"),
+)
+def q22_global_sales_opportunity(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    cust = t["customer"]
+    # scalar subquery: tiny 1-row aggregate, computed once and substituted
+    # into the filter (at scale this is a 2-job pattern; the collect is a
+    # single row, not a data collect)
+    avg_row = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double") / F.count(F.lit(1))).alias("a"))
+        .collect()[0]
+    )
+    rich = cust.filter(F.col("c_acctbal") > float(avg_row["a"]))
+    no_orders = rich.join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return no_orders.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double").alias("totacctbal"),
+    )

@@ -52,3 +52,20 @@ def test_extract_features_schema(spark):
     rows = out.collect()
     assert {r.doc_id for r in rows} == {1, 2}
     assert len(out.columns) == 2 + FEATURE_DIM
+
+
+def test_sketches_within_tolerance(spark):
+    """HLL++ and t-digest sketches can't bit-match another engine (different
+    hash/algorithm), so they are bounded against exact answers instead of
+    oracle-hashed: the 100 TB path for distinct counts and quantiles."""
+    sf_dir = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.06  # 3x the requested rsd
+
+    row = li.select(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.01
