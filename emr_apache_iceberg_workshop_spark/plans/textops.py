@@ -238,3 +238,43 @@ def t_bpe_tokens(spark, sf_dir) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: mask emails / URLs / long digit runs (standard LLM
+# training-data hygiene pass). Patterns use portable regex (no lookaround,
+# no \d shorthand differences): Java and RE2 agree on these classes.
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+"
+_URL_RE = "https?://[^ ]+"
+_DIGITS_RE = "[0-9][0-9][0-9][0-9][0-9]+"
+
+
+@query(
+    "t_scrub_pii",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_URL_RE}', '<URL>', 'g'),
+               '{_DIGITS_RE}', '<NUM>', 'g') AS clean_text,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+           len(regexp_extract_all(text, '{_DIGITS_RE}')) AS n_long_nums
+    FROM documents
+    """,
+    tags=("textops:pii", "scrub"),
+)
+def t_scrub_pii(spark, sf_dir) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE, "<URL>"),
+        _DIGITS_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.expr(f"size(regexp_extract_all(text, '{_EMAIL_RE}', 0))").cast("bigint").alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(text, '{_URL_RE}', 0))").cast("bigint").alias("n_urls"),
+        F.expr(f"size(regexp_extract_all(text, '{_DIGITS_RE}', 0))").cast("bigint").alias("n_long_nums"),
+    )
