@@ -2,10 +2,12 @@
 extension: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
 near-dup — each oracle-checked against DuckDB).
 
-Cross-engine determinism: every hash is md5 (identical hex in both
-engines); minhash = MIN over md5-strings (order-independent); set sizes
-via |A∩B| = |A|+|B|-|A∪B| computed from `array_distinct`/`list_distinct`
-(whose internal order differs between engines — only sizes are used).
+Cross-engine determinism: base hashes are md5 (identical hex in both
+engines); minhash = MIN over a universal-hash family (a_i*h + b_i mod p)
+applied to a 32-bit md5 prefix — pure int64 arithmetic, identical in both
+engines, one md5 per shingle. Set sizes via |A∩B| = |A|+|B|-|A∪B| from
+`array_distinct`/`list_distinct` (whose internal order differs between
+engines — only sizes are used).
 
 Scale design (100 TB):
 - shingle/minhash/simhash signatures are per-row array lambdas — no
@@ -43,24 +45,37 @@ SHINGLES_D = f"""
 N_MINHASH = 12
 N_BANDS = 4  # 3 rows per band
 
+# One md5 per shingle, then K cheap affine rehashes (a_i*h + b_i) mod p —
+# the standard universal-hash minhash family. 12× fewer md5 calls than
+# hashing per-seed; h < 2^32 and a_i < 2^30 keep products inside int64 in
+# both engines (identical bigint arithmetic → identical minhashes).
+_MH_P = 2147483647
+_MH_A = [976369 + 2 * i * 104729 for i in range(N_MINHASH)]
+_MH_B = [377_000_599 + i * 15_485_863 for i in range(N_MINHASH)]
+
+# hex-prefix of md5 → bigint (same value in both engines)
+_H32_S = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
+_H32_D = "CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)"
+
+HASHED_SHINGLES_S = f"transform(__sh, x -> {_H32_S})"
+HASHED_SHINGLES_D = f"list_transform(__sh, x -> {_H32_D})"
+
 
 def _minhash_exprs(dialect: str) -> list[str]:
-    """K min-hashes: MIN over md5('<seed>|'||shingle) strings."""
-    out = []
-    for s in range(N_MINHASH):
-        if dialect == "spark":
-            out.append(
-                f"array_min(transform(__sh, x -> md5(concat('{s}|', x)))) AS mh{s}"
-            )
-        else:
-            out.append(f"list_min(list_transform(__sh, x -> md5('{s}|' || x))) AS mh{s}")
-    return out
+    """K min-hashes over the pre-hashed shingle array __hs."""
+    tf, mn = ("transform", "array_min") if dialect == "spark" else ("list_transform", "list_min")
+    return [
+        f"{mn}({tf}(__hs, h -> ({_MH_A[s]} * h + {_MH_B[s]}) % {_MH_P})) AS mh{s}"
+        for s in range(N_MINHASH)
+    ]
 
 
 def _band_exprs() -> list[str]:
     """Band keys: md5 of 3 consecutive minhashes (same SQL both dialects)."""
     return [
-        f"md5(concat_ws('|', mh{3 * b}, mh{3 * b + 1}, mh{3 * b + 2})) AS band{b}"
+        "md5(concat_ws('|', "
+        + ", ".join(f"CAST(mh{3 * b + j} AS STRING)" for j in range(3))
+        + f")) AS band{b}"
         for b in range(N_BANDS)
     ]
 
@@ -140,7 +155,8 @@ def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
     "d_minhash_lsh",
     oracle=f"""
     WITH s AS (SELECT doc_id, {SHINGLES_D} AS __sh FROM documents),
-         m AS (SELECT doc_id, __sh, {', '.join(_minhash_exprs('duck'))} FROM s),
+         hs AS (SELECT doc_id, __sh, {HASHED_SHINGLES_D} AS __hs FROM s),
+         m AS (SELECT doc_id, __sh, {', '.join(_minhash_exprs('duck'))} FROM hs),
          b AS (SELECT *, {', '.join(_band_exprs())} FROM m),
          long AS (
            SELECT doc_id, band_idx, band_key FROM (
@@ -168,9 +184,10 @@ def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
 def d_minhash_lsh(spark, sf_dir) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS __sh")
-    # Cache minhash signatures: 12 md5-min passes over every shingle list is
-    # the dominant cost and feeds banding + both verify sides (ma, mb).
-    m = s.selectExpr("doc_id", "__sh", *_minhash_exprs("spark")).persist()
+    hs = s.selectExpr("doc_id", "__sh", f"{HASHED_SHINGLES_S} AS __hs")
+    # Cache minhash signatures: they feed banding + both verify sides
+    # (ma, mb). One md5 per shingle; the 12 permutations are integer ops.
+    m = hs.selectExpr("doc_id", "__sh", *_minhash_exprs("spark")).persist()
     b = m.selectExpr("*", *_band_exprs())
     stack_args = ", ".join(f"{i}, band{i}" for i in range(N_BANDS))
     long = b.selectExpr("doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)")

@@ -217,3 +217,46 @@ class SnapshotTable:
         # materialize before the overwrite clobbers input dirs we're reading
         merged_local = merged.localCheckpoint(eager=True)
         return self.write(merged_local, mode="overwrite", operation="merge")
+
+    # -- time travel + maintenance (north star: "time-travel and table
+    # maintenance operations"; Iceberg equivalents noted per method) -------
+    def scan_at(self, snapshot_id: int) -> DataFrame:
+        """Time-travel read: table state AS OF `snapshot_id` (Iceberg
+        `VERSION AS OF` / `snapshot-id` read option)."""
+        for s in self._load()["snapshots"]:
+            if s["snapshot_id"] == snapshot_id:
+                return self._read_dirs(s["active_dirs"])
+        raise ValueError(f"unknown snapshot {snapshot_id}")
+
+    def compact(self, target_partitions: int | None = None) -> int:
+        """Rewrite the current state into fewer, larger files (Iceberg
+        `rewrite_data_files`). Commits a `compact` snapshot; readers at old
+        snapshots still see the old files until expiration."""
+        df = self.scan()
+        n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
+        squashed = df.coalesce(n).localCheckpoint(eager=True)
+        return self.write(squashed, mode="overwrite", operation="compact")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest `keep_last` snapshots and delete data
+        dirs no surviving snapshot references (Iceberg `expire_snapshots`).
+        Returns the expired snapshot ids. Incremental reads over expired
+        ranges raise, matching Iceberg. Metadata commits first: a crash
+        mid-delete leaves orphan files (harmless), never a broken table."""
+        import shutil
+
+        meta = self._load()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live = {d for s in keep for d in s["active_dirs"]} | {
+            d for s in keep for d in s["dirs"]
+        }
+        expired_ids = [s["snapshot_id"] for s in drop]
+        dead = {d for s in drop for d in s["dirs"]} - live
+        meta["snapshots"] = keep
+        self._commit(meta)
+        for rel in dead:
+            shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+        return expired_ids

@@ -81,3 +81,37 @@ def test_avro_converter_parity():
     assert got["b"] == (T.BooleanType(), False)
     assert got["s"] == (T.StringType(), True)  # [null, T] union → nullable
     assert got["u"] == (T.StringType(), False)  # unknown → string fallback
+
+
+def test_time_travel_and_maintenance(spark, tmp_path):
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "tt_table")
+    t = SnapshotTable.create(spark, root, "k long, v string")
+    s1 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    s2 = t.write(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    # time travel: state AS OF s1 excludes the second append
+    assert {r.k for r in t.scan_at(s1).collect()} == {1, 2}
+    assert {r.k for r in t.scan_at(s2).collect()} == {1, 2, 3}
+
+    # compaction: same rows, new snapshot, operation recorded
+    s3 = t.compact(target_partitions=1)
+    assert {r.k for r in t.scan().collect()} == {1, 2, 3}
+    ops = {r.snapshot_id: r.operation for r in t.history().collect()}
+    assert ops[s3] == "compact"
+    # pre-compaction snapshots still readable (files not yet expired)
+    assert {r.k for r in t.scan_at(s1).collect()} == {1, 2}
+
+    # expiration: only the latest survives; old reads now fail
+    expired = t.expire_snapshots(keep_last=1)
+    assert set(expired) == {s1, s2}
+    assert {r.k for r in t.scan().collect()} == {1, 2, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.scan_at(s1)
+    # expired data dirs are gone from disk
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(root, "data/s1"))
