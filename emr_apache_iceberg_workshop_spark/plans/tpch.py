@@ -639,3 +639,113 @@ def q22_global_sales_opportunity(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double").alias("totacctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between two nations, by ship year
+@query(
+    "q07_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {osum('volume', 6)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             strftime(l_shipdate, '%Y') AS l_year,
+             {_O_REV} AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg"),
+)
+def q07_volume_shipping(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "orders", "customer", "nation"])
+    n1 = t["nation"].selectExpr("n_nationkey AS n1_key", "n_name AS supp_nation")
+    n2 = t["nation"].selectExpr("n_nationkey AS n2_key", "n_name AS cust_nation")
+    return (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.date_format("l_shipdate", "yyyy").alias("l_year"))
+        .agg(dsum(_rev(), 6).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue by customer, top 20
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {osum(_O_REV, 6)} AS revenue, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "topk"),
+)
+def q10_returned_items(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(_rev(), 6).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: OR-ed predicate brackets over a join (disjunction
+# pushdown + join predicate mix)
+@query(
+    "q19_bracket_discounts",
+    oracle=f"""
+    SELECT {osum(_O_REV, 6)} AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 15)
+       OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 10 AND l_quantity <= 25)
+       OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 20 AND l_quantity <= 35)
+    """,
+    tags=("join", "pushdown:disjunction"),
+)
+def q19_bracket_discounts(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li, p = t["lineitem"], t["part"]
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    br = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & F.col("l_quantity").between(20, 35))
+    )
+    return j.filter(br).agg(
+        dsum(_rev(), 6).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
