@@ -749,3 +749,94 @@ def q19_bracket_discounts(spark, sf_dir) -> DataFrame:
     return j.filter(br).agg(
         dsum(_rev(), 6).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (distinct from rollup/cube: arbitrary group combinations)
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {osum('l_quantity', 2)} AS sum_qty, COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    tags=("agg:grouping-sets",),
+)
+def q_grouping_sets(spark, sf_dir) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """)
+
+
+# --------------------------------------------------------------------------
+# RANGE window frame: 1-hour trailing sum per user over event time
+@query(
+    "q_trailing_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_1h_value,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+             AS trailing_1h_events
+    FROM events
+    """,
+    tags=("window:range-frame",),
+)
+def q_trailing_window(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # RANGE frame over the raw int64 ns timestamp: same ordering/values as
+    # DuckDB's epoch_ns(ts) (events.parquet stores ns since epoch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-3_600_000_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,2)")).over(w).cast("double").alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT: returnflag x linestatus quantity matrix (Spark pivot API; oracle
+# spells it as conditional aggregation — same relational operation)
+@query(
+    "q_pivot_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           {osum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END", 2)} AS qty_F,
+           {osum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END", 2)} AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg:pivot",),
+)
+def q_pivot_status(spark, sf_dir) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0)).cast("decimal(38,2)")).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce("F", F.lit(0.0)).alias("qty_F"),
+        F.coalesce("O", F.lit(0.0)).alias("qty_O"),
+    )

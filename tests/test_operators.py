@@ -69,3 +69,19 @@ def test_sketches_within_tolerance(spark):
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_sf_dir_trailing_slash(spark):
+    from emr_apache_iceberg_workshop_spark.catalog import load_table
+
+    a = load_table(spark, "/root/testdata/sf0.001", "nation").count()
+    b = load_table(spark, "/root/testdata/sf0.001/", "nation").count()
+    assert a == b == 25
+
+
+def test_missing_sf_dir_fails_cleanly(spark):
+    from pyspark.errors import AnalysisException
+    from emr_apache_iceberg_workshop_spark.catalog import load_table
+
+    with pytest.raises(AnalysisException):
+        load_table(spark, "/root/testdata/sf_nope", "nation").count()
