@@ -840,3 +840,495 @@ def q_pivot_status(spark, sf_dir) -> DataFrame:
         F.coalesce("F", F.lit(0.0)).alias("qty_F"),
         F.coalesce("O", F.lit(0.0)).alias("qty_O"),
     )
+
+
+# ==========================================================================
+# Remaining TPC-H query shapes. The driver's tables have no `partsupp` and
+# lineitem lacks commitdate/receiptdate/shipmode, so Q2/Q9/Q11/Q16/Q20
+# derive supplier-part relationships from DISTINCT (l_partkey, l_suppkey)
+# and Q12/Q21 use shipping lag (l_shipdate - o_orderdate) as the lateness
+# signal. Join/agg/subquery SHAPE is preserved in every case.
+# ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: min-cost supplier per part (correlated-min over a candidate set).
+# Scale: the window min shuffles once on p_partkey; candidate set is already
+# reduced by part-type/size + region pushdown before the window.
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+      FROM part
+      JOIN sp ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 10
+    ),
+    mins AS (SELECT p_partkey AS mk, MIN(s_acctbal) AS min_bal FROM cand GROUP BY p_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey
+    FROM cand JOIN mins ON p_partkey = mk AND s_acctbal = min_bal
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+    tags=("join", "window:min", "topk", "tpch:q02-shape"),
+)
+def q02_min_cost_supplier(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["part", "lineitem", "supplier", "nation", "region"])
+    sp = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    part = t["part"].filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+    nat = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    cand = (
+        part.join(sp, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    ranked = cand.withColumn("min_bal", F.min("s_acctbal").over(w)).filter(
+        F.col("s_acctbal") == F.col("min_bal")
+    )
+    out = ranked.select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey")
+    return top_k(
+        out,
+        [F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey"), F.col("s_suppkey")],
+        100,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: national market share — two nation roles (customer region,
+# supplier nation), conditional agg ratio per order year.
+@query(
+    "q08_market_share",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y') AS o_year,
+           {osum(f"CASE WHEN sn.n_name = 'NATION_5' THEN {_O_REV} ELSE 0 END", 6)}
+             / {osum(_O_REV, 6)} AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    """,
+    tags=("join", "agg:conditional", "tpch:q08-shape"),
+)
+def q08_market_share(spark, sf_dir) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "part", "nation", "region"]
+    )
+    cust_nat = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nat = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = t["part"].filter(F.col("p_type") == "PROMO")
+    nation_rev = F.when(F.col("sn_name") == "NATION_5", _rev()).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(
+            (dsum(nation_rev, 6) / dsum(_rev(), 6)).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: product-type profit by supplier nation and year. No partsupp →
+# cost proxied as 0.5 * p_retailprice * l_quantity (same join/agg shape).
+@query(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+           {osum(f"{_O_REV} - 0.5 * p_retailprice * l_quantity", 8)} AS sum_profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, strftime(o_orderdate, '%Y')
+    """,
+    tags=("join", "agg", "tpch:q09-shape"),
+)
+def q09_product_profit(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier", "nation", "part"])
+    part = t["part"].filter(F.col("p_name").like("%widget%"))
+    profit = _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        .agg(dsum(profit, 8).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: important stock — per-part value for one nation's suppliers,
+# HAVING above a scalar-subquery fraction of the total. The scalar total is
+# a 1-row broadcast; the per-part agg shuffles once on l_partkey.
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS value
+    FROM v
+    WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) FROM v) * 0.001
+    """,
+    tags=("agg", "subquery:scalar", "tpch:q11-shape"),
+)
+def q11_important_stock(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3")
+    v = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("val"))
+    )
+    total = v.agg(F.sum("val").cast("double").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("total") * 0.001)
+        .select("partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: late-shipment priority counts. No shipmode/receiptdate →
+# lateness = shipped >60 days after order date, bucketed by returnflag.
+@query(
+    "q12_late_shipments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "agg:conditional", "tpch:q12-shape"),
+)
+def q12_late_shipments(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14: promo revenue share for one ship month (conditional-agg ratio).
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.00 * {osum(f"CASE WHEN p_type = 'PROMO' THEN {_O_REV} ELSE 0 END", 6)}
+             / {osum(_O_REV, 6)} AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    tags=("join", "agg:conditional", "tpch:q14"),
+)
+def q14_promo_revenue(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return li.join(t["part"], F.col("l_partkey") == F.col("p_partkey")).agg(
+        (F.lit(100.0) * dsum(promo, 6) / dsum(_rev(), 6)).alias("promo_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15: top supplier by quarterly revenue (agg + scalar-max subquery).
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=("agg", "subquery:scalar", "tpch:q15"),
+)
+def q15_top_supplier(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(_rev().cast("decimal(38,6)")).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(t["supplier"], F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: supplier count per brand/type/size, excluding flagged
+# suppliers (NOT IN → anti join). Supplier-part pairs derived from lineitem.
+@query(
+    "q16_parts_supplier",
+    oracle="""
+    WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM sp
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join:anti", "agg:distinct", "tpch:q16-shape"),
+)
+def q16_parts_supplier(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    sp = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    flagged = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        sp.join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: small-quantity revenue vs per-part average quantity
+# (correlated avg → per-part agg join; p_container → p_size bucket).
+@query(
+    "q17_small_quantity",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 10
+      AND l_quantity < 0.5 * avg_qty
+    """,
+    tags=("join", "subquery:correlated-avg", "tpch:q17-shape"),
+)
+def q17_small_quantity(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    pq = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (F.sum(F.col("l_quantity").cast("decimal(38,2)")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+        )
+    )
+    part = t["part"].filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10))
+    return (
+        t["lineitem"]
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pq, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: suppliers shipping above-average volume of a part family in a
+# year, restricted to one nation (agg + scalar threshold + dim joins).
+@query(
+    "q20_heavy_shippers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(38,2))) AS qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(qty AS DOUBLE) AS small_qty
+    FROM supplier
+    JOIN shipped ON s_suppkey = suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND CAST(qty AS DOUBLE) > 0.5 * (SELECT CAST(SUM(qty) AS DOUBLE) / COUNT(*) FROM shipped)
+    ORDER BY s_suppkey
+    """,
+    tags=("agg", "subquery:scalar", "tpch:q20-shape"),
+)
+def q20_heavy_shippers(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    part = t["part"].filter(F.col("p_name").like("small%"))
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("qty"))
+    )
+    avg_qty = shipped.agg(
+        (F.sum("qty").cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_7")
+    return (
+        shipped.crossJoin(F.broadcast(avg_qty))
+        .filter(F.col("qty").cast("double") > 0.5 * F.col("avg_qty"))
+        .join(t["supplier"], F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("qty").cast("double").alias("small_qty"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: suppliers who alone were late on multi-supplier F-status
+# orders (EXISTS other-supplier + NOT EXISTS other-late-supplier →
+# conditional semi + anti joins). Lateness = shipped >100 days after order.
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM l
+      WHERE l_shipdate > o_orderdate + INTERVAL 100 DAY
+    ),
+    everyone AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM everyone o
+                  WHERE o.l_orderkey = l1.l_orderkey AND o.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("join:semi", "join:anti", "agg", "topk", "tpch:q21-shape"),
+)
+def q21_waiting_suppliers(spark, sf_dir) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
+    base = (
+        t["lineitem"]
+        .join(t["orders"].filter(F.col("o_orderstatus") == "F"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    late = (
+        base.filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 100 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    everyone = base.select("l_orderkey", "l_suppkey").distinct()
+    oth = everyone.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    oth_late = late.select(
+        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
+    )
+    lone_late = (
+        late.join(
+            oth,
+            (F.col("l_orderkey") == F.col("o_ok")) & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_semi",
+        ).join(
+            oth_late,
+            (F.col("l_orderkey") == F.col("x_ok")) & (F.col("l_suppkey") != F.col("x_sk")),
+            "left_anti",
+        )
+    )
+    agg = (
+        lone_late.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return top_k(agg, [F.col("numwait").desc(), F.col("s_name")], 20)
