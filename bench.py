@@ -39,6 +39,14 @@ def main() -> int:
     spark.range(1024).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # and the interpreted higher-order-function path (transform/filter/
+    # aggregate lambdas are not codegen'd) — the dedup/text queries run
+    # first in sorted order and would otherwise absorb its JIT warmup
+    spark.range(20000).selectExpr(
+        "aggregate(transform(sequence(1, 24), i -> conv(substr(md5(concat(id, i)), 1, 8), 16, 10)),"
+        " '0', (a, x) -> greatest(a, x)) AS w",
+        "size(filter(transform(sequence(1, 16), i -> md5(concat(id, i))), h -> substr(h, 1, 1) = 'a')) AS c",
+    ).selectExpr("max(w)", "sum(c)").collect()
     startup = time.time() - t0
 
     times: dict[str, float] = {}

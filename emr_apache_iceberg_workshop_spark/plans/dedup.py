@@ -128,10 +128,14 @@ def d_exact_dup(spark, sf_dir) -> DataFrame:
 def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # Cache the shingle table: tokenize+shingle (regexp + md5-free array
-    # build) is the dominant per-row cost and feeds three consumers (sz, and
-    # both sides of the self-join). At 100 TB this would be a materialized
-    # signature table written once and joined from parquet.
+    # build) is the dominant per-row cost and feeds four consumers (two
+    # broadcast sz sides + both sides of the self-join). Materialize the
+    # cache EAGERLY: the broadcast jobs run concurrently with the main job,
+    # and an unmaterialized persist lets each of them recompute the shingle
+    # subtree. At 100 TB this would be a materialized signature table
+    # written once and joined from parquet.
     s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh").persist()
+    s.count()
     sz = s.selectExpr("doc_id", "size(sh) AS n")
     e = s.selectExpr("doc_id", "explode(sh) AS shingle")
     ea, eb = e.alias("a"), e.alias("b")
@@ -183,11 +187,30 @@ def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
 )
 def d_minhash_lsh(spark, sf_dir) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS __sh")
-    hs = s.selectExpr("doc_id", "__sh", f"{HASHED_SHINGLES_S} AS __hs")
-    # Cache minhash signatures: they feed banding + both verify sides
-    # (ma, mb). One md5 per shingle; the 12 permutations are integer ops.
-    m = hs.selectExpr("doc_id", "__sh", *_minhash_exprs("spark")).persist()
+    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS __sh").persist()
+    # Signatures via explode + codegen'd scalars + hash aggregate instead of
+    # array lambdas: higher-order functions are interpreted (never codegen'd)
+    # and their lambda call sites degrade further in a long-lived session,
+    # while explode → md5/conv → 12 partial-agg MINs stays in whole-stage
+    # codegen end to end and map-side combines before the tiny doc_id
+    # shuffle — the shape that survives a 100 TB corpus. explode_outer keeps
+    # empty-shingle docs (their mins stay NULL, same as array_min([])).
+    e = s.selectExpr("doc_id", "explode_outer(__sh) AS x").selectExpr(
+        "doc_id", f"{_H32_S} AS h"
+    )
+    sig = e.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P})").alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    # Cache doc_id → (shingles, signature): it feeds banding + both verify
+    # sides (ma, mb). Eager count: the two broadcast-exchange jobs launch
+    # concurrently with the candidate job, and a lazy persist would let all
+    # three recompute the signature subtree before any populates the cache.
+    m = s.join(sig, "doc_id").persist()
+    m.count()
+    s.unpersist()
     b = m.selectExpr("*", *_band_exprs())
     stack_args = ", ".join(f"{i}, band{i}" for i in range(N_BANDS))
     long = b.selectExpr("doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)")
@@ -219,22 +242,32 @@ def d_minhash_lsh(spark, sf_dir) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash (32-bit) near-dup: hamming distance ≤ 3 over all pairs
+# SimHash (32-bit) near-dup: hamming distance ≤ 3 over all pairs.
+# Bit b of the simhash = majority vote of the high bit of hex nibble b of
+# md5(token). md5 is computed ONCE per token into a hex-string array; the
+# 32 per-bit counts are substr checks over that array (Catalyst keeps the
+# md5 transform as a single non-collapsed alias, so it is one pass).
+def _simhash_md5s(dialect: str) -> str:
+    if dialect == "spark":
+        return f"transform(array_distinct({TOKS_S}), x -> md5(x))"
+    return f"list_transform(list_distinct({TOKS_D}), x -> md5(x))"
+
+
 def _simhash_expr(dialect: str) -> str:
-    toks = f"array_distinct({TOKS_S})" if dialect == "spark" else f"list_distinct({TOKS_D})"
     size_fn, filt = ("size", "filter") if dialect == "spark" else ("len", "list_filter")
     high = "'8','9','a','b','c','d','e','f'"
     terms = []
     for bit in range(32):
-        cnt = f"{size_fn}({filt}({toks}, x -> substr(md5(x), {bit + 1}, 1) IN ({high})))"
-        terms.append(f"(CASE WHEN 2 * {cnt} > {size_fn}({toks}) THEN {1 << bit} ELSE 0 END)")
+        cnt = f"{size_fn}({filt}(__md, h -> substr(h, {bit + 1}, 1) IN ({high})))"
+        terms.append(f"(CASE WHEN 2 * {cnt} > {size_fn}(__md) THEN {1 << bit} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 @query(
     "d_simhash",
     oracle=f"""
-    WITH h AS (SELECT doc_id, {_simhash_expr('duck')} AS simhash FROM documents)
+    WITH md AS (SELECT doc_id, {_simhash_md5s('duck')} AS __md FROM documents),
+         h AS (SELECT doc_id, {_simhash_expr('duck')} AS simhash FROM md)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.simhash AS simhash_a, b.simhash AS simhash_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -245,7 +278,24 @@ def _simhash_expr(dialect: str) -> str:
 )
 def d_simhash(spark, sf_dir) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    h = docs.selectExpr("doc_id", f"{_simhash_expr('spark')} AS simhash")
+    # Same per-doc simhash as the oracle expression, but computed as
+    # explode(distinct tokens) → one codegen'd md5 per token → a single
+    # hash aggregate with 32 conditional bit-majority counts. No
+    # interpreted array lambdas; partial aggregation combines map-side
+    # before the doc_id shuffle (the 100 TB shape). explode_outer keeps
+    # token-less docs: their counts are 0 so every majority vote fails,
+    # matching the lambda form's simhash of 0.
+    high = "'8','9','a','b','c','d','e','f'"
+    e = docs.selectExpr("doc_id", f"explode_outer(array_distinct({TOKS_S})) AS x").selectExpr(
+        "doc_id", "md5(x) AS hh"
+    )
+    bit_counts = [
+        F.expr(f"count(CASE WHEN substr(hh, {b + 1}, 1) IN ({high}) THEN 1 END)").alias(f"c{b}")
+        for b in range(32)
+    ]
+    g = e.groupBy("doc_id").agg(F.count("hh").alias("n"), *bit_counts)
+    vote = " + ".join(f"(CASE WHEN 2 * c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))
+    h = g.selectExpr("doc_id", f"CAST({vote} AS BIGINT) AS simhash")
     a = h.selectExpr("doc_id AS doc_a", "simhash AS simhash_a")
     b = h.selectExpr("doc_id AS doc_b", "simhash AS simhash_b")
     return (
