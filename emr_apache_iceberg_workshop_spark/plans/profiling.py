@@ -1,0 +1,165 @@
+"""Window-function variety + data-quality profiling queries.
+
+Widens the window surface beyond the reference's single ROW_NUMBER dedup
+(`bronze-silver.py:254-258`): NTILE bucketing, LAG gap analysis,
+FIRST/LAST_VALUE frames — each deterministic (total orders with unique
+tiebreakers) and oracle-checked. `q_column_profile` is the data-quality
+operator a training-data pipeline runs before ingestion: per-column
+null/distinct/extrema stats in ONE pass (a single hash-agg over a
+column-pruned scan — at 100 TB this is the cheapest full-table statement
+there is, and it parallelizes embarrassingly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..catalog import load_table
+from ..functions import dsum, osum
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# NTILE deciles of customer spend. Two-level agg: spend per customer
+# (shuffle on o_custkey), then a global NTILE — the single-partition window
+# runs over one row per customer (already aggregated), not raw orders.
+@query(
+    "q_ntile_deciles",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, {osum('o_totalprice', 2)} AS spend, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           {osum('spend', 2)} AS decile_spend,
+           CAST(SUM(n_orders) AS BIGINT) AS decile_orders
+    FROM (SELECT *, NTILE(10) OVER (ORDER BY spend, o_custkey) AS decile FROM spend)
+    GROUP BY decile
+    """,
+    tags=("window:ntile", "agg"),
+)
+def q_ntile_deciles(spark, sf_dir) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice"), 2).alias("spend"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("spend"), 2).alias("decile_spend"),
+            F.sum("n_orders").alias("decile_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LAG order-gap analysis: days since each customer's previous order,
+# aggregated into a per-priority gap profile. Window partitioned by
+# customer → shuffles once on o_custkey, sorts within partitions only.
+@query(
+    "q_order_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, o_orderpriority,
+             date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(gap_days) AS n_gaps,
+           MIN(gap_days) AS min_gap,
+           MAX(gap_days) AS max_gap,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days
+    FROM g GROUP BY o_orderpriority
+    """,
+    tags=("window:lag", "agg"),
+)
+def q_order_gaps(spark, sf_dir) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.withColumn(
+        "gap_days",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long"),
+    )
+    return g.groupBy("o_orderpriority").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.min("gap_days").alias("min_gap"),
+        F.max("gap_days").alias("max_gap"),
+        F.sum("gap_days").alias("total_gap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# FIRST/LAST_VALUE over an explicit full frame: each customer's first and
+# latest order in one window pass (vs two self-joined rank filters).
+@query(
+    "q_first_last_order",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderdate) OVER w AS first_order,
+           LAST_VALUE(o_orderdate) OVER w AS last_order,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey) OVER w AS last_orderkey,
+           COUNT(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window:first-last",),
+)
+def q_first_last_order(spark, sf_dir) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderdate").over(w).alias("first_order"),
+        F.last("o_orderdate").over(w).alias("last_order"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# Column profile: nulls/distincts/extrema for every orders column in ONE
+# hash-agg pass (no per-column jobs, no shuffle beyond the single global
+# agg). The ingestion-gate data-quality statement.
+@query(
+    "q_column_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS custkey_nonnull,
+           COUNT(DISTINCT o_custkey) AS custkey_distinct,
+           COUNT(DISTINCT o_orderstatus) AS status_distinct,
+           COUNT(DISTINCT o_orderpriority) AS priority_distinct,
+           MIN(o_totalprice) AS price_min,
+           MAX(o_totalprice) AS price_max,
+           MIN(o_orderdate) AS date_min,
+           MAX(o_orderdate) AS date_max
+    FROM orders
+    """,
+    tags=("profile", "agg:distinct"),
+)
+def q_column_profile(spark, sf_dir) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.countDistinct("o_orderpriority").alias("priority_distinct"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+    )

@@ -12,7 +12,16 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MODULES = ["tpch", "events", "textops", "dedup", "similarity", "multimodal", "temporal"]
+_MODULES = [
+    "tpch",
+    "events",
+    "textops",
+    "dedup",
+    "similarity",
+    "multimodal",
+    "temporal",
+    "profiling",
+]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
