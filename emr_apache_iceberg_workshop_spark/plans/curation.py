@@ -1,0 +1,277 @@
+"""Corpus-curation operators — the end-to-end statements a training-data
+pipeline runs between raw documents and a training shard (north-star
+extension alongside dedup/similarity/text analysis).
+
+- `c_hash_sample`: DETERMINISTIC sampling via a multiplicative hash mod a
+  Mersenne prime — reproducible across runs/engines (unlike
+  `df.sample()`, whose output depends on partitioning), overflow-safe at
+  any key scale (`key % P` first, multiplier < 2^30 → product < 2^61),
+  and evaluated inside the scan filter (no shuffle, no extra pass).
+- `c_train_split`: the same hash family bucketed into train/val/test —
+  the canonical leak-proof split assignment: a document's split is a pure
+  function of its id, stable as the corpus grows.
+- `c_dup_groups`: connected components over the near-dup pair graph
+  (n-gram Jaccard >= 0.3 edges, same pair semantics as d_ngram_jaccard).
+  Spark side is iterative min-label propagation — one equi-join + min-agg
+  per round, lineage truncated per round with localCheckpoint, converging
+  in <= graph-diameter rounds (near-dup components are shallow: diameter
+  is small even at 100 TB because chains require overlapping shingle
+  sets). The DuckDB oracle is the same fixpoint via WITH RECURSIVE.
+- `c_curated_corpus`: the full curation funnel in one statement — quality
+  gate (token count + type-token ratio), language agreement (n-gram-free
+  langid heuristic vs the labeled lang), exact-dup removal (min doc_id
+  per md5(text) — one window pass), then per-language corpus stats. Every
+  stage is codegen'd scan-side work except the dedup window (one shuffle
+  on the text hash) and the final agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..catalog import fan_out, load_table
+from ..functions import dsum, osum
+from .registry import query
+from .dedup import SHINGLES_S, SHINGLES_D
+from .textops import TOKS_S, TOKS_D, LANG_MARKERS, _LANG_ORDER, _predicted
+
+# minstd multiplicative hash mod the Mersenne prime 2^31-1. `key % P`
+# BEFORE the multiply keeps every intermediate < 2^61 (int64-safe for
+# arbitrarily large keys); both engines do identical BIGINT arithmetic.
+_P = 2147483647
+_A = 48271
+
+
+def _hash_expr(key: str) -> str:
+    return f"(({key} % {_P}) * {_A}) % {_P}"
+
+
+# --------------------------------------------------------------------------
+@query(
+    "c_hash_sample",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_sampled,
+           {osum('o_totalprice', 2)} AS sampled_spend,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE {_hash_expr('o_orderkey')} < {_P // 10}
+    GROUP BY o_orderpriority
+    """,
+    tags=("curation:sample", "pushdown"),
+)
+def c_hash_sample(spark, sf_dir) -> DataFrame:
+    """~10% deterministic sample of orders; the hash predicate runs inside
+    the scan stage (column-pruned, codegen'd), so the sample costs one
+    linear pass and the tiny post-filter agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.expr(f"{_hash_expr('o_orderkey')} < {_P // 10}"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum(F.col("o_totalprice"), 2).alias("sampled_spend"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "c_train_split",
+    oracle=f"""
+    SELECT CASE WHEN {_hash_expr('doc_id')} % 10 < 8 THEN 'train'
+                WHEN {_hash_expr('doc_id')} % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({TOKS_D})) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("curation:split", "agg"),
+)
+def c_train_split(spark, sf_dir) -> DataFrame:
+    """80/10/10 train/val/test assignment as a pure function of doc_id —
+    no shuffle to assign (scan-side CASE), one hash-agg to report."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    split = F.expr(f"{_hash_expr('doc_id')} % 10")
+    return (
+        docs.withColumn(
+            "split",
+            F.when(split < 8, F.lit("train")).when(split == 8, F.lit("val")).otherwise(F.lit("test")),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(f"size({TOKS_S})")).cast("long").alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+def _jaccard_edges(docs: DataFrame) -> DataFrame:
+    """Symmetric near-dup edge list (u, v): n-gram Jaccard >= 0.3 — the
+    same candidate semantics as d_ngram_jaccard (plans/dedup.py)."""
+    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh").persist()
+    s.count()  # eager: broadcast jobs must not recompute the shingle subtree
+    sz = s.selectExpr("doc_id", "size(sh) AS n")
+    e = s.selectExpr("doc_id", "explode(sh) AS shingle")
+    ea, eb = e.alias("a"), e.alias("b")
+    p = (
+        ea.join(eb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    edges = (
+        p.join(F.broadcast(sz.selectExpr("doc_id AS doc_a", "n AS na")), "doc_a")
+        .join(F.broadcast(sz.selectExpr("doc_id AS doc_b", "n AS nb")), "doc_b")
+        .filter(F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")) >= 0.3)
+        .select("doc_a", "doc_b")
+    )
+    return edges.selectExpr("doc_a AS u", "doc_b AS v").union(
+        edges.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+
+
+@query(
+    "c_dup_groups",
+    oracle=f"""
+    WITH RECURSIVE
+      s AS (SELECT doc_id, {SHINGLES_D} AS sh FROM documents),
+      sz AS (SELECT doc_id, len(sh) AS n FROM s),
+      e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      edges AS (SELECT doc_a, doc_b
+                FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3),
+      sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+              UNION ALL SELECT doc_b, doc_a FROM edges),
+      reach(doc_id, label) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.doc_id
+      )
+    SELECT group_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
+    FROM (SELECT doc_id, MIN(label) AS group_id FROM reach GROUP BY doc_id)
+    GROUP BY group_id
+    """,
+    tags=("curation:components", "iterative"),
+)
+def c_dup_groups(spark, sf_dir) -> DataFrame:
+    """Duplicate GROUPS (not just pairs): connected components of the
+    near-dup graph, labeled by the component's min doc_id. Iterative
+    min-label propagation — per round one shuffle join (labels x edges) +
+    one min-agg; localCheckpoint truncates lineage so round N's plan does
+    not replay rounds 1..N-1. Converges in <= diameter rounds."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    edges = _jaccard_edges(docs).localCheckpoint(eager=True)
+    labels = edges.selectExpr("u AS doc_id").distinct().withColumn("label", F.col("doc_id"))
+    labels = labels.localCheckpoint(eager=True)
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges["u"] == labels["doc_id"])
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id", F.least("label", "nbr_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("label").alias("group_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "c_curated_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text,
+             len({TOKS_D}) AS n_tokens,
+             CASE WHEN len({TOKS_D}) > 0
+                  THEN CAST(len(list_distinct({TOKS_D})) AS DOUBLE) / len({TOKS_D})
+                  ELSE 0.0 END AS ttr,
+             {_predicted('duck')} AS pred_lang
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored WHERE n_tokens >= 20 AND ttr >= 0.2
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_agree,
+           MIN(doc_id) AS min_doc
+    FROM deduped GROUP BY lang
+    """,
+    tags=("curation:pipeline", "window", "agg"),
+)
+def c_curated_corpus(spark, sf_dir) -> DataFrame:
+    """The whole curation funnel: quality gate -> exact-dup removal ->
+    per-language shard stats incl. langid agreement. Scan-side scoring
+    (codegen'd array exprs), ONE shuffle for the dedup window (partition
+    by md5(text)), one final agg."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # Tokenize ONCE into a column, score each language over it, then take
+    # the argmax over the score COLUMNS — inlining `_predicted` here would
+    # repeat the regexp tokenizer ~40x inside one CASE (codegen blowup).
+    toked = docs.selectExpr("doc_id", "lang", "source", "text", f"{TOKS_S} AS __toks")
+    scored = toked.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "CAST(size(__toks) AS BIGINT) AS n_tokens",
+        """CASE WHEN size(__toks) > 0
+             THEN CAST(size(array_distinct(__toks)) AS DOUBLE) / size(__toks)
+             ELSE 0.0D END AS ttr""",
+        *[
+            "size(filter(__toks, x -> x IN ({}))) AS __s_{}".format(
+                ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]), lg
+            )
+            for lg in _LANG_ORDER
+        ],
+    )
+    argmax = "CASE " + " ".join(
+        "WHEN "
+        + " AND ".join(f"__s_{lg} >= __s_{o}" for o in _LANG_ORDER if o != lg)
+        + f" THEN '{lg}'"
+        for lg in _LANG_ORDER
+    ) + " ELSE 'und' END"
+    scored = scored.withColumn("pred_lang", F.expr(argmax))
+    gated = scored.filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.2))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum((F.col("pred_lang") == F.col("lang")).cast("long")).alias("n_lang_agree"),
+        F.min("doc_id").alias("min_doc"),
+    )

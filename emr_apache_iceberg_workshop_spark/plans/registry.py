@@ -21,6 +21,7 @@ _MODULES = [
     "multimodal",
     "temporal",
     "profiling",
+    "curation",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
