@@ -3,4 +3,5 @@ from .jobs import (  # noqa: F401
     windowed_event_counts,
     run_windowed_agg_available_now,
     sessionize_stateful,
+    stream_cdc_upsert,
 )

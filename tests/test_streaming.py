@@ -113,3 +113,45 @@ def test_stateful_sessionization_closed_sessions(spark, tmp_path):
     write_batch("b2", [(5, "2024-01-01 02:00:00", 8, "view", 1.0)])
     closed2 = run_trigger()
     assert {(r["user_id"], r["session_no"], r["n_events"]) for r in closed2} >= {(8, 0, 1)}
+
+
+def test_stream_cdc_upsert_converges_and_is_exactly_once(spark, tmp_path):
+    """Streaming bronze→silver on the reference CDC fixture: 5 I rows, then
+    a 2-row U batch → latest-wins table state; re-running with no new files
+    changes nothing (file-source checkpoint)."""
+    from emr_apache_iceberg_workshop_spark.streaming import stream_cdc_upsert
+
+    cdc_header = (
+        "Op\treplicadmstimestamp\tinvoiceid\titemid\tcategory\tprice\tquantity"
+        "\torderdate\tdestinationstate\tshippingtype\treferral"
+    )
+    initial = [
+        "I\t2024-06-27 14:36:25.103244\t40994\t67\tmarket\t92.02\t1\t2021-05-21\tVI\t2-Day\tothers",
+        "I\t2024-02-01 19:52:59.444793\t83597\t37\tlanguage\t97.07\t3\t2021-09-10\tSC\tStandard\tplay",
+        "I\t2024-02-16 15:30:41.041474\t24137\t34\tdegree\t53.51\t1\t2023-03-29\tSC\t3-Day\tbook",
+    ]
+    updates = [
+        "U\t2024-11-01 10:00:00.000000\t40994\t67\tmarket####\t92.02\t1\t2021-05-21\tVI\t2-Day\tothers",
+        "D\t2024-11-01 10:00:01.000000\t24137\t34\tdegree\t53.51\t1\t2023-03-29\tSC\t3-Day\tbook",
+    ]
+    inp, tbl, ckpt = (str(tmp_path / d) for d in ("in", "table", "ckpt"))
+
+    def write(name, rows):
+        os.makedirs(inp, exist_ok=True)
+        with open(f"{inp}/{name}", "w") as f:
+            f.write(cdc_header + "\n" + "\n".join(rows) + "\n")
+
+    write("b1.csv", initial)
+    t = stream_cdc_upsert(spark, inp, tbl, ckpt, op_col="Op")
+    assert t.scan().count() == 3
+    snap1 = t.latest_snapshot_id()
+
+    # no new files → no new snapshot (exactly-once on the file source)
+    stream_cdc_upsert(spark, inp, tbl, ckpt, op_col="Op")
+    assert t.latest_snapshot_id() == snap1
+
+    # update batch: U overwrites category, D deletes its key
+    write("b2.csv", updates)
+    stream_cdc_upsert(spark, inp, tbl, ckpt, op_col="Op")
+    rows = {(r.invoiceid, r.itemid): r.category for r in t.scan().collect()}
+    assert rows == {(40994, 67): "market####", (83597, 37): "language"}
