@@ -180,19 +180,19 @@ def c_dup_groups(spark, sf_dir) -> DataFrame:
             .groupBy(F.col("v").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the change flag through the checkpoint: convergence test is
+        # then a filter-count over checkpointed data, not another join
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id", F.least("label", "nbr_label").alias("label"))
+            .select(
+                "doc_id",
+                F.least("label", "nbr_label").alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("doc_id", "label")
+        if stepped.filter(F.col("__changed")).count() == 0:
             break
     return labels.groupBy(F.col("label").alias("group_id")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc")
