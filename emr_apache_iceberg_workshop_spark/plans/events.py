@@ -215,3 +215,39 @@ def q_sessionization(spark, sf_dir) -> DataFrame:
         F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
         F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-resilient join, oracle-proof: the salted physical strategy must be
+# OBSERVABLY identical to the plain equi-join. Events (the "skewed" fact)
+# join customers (the dim, replicated salt ways) on user_id; output is a
+# per-segment engagement profile. At 100 TB with a power-law user_id this
+# is the strategy that keeps the hottest key off a single reducer; here the
+# oracle proves salting changes nothing but the partitioning.
+@query(
+    "q_salted_engagement",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           {osum('e.value', 2)} AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("join:salted", "skew"),
+)
+def q_salted_engagement(spark, sf_dir) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators import salted_join
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS user_id", "c_mktsegment AS segment"
+    )
+    joined = salted_join(events, cust, ["user_id"], salt=8)
+    return joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value"), 2).alias("total_value"),
+    )

@@ -4,4 +4,6 @@ from .jobs import (  # noqa: F401
     run_windowed_agg_available_now,
     sessionize_stateful,
     stream_cdc_upsert,
+    stream_stream_attribution,
+    run_attribution_available_now,
 )

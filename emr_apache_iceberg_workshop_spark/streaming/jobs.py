@@ -230,3 +230,71 @@ def stream_cdc_upsert(
     )
     q.awaitTermination()
     return SnapshotTable(spark, table_root) if SnapshotTable.exists(table_root) else None
+
+
+# -- stream-stream interval join --------------------------------------------
+
+
+def stream_stream_attribution(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each purchase to
+    the same user's clicks in the preceding `horizon`.
+
+    Both sides are watermarked and the join condition bounds purchase_ts to
+    [click_ts, click_ts + horizon], so the state store can evict a click
+    once its ts passes (watermark + horizon) and a purchase immediately
+    after matching — bounded state at any throughput. This is the streaming
+    operator the reference's batch-incremental design cannot express.
+    """
+    c = (
+        clicks.select(
+            F.col("ts").cast("timestamp").alias("click_ts"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+        ).withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""c_user = p_user AND
+                purchase_ts >= click_ts AND
+                purchase_ts <= click_ts + INTERVAL {horizon}"""
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_attribution_available_now(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str, query_name: str = "attribution_out"
+) -> DataFrame:
+    """Drive the attribution join over an events parquet dir (clicks +
+    purchases filtered from one stream) to completion via the memory sink."""
+    events = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_attribution(clicks, purchases)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -155,3 +155,32 @@ def test_stream_cdc_upsert_converges_and_is_exactly_once(spark, tmp_path):
     stream_cdc_upsert(spark, inp, tbl, ckpt, op_col="Op")
     rows = {(r.invoiceid, r.itemid): r.category for r in t.scan().collect()}
     assert rows == {(40994, 67): "market####", (83597, 37): "language"}
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Watermarked interval join (clicks→purchases within 1h) produces the
+    same pairs as the equivalent batch join over sf0.001 events."""
+    from emr_apache_iceberg_workshop_spark.catalog import load_table
+    from emr_apache_iceberg_workshop_spark.streaming import run_attribution_available_now
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "events_parquet")
+    ev.write.parquet(src)
+
+    out = run_attribution_available_now(spark, src, str(tmp_path / "ckpt"))
+
+    c = ev.filter(F.col("event_type") == "click").selectExpr(
+        "ts AS click_ts", "user_id", "event_id AS click_id"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "ts AS purchase_ts", "user_id", "event_id AS purchase_id"
+    )
+    batch = c.join(p, "user_id").filter(
+        (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    got = {(r.click_id, r.purchase_id) for r in out.collect()}
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got and got == want
