@@ -146,9 +146,52 @@ class SnapshotTable:
         self._commit(meta)
         return sid
 
+    # -- schema evolution (Iceberg `ALTER TABLE ... ADD/DROP COLUMN`) ------
+    def evolve_schema(
+        self, add: dict[str, str] | None = None, drop: list[str] | None = None
+    ) -> int:
+        """Additive/subtractive schema evolution as a METADATA-ONLY commit —
+        no data rewrite, exactly like Iceberg. Old files read added columns
+        as NULL (explicit read schema projects them in); dropped columns
+        vanish from every scan without touching parquet. Renames are NOT
+        supported: this stand-in maps columns by name, not Iceberg field
+        ids, so a rename cannot be matched to old data — documented
+        limitation. Time travel reads each snapshot with the schema current
+        AT that snapshot."""
+        meta = self._load()
+        fields = list(T.StructType.fromDDL(meta["schema"]).fields)
+        names = {f.name for f in fields}
+        for name, dtype in (add or {}).items():
+            if name in names:
+                raise ValueError(f"column {name} already exists")
+            fields.append(T.StructType.fromDDL(f"`{name}` {dtype}").fields[0])
+        for name in drop or []:
+            if name not in names:
+                raise ValueError(f"column {name} does not exist")
+            if name in meta["partition_by"]:
+                raise ValueError(f"cannot drop partition column {name}")
+            fields = [f for f in fields if f.name != name]
+        new_ddl = T.StructType(fields).simpleString()[len("struct<") : -1]
+        snaps = meta["snapshots"]
+        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        prev_active = snaps[-1]["active_dirs"] if snaps else []
+        snaps.append(
+            {
+                "snapshot_id": sid,
+                "made_current_at": time.time(),
+                "operation": "evolve-schema",
+                "dirs": [],
+                "active_dirs": prev_active,
+                "summary": {"schema": new_ddl, "prev_schema": meta["schema"]},
+            }
+        )
+        meta["schema"] = new_ddl
+        self._commit(meta)
+        return sid
+
     # -- reads -------------------------------------------------------------
-    def _read_dirs(self, rels: list[str]) -> DataFrame:
-        schema = self.schema()
+    def _read_dirs(self, rels: list[str], schema: T.StructType | None = None) -> DataFrame:
+        schema = schema or self.schema()
         if not rels:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, r) for r in rels]
@@ -174,6 +217,8 @@ class SnapshotTable:
         rels: list[str] = []
         for s in self._load()["snapshots"]:
             if lo < s["snapshot_id"] <= end_snapshot_id:
+                if not s["dirs"] and s["operation"] == "evolve-schema":
+                    continue  # metadata-only commit: nothing to read
                 if s["operation"] not in ("append", "create"):
                     raise ValueError(
                         f"incremental read over non-append snapshot "
@@ -220,12 +265,21 @@ class SnapshotTable:
 
     # -- time travel + maintenance (north star: "time-travel and table
     # maintenance operations"; Iceberg equivalents noted per method) -------
+    def schema_at(self, snapshot_id: int) -> T.StructType:
+        """Schema current AS OF `snapshot_id`: the earliest later
+        evolve-schema commit recorded what the schema was before it."""
+        for s in self._load()["snapshots"]:
+            if s["snapshot_id"] > snapshot_id and s["operation"] == "evolve-schema":
+                return T.StructType.fromDDL(s["summary"]["prev_schema"])
+        return self.schema()
+
     def scan_at(self, snapshot_id: int) -> DataFrame:
         """Time-travel read: table state AS OF `snapshot_id` (Iceberg
-        `VERSION AS OF` / `snapshot-id` read option)."""
+        `VERSION AS OF` / `snapshot-id` read option), with the schema as of
+        that snapshot."""
         for s in self._load()["snapshots"]:
             if s["snapshot_id"] == snapshot_id:
-                return self._read_dirs(s["active_dirs"])
+                return self._read_dirs(s["active_dirs"], schema=self.schema_at(snapshot_id))
         raise ValueError(f"unknown snapshot {snapshot_id}")
 
     def compact(self, target_partitions: int | None = None) -> int:

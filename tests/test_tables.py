@@ -115,3 +115,49 @@ def test_time_travel_and_maintenance(spark, tmp_path):
     import os as _os
 
     assert not _os.path.exists(_os.path.join(root, "data/s1"))
+
+
+def test_schema_evolution_add_drop_and_time_travel(spark, tmp_path):
+    """Iceberg-style metadata-only evolution: added columns read as NULL in
+    old files, dropped columns vanish without rewrites, time travel sees
+    the schema as of the snapshot, incremental reads skip the metadata-only
+    commit."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, "id bigint, category string")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, category string"))
+    s1 = t.latest_snapshot_id()
+
+    s_evolve = t.evolve_schema(add={"score": "double"})
+    # old files project the new column as NULL
+    rows = {r.id: r.score for r in t.scan().collect()}
+    assert rows == {1: None, 2: None}
+
+    # new writes carry the new column; mixed old+new scan works
+    t.write(spark.createDataFrame([(3, "c", 0.5)], "id bigint, category string, score double"))
+    s2 = t.latest_snapshot_id()
+    rows = {r.id: r.score for r in t.scan().collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+
+    # incremental read across the evolve commit: only the appended rows
+    inc = t.scan_incremental(s1, s2)
+    assert [r.id for r in inc.collect()] == [3]
+
+    # time travel: snapshot before the evolve has the ORIGINAL schema
+    assert "score" not in t.scan_at(s1).columns
+    assert "score" in t.scan_at(s2).columns
+
+    # drop: metadata-only, column gone from scans, data untouched
+    t.evolve_schema(drop=["category"])
+    assert t.scan().columns == ["id", "score"]
+    assert t.scan().count() == 3
+
+    # guard rails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.evolve_schema(add={"id": "bigint"})
+    with _pytest.raises(ValueError):
+        t.evolve_schema(drop=["nope"])
+    assert s_evolve > s1
