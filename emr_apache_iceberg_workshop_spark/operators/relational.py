@@ -86,7 +86,16 @@ def merge_upsert(
     out_cols = [F.col(k) for k in keys]
     for c in value_cols:
         if c in src_value_cols:
-            out_cols.append(F.coalesce(F.col(f"__src_{c}"), F.col(c)).alias(c))
+            # Gate on row PRESENCE (__in_src), not value nullness: Iceberg's
+            # WHEN MATCHED THEN UPDATE SET t.c = s.c overwrites with NULL
+            # when the source legitimately carries NULL (e.g. a CDC update
+            # clearing a nullable column). coalesce(src, tgt) would silently
+            # keep the stale target value in that case.
+            out_cols.append(
+                F.when(F.col("__in_src").isNotNull(), F.col(f"__src_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
         else:
             out_cols.append(F.col(c))
     if action_col is not None:
@@ -105,6 +114,13 @@ def top_k(df: DataFrame, order_by: Sequence, k: int) -> DataFrame:
     return df.orderBy(*order_by).limit(k)
 
 
+_SALTED_SAFE_HOW = {
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi",
+    "left_anti", "leftanti", "anti", "cross",
+}
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -119,10 +135,20 @@ def salted_join(
     AQE's skew-join splitting (enabled in session.py) handles most cases at
     runtime; use this when skew is known ahead of time (power-law user_id,
     null-heavy keys) or when AQE is unavailable (streaming joins). The
-    salt column is derived from spark_partition_id + a per-row counter —
-    any distribution works, join output is identical to the unsalted join.
+    salt column is derived from spark_partition_id + a per-row counter.
     Cost: `other` inflates salt× (keep it the smaller side).
+
+    Only skewed-side-preserving joins are supported: because `other` is
+    replicated salt×, a right/full outer join would emit salt× duplicates
+    for each unmatched `other` key. `how` is validated against
+    inner/left/semi/anti; right/full raise.
     """
+    if how not in _SALTED_SAFE_HOW:
+        raise ValueError(
+            f"salted_join: how={how!r} is not skewed-side-preserving; the "
+            f"replicated side would duplicate unmatched rows. Allowed: "
+            f"{sorted(_SALTED_SAFE_HOW)}"
+        )
     skw = skewed.withColumn(
         "__salt",
         F.pmod(

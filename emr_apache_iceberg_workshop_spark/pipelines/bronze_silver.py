@@ -111,9 +111,17 @@ def run_bronze_silver(spark: SparkSession, cfg: BronzeSilverConfig) -> dict:
     silver = SnapshotTable(spark, cfg.silver_root)
 
     dedup_keys = cfg.merge_keys if cfg.dedup_full_key else cfg.merge_keys[:1]
-    source = dedup_latest(
-        inc, dedup_keys, [F.col(cfg.order_col).desc(), *[F.col(k) for k in cfg.merge_keys]]
-    )
+    # processed_time is a per-run constant (localtimestamp at ingest), so
+    # intra-batch duplicates of a key all tie on it; the merge keys are the
+    # window partition columns (constant per partition) and break nothing.
+    # Order additionally by the CDC event time and Op ('U' > 'I' > 'D'
+    # lexically, so desc prefers the update) so latest-wins is
+    # deterministic within a batch.
+    order = [F.col(cfg.order_col).desc()]
+    for tiebreak in ("replicadmstimestamp", "Op"):
+        if tiebreak in inc.columns and tiebreak != cfg.order_col:
+            order.append(F.col(tiebreak).desc())
+    source = dedup_latest(inc, dedup_keys, order)
     # source columns = silver schema (+ Op when deletes are applied)
     keep = [f.name for f in silver_schema.fields]
     if cfg.apply_deletes:

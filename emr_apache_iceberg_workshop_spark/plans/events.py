@@ -63,10 +63,10 @@ def q_latest_event_per_user(spark, sf_dir) -> DataFrame:
         FROM events WHERE ts >= TIMESTAMP '{_CUTOFF}') WHERE rn = 1
     )
     SELECT COALESCE(src.user_id, tgt.user_id) AS user_id,
-           COALESCE(src.event_id, tgt.event_id) AS event_id,
-           strftime(COALESCE(src.ts, tgt.ts), '{TS_FMT_DUCK}') AS ts,
-           COALESCE(src.event_type, tgt.event_type) AS event_type,
-           COALESCE(src.value, tgt.value) AS value,
+           CASE WHEN src.user_id IS NOT NULL THEN src.event_id ELSE tgt.event_id END AS event_id,
+           strftime(CASE WHEN src.user_id IS NOT NULL THEN src.ts ELSE tgt.ts END, '{TS_FMT_DUCK}') AS ts,
+           CASE WHEN src.user_id IS NOT NULL THEN src.event_type ELSE tgt.event_type END AS event_type,
+           CASE WHEN src.user_id IS NOT NULL THEN src.value ELSE tgt.value END AS value,
            CASE WHEN src.user_id IS NOT NULL AND tgt.user_id IS NOT NULL THEN 'update'
                 WHEN tgt.user_id IS NULL THEN 'insert'
                 ELSE 'keep' END AS merge_action

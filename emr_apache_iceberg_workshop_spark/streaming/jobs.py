@@ -123,17 +123,22 @@ def _sessionize_fn(
     else:
         n_events, session_start, last_ts, session_no = 0, None, None, 0
 
+    # A group arrives as MULTIPLE chunks with no cross-chunk ordering
+    # guarantee: concatenate and sort ONCE so an early timestamp in a later
+    # chunk cannot be processed after a later one (which would close
+    # sessions spuriously / move last_ts backwards). Per-key state is
+    # already assumed to fit in memory.
+    all_ts = pd.concat([pdf["ts_sec"] for pdf in pdfs], ignore_index=True)
     out_rows = []
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts_sec"]):
-            if last_ts is not None and ts - last_ts > _SESSION_GAP_SEC:
-                out_rows.append((user_id, session_no, n_events, session_start, last_ts))
-                session_no += 1
-                n_events, session_start = 0, ts
-            elif session_start is None:
-                session_start = ts
-            n_events += 1
-            last_ts = ts
+    for ts in all_ts.sort_values():
+        if last_ts is not None and ts - last_ts > _SESSION_GAP_SEC:
+            out_rows.append((user_id, session_no, n_events, session_start, last_ts))
+            session_no += 1
+            n_events, session_start = 0, ts
+        elif session_start is None:
+            session_start = ts
+        n_events += 1
+        last_ts = ts
 
     state.update((n_events, session_start, last_ts, session_no))
     if out_rows:

@@ -165,9 +165,11 @@ class SnapshotTable:
             if name in names:
                 raise ValueError(f"column {name} already exists")
             fields.append(T.StructType.fromDDL(f"`{name}` {dtype}").fields[0])
+            names.add(name)  # adds are visible to the drop validation below
         for name in drop or []:
             if name not in names:
                 raise ValueError(f"column {name} does not exist")
+            names.discard(name)
             if name in meta["partition_by"]:
                 raise ValueError(f"cannot drop partition column {name}")
             fields = [f for f in fields if f.name != name]

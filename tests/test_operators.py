@@ -3,7 +3,7 @@
 import pytest
 from pyspark.sql import functions as F
 
-from emr_apache_iceberg_workshop_spark.operators import salted_join
+from emr_apache_iceberg_workshop_spark.operators import merge_upsert, salted_join
 from emr_apache_iceberg_workshop_spark.operators.multimodal import (
     FEATURE_DIM, _fake_features, extract_features, attach_payload,
 )
@@ -36,6 +36,39 @@ def test_salted_join_left_outer(skew_data):
     )
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_rejects_other_side_outer(skew_data):
+    big, dim = skew_data
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="not skewed-side-preserving"):
+            salted_join(big, dim, ["user_id"], how=how)
+
+
+def test_merge_upsert_null_update_overwrites(spark):
+    """A matched source row carrying NULL in a nullable column must
+    overwrite the target value (Iceberg WHEN MATCHED THEN UPDATE SET
+    t.c = s.c semantics), not keep the stale one."""
+    target = spark.createDataFrame(
+        [(1, "old-cat", 10.0), (2, "keep-cat", 20.0)], "id long, category string, price double"
+    )
+    source = spark.createDataFrame(
+        [(1, None, 11.0), (3, "new-cat", 30.0)], "id long, category string, price double"
+    )
+    out = {r.id: r for r in merge_upsert(target, source, ["id"]).collect()}
+    assert out[1].category is None and out[1].price == 11.0  # NULL overwrites
+    assert out[2].category == "keep-cat"  # unmatched target untouched
+    assert out[3].category == "new-cat"  # insert
+
+
+def test_evolve_schema_add_then_drop_same_call(spark, tmp_path):
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), "id bigint, a string")
+    t.evolve_schema(add={"b": "string"}, drop=["b"])  # add visible to drop
+    assert [f.name for f in t.schema().fields] == ["id", "a"]
+    with pytest.raises(ValueError, match="does not exist"):
+        t.evolve_schema(drop=["a", "a"])  # second drop of same column fails
 
 
 def test_fake_features_deterministic_and_bounded():
