@@ -242,7 +242,7 @@ def d_minhash_lsh(spark, sf_dir) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash (32-bit) near-dup: hamming distance ≤ 3 over all pairs.
+# SimHash (32-bit) near-dup: hamming distance ≤ 3, banded candidates.
 # Bit b of the simhash = majority vote of the high bit of hex nibble b of
 # md5(token). md5 is computed ONCE per token into a hex-string array; the
 # 32 per-bit counts are substr checks over that array (Catalyst keeps the
@@ -296,11 +296,37 @@ def d_simhash(spark, sf_dir) -> DataFrame:
     g = e.groupBy("doc_id").agg(F.count("hh").alias("n"), *bit_counts)
     vote = " + ".join(f"(CASE WHEN 2 * c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))
     h = g.selectExpr("doc_id", f"CAST({vote} AS BIGINT) AS simhash")
-    a = h.selectExpr("doc_id AS doc_a", "simhash AS simhash_a")
-    b = h.selectExpr("doc_id AS doc_b", "simhash AS simhash_b")
+    # CANDIDATES by pigeonhole banding, not all pairs: split the 32-bit
+    # simhash into 4 bytes; any pair at hamming ≤ 3 differs in ≤ 3 bytes,
+    # so at least one byte matches exactly → every qualifying pair shares
+    # some (band_idx, band_val) key and survives the equi-join. This is a
+    # shuffle on a ≤ 4·n-row key table instead of an O(n²) nested-loop —
+    # the shape that survives 100 TB (same banding argument as
+    # d_minhash_lsh). VERIFY recomputes exact hamming per candidate.
+    band_pairs = ", ".join(
+        f"{b}, CAST(shiftright(simhash, {8 * b}) & 255 AS INT)" for b in range(4)
+    )
+    bands = h.selectExpr(
+        "doc_id", "simhash", f"stack(4, {band_pairs}) AS (band_idx, band_val)"
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("simhash_a"),
+            F.col("y.simhash").alias("simhash_b"),
+        )
+        .distinct()  # a pair can share several bands
+    )
     return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.expr("CAST(bit_count(simhash_a ^ simhash_b) AS BIGINT)"))
+        cand.withColumn("hamming", F.expr("CAST(bit_count(simhash_a ^ simhash_b) AS BIGINT)"))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "simhash_a", "simhash_b", "hamming")
     )
