@@ -349,48 +349,60 @@ def d_simhash(spark, sf_dir) -> DataFrame:
     tags=("dedup:embedding", "similarity"),
 )
 def d_embedding_neardup(spark, sf_dir) -> DataFrame:
-    # Two-phase exact near-dup:
-    #   1) CANDIDATES — vectorized numpy (BLAS) cosine over broadcast corpus
-    #      inside mapInPandas: each partition multiplies its slice A against
-    #      the full matrix B (A @ B.T), keeping pairs above 0.4 - 1e-6.
-    #      float64 matmul error over d=64 ≪ 1e-9, so the margin cannot drop
-    #      a true match. This replaces ~n²·d interpreted lambda ops with
-    #      one BLAS call per partition.
+    # Two-phase exact near-dup, fully distributed (no driver collect, no
+    # whole-corpus broadcast):
+    #   1) CANDIDATES — block-pair matmul. Vectors are hashed into NB blocks
+    #      (blk = vec_id % NB); each vector is replicated to the NB block
+    #      PAIRS it participates in (explode → one shuffle of NB·n rows),
+    #      and each (p1, p2) group computes its A @ B.T cosine block with
+    #      one BLAS call inside applyInPandas, keeping pairs above
+    #      0.4 - 1e-6 (float64 matmul error over d=64 ≪ 1e-9, so the margin
+    #      cannot drop a true match). Exactness is preserved — every pair
+    #      of vectors co-occurs in exactly one block pair — while the work
+    #      spreads over NB(NB+1)/2 independent tasks whose memory is
+    #      2n/NB vectors each. At larger corpora NB scales as
+    #      n / (rows that fit a task), keeping per-task memory flat; the
+    #      driver never materializes anything.
     #   2) VERIFY — exact-decimal sdot (functions/exact.py) recomputed
     #      Spark-side for survivors only: order-independent, bit-identical
     #      to the DuckDB oracle.
-    # The corpus broadcast bounds this at "fits in executor memory" — the
-    # same bound any brute-force O(n²) verify has. At 100 TB the candidate
-    # step is LSH/IVF (s_lsh_topk / s_ivf_topk); this exact variant is the
-    # correctness anchor run on bounded sets.
+    # For top-k-style retrieval (not exact all-pairs), the LSH/IVF tiers in
+    # plans/similarity.py avoid the O(n²/NB²) per-block compute entirely.
     import numpy as np
     import pandas as pd
 
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    B = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    nrms = np.sqrt((B * B).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, B, nrms))
+    NB = 8
 
-    def candidates(it):
-        ids_b, Bm, nr = bc.value
-        id_to_row = {v: i for i, v in enumerate(ids_b)}
-        for pdf in it:
-            idx = np.array([id_to_row[v] for v in pdf["vec_id"]], dtype=np.int64)
-            A = Bm[idx]
-            cos = (A @ Bm.T) / np.outer(nr[idx], nr)
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        p1, p2 = int(pdf["p1"].iloc[0]), int(pdf["p2"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.stack(pdf["embedding"].to_numpy())
+        nr = np.sqrt((M * M).sum(axis=1))
+        if p1 == p2:
+            # both orderings of a same-block pair appear; keep the (a < b) one
+            cos = (M @ M.T) / np.outer(nr, nr)
             ai, bi = np.nonzero(cos > 0.4 - 1e-6)
-            ga = ids_b[idx[ai]]
-            gb = ids_b[bi]
+            ga, gb = ids[ai], ids[bi]
             keep = ga < gb
-            yield pd.DataFrame({"vec_a": ga[keep], "vec_b": gb[keep]})
+            ga, gb = ga[keep], gb[keep]
+        else:
+            # each cross-block pair appears exactly once; orient it (a < b)
+            a_mask = pdf["blk"].to_numpy() == p1
+            A, Am = M[a_mask], ids[a_mask]
+            Bv, Bm = M[~a_mask], ids[~a_mask]
+            cos = (A @ Bv.T) / np.outer(nr[a_mask], nr[~a_mask])
+            ai, bi = np.nonzero(cos > 0.4 - 1e-6)
+            ga, gb = np.minimum(Am[ai], Bm[bi]), np.maximum(Am[ai], Bm[bi])
+        return pd.DataFrame({"vec_a": ga, "vec_b": gb})
 
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    cand = emb.select("vec_id").mapInPandas(candidates, "vec_a long, vec_b long")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    rep = (
+        emb.withColumn("blk", F.pmod("vec_id", F.lit(NB)).cast("int"))
+        .withColumn("j", F.explode(F.array(*[F.lit(i) for i in range(NB)])))
+        .withColumn("p1", F.least("blk", "j"))
+        .withColumn("p2", F.greatest("blk", "j"))
+    )
+    cand = rep.groupBy("p1", "p2").applyInPandas(block_pairs, "vec_a long, vec_b long")
 
     n = load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "label", "embedding AS e",
