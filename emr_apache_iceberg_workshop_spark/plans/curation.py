@@ -116,23 +116,13 @@ def c_train_split(spark, sf_dir) -> DataFrame:
 # --------------------------------------------------------------------------
 def _jaccard_edges(docs: DataFrame) -> DataFrame:
     """Symmetric near-dup edge list (u, v): n-gram Jaccard >= 0.3 — the
-    same candidate semantics as d_ngram_jaccard (plans/dedup.py)."""
+    same capped-candidate + full-array-verify semantics as d_ngram_jaccard
+    (plans/dedup.py: _capped_candidate_pairs / _jaccard_verified)."""
+    from .dedup import _capped_candidate_pairs, _jaccard_verified
+
     s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh").persist()
     s.count()  # eager: broadcast jobs must not recompute the shingle subtree
-    sz = s.selectExpr("doc_id", "size(sh) AS n")
-    e = s.selectExpr("doc_id", "explode(sh) AS shingle")
-    ea, eb = e.alias("a"), e.alias("b")
-    p = (
-        ea.join(eb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    edges = (
-        p.join(F.broadcast(sz.selectExpr("doc_id AS doc_a", "n AS na")), "doc_a")
-        .join(F.broadcast(sz.selectExpr("doc_id AS doc_b", "n AS nb")), "doc_b")
-        .filter(F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")) >= 0.3)
-        .select("doc_a", "doc_b")
-    )
+    edges = _jaccard_verified(_capped_candidate_pairs(s), s).select("doc_a", "doc_b")
     return edges.selectExpr("doc_a AS u", "doc_b AS v").union(
         edges.selectExpr("doc_b AS u", "doc_a AS v")
     )

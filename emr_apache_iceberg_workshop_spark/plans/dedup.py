@@ -45,6 +45,55 @@ SHINGLES_D = f"""
 N_MINHASH = 12
 N_BANDS = 4  # 3 rows per band
 
+# Document-frequency cap for the shingle inverted index: a shingle present
+# in more than this many documents contributes candidate PAIRS
+# quadratically (one viral boilerplate shingle in 1M docs = 5·10¹¹ pairs on
+# a single join key) while discriminating nothing. Candidates are generated
+# from the capped index only; the verify step recomputes |A∩B| / |A∪B| from
+# the FULL shingle arrays, so results are identical as long as a qualifying
+# pair shares at least one sub-cap shingle. The fixtures' max DF is 25
+# (measured at sf0.1), so the cap is inert locally; a pair of near-dups at
+# jaccard ≥ 0.3 sharing ONLY >1000-doc shingles does not occur in practice
+# (such docs are boilerplate dups caught by d_exact_dup / d_minhash_lsh).
+MAX_SHINGLE_DF = 1000
+
+
+def _capped_candidate_pairs(s: "DataFrame") -> "DataFrame":
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 shingle with DF ≤ cap.
+    One agg to find hot shingles (tiny, broadcast anti-join) + one
+    equi-self-join on the capped index."""
+    e = s.selectExpr("doc_id", "explode(sh) AS shingle")
+    hot = (
+        e.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    capped = e.join(F.broadcast(hot), "shingle", "left_anti")
+    ea, eb = capped.alias("a"), capped.alias("b")
+    return (
+        ea.join(eb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _jaccard_verified(cand: "DataFrame", s: "DataFrame") -> "DataFrame":
+    """Exact jaccard for candidate pairs from the FULL (uncapped) shingle
+    arrays: |A∩B| = |A|+|B|-|A∪B| — identical arithmetic to the oracle's
+    join-count formulation, independent of the candidate cap."""
+    return (
+        cand.join(F.broadcast(s.selectExpr("doc_id AS doc_a", "sh AS sha")), "doc_a")
+        .join(F.broadcast(s.selectExpr("doc_id AS doc_b", "sh AS shb")), "doc_b")
+        .withColumn("__n_union", F.expr("size(array_distinct(concat(sha, shb)))"))
+        .withColumn(
+            "n_common",
+            (F.expr("size(sha) + size(shb)") - F.col("__n_union")).cast("bigint"),
+        )
+        .withColumn("jaccard", F.col("n_common").cast("double") / F.col("__n_union"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
 # One md5 per shingle, then K cheap affine rehashes (a_i*h + b_i) mod p —
 # the standard universal-hash minhash family. 12× fewer md5 calls than
 # hashing per-seed; h < 2^32 and a_i < 2^30 keep products inside int64 in
@@ -128,29 +177,16 @@ def d_exact_dup(spark, sf_dir) -> DataFrame:
 def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # Cache the shingle table: tokenize+shingle (regexp + md5-free array
-    # build) is the dominant per-row cost and feeds four consumers (two
-    # broadcast sz sides + both sides of the self-join). Materialize the
-    # cache EAGERLY: the broadcast jobs run concurrently with the main job,
-    # and an unmaterialized persist lets each of them recompute the shingle
-    # subtree. At 100 TB this would be a materialized signature table
-    # written once and joined from parquet.
+    # build) is the dominant per-row cost and feeds four consumers (the DF
+    # agg, both sides of the candidate self-join, and the two verify
+    # sides). Materialize the cache EAGERLY: the broadcast jobs run
+    # concurrently with the main job, and an unmaterialized persist lets
+    # each of them recompute the shingle subtree. At 100 TB this would be a
+    # materialized signature table written once and joined from parquet.
     s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh").persist()
     s.count()
-    sz = s.selectExpr("doc_id", "size(sh) AS n")
-    e = s.selectExpr("doc_id", "explode(sh) AS shingle")
-    ea, eb = e.alias("a"), e.alias("b")
-    p = (
-        ea.join(eb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ja = (
-        p.join(F.broadcast(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
-        .join(F.broadcast(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
-        .withColumn("jaccard", F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")))
-        .filter(F.col("jaccard") >= 0.3)
-    )
-    return ja.select("doc_a", "doc_b", "n_common", "jaccard")
+    cand = _capped_candidate_pairs(s)
+    return _jaccard_verified(cand, s).select("doc_a", "doc_b", "n_common", "jaccard")
 
 
 # --------------------------------------------------------------------------
