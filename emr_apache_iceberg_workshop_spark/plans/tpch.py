@@ -625,15 +625,17 @@ def q18_large_orders(spark, sf_dir) -> DataFrame:
 def q22_global_sales_opportunity(spark, sf_dir) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders"])
     cust = t["customer"]
-    # scalar subquery: tiny 1-row aggregate, computed once and substituted
-    # into the filter (at scale this is a 2-job pattern; the collect is a
-    # single row, not a data collect)
-    avg_row = (
-        cust.filter(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double") / F.count(F.lit(1))).alias("a"))
-        .collect()[0]
+    # scalar subquery as a 1-row broadcast crossJoin (same shape as
+    # q11/q15/q17): no driver round-trip, the threshold streams to every
+    # task as a broadcast variable inside one job
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double") / F.count(F.lit(1))).alias("__avg_bal")
     )
-    rich = cust.filter(F.col("c_acctbal") > float(avg_row["a"]))
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
+    )
     no_orders = rich.join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     return no_orders.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
         F.count(F.lit(1)).alias("numcust"),
@@ -1161,9 +1163,10 @@ def q16_parts_supplier(spark, sf_dir) -> DataFrame:
         & (F.col("p_type") != "PROMO")
         & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
     )
+    # flagged is O(supplier) — no broadcast hint; AQE sizes it at runtime
     flagged = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        sp.join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        sp.join(flagged, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

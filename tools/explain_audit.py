@@ -36,6 +36,53 @@ PAIR_JOIN_OK = {"s_cosine_topk"}
 # aggregated row is broadcast and streamed against, no shuffle.
 SCALAR_BROADCAST_OK = {"q11_important_stock", "q15_top_supplier", "q20_heavy_shippers"}
 
+# ---------------------------------------------------------------------------
+# Broadcast-hint lint: every F.broadcast(...) call site in the package must
+# feed from a PROVABLY BOUNDED input — a constant-size dimension (region /
+# nation: 5 / 25 rows at ANY scale factor), a 1-row scalar aggregate, or a
+# fixed-size id-list filter. A hint on anything that grows with the corpus
+# forces an OOM at scale that AQE would never choose (AQE's runtime size
+# check is the correct mechanism for "small today" tables — those joins
+# stay UNhinted). The allowlist maps file -> root identifiers allowed as
+# the broadcast argument; anything else fails the audit.
+BROADCAST_HINT_ALLOWED = {
+    "plans/tpch.py": {
+        't["region"]',  # 5 rows at any SF
+        't["nation"]',  # 25 rows at any SF
+        "nat", "n1", "n2", "cust_nat", "supp_nat",  # nation-derived (<=25 rows)
+        "avg_bal", "total", "mx", "avg_qty",  # 1-row scalar aggregates
+    },
+    "plans/similarity.py": {
+        "q",  # fixed 5-id query set (QUERY_FILTER bounds it at any SF)
+    },
+}
+
+
+def lint_broadcast_hints(pkg_root: str) -> list[str]:
+    """Grep the package for F.broadcast call sites and validate each
+    argument's root expression against BROADCAST_HINT_ALLOWED."""
+    fails: list[str] = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, pkg_root)
+            allowed = BROADCAST_HINT_ALLOWED.get(rel, set())
+            with open(path) as f:
+                for lineno, line in enumerate(f, 1):
+                    for m in re.finditer(r"F\.broadcast\(\s*([^\s,)]+)", line):
+                        arg = m.group(1)
+                        root = re.match(r'\w+(\["\w+"\])?|\w+', arg)
+                        root_txt = root.group(0) if root else arg
+                        if root_txt not in allowed and arg not in allowed:
+                            fails.append(
+                                f"FAIL broadcast-hint: {rel}:{lineno} hints "
+                                f"F.broadcast({arg}...) — not in the bounded-input "
+                                f"allowlist for this file"
+                            )
+    return fails
+
 
 def plan_text(df) -> str:
     buf = io.StringIO()
@@ -85,11 +132,23 @@ def main() -> None:
     # AdaptiveSparkPlan stubs (no codegen ids / final join strategy) until
     # executed; the static plan shows what Catalyst would do and codegen
     # span boundaries. Production sessions keep AQE on.
+    pkg_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "emr_apache_iceberg_workshop_spark",
+    )
+    hint_fails = lint_broadcast_hints(pkg_root)
+    for f_ in hint_fails:
+        print(f_)
+
     spark = build_session("eiws-explain-audit")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     reg = registry()
     out = ["# EXPLAIN audit — formatted physical plans\n",
-           f"Generated by tools/explain_audit.py at {sf_dir}.\n"]
+           f"Generated by tools/explain_audit.py at {sf_dir}.\n",
+           "\nBroadcast-hint lint: "
+           + ("**FAILED**\n" + "\n".join(f"- {f_}" for f_ in hint_fails) + "\n"
+              if hint_fails else "OK — every F.broadcast hint feeds a bounded input "
+              "(constant dims, 1-row scalars, fixed query sets).\n")]
     for name, spec in sorted(reg.items()):
         if only and name not in only:
             continue
@@ -107,7 +166,9 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "EXPLAIN.md"), "w") as f:
         f.write("".join(out))
-    print(f"\nwrote EXPLAIN.md ({len(out) - 2} plans)")
+    print(f"\nwrote EXPLAIN.md ({len(out) - 3} plans)")
+    if hint_fails:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
