@@ -183,6 +183,7 @@ def stream_cdc_upsert(
     op_col: str | None = None,
     delete_value: str = "D",
     partition_by: list[str] | None = None,
+    merge_mode: str = "merge-on-read",
 ):
     """Streaming bronze→silver: CDC files → per-microbatch dedup + MERGE.
 
@@ -195,10 +196,17 @@ def stream_cdc_upsert(
     observable table converges exactly-once — fixing the reference's
     crash-between-write-and-checkpoint double-processing gap.
 
-    Scale: each microbatch merge shuffles only batch ∪ matching target
-    rows; `maxFilesPerTrigger` (settable by the caller via options on a
-    custom stream) bounds batch size; state lives in the table, not the
-    stream (no state store growth).
+    The silver table defaults to `write.merge.mode=merge-on-read`, matching
+    the reference's MOR silver (`bronze-silver.py:184-189`): each
+    microbatch merge appends the batch's upserts plus a key-delete file —
+    cost O(batch), NOT O(table) — and readers fold the deletes at scan
+    until a periodic `table.compact()`. Pass
+    `merge_mode="copy-on-write"` for read-optimized silver (partitioned
+    tables then rewrite only the touched partitions per batch).
+
+    Scale: microbatch write amplification is bounded by the batch (MOR) or
+    the touched partitions (COW); `maxFilesPerTrigger` bounds batch size;
+    state lives in the table, not the stream (no state store growth).
 
     Returns the `SnapshotTable` after all available data is applied.
     """
@@ -223,7 +231,11 @@ def stream_cdc_upsert(
         else:
             data_cols = [c for c in src.columns if op_col is None or c != op_col]
             table = SnapshotTable.create(
-                spark, table_root, src.select(*data_cols).schema, partition_by=partition_by
+                spark,
+                table_root,
+                src.select(*data_cols).schema,
+                partition_by=partition_by,
+                properties={"write.merge.mode": merge_mode},
             )
         table.merge(src, keys, op_col=op_col, delete_value=delete_value)
 

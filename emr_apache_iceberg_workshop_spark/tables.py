@@ -8,8 +8,13 @@ a JSON metadata file providing the same observable semantics:
 - incremental snapshot-range reads  (`bronze-silver.py:146-149`, appends-only)
 - append / overwrite / DDL-create   (`raw-bronze.py:178-183`, `bronze-silver.py:194-203`)
 - partitioned writes                (`raw-bronze.py:175-176`, `bronze-silver.py:199-201`)
-- table properties (COW/MOR modes recorded; execution is COW — rewrite —
-  since MOR delete-files need the Iceberg runtime) (`raw-bronze.py:159-170`)
+- table properties incl. EXECUTED write modes (`raw-bronze.py:159-170`,
+  `bronze-silver.py:178-191`): `write.merge.mode=copy-on-write` merges
+  rewrite only the AFFECTED PARTITIONS (partition-exclusion masks over
+  older dirs — Iceberg COW's file-scoped rewrite at partition granularity);
+  `merge-on-read` merges append the upserted rows plus a key-delete file
+  and the scan applies them (Iceberg MOR equality-deletes), so merge cost
+  scales with the BATCH, not the table
 - MERGE INTO                        (`bronze-silver.py:249-285`) via
   operators.relational.merge_upsert + a new snapshot commit
 
@@ -50,8 +55,39 @@ class Snapshot:
     made_current_at: float  # epoch seconds
     operation: str  # "append" | "overwrite" | "create" | "merge"
     dirs: list[str]  # data dirs NEW in this snapshot
-    active_dirs: list[str]  # full table state at this snapshot
+    active_dirs: list  # full table state at this snapshot (str | {dir, exclude})
     summary: dict = field(default_factory=dict)
+    partitions: list | None = None  # partition tuples written in this snapshot
+    delete_file: str | None = None  # MOR: key-delete parquet added here
+    active_deletes: list = field(default_factory=list)  # [{file, sid, keys}]
+
+
+def _entry_rel(e) -> str:
+    """active_dirs entry → data dir rel path (entries are either a plain
+    rel string or {"dir": rel, "exclude": [partition tuples]})."""
+    return e if isinstance(e, str) else e["dir"]
+
+
+def _entry_excl(e) -> list:
+    return [] if isinstance(e, str) else e.get("exclude", [])
+
+
+def _dir_sid(rel: str) -> int:
+    """data/s7 or deletes/s7 → 7 (the snapshot that wrote the dir)."""
+    return int(rel.rsplit("/s", 1)[-1])
+
+
+def _part_str(v):
+    """Canonical string form for a partition value — the same form the
+    partition DIRECTORY name uses (`col=value`), so tuples computed from a
+    DataFrame collect compare equal to tuples listed from disk. None stays
+    None (Hive default partition). The exclusion filter compares
+    `col == lit(str)`; Spark casts the literal to the column type."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 class SnapshotTable:
@@ -120,19 +156,59 @@ class SnapshotTable:
         return T.StructType.fromDDL(self._load()["schema"])
 
     # -- writes ------------------------------------------------------------
+    def _write_data_dir(self, df: DataFrame, meta: dict, sid: int) -> tuple[str, list]:
+        """Write df under data/s{sid}; returns (rel, written partition
+        tuples). Partition listing is a driver-side walk of the fresh dir —
+        O(partition count), the same scale as Iceberg manifest entries."""
+        rel = f"data/s{sid}"
+        out = os.path.join(self.root, rel)
+        writer = df.write.mode("overwrite")
+        part_cols = meta["partition_by"]
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(out)
+        return rel, self._list_partitions(out, part_cols)
+
+    @staticmethod
+    def _list_partitions(out: str, part_cols: list[str]) -> list:
+        """Partition tuples present under a freshly-written dir, as
+        [{col: str_value | None}] (None for the Hive default partition)."""
+        if not part_cols:
+            return []
+        tuples: list = []
+
+        def walk(path: str, depth: int, acc: dict) -> None:
+            if depth == len(part_cols):
+                tuples.append(dict(acc))
+                return
+            col = part_cols[depth]
+            for name in sorted(os.listdir(path)):
+                if not name.startswith(f"{col}="):
+                    continue
+                raw = name[len(col) + 1 :]
+                val = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                acc[col] = val
+                walk(os.path.join(path, name), depth + 1, acc)
+                del acc[col]
+
+        walk(out, 0, {})
+        return tuples
+
     def write(self, df: DataFrame, mode: str = "append", operation: str | None = None) -> int:
         """Append or overwrite; returns the new snapshot id."""
         meta = self._load()
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-        rel = f"data/s{sid}"
-        out = os.path.join(self.root, rel)
-        writer = df.write.mode("overwrite")
-        if meta["partition_by"]:
-            writer = writer.partitionBy(*meta["partition_by"])
-        writer.parquet(out)
-        prev_active = snaps[-1]["active_dirs"] if snaps else []
-        active = prev_active + [rel] if mode == "append" else [rel]
+        rel, parts = self._write_data_dir(df, meta, sid)
+        prev = snaps[-1] if snaps else None
+        if mode == "append":
+            active = (prev["active_dirs"] if prev else []) + [rel]
+            # delete files keep applying to older dirs; appended rows carry
+            # a higher sid than every existing delete file, so they are
+            # never suppressed — plain-append semantics preserved
+            active_deletes = list(prev.get("active_deletes", [])) if prev else []
+        else:
+            active, active_deletes = [rel], []
         snaps.append(
             {
                 "snapshot_id": sid,
@@ -140,6 +216,8 @@ class SnapshotTable:
                 "operation": operation or mode,
                 "dirs": [rel],
                 "active_dirs": active,
+                "partitions": parts,
+                "active_deletes": active_deletes,
                 "summary": {},
             }
         )
@@ -184,6 +262,7 @@ class SnapshotTable:
                 "operation": "evolve-schema",
                 "dirs": [],
                 "active_dirs": prev_active,
+                "active_deletes": list(snaps[-1].get("active_deletes", [])) if snaps else [],
                 "summary": {"schema": new_ddl, "prev_schema": meta["schema"]},
             }
         )
@@ -192,24 +271,95 @@ class SnapshotTable:
         return sid
 
     # -- reads -------------------------------------------------------------
-    def _read_dirs(self, rels: list[str], schema: T.StructType | None = None) -> DataFrame:
+    @staticmethod
+    def _partition_match_expr(tuples: list):
+        """Column expression: row's partition tuple ∈ `tuples` (null-safe,
+        string-form values — Spark casts the literal to the column type)."""
+        ors = None
+        for t in tuples:
+            ands = None
+            for col, val in t.items():
+                e = F.col(col).eqNullSafe(F.lit(val))
+                ands = e if ands is None else (ands & e)
+            ors = ands if ors is None else (ors | ands)
+        return ors
+
+    def _read_entries(
+        self,
+        entries: list,
+        schema: T.StructType | None = None,
+        with_sid: bool = False,
+    ) -> DataFrame:
+        """Union of per-dir reads. Dict entries carry partition-exclusion
+        masks (partitions rewritten by a later partition-scoped merge);
+        `with_sid` tags rows with the snapshot id of their dir so MOR
+        delete files can be applied with a sid-conditioned anti-join."""
         schema = schema or self.schema()
-        if not rels:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, r) for r in rels]
-        # basePath per snapshot dir so partition columns resolve; union them
-        dfs = [
-            self.spark.read.option("basePath", p).schema(schema).parquet(p) for p in paths
-        ]
+        if not entries:
+            df = self.spark.createDataFrame([], schema)
+            return df.withColumn("__sid", F.lit(0).cast("long")) if with_sid else df
+        dfs = []
+        for e in entries:
+            rel, excl = _entry_rel(e), _entry_excl(e)
+            p = os.path.join(self.root, rel)
+            # basePath per snapshot dir so partition columns resolve
+            df = self.spark.read.option("basePath", p).schema(schema).parquet(p)
+            if excl:
+                # exclusion is a partition-column predicate → partition
+                # pruning drops the masked dirs' subtrees at planning time
+                df = df.filter(~self._partition_match_expr(excl))
+            if with_sid:
+                df = df.withColumn("__sid", F.lit(_dir_sid(rel)).cast("long"))
+            dfs.append(df)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
 
+    def _read_dirs(self, rels: list[str], schema: T.StructType | None = None) -> DataFrame:
+        return self._read_entries(rels, schema=schema)
+
+    def _apply_deletes(self, df: DataFrame, deletes: list) -> DataFrame:
+        """MOR read path: suppress any row whose key appears in a delete
+        file COMMITTED AFTER the row's own snapshot (equality deletes with
+        sequence-number semantics, like Iceberg v2). One anti-join per
+        distinct key set (normally exactly one). The delete side is the
+        accumulated merge keys — small relative to data and compacted away
+        by `compact()`; AQE picks broadcast vs shuffle by size."""
+        by_keys: dict[tuple, list] = {}
+        for d in deletes:
+            by_keys.setdefault(tuple(d["keys"]), []).append(d)
+        for keys, ds in by_keys.items():
+            dels = None
+            for d in ds:
+                p = os.path.join(self.root, d["file"])
+                one = self.spark.read.parquet(p).withColumn(
+                    "__del_sid", F.lit(d["sid"]).cast("long")
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            dels = dels.select(
+                *[F.col(k).alias(f"__del_{k}") for k in keys], "__del_sid"
+            )
+            cond = F.col("__del_sid") > F.col("__sid")
+            for k in keys:
+                cond = cond & (F.col(k) == F.col(f"__del_{k}"))
+            df = df.join(dels, cond, "left_anti")
+        return df.drop("__sid")
+
+    def _scan_snapshot(self, snap: dict, schema: T.StructType) -> DataFrame:
+        deletes = snap.get("active_deletes", [])
+        df = self._read_entries(snap["active_dirs"], schema=schema, with_sid=bool(deletes))
+        if deletes:
+            df = self._apply_deletes(df, deletes)
+        return df
+
     def scan(self) -> DataFrame:
-        """Full current-state scan (S5)."""
+        """Full current-state scan (S5): active dirs minus exclusion masks,
+        minus MOR delete keys."""
         snaps = self._load()["snapshots"]
-        return self._read_dirs(snaps[-1]["active_dirs"] if snaps else [])
+        if not snaps:
+            return self.spark.createDataFrame([], self.schema())
+        return self._scan_snapshot(snaps[-1], self.schema())
 
     def scan_incremental(self, start_snapshot_id: int | None, end_snapshot_id: int) -> DataFrame:
         """Rows appended in (start, end] — Iceberg incremental-read semantics
@@ -254,16 +404,165 @@ class SnapshotTable:
         delete_value: str = "D",
     ) -> int:
         """MERGE INTO: latest-wins upsert of `source` (pre-deduplicated, one
-        row per key) into the table; commits a new snapshot. COW execution:
-        rewrites the table state (Iceberg MOR would write delete files)."""
+        row per key) into the table; commits a new snapshot. Execution
+        follows the `write.merge.mode` table property
+        (`bronze-silver.py:178-191`):
+
+        - `merge-on-read`: append the upserted rows + a key-delete file;
+          the scan applies the deletes. Merge cost is O(batch) — the 100 TB
+          CDC shape (Iceberg v2 equality deletes).
+        - `copy-on-write` (default) on a PARTITIONED table: rewrite only
+          the partitions the batch touches (source partitions ∪ partitions
+          of matched target keys), masking them out of older dirs — COW
+          write amplification bounded by touched partitions, not the table.
+        - `copy-on-write`, unpartitioned: full-state rewrite (the only
+          correct COW granularity without a partition spec).
+        """
+        mode = self.properties().get("write.merge.mode", "copy-on-write")
         target = self.scan()
         src = source.select(*[c for c in target.columns if c in source.columns],
                             *([op_col] if op_col and op_col not in target.columns else []))
+        if mode == "merge-on-read":
+            return self._merge_mor(src, keys, op_col=op_col, delete_value=delete_value)
+        if self._load()["partition_by"]:
+            return self._merge_cow_scoped(
+                target, src, keys, op_col=op_col, delete_value=delete_value
+            )
         merged = merge_upsert(target, src, keys, op_col=op_col, delete_value=delete_value)
         merged = merged.select(*target.columns)
-        # materialize before the overwrite clobbers input dirs we're reading
+        # materialize: the merged plan reads the current snapshot dirs and
+        # must not be re-evaluated lazily after the metadata swap
         merged_local = merged.localCheckpoint(eager=True)
         return self.write(merged_local, mode="overwrite", operation="merge")
+
+    def _merge_mor(
+        self, src: DataFrame, keys: list[str], op_col: str | None, delete_value: str
+    ) -> int:
+        """Merge-on-read execution: ONE pass over the batch — write the
+        upserted rows as a new data dir and the batch's keys as an equality
+        -delete file. No target scan, no rewrite: cost scales with the
+        batch. Readers pay the delete anti-join until `compact()` folds
+        the deletes back into data (Iceberg `rewrite_data_files`)."""
+        meta = self._load()
+        snaps = meta["snapshots"]
+        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        data_cols = [f.name for f in T.StructType.fromDDL(meta["schema"]).fields]
+        upserts = src
+        if op_col is not None:
+            upserts = upserts.filter(
+                ~(F.coalesce(F.col(op_col), F.lit("")) == F.lit(delete_value))
+            )
+        upserts = upserts.select(*data_cols)
+        # materialize ONCE: both the data write and the key write read the
+        # source; a lazy plan would re-run it (it may be a streaming batch)
+        upserts_local = upserts.localCheckpoint(eager=True)
+        rel, parts = self._write_data_dir(upserts_local, meta, sid)
+        drel = f"deletes/s{sid}"
+        # every source key (incl. deletes) suppresses older rows of that key
+        src.select(*keys).distinct().write.mode("overwrite").parquet(
+            os.path.join(self.root, drel)
+        )
+        prev = snaps[-1] if snaps else None
+        active = (prev["active_dirs"] if prev else []) + [rel]
+        active_deletes = (list(prev.get("active_deletes", [])) if prev else []) + [
+            {"file": drel, "sid": sid, "keys": list(keys)}
+        ]
+        snaps.append(
+            {
+                "snapshot_id": sid,
+                "made_current_at": time.time(),
+                "operation": "merge",
+                "dirs": [rel],
+                "active_dirs": active,
+                "partitions": parts,
+                "delete_file": drel,
+                "active_deletes": active_deletes,
+                "summary": {"mode": "merge-on-read"},
+            }
+        )
+        self._commit(meta)
+        return sid
+
+    def _merge_cow_scoped(
+        self,
+        target: DataFrame,
+        src: DataFrame,
+        keys: list[str],
+        op_col: str | None,
+        delete_value: str,
+    ) -> int:
+        """Partition-scoped copy-on-write: rewrite ONLY the partitions the
+        batch touches. Affected = source rows' partitions ∪ partitions of
+        target rows matching a source key (the second term catches updates
+        that MOVE a row across partitions — the moved-from partition must
+        be rewritten too). Finding them costs one key semi-join over a
+        2-column pruned target scan, then the merge joins only the affected
+        partitions' rows — write amplification O(touched partitions)."""
+        meta = self._load()
+        part_cols = meta["partition_by"]
+        src_local = src.localCheckpoint(eager=True)  # read 3x below
+        src_keys = src_local.select(*keys).distinct()
+        src_parts = src_local.select(*part_cols).distinct()
+        tgt_parts = (
+            target.join(src_keys, list(keys), "left_semi").select(*part_cols).distinct()
+        )
+        parts = [
+            {c: _part_str(v) for c, v in r.asDict().items()}
+            for r in src_parts.unionByName(tgt_parts).distinct().collect()
+        ]
+        snaps = meta["snapshots"]
+        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        prev = snaps[-1] if snaps else None
+        if not parts:  # empty batch: metadata-only no-op merge commit
+            snaps.append(
+                {
+                    "snapshot_id": sid,
+                    "made_current_at": time.time(),
+                    "operation": "merge",
+                    "dirs": [],
+                    "active_dirs": prev["active_dirs"] if prev else [],
+                    "partitions": [],
+                    "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
+                    "summary": {"mode": "copy-on-write", "scoped_partitions": 0},
+                }
+            )
+            self._commit(meta)
+            return sid
+        match = self._partition_match_expr(parts)
+        tgt_sub = target.filter(match)
+        merged = merge_upsert(tgt_sub, src_local, keys, op_col=op_col, delete_value=delete_value)
+        merged = merged.select(*target.columns).localCheckpoint(eager=True)
+        rel, written_parts = self._write_data_dir(merged, meta, sid)
+        # mask the rewritten partitions out of every older dir; drop dirs
+        # whose partitions are now fully masked
+        dir_parts = {
+            s["dirs"][0]: s.get("partitions")
+            for s in snaps
+            if s.get("dirs")
+        }
+        new_active: list = []
+        for e in prev["active_dirs"] if prev else []:
+            erel, excl = _entry_rel(e), _entry_excl(e)
+            new_excl = list(excl) + [p for p in parts if p not in excl]
+            known = dir_parts.get(erel)
+            if known is not None and all(p in new_excl for p in known):
+                continue  # every partition in this dir is masked → drop it
+            new_active.append({"dir": erel, "exclude": new_excl})
+        new_active.append(rel)
+        snaps.append(
+            {
+                "snapshot_id": sid,
+                "made_current_at": time.time(),
+                "operation": "merge",
+                "dirs": [rel],
+                "active_dirs": new_active,
+                "partitions": written_parts,
+                "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
+                "summary": {"mode": "copy-on-write", "scoped_partitions": len(parts)},
+            }
+        )
+        self._commit(meta)
+        return sid
 
     # -- time travel + maintenance (north star: "time-travel and table
     # maintenance operations"; Iceberg equivalents noted per method) -------
@@ -277,11 +576,11 @@ class SnapshotTable:
 
     def scan_at(self, snapshot_id: int) -> DataFrame:
         """Time-travel read: table state AS OF `snapshot_id` (Iceberg
-        `VERSION AS OF` / `snapshot-id` read option), with the schema as of
-        that snapshot."""
+        `VERSION AS OF` / `snapshot-id` read option), with the schema,
+        exclusion masks, and delete files as of that snapshot."""
         for s in self._load()["snapshots"]:
             if s["snapshot_id"] == snapshot_id:
-                return self._read_dirs(s["active_dirs"], schema=self.schema_at(snapshot_id))
+                return self._scan_snapshot(s, self.schema_at(snapshot_id))
         raise ValueError(f"unknown snapshot {snapshot_id}")
 
     def compact(self, target_partitions: int | None = None) -> int:
@@ -306,11 +605,14 @@ class SnapshotTable:
         if len(snaps) <= keep_last:
             return []
         keep, drop = snaps[-keep_last:], snaps[:-keep_last]
-        live = {d for s in keep for d in s["active_dirs"]} | {
-            d for s in keep for d in s["dirs"]
-        }
+        live = {_entry_rel(e) for s in keep for e in s["active_dirs"]}
+        live |= {d for s in keep for d in s["dirs"]}
+        live |= {d["file"] for s in keep for d in s.get("active_deletes", [])}
         expired_ids = [s["snapshot_id"] for s in drop]
         dead = {d for s in drop for d in s["dirs"]} - live
+        dead |= {
+            s["delete_file"] for s in drop if s.get("delete_file")
+        } - live
         meta["snapshots"] = keep
         self._commit(meta)
         for rel in dead:

@@ -156,6 +156,15 @@ def test_stream_cdc_upsert_converges_and_is_exactly_once(spark, tmp_path):
     rows = {(r.invoiceid, r.itemid): r.category for r in t.scan().collect()}
     assert rows == {(40994, 67): "market####", (83597, 37): "language"}
 
+    # MOR microbatch cost scales with the BATCH, not the table: the merge
+    # snapshot's data dir holds only the batch's single upsert (the D row
+    # lands in the delete file), and no earlier data dir was rewritten
+    last = t.snapshots()[-1]
+    assert last.operation == "merge" and last.delete_file
+    merged_dir = os.path.join(tbl, last.dirs[0])
+    assert spark.read.parquet(merged_dir).count() == 1
+    assert spark.read.parquet(os.path.join(tbl, last.delete_file)).count() == 2
+
 
 def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     """Watermarked interval join (clicks→purchases within 1h) produces the

@@ -161,3 +161,113 @@ def test_schema_evolution_add_drop_and_time_travel(spark, tmp_path):
     with _pytest.raises(ValueError):
         t.evolve_schema(drop=["nope"])
     assert s_evolve > s1
+
+
+# -- merge execution modes (round-3: partition-scoped COW + real MOR) -------
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, v string, part string")
+
+
+def test_cow_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """COW merge on a partitioned table rewrites ONLY the partitions the
+    batch touches; untouched partitions' files are not rewritten (their
+    dirs stay byte-identical) and are masked per-partition in metadata."""
+    import os
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(
+        spark, root, "id bigint, v string, part string", partition_by=["part"]
+    )
+    t.write(_df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]))
+    s1_listing = {
+        d: sorted(os.listdir(os.path.join(root, "data/s1", d)))
+        for d in os.listdir(os.path.join(root, "data/s1"))
+        if d.startswith("part=")
+    }
+    sid = t.merge(_df(spark, [(2, "B", "y")]), keys=["id"])
+
+    new_parts = {
+        d for d in os.listdir(os.path.join(root, f"data/s{sid}")) if d.startswith("part=")
+    }
+    assert new_parts == {"part=y"}  # only the touched partition was written
+    # untouched partition files not rewritten
+    assert {
+        d: sorted(os.listdir(os.path.join(root, "data/s1", d)))
+        for d in os.listdir(os.path.join(root, "data/s1"))
+        if d.startswith("part=")
+    } == s1_listing
+    # metadata masks part=y out of the old dir
+    last = t.snapshots()[-1]
+    masked = [e for e in last.active_dirs if not isinstance(e, str)]
+    assert masked and masked[0]["exclude"] == [{"part": "y"}]
+    # state is the full-merge answer
+    assert {r.id: r.v for r in t.scan().collect()} == {1: "a", 2: "B", 3: "c"}
+
+
+def test_cow_merge_handles_partition_moving_update(spark, tmp_path):
+    """An update that MOVES a row to a new partition rewrites both the old
+    and new partitions — no stale copy survives in the moved-from one."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(
+        spark, root, "id bigint, v string, part string", partition_by=["part"]
+    )
+    t.write(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    t.merge(_df(spark, [(2, "B", "z")]), keys=["id"])
+    rows = {(r.id, r.v, r.part) for r in t.scan().collect()}
+    assert rows == {(1, "a", "x"), (2, "B", "z")}
+
+
+def test_mor_merge_cost_scales_with_batch_not_table(spark, tmp_path):
+    """merge-on-read: a merge writes ONLY the batch's rows + a key-delete
+    file; no existing data file is rewritten. Scans fold the deletes;
+    compact() materializes them away."""
+    import os
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(
+        spark,
+        root,
+        "id bigint, v string, part string",
+        partition_by=["part"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.write(_df(spark, [(i, f"v{i}", "x" if i % 2 else "y") for i in range(1, 101)]))
+
+    src = spark.createDataFrame(
+        [("U", 2, "UPD", "y"), ("I", 200, "new", "z"), ("D", 3, None, "x")],
+        "Op string, id bigint, v string, part string",
+    )
+    sid = t.merge(src, keys=["id"], op_col="Op")
+
+    # the merge snapshot's data dir holds exactly the 2 upserted rows
+    assert spark.read.parquet(os.path.join(root, f"data/s{sid}")).count() == 2
+    # and an equality-delete file with the 3 batch keys
+    dels = spark.read.parquet(os.path.join(root, f"deletes/s{sid}"))
+    assert {r.id for r in dels.collect()} == {2, 3, 200}
+    # table-state semantics match COW latest-wins + delete
+    state = {r.id: r.v for r in t.scan().collect()}
+    assert state[2] == "UPD" and state[200] == "new" and 3 not in state
+    assert len(state) == 100  # 100 - 1 delete + 1 insert
+
+    # a second merge superseding the first's upsert
+    t.merge(
+        spark.createDataFrame([("U", 2, "UPD2", "y")], "Op string, id bigint, v string, part string"),
+        keys=["id"],
+        op_col="Op",
+    )
+    assert {r.v for r in t.scan().filter(F.col("id") == 2).collect()} == {"UPD2"}
+
+    # time travel: pre-merge snapshot unaffected by later delete files
+    assert {r.v for r in t.scan_at(1).filter(F.col("id") == 2).collect()} == {"v2"}
+
+    # compact folds deletes into data: same state, no active delete files
+    t.compact(target_partitions=2)
+    assert t.snapshots()[-1].active_deletes == []
+    state2 = {r.id: r.v for r in t.scan().collect()}
+    assert state2 == {**state, 2: "UPD2"}
+
+    # expire: delete files of dropped snapshots are removed from disk
+    t.expire_snapshots(keep_last=1)
+    assert not os.path.exists(os.path.join(root, f"deletes/s{sid}"))
