@@ -12,11 +12,10 @@ extension alongside dedup/similarity/text analysis).
   function of its id, stable as the corpus grows.
 - `c_dup_groups`: connected components over the near-dup pair graph
   (n-gram Jaccard >= 0.3 edges, same pair semantics as d_ngram_jaccard).
-  Spark side is iterative min-label propagation — one equi-join + min-agg
-  per round, lineage truncated per round with localCheckpoint, converging
-  in <= graph-diameter rounds (near-dup components are shallow: diameter
-  is small even at 100 TB because chains require overlapping shingle
-  sets). The DuckDB oracle is the same fixpoint via WITH RECURSIVE.
+  Spark side is alternating large-star/small-star contraction
+  (operators/graph.py) — O(log diameter) edge-set shuffles, robust even
+  to adversarially long duplicate chains. The DuckDB oracle is the same
+  fixpoint via WITH RECURSIVE.
 - `c_curated_corpus`: the full curation funnel in one statement — quality
   gate (token count + type-token ratio), language agreement (n-gram-free
   langid heuristic vs the labeled lang), exact-dup removal (min doc_id
@@ -114,17 +113,20 @@ def c_train_split(spark, sf_dir) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-def _jaccard_edges(docs: DataFrame) -> DataFrame:
-    """Symmetric near-dup edge list (u, v): n-gram Jaccard >= 0.3 — the
-    same capped-candidate + full-array-verify semantics as d_ngram_jaccard
-    (plans/dedup.py: _capped_candidate_pairs / _jaccard_verified)."""
-    from .dedup import _capped_candidate_pairs, _jaccard_verified
+def _jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b): n-gram Jaccard >= 0.3 — the same
+    capped-candidate + exact-count semantics as d_ngram_jaccard
+    (plans/dedup.py: _jaccard_scored_pairs). The verified pair set is
+    materialized ONCE (eager checkpoint) before any consumer fans out — a
+    downstream union/self-reference must not replay the shingle/verify
+    pipeline."""
+    from .dedup import _jaccard_scored_pairs
 
-    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh").persist()
-    s.count()  # eager: broadcast jobs must not recompute the shingle subtree
-    edges = _jaccard_verified(_capped_candidate_pairs(s), s).select("doc_a", "doc_b")
-    return edges.selectExpr("doc_a AS u", "doc_b AS v").union(
-        edges.selectExpr("doc_b AS u", "doc_a AS v")
+    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
+    return (
+        _jaccard_scored_pairs(s)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -160,34 +162,16 @@ def _jaccard_edges(docs: DataFrame) -> DataFrame:
 )
 def c_dup_groups(spark, sf_dir) -> DataFrame:
     """Duplicate GROUPS (not just pairs): connected components of the
-    near-dup graph, labeled by the component's min doc_id. Iterative
-    min-label propagation — per round one shuffle join (labels x edges) +
-    one min-agg; localCheckpoint truncates lineage so round N's plan does
-    not replay rounds 1..N-1. Converges in <= diameter rounds."""
+    near-dup graph, labeled by the component's min doc_id. Components come
+    from alternating large-star/small-star contraction
+    (operators/graph.py): O(log diameter) rounds instead of min-label
+    propagation's O(diameter) — the round count is the number of full
+    edge-set shuffles, so the exponent is what survives 100 TB."""
+    from ..operators.graph import connected_components
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    edges = _jaccard_edges(docs).localCheckpoint(eager=True)
-    labels = edges.selectExpr("u AS doc_id").distinct().withColumn("label", F.col("doc_id"))
-    labels = labels.localCheckpoint(eager=True)
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges["u"] == labels["doc_id"])
-            .groupBy(F.col("v").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # carry the change flag through the checkpoint: convergence test is
-        # then a filter-count over checkpointed data, not another join
-        stepped = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("label", "nbr_label").alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        labels = stepped.select("doc_id", "label")
-        if stepped.filter(F.col("__changed")).count() == 0:
-            break
+    pairs = _jaccard_pairs(docs)
+    labels, _rounds = connected_components(pairs.selectExpr("doc_a AS u", "doc_b AS v"))
     return labels.groupBy(F.col("label").alias("group_id")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc")
     )

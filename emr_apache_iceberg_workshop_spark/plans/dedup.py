@@ -58,13 +58,37 @@ N_BANDS = 4  # 3 rows per band
 MAX_SHINGLE_DF = 1000
 
 
-def _capped_candidate_pairs(s: "DataFrame") -> "DataFrame":
-    """Distinct (doc_a < doc_b) pairs sharing ≥1 shingle with DF ≤ cap.
-    One agg to find hot shingles + one equi-self-join on the capped index.
-    The hot set is |occurrences|/cap at worst — usually tiny but not
-    constant-bounded, so no broadcast hint (AQE broadcasts it at runtime
-    when it is in fact small)."""
-    e = s.selectExpr("doc_id", "explode(sh) AS shingle")
+def _jaccard_scored_pairs(s: "DataFrame") -> "DataFrame":
+    """Exact-jaccard near-dup pairs, candidates from the DF-capped inverted
+    index — WITHOUT ever joining the shingle-array table (the r02 design
+    shipped the full arrays into the verify join; at sf0.1 that is a
+    multi-MB-per-task build side or a double sort-merge of the corpus).
+
+    Decomposition: A∩B = (shared shingles with DF ≤ cap) ⊎ (shared hot
+    shingles), so
+    - the CAPPED term is counted inside the candidate equi-self-join
+      itself (groupBy count — the same shuffle the old `.distinct()` paid,
+      now carrying the answer), and
+    - the HOT term comes from per-doc hot-shingle arrays (only docs
+      containing a >cap shingle have one; the table is tiny by
+      construction and empty on the fixtures).
+    |A| and |B| ride along as per-group constants, so jaccard =
+    n_common / (|A|+|B|-n_common) needs NO further join against the
+    corpus. Exactness is preserved — the two terms partition A∩B.
+
+    The self-join also prunes SIZE-INCOMPATIBLE pairs inline: jaccard ≥
+    0.3 forces 10·min(|A|,|B|) ≥ 3·max(|A|,|B|) (|A∩B| ≤ min, |A∪B| ≥
+    max). Integer arithmetic, zero false negatives — it only drops pairs
+    the threshold filter would reject anyway, before they inflate the
+    candidate shuffle. No broadcast hints anywhere: the hot set is
+    |occurrences|/cap at worst, so AQE size-decides every join.
+
+    The EXPLODED index (doc_id, n, shingle) is what gets cached — the
+    shingle ARRAYS are never referenced again, and the index feeds three
+    consumers (hot agg, self-join, doc_hot). At 100 TB this is the
+    signature table you would materialize to parquet once."""
+    e = s.selectExpr("doc_id", "size(sh) AS n", "explode(sh) AS shingle").persist()
+    e.count()
     hot = (
         e.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -73,31 +97,44 @@ def _capped_candidate_pairs(s: "DataFrame") -> "DataFrame":
     )
     capped = e.join(hot, "shingle", "left_anti")
     ea, eb = capped.alias("a"), capped.alias("b")
-    return (
-        ea.join(eb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    cnt = (
+        ea.join(
+            eb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (10 * F.least("a.n", "b.n") >= 3 * F.greatest("a.n", "b.n")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__nc_capped"),
+            F.min(F.col("a.n")).alias("__na"),  # constant per doc_a
+            F.min(F.col("b.n")).alias("__nb"),
+        )
     )
-
-
-def _jaccard_verified(cand: "DataFrame", s: "DataFrame") -> "DataFrame":
-    """Exact jaccard for candidate pairs from the FULL (uncapped) shingle
-    arrays: |A∩B| = |A|+|B|-|A∪B| — identical arithmetic to the oracle's
-    set formulation, independent of the candidate cap.
-
-    No broadcast hints: the shingle table is O(corpus), so forcing it into
-    a broadcast would OOM at scale. The post-cap candidate set is the small
-    side; AQE is free to broadcast THAT at runtime, and the fallback is a
-    plain shuffle join on doc_id — the shape that survives 100 TB."""
+    doc_hot = (
+        e.join(hot, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("__hsh"))
+    )
     return (
-        cand.join(s.selectExpr("doc_id AS doc_a", "sh AS sha"), "doc_a")
-        .join(s.selectExpr("doc_id AS doc_b", "sh AS shb"), "doc_b")
-        .withColumn("__n_union", F.expr("size(array_distinct(concat(sha, shb)))"))
+        cnt.join(doc_hot.selectExpr("doc_id AS doc_a", "__hsh AS __ha"), "doc_a", "left")
+        .join(doc_hot.selectExpr("doc_id AS doc_b", "__hsh AS __hb"), "doc_b", "left")
         .withColumn(
             "n_common",
-            (F.expr("size(sha) + size(shb)") - F.col("__n_union")).cast("bigint"),
+            (
+                F.col("__nc_capped")
+                + F.expr(
+                    "size(array_intersect(coalesce(__ha, array()), coalesce(__hb, array())))"
+                )
+            ).cast("bigint"),
         )
-        .withColumn("jaccard", F.col("n_common").cast("double") / F.col("__n_union"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("n_common")),
+        )
         .filter(F.col("jaccard") >= 0.3)
     )
 
@@ -197,17 +234,8 @@ def d_exact_dup(spark, sf_dir) -> DataFrame:
 )
 def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    # Cache the shingle table: tokenize+shingle (regexp + md5-free array
-    # build) is the dominant per-row cost and feeds four consumers (the DF
-    # agg, both sides of the candidate self-join, and the two verify
-    # sides). Materialize the cache EAGERLY: the broadcast jobs run
-    # concurrently with the main job, and an unmaterialized persist lets
-    # each of them recompute the shingle subtree. At 100 TB this would be a
-    # materialized signature table written once and joined from parquet.
-    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh").persist()
-    s.count()
-    cand = _capped_candidate_pairs(s)
-    return _jaccard_verified(cand, s).select("doc_a", "doc_b", "n_common", "jaccard")
+    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
+    return _jaccard_scored_pairs(s).select("doc_a", "doc_b", "n_common", "jaccard")
 
 
 # --------------------------------------------------------------------------

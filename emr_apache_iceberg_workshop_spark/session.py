@@ -30,6 +30,13 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.parquet.compression.codec": "snappy",
+    # Size-based broadcast ceiling (NOT a forced hint): 64 MB fits
+    # comfortably in any sane executor heap and lets Catalyst/AQE broadcast
+    # mid-size build sides (e.g. a signature table at small SF) instead of
+    # sort-merging them. At real scale the same tables exceed the
+    # threshold and the planner flips to shuffle joins on its own —
+    # size-conditioned, unlike F.broadcast which forces at ANY size.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
 

@@ -9,8 +9,7 @@ from pyspark.sql import functions as F
 
 from emr_apache_iceberg_workshop_spark.plans.dedup import (
     SHINGLES_S,
-    _capped_candidate_pairs,
-    _jaccard_verified,
+    _jaccard_scored_pairs,
 )
 
 
@@ -29,41 +28,67 @@ def skewed_docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _shingles(text: str) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
 def test_df_cap_drops_hot_shingles_from_candidates(spark, skewed_docs, monkeypatch):
     import emr_apache_iceberg_workshop_spark.plans.dedup as dd
 
     s = skewed_docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
     monkeypatch.setattr(dd, "MAX_SHINGLE_DF", 10**9)
-    n_uncapped = _capped_candidate_pairs(s).count()  # >= C(200,2) from the hot key
+    n_uncapped = _jaccard_scored_pairs(s).count()  # >= C(200,2) from the hot key
     # With the cap forced below the viral shingle's DF (200), the quadratic
     # candidate blowup from boilerplate disappears (what remains are pairs
     # from legitimate sub-cap shingles, e.g. the ~29-doc topic groups)...
     monkeypatch.setattr(dd, "MAX_SHINGLE_DF", 50)
-    capped = _capped_candidate_pairs(s)
+    capped = _jaccard_scored_pairs(s)
     n_capped = capped.count()
     assert n_uncapped >= 19900
     assert n_capped < n_uncapped / 4
     # ...while the genuine near-dup pairs still survive verification.
-    verified = {
-        (r.doc_a, r.doc_b) for r in _jaccard_verified(capped, s).collect()
-    }
+    verified = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert (1001, 1002) in verified
     assert (2001, 2002) in verified
 
 
-def test_verify_uses_full_arrays_not_capped_counts(spark, skewed_docs, monkeypatch):
+def test_scored_pairs_count_full_intersection_including_hot(
+    spark, skewed_docs, monkeypatch
+):
+    """n_common/jaccard must equal the FULL set intersection even when part
+    of the overlap is hot (capped out of the candidate index): the capped
+    join counts the sub-cap term, the per-doc hot arrays supply the rest."""
+    import emr_apache_iceberg_workshop_spark.plans.dedup as dd
+
+    monkeypatch.setattr(dd, "MAX_SHINGLE_DF", 50)
+    s = skewed_docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
+    rows = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard) for r in _jaccard_scored_pairs(s).collect()}
+
+    # docs 0 and 7 share topic 0: candidates via the sub-cap topic shingle,
+    # but most of their overlap is viral boilerplate with DF=200 > cap
+    a = _shingles("click here to subscribe now document body number 0 talks about topic 0")
+    b = _shingles("click here to subscribe now document body number 7 talks about topic 0")
+    expect_common = len(a & b)
+    expect_jaccard = expect_common / len(a | b)
+    got = rows[(0, 7)]
+    assert got[0] == expect_common
+    assert got[1] == pytest.approx(expect_jaccard, abs=0)
+
+
+def test_verify_values_independent_of_cap(spark, skewed_docs, monkeypatch):
     """jaccard/n_common must come from the FULL shingle sets, so the cap
     changes candidate generation only — never the emitted values."""
     import emr_apache_iceberg_workshop_spark.plans.dedup as dd
 
     s = skewed_docs.filter(F.col("doc_id") > 1000).selectExpr("doc_id", f"{SHINGLES_S} AS sh")
     out = {}
-    for cap in (10_000, 1):  # 1 drops every shingle shared by both pair docs? no: DF of pair shingles is 2 > 1
+    for cap in (10_000, 1):
         monkeypatch.setattr(dd, "MAX_SHINGLE_DF", cap)
-        rows = _jaccard_verified(_capped_candidate_pairs(s), s).collect()
+        rows = _jaccard_scored_pairs(s).collect()
         out[cap] = {(r.doc_a, r.doc_b): (r.n_common, round(r.jaccard, 12)) for r in rows}
     # cap=1 excludes shared shingles (DF=2) from the index -> no candidates;
-    # generous cap finds the pairs with exact full-array values
+    # generous cap finds the pairs with exact full-set values
     assert out[1] == {}
     assert (1001, 1002) in out[10_000] and (2001, 2002) in out[10_000]
     for (a, b), (n_common, jac) in out[10_000].items():

@@ -118,3 +118,24 @@ def test_missing_sf_dir_fails_cleanly(spark):
 
     with pytest.raises(AnalysisException):
         load_table(spark, "/root/testdata/sf_nope", "nation").count()
+
+
+def test_connected_components_star_contraction_round_count(spark):
+    """Large-star/small-star converges in O(log d) rounds: a 64-node chain
+    (diameter 63 — min-label propagation would need ~63 rounds) resolves
+    to one component in a handful of edge-set shuffles."""
+    from emr_apache_iceberg_workshop_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)], "u long, v long")
+    labels, rounds = connected_components(chain)
+    got = {(r.doc_id, r.label) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(64)}
+    assert rounds <= 10  # sublinear in diameter; propagation needs 63
+
+    # two components + an isolated self-loop (ignored)
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (7, 7)], "u long, v long"
+    )
+    labels, _ = connected_components(edges)
+    got = {(r.doc_id, r.label) for r in labels.collect()}
+    assert got == {(3, 3), (5, 3), (9, 3), (20, 20), (21, 20)}
