@@ -60,6 +60,8 @@ class Snapshot:
     partitions: list | None = None  # partition tuples written in this snapshot
     delete_file: str | None = None  # MOR: key-delete parquet added here
     active_deletes: list = field(default_factory=list)  # [{file, sid, keys}]
+    files: list = field(default_factory=list)  # manifest: data files added here
+    delete_file_stats: list = field(default_factory=list)  # manifest: delete files
 
 
 def _entry_rel(e) -> str:
@@ -91,9 +93,12 @@ def _part_str(v):
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, clock=None):
         self.spark = spark
         self.root = root
+        # injectable commit clock (tests / deterministic fixture builds);
+        # same seam as the pipelines' injectable processing-time clock
+        self._clock = clock or time.time
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -133,6 +138,7 @@ class SnapshotTable:
         schema: T.StructType | str,
         partition_by: list[str] | None = None,
         properties: dict | None = None,
+        clock=None,
     ) -> "SnapshotTable":
         """Empty-table DDL (reference `bronze-silver.py:171-174,194-203`:
         empty DF + writeTo().create() with format-version/write-mode props)."""
@@ -141,7 +147,7 @@ class SnapshotTable:
             schema_ddl = schema.simpleString()[len("struct<") : -1]
         else:
             schema_ddl = schema
-        t = cls(spark, root)
+        t = cls(spark, root, clock=clock)
         t._commit(
             {
                 "schema": schema_ddl,
@@ -156,10 +162,45 @@ class SnapshotTable:
         return T.StructType.fromDDL(self._load()["schema"])
 
     # -- writes ------------------------------------------------------------
-    def _write_data_dir(self, df: DataFrame, meta: dict, sid: int) -> tuple[str, list]:
+    def _file_stats(self, rel_dir: str) -> list[dict]:
+        """Manifest entries for every parquet file under `rel_dir`: path,
+        partition tuple, row count (parquet footer), bytes. Driver-side
+        walk + footer reads — O(file count), exactly the bookkeeping an
+        Iceberg writer does when it builds a manifest."""
+        import pyarrow.parquet as pq
+
+        base = os.path.join(self.root, rel_dir)
+        out: list[dict] = []
+        for dirpath, _dirs, files in os.walk(base):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(dirpath, fn)
+                relp = os.path.relpath(fp, base)
+                part: dict = {}
+                d = os.path.dirname(relp)
+                for seg in d.split(os.sep) if d else []:
+                    if "=" in seg:
+                        c, v = seg.split("=", 1)
+                        part[c] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                out.append(
+                    {
+                        "path": os.path.join(rel_dir, relp),
+                        "partition": part,
+                        "rows": pq.ParquetFile(fp).metadata.num_rows,
+                        "bytes": os.path.getsize(fp),
+                    }
+                )
+        out.sort(key=lambda f: f["path"])
+        return out
+
+    def _write_data_dir(
+        self, df: DataFrame, meta: dict, sid: int
+    ) -> tuple[str, list, list]:
         """Write df under data/s{sid}; returns (rel, written partition
-        tuples). Partition listing is a driver-side walk of the fresh dir —
-        O(partition count), the same scale as Iceberg manifest entries."""
+        tuples, per-file manifest entries). Partition listing is a
+        driver-side walk of the fresh dir — O(partition count), the same
+        scale as Iceberg manifest entries."""
         rel = f"data/s{sid}"
         out = os.path.join(self.root, rel)
         writer = df.write.mode("overwrite")
@@ -167,7 +208,7 @@ class SnapshotTable:
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(out)
-        return rel, self._list_partitions(out, part_cols)
+        return rel, self._list_partitions(out, part_cols), self._file_stats(rel)
 
     @staticmethod
     def _list_partitions(out: str, part_cols: list[str]) -> list:
@@ -199,7 +240,7 @@ class SnapshotTable:
         meta = self._load()
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-        rel, parts = self._write_data_dir(df, meta, sid)
+        rel, parts, files = self._write_data_dir(df, meta, sid)
         prev = snaps[-1] if snaps else None
         if mode == "append":
             active = (prev["active_dirs"] if prev else []) + [rel]
@@ -212,11 +253,12 @@ class SnapshotTable:
         snaps.append(
             {
                 "snapshot_id": sid,
-                "made_current_at": time.time(),
+                "made_current_at": self._clock(),
                 "operation": operation or mode,
                 "dirs": [rel],
                 "active_dirs": active,
                 "partitions": parts,
+                "files": files,
                 "active_deletes": active_deletes,
                 "summary": {},
             }
@@ -258,7 +300,7 @@ class SnapshotTable:
         snaps.append(
             {
                 "snapshot_id": sid,
-                "made_current_at": time.time(),
+                "made_current_at": self._clock(),
                 "operation": "evolve-schema",
                 "dirs": [],
                 "active_dirs": prev_active,
@@ -380,19 +422,122 @@ class SnapshotTable:
         return self._read_dirs(rels)
 
     def history(self) -> DataFrame:
-        """Metadata table (S7, `<table>.history`): snapshot_id, made_current_at,
-        operation — queried with ORDER BY made_current_at DESC LIMIT 1 in the
-        reference (`bronze-silver.py:133-134`)."""
+        """Metadata table (S7, `<table>.history`): snapshot_id,
+        made_current_at (TIMESTAMP, like Iceberg's), operation, and
+        is_current_ancestor — queried with ORDER BY made_current_at DESC
+        LIMIT 1 in the reference (`bronze-silver.py:133-134`)."""
         rows = [
-            (
-                s["snapshot_id"],
-                s["made_current_at"],
-                s["operation"],
-            )
+            (s["snapshot_id"], float(s["made_current_at"]), s["operation"], True)
             for s in self._load()["snapshots"]
         ]
         return self.spark.createDataFrame(
-            rows, "snapshot_id long, made_current_at double, operation string"
+            rows,
+            "snapshot_id long, made_current_at_sec double, operation string,"
+            " is_current_ancestor boolean",
+        ).select(
+            "snapshot_id",
+            F.timestamp_seconds("made_current_at_sec").alias("made_current_at"),
+            "operation",
+            "is_current_ancestor",
+        )
+
+    def snapshots_table(self) -> DataFrame:
+        """Metadata table (`<table>.snapshots` analogue): one row per
+        snapshot with committed_at (TIMESTAMP), parent_id, operation, and
+        manifest totals for the files ADDED by the snapshot. Built from
+        _meta.json on the driver — O(snapshot count), no data-file I/O,
+        same as Iceberg reading its metadata tree."""
+        rows = []
+        parent = None
+        for s in self._load()["snapshots"]:
+            files = s.get("files", [])
+            rows.append(
+                (
+                    s["snapshot_id"],
+                    float(s["made_current_at"]),
+                    parent,
+                    s["operation"],
+                    len(files),
+                    sum(f["rows"] for f in files),
+                    sum(f["bytes"] for f in files),
+                )
+            )
+            parent = s["snapshot_id"]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, committed_at_sec double, parent_id long,"
+            " operation string, added_files long, added_rows long, added_bytes long",
+        ).select(
+            "snapshot_id",
+            F.timestamp_seconds("committed_at_sec").alias("committed_at"),
+            "parent_id",
+            "operation",
+            "added_files",
+            "added_rows",
+            "added_bytes",
+        )
+
+    def files_table(self) -> DataFrame:
+        """Metadata table (`<table>.files` analogue): one row per file
+        LIVE in the current snapshot — data files (content=0, with
+        partition-exclusion masks applied so rewritten partitions' old
+        files are gone, like Iceberg manifests after a rewrite) and MOR
+        equality-delete files (content=2). Row counts/bytes come from the
+        manifest recorded at write time, not a re-scan."""
+        meta = self._load()
+        snaps = meta["snapshots"]
+        schema = (
+            "content int, file_path string, partition string, record_count long,"
+            " file_bytes long, snapshot_id long"
+        )
+        if not snaps:
+            return self.spark.createDataFrame([], schema)
+        by_sid = {s["snapshot_id"]: s for s in snaps}
+        last = snaps[-1]
+
+        def part_repr(part: dict) -> str:
+            return "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for c, v in part.items()
+            )
+
+        rows = []
+        for e in last["active_dirs"]:
+            rel, excl = _entry_rel(e), _entry_excl(e)
+            ws = by_sid[_dir_sid(rel)]
+            for f in ws.get("files", []):
+                if f["partition"] in excl:
+                    continue  # masked by a later partition-scoped rewrite
+                rows.append(
+                    (0, f["path"], part_repr(f["partition"]), f["rows"], f["bytes"],
+                     ws["snapshot_id"])
+                )
+        for d in last.get("active_deletes", []):
+            ws = by_sid[d["sid"]]
+            for f in ws.get("delete_file_stats", []):
+                rows.append((2, f["path"], "", f["rows"], f["bytes"], d["sid"]))
+        return self.spark.createDataFrame(rows, schema)
+
+    def all_files_table(self) -> DataFrame:
+        """Metadata table (`<table>.all_files` analogue): every file ever
+        ADDED, per snapshot — data files content=0, MOR equality-delete
+        files content=2 — straight from the per-snapshot manifest."""
+        rows = []
+        for s in self._load()["snapshots"]:
+            for f in s.get("files", []):
+                part = "/".join(
+                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                    for c, v in f["partition"].items()
+                )
+                rows.append(
+                    (s["snapshot_id"], 0, f["path"], part, f["rows"], f["bytes"])
+                )
+            for f in s.get("delete_file_stats", []):
+                rows.append((s["snapshot_id"], 2, f["path"], "", f["rows"], f["bytes"]))
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, content int, file_path string, part string,"
+            " record_count long, file_bytes long",
         )
 
     # -- merge (J1) --------------------------------------------------------
@@ -456,12 +601,13 @@ class SnapshotTable:
         # materialize ONCE: both the data write and the key write read the
         # source; a lazy plan would re-run it (it may be a streaming batch)
         upserts_local = upserts.localCheckpoint(eager=True)
-        rel, parts = self._write_data_dir(upserts_local, meta, sid)
+        rel, parts, files = self._write_data_dir(upserts_local, meta, sid)
         drel = f"deletes/s{sid}"
         # every source key (incl. deletes) suppresses older rows of that key
         src.select(*keys).distinct().write.mode("overwrite").parquet(
             os.path.join(self.root, drel)
         )
+        dfiles = self._file_stats(drel)
         prev = snaps[-1] if snaps else None
         active = (prev["active_dirs"] if prev else []) + [rel]
         active_deletes = (list(prev.get("active_deletes", [])) if prev else []) + [
@@ -470,12 +616,14 @@ class SnapshotTable:
         snaps.append(
             {
                 "snapshot_id": sid,
-                "made_current_at": time.time(),
+                "made_current_at": self._clock(),
                 "operation": "merge",
                 "dirs": [rel],
                 "active_dirs": active,
                 "partitions": parts,
+                "files": files,
                 "delete_file": drel,
+                "delete_file_stats": dfiles,
                 "active_deletes": active_deletes,
                 "summary": {"mode": "merge-on-read"},
             }
@@ -517,7 +665,7 @@ class SnapshotTable:
             snaps.append(
                 {
                     "snapshot_id": sid,
-                    "made_current_at": time.time(),
+                    "made_current_at": self._clock(),
                     "operation": "merge",
                     "dirs": [],
                     "active_dirs": prev["active_dirs"] if prev else [],
@@ -532,7 +680,7 @@ class SnapshotTable:
         tgt_sub = target.filter(match)
         merged = merge_upsert(tgt_sub, src_local, keys, op_col=op_col, delete_value=delete_value)
         merged = merged.select(*target.columns).localCheckpoint(eager=True)
-        rel, written_parts = self._write_data_dir(merged, meta, sid)
+        rel, written_parts, files = self._write_data_dir(merged, meta, sid)
         # mask the rewritten partitions out of every older dir; drop dirs
         # whose partitions are now fully masked
         dir_parts = {
@@ -552,11 +700,12 @@ class SnapshotTable:
         snaps.append(
             {
                 "snapshot_id": sid,
-                "made_current_at": time.time(),
+                "made_current_at": self._clock(),
                 "operation": "merge",
                 "dirs": [rel],
                 "active_dirs": new_active,
                 "partitions": written_parts,
+                "files": files,
                 "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
                 "summary": {"mode": "copy-on-write", "scoped_partitions": len(parts)},
             }

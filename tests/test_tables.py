@@ -271,3 +271,46 @@ def test_mor_merge_cost_scales_with_batch_not_table(spark, tmp_path):
     # expire: delete files of dropped snapshots are removed from disk
     t.expire_snapshots(keep_last=1)
     assert not os.path.exists(os.path.join(root, f"deletes/s{sid}"))
+
+
+def test_metadata_tables_snapshots_files_history(spark, tmp_path):
+    """.snapshots/.files/.history analogues: manifest-backed, active-set
+    files honor partition masks and include MOR delete files."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(
+        spark, root, "id bigint, v string, part string", partition_by=["part"]
+    )
+    t.write(_df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]))
+    t.merge(_df(spark, [(2, "B", "y")]), keys=["id"])  # COW: masks part=y in s1
+
+    # history: timestamp-typed, one row per snapshot
+    hist = t.history()
+    assert isinstance(hist.schema["made_current_at"].dataType, T.TimestampType)
+    assert hist.count() == 2
+
+    # snapshots: parent chain + manifest row totals
+    st = {r.snapshot_id: r for r in t.snapshots_table().collect()}
+    assert st[1].parent_id is None and st[2].parent_id == 1
+    assert st[1].added_rows == 3 and st[2].added_rows == 1
+    assert isinstance(t.snapshots_table().schema["committed_at"].dataType, T.TimestampType)
+
+    # files: s1's part=y files are masked out, s2 contributes the rewrite
+    ft = [(r.snapshot_id, r.partition, r.content) for r in t.files_table().collect()]
+    assert (1, "part=y", 0) not in ft
+    assert {(1, "part=x", 0), (1, "part=z", 0), (2, "part=y", 0)} <= set(ft)
+    # all_files still lists the superseded s1 part=y file
+    af = {(r.snapshot_id, r.part) for r in t.all_files_table().collect()}
+    assert (1, "part=y") in af
+
+    # MOR table: equality-delete file surfaces as content=2
+    root2 = str(tmp_path / "t2")
+    m = SnapshotTable.create(
+        spark, root2, "id bigint, v string, part string",
+        partition_by=["part"], properties={"write.merge.mode": "merge-on-read"},
+    )
+    m.write(_df(spark, [(1, "a", "x"), (2, "b", "y")]))
+    m.merge(_df(spark, [(2, "B", "y")]), keys=["id"])
+    contents = {r.content for r in m.files_table().collect()}
+    assert contents == {0, 2}
+    del_rows = [r for r in m.files_table().collect() if r.content == 2]
+    assert sum(r.record_count for r in del_rows) == 1  # one merge key
