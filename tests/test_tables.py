@@ -314,3 +314,39 @@ def test_metadata_tables_snapshots_files_history(spark, tmp_path):
     assert contents == {0, 2}
     del_rows = [r for r in m.files_table().collect() if r.content == 2]
     assert sum(r.record_count for r in del_rows) == 1  # one merge key
+
+
+def test_export_snapshot_vanilla_duckdb_roundtrip(spark, tmp_path):
+    """S17-spirit interop: the export of a MOR table (delete files applied)
+    is readable by VANILLA duckdb.read_parquet via the generated view, with
+    no _meta.json knowledge, and matches scan() exactly."""
+    import os
+
+    import duckdb
+
+    from tools.export_snapshot import export_snapshot
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(
+        spark, root, "id bigint, v string, part string",
+        partition_by=["part"], properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.write(_df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]))
+    t.merge(
+        _df(spark, [(2, "B", "y"), (4, "d", "x")]).withColumn("Op", F.lit("U")),
+        keys=["id"], op_col="Op",
+    )
+
+    out = str(tmp_path / "export")
+    manifest = export_snapshot(t, out, view_name="silver")
+    assert manifest["snapshot_id"] == t.latest_snapshot_id()
+
+    con = duckdb.connect()
+    with open(os.path.join(out, "view.sql")) as f:
+        con.execute(f.read())
+    got = con.execute("SELECT id, v, part FROM silver ORDER BY id").fetchall()
+    want = [tuple(r) for r in t.scan().select("id", "v", "part").orderBy("id").collect()]
+    assert got == want == [(1, "a", "x"), (2, "B", "y"), (3, "c", "z"), (4, "d", "x")]
+    # partition-column type survives the hive-partitioning round trip
+    assert con.execute("SELECT typeof(part) FROM silver LIMIT 1").fetchone()[0] == "VARCHAR"
+    assert con.execute("SELECT typeof(id) FROM silver LIMIT 1").fetchone()[0] == "BIGINT"
