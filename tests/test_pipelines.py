@@ -139,3 +139,47 @@ def test_delete_branch_flag(spark, dirs):
     run_raw_bronze(spark, rb, clock=datetime(2024, 11, 3))
     s = run_bronze_silver(spark, bs)
     assert s["rows"] == 4  # (24137, 34) deleted
+
+
+def test_s3_lister_pagination_and_watermark(tmp_path):
+    """S2 contract (`raw-bronze.py:59-67`): paginated list_objects_v2
+    against an injected fake client — files newer than the checkpoint
+    survive, pagination is exhausted, watermark advances to max mtime."""
+    from datetime import datetime, timezone
+
+    from emr_apache_iceberg_workshop_spark.sources import CheckpointStore
+    from emr_apache_iceberg_workshop_spark.sources.incremental_files import (
+        IncrementalFileSource,
+        S3Lister,
+    )
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc)
+
+    class FakePaginator:
+        def paginate(self, Bucket, Prefix):
+            assert Bucket == "b" and Prefix == "raw/"
+            yield {"Contents": [
+                {"Key": "raw/a.csv", "LastModified": ts(100)},
+                {"Key": "raw/skip.txt", "LastModified": ts(500)},
+            ]}
+            yield {"Contents": [{"Key": "raw/b.csv", "LastModified": ts(300)}]}
+            yield {}  # empty trailing page (no Contents key)
+
+    class FakeClient:
+        def get_paginator(self, op):
+            assert op == "list_objects_v2"
+            return FakePaginator()
+
+    ckpt = CheckpointStore(str(tmp_path / "ckpt.json"))
+    src = IncrementalFileSource(
+        None, ckpt, lister=S3Lister("b", "raw/", client=FakeClient())
+    )
+    files, max_seen = src.get_new_files()
+    assert files == ["s3://b/raw/a.csv", "s3://b/raw/b.csv"]
+    assert max_seen == 300.0
+
+    # advance the watermark past a.csv: only b.csv is new
+    ckpt.commit_processed_time(200.0)
+    files, max_seen = src.get_new_files()
+    assert files == ["s3://b/raw/b.csv"] and max_seen == 300.0
