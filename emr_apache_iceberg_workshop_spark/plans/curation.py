@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..catalog import fan_out, load_table
 from ..functions import dsum, osum
 from .registry import query
-from .dedup import SHINGLES_S, SHINGLES_D, MAX_SHINGLE_DF
+from .dedup import SHINGLES_D, MAX_SHINGLE_DF
 from .textops import TOKS_S, TOKS_D, LANG_MARKERS, _LANG_ORDER, _predicted
 
 # minstd multiplicative hash mod the Mersenne prime 2^31-1. `key % P`
@@ -113,23 +113,6 @@ def c_train_split(spark, sf_dir) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-def _jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """Near-dup pairs (doc_a < doc_b): n-gram Jaccard >= 0.3 — the same
-    capped-candidate + exact-count semantics as d_ngram_jaccard
-    (plans/dedup.py: _jaccard_scored_pairs). The verified pair set is
-    materialized ONCE (eager checkpoint) before any consumer fans out — a
-    downstream union/self-reference must not replay the shingle/verify
-    pipeline."""
-    from .dedup import _jaccard_scored_pairs
-
-    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
-    return (
-        _jaccard_scored_pairs(s)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-
-
 @query(
     "c_dup_groups",
     oracle=f"""
@@ -168,9 +151,9 @@ def c_dup_groups(spark, sf_dir) -> DataFrame:
     propagation's O(diameter) — the round count is the number of full
     edge-set shuffles, so the exponent is what survives 100 TB."""
     from ..operators.graph import connected_components
+    from .dedup import jaccard_pairs_for
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = _jaccard_pairs(docs)
+    pairs = jaccard_pairs_for(spark, sf_dir)
     labels, _rounds = connected_components(pairs.selectExpr("doc_a AS u", "doc_b AS v"))
     return labels.groupBy(F.col("label").alias("group_id")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc")
@@ -219,7 +202,11 @@ def c_curated_corpus(spark, sf_dir) -> DataFrame:
     # Tokenize ONCE into a column, score each language over it, then take
     # the argmax over the score COLUMNS — inlining `_predicted` here would
     # repeat the regexp tokenizer ~40x inside one CASE (codegen blowup).
-    toked = docs.selectExpr("doc_id", "lang", "source", "text", f"{TOKS_S} AS __toks")
+    # materialized so project-collapse can't inline the regexp tokenizer
+    # into every downstream __toks reference (see dedup.py: same pitfall)
+    toked = docs.selectExpr(
+        "doc_id", "lang", "source", "text", f"{TOKS_S} AS __toks"
+    ).localCheckpoint(eager=True)
     scored = toked.selectExpr(
         "doc_id",
         "lang",

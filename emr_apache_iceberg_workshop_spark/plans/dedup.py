@@ -21,6 +21,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..catalog import load_table, fan_out
@@ -86,7 +88,14 @@ def _jaccard_scored_pairs(s: "DataFrame") -> "DataFrame":
     The EXPLODED index (doc_id, n, shingle) is what gets cached — the
     shingle ARRAYS are never referenced again, and the index feeds three
     consumers (hot agg, self-join, doc_hot). At 100 TB this is the
-    signature table you would materialize to parquet once."""
+    signature table you would materialize to parquet once.
+
+    The shingle-array table is MATERIALIZED before the explode: Catalyst's
+    project-collapse otherwise inlines the tokenize+shingle expression
+    into the Generate and re-evaluates it per OUTPUT row (measured 13.6s
+    vs 0.3s at sf0.1 — the classic explode-of-expensive-expression
+    pitfall). One doc-sized checkpoint, same lifecycle as the persist."""
+    s = s.localCheckpoint(eager=True)
     e = s.selectExpr("doc_id", "size(sh) AS n", "explode(sh) AS shingle").persist()
     e.count()
     hot = (
@@ -94,8 +103,14 @@ def _jaccard_scored_pairs(s: "DataFrame") -> "DataFrame":
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("shingle")
+        .persist()
     )
-    capped = e.join(hot, "shingle", "left_anti")
+    # Adaptive short-circuit: with no over-cap shingle (the common,
+    # fixture-measured case) the anti-join and the hot-term joins below are
+    # identities — skip them. One cheap agg probe over the cached index;
+    # the skewed path is exercised by tests/test_dedup_scale.py.
+    has_hot = not hot.isEmpty()
+    capped = e.join(hot, "shingle", "left_anti") if has_hot else e
     ea, eb = capped.alias("a"), capped.alias("b")
     cnt = (
         ea.join(
@@ -113,30 +128,59 @@ def _jaccard_scored_pairs(s: "DataFrame") -> "DataFrame":
             F.min(F.col("b.n")).alias("__nb"),
         )
     )
-    doc_hot = (
-        e.join(hot, "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("__hsh"))
-    )
-    return (
-        cnt.join(doc_hot.selectExpr("doc_id AS doc_a", "__hsh AS __ha"), "doc_a", "left")
-        .join(doc_hot.selectExpr("doc_id AS doc_b", "__hsh AS __hb"), "doc_b", "left")
-        .withColumn(
-            "n_common",
-            (
-                F.col("__nc_capped")
-                + F.expr(
-                    "size(array_intersect(coalesce(__ha, array()), coalesce(__hb, array())))"
-                )
-            ).cast("bigint"),
+    if has_hot:
+        doc_hot = (
+            e.join(hot, "shingle", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("__hsh"))
         )
-        .withColumn(
+        scored = (
+            cnt.join(doc_hot.selectExpr("doc_id AS doc_a", "__hsh AS __ha"), "doc_a", "left")
+            .join(doc_hot.selectExpr("doc_id AS doc_b", "__hsh AS __hb"), "doc_b", "left")
+            .withColumn(
+                "n_common",
+                (
+                    F.col("__nc_capped")
+                    + F.expr(
+                        "size(array_intersect(coalesce(__ha, array()), coalesce(__hb, array())))"
+                    )
+                ).cast("bigint"),
+            )
+        )
+    else:
+        scored = cnt.withColumn("n_common", F.col("__nc_capped").cast("bigint"))
+    out = (
+        scored.withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("__na") + F.col("__nb") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        # materialize the (small) verified pair set so consumers never
+        # replay the candidate machinery, then release the index cache
+        .localCheckpoint(eager=True)
     )
+    e.unpersist()
+    hot.unpersist()
+    return out
+
+
+# Verified pair set shared by d_ngram_jaccard and c_dup_groups (same edge
+# semantics): built once per (session, sf_dir) — at 100 TB this is the pair
+# table you materialize to parquet once and every consumer reads.
+_pair_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def jaccard_pairs_for(spark, sf_dir) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    df = _pair_cache.get(key)
+    if df is None:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
+        df = _jaccard_scored_pairs(s)
+        _pair_cache[key] = df
+    return df
 
 # One md5 per shingle, then K cheap affine rehashes (a_i*h + b_i) mod p —
 # the standard universal-hash minhash family. 12× fewer md5 calls than
@@ -233,9 +277,7 @@ def d_exact_dup(spark, sf_dir) -> DataFrame:
     tags=("dedup:jaccard", "join"),
 )
 def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
-    return _jaccard_scored_pairs(s).select("doc_a", "doc_b", "n_common", "jaccard")
+    return jaccard_pairs_for(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -374,6 +416,9 @@ def d_simhash(spark, sf_dir) -> DataFrame:
     # token-less docs: their counts are 0 so every majority vote fails,
     # matching the lambda form's simhash of 0.
     high = "'8','9','a','b','c','d','e','f'"
+    # (A/B-measured: a pre-explode materialization is a wash here — a bare
+    # explode_outer evaluates its input once per input row; the jaccard
+    # path's pitfall needs the size(sh) column alongside the explode.)
     e = docs.selectExpr("doc_id", f"explode_outer(array_distinct({TOKS_S})) AS x").selectExpr(
         "doc_id", "md5(x) AS hh"
     )
