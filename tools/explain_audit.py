@@ -34,7 +34,14 @@ PAIR_JOIN_OK = {"s_cosine_topk"}
 # Queries whose BNLJ is a 1-row scalar-aggregate broadcast (HAVING > scalar
 # subquery) — the correct physical plan for a scalar threshold: the single
 # aggregated row is broadcast and streamed against, no shuffle.
-SCALAR_BROADCAST_OK = {"q11_important_stock", "q15_top_supplier", "q20_heavy_shippers"}
+SCALAR_BROADCAST_OK = {
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q20_heavy_shippers",
+    # round-3: q22's scalar avg-balance subquery was unified from a driver
+    # .collect() to the same 1-row broadcast-crossJoin form as the above
+    "q22_global_sales_opportunity",
+}
 
 # ---------------------------------------------------------------------------
 # Broadcast-hint lint: every F.broadcast(...) call site in the package must
