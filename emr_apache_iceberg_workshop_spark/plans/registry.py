@@ -67,13 +67,15 @@ _PREFIX_ORDER = [
     "q_props_stats",
     "q_sessionization",
     "q_salted_engagement",
-    # (c) changed this round
+    # (c) changed this round (q22: scalar subquery unified to the 1-row
+    # broadcast-crossJoin form — its plan changed, so it needs a fresh row)
     "s_cosine_topk",
     "s_lsh_topk",
     "s_ivf_topk",
     "d_ngram_jaccard",
     "d_minhash_lsh",
     "c_dup_groups",
+    "q22_global_sales_opportunity",
     # (d) re-verify on remaining slots (r02-green)
     "d_exact_dup",
     "d_simhash",
@@ -91,7 +93,6 @@ _PREFIX_ORDER = [
     "m_decode_metadata",
     "m_frame_sample",
     "m_modality_stats",
-    "m_extract_features",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
