@@ -42,6 +42,8 @@ _PREFIX_ORDER = [
     "q_meta_snapshots",
     "q_meta_files",
     "q_meta_history",
+    "q_meta_time_travel",
+    "q_meta_incremental",
     # (b) r01-only tpch + events (24)
     "q07_volume_shipping",
     "q10_returned_items",
@@ -91,8 +93,6 @@ _PREFIX_ORDER = [
     "q_first_last_order",
     "q_column_profile",
     "m_decode_metadata",
-    "m_frame_sample",
-    "m_modality_stats",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

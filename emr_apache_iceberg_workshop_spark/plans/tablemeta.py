@@ -145,6 +145,43 @@ def q_meta_files(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "q_meta_time_travel",
+    # snapshot 2 predates the MOR merge: state = s1 ∪ s2 data files, no
+    # masks, no deletes — the oracle reads those files directly (vanilla
+    # parquet + hive partitioning), proving the time-travel read against
+    # an independent reconstruction of the same snapshot.
+    oracle=f"""
+    SELECT id, category, qty
+    FROM read_parquet(['{DEMO_ROOT}/data/s1/*/*.parquet',
+                       '{DEMO_ROOT}/data/s2/*/*.parquet'],
+                      hive_partitioning = true)
+    """,
+    tags=("meta:time-travel", "tablemeta"),
+)
+def q_meta_time_travel(spark, sf_dir) -> DataFrame:
+    """Time-travel read (Iceberg `VERSION AS OF`): table state AS OF
+    snapshot 2 — before the merge updated/deleted/inserted rows."""
+    t = _demo_table(spark)
+    return t.scan_at(2).select("id", "category", "qty")
+
+
+@query(
+    "q_meta_incremental",
+    # appends in (1, 2] = exactly snapshot 2's data files
+    oracle=f"""
+    SELECT id, category, qty
+    FROM read_parquet('{DEMO_ROOT}/data/s2/*/*.parquet', hive_partitioning = true)
+    """,
+    tags=("meta:incremental", "tablemeta"),
+)
+def q_meta_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental snapshot-range scan (S6, reference
+    `bronze-silver.py:146-149`): rows appended in (start, end]."""
+    t = _demo_table(spark)
+    return t.scan_incremental(1, 2).select("id", "category", "qty")
+
+
+@query(
     "q_meta_history",
     oracle=f"""
     WITH m AS (SELECT snapshots FROM read_json_auto('{_DEMO_META}')),
