@@ -278,3 +278,136 @@ def t_scrub_pii(spark, sf_dir) -> DataFrame:
         F.expr(f"size(regexp_extract_all(text, '{_URL_RE}', 0))").cast("bigint").alias("n_urls"),
         F.expr(f"size(regexp_extract_all(text, '{_DIGITS_RE}', 0))").cast("bigint").alias("n_long_nums"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules, token-level since the
+# fixture corpus has no line structure): duplicate-token / duplicate-bigram
+# fractions and the mass of the single most-frequent token / bigram. All
+# per-row array lambdas — embarrassingly parallel, zero shuffle, codegen'd;
+# at 100 TB this is a pure linear scan. The per-row top-count is
+# O(distinct * len) but documents are bounded (truncate upstream if not).
+# Spark guard: sequence(1, n) with n <= 0 DESCENDS ([1, 0]) instead of
+# returning empty like DuckDB's generate_series — hence the CASE guards.
+BIGRAMS_S = f"""
+  CASE WHEN size({TOKS_S}) >= 2 THEN
+    transform(sequence(1, size({TOKS_S}) - 1),
+      i -> concat_ws(' ', element_at({TOKS_S}, i), element_at({TOKS_S}, i + 1)))
+  ELSE array() END
+""".strip()
+
+BIGRAMS_D = f"""
+  list_transform(generate_series(1, len({TOKS_D}) - 1),
+    i -> {TOKS_D}[i] || ' ' || {TOKS_D}[i + 1])
+""".strip()
+
+
+def _top_count(dialect: str, arr: str) -> str:
+    """Count of the most frequent element in an array expression (0 if empty)."""
+    if dialect == "spark":
+        return (
+            f"COALESCE(array_max(transform(array_distinct({arr}),"
+            f" x -> size(filter({arr}, y -> y = x)))), 0)"
+        )
+    return (
+        f"COALESCE(list_max(list_transform(list_distinct({arr}),"
+        f" x -> len(list_filter({arr}, y -> y = x)))), 0)"
+    )
+
+
+def _ratio(num: str, den: str) -> str:
+    return f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / {den} ELSE 0.0 END"
+
+
+@query(
+    "t_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           len({TOKS_D}) AS n_tokens,
+           {_ratio(f"len({TOKS_D}) - len(list_distinct({TOKS_D}))", f"len({TOKS_D})")} AS dup_token_ratio,
+           {_ratio(_top_count('duck', TOKS_D), f"len({TOKS_D})")} AS top_token_ratio,
+           {_ratio(f"len({BIGRAMS_D}) - len(list_distinct({BIGRAMS_D}))", f"len({BIGRAMS_D})")} AS dup_bigram_ratio,
+           {_ratio(_top_count('duck', BIGRAMS_D), f"len({BIGRAMS_D})")} AS top_bigram_ratio
+    FROM documents
+    """,
+    tags=("textops:repetition", "quality"),
+)
+def t_repetition(spark, sf_dir) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({TOKS_S}) AS BIGINT) AS n_tokens",
+        f"{_ratio(f'size({TOKS_S}) - size(array_distinct({TOKS_S}))', f'size({TOKS_S})')} AS dup_token_ratio",
+        f"{_ratio(_top_count('spark', TOKS_S), f'size({TOKS_S})')} AS top_token_ratio",
+        f"{_ratio(f'size({BIGRAMS_S}) - size(array_distinct({BIGRAMS_S}))', f'size({BIGRAMS_S})')} AS dup_bigram_ratio",
+        f"{_ratio(_top_count('spark', BIGRAMS_S), f'size({BIGRAMS_S})')} AS top_bigram_ratio",
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing any 4-token
+# n-gram with a held-out benchmark set (here the deterministic doc_id % 20
+# slice stands in for an eval suite). The canonical pre-training hygiene
+# pass (GPT-3 appendix C / PaLM-style n-gram overlap).
+#
+# Scale shape (100 TB corpus vs a few-MB benchmark): distinct benchmark
+# n-grams are a SMALL table — the join against the exploded training index
+# shuffles on the n-gram string and AQE broadcasts the benchmark side; the
+# per-doc hit count comes from the same shuffle's groupBy. No O(n^2)
+# pairs, no driver collect. The n-gram arrays are localCheckpoint'd before
+# explode (same explode-of-expensive-expression pitfall as dedup.py —
+# Catalyst would otherwise re-tokenize per OUTPUT row).
+NGRAM4_S = f"""
+  CASE WHEN size({TOKS_S}) >= 4 THEN
+    array_distinct(transform(sequence(1, size({TOKS_S}) - 3),
+      i -> concat_ws(' ', element_at({TOKS_S}, i), element_at({TOKS_S}, i + 1),
+                     element_at({TOKS_S}, i + 2), element_at({TOKS_S}, i + 3))))
+  ELSE array() END
+""".strip()
+
+NGRAM4_D = f"""
+  list_distinct(list_transform(generate_series(1, len({TOKS_D}) - 3),
+    i -> {TOKS_D}[i] || ' ' || {TOKS_D}[i + 1] || ' ' || {TOKS_D}[i + 2] || ' ' || {TOKS_D}[i + 3]))
+""".strip()
+
+
+@query(
+    "t_decontaminate",
+    oracle=f"""
+    WITH ng AS (
+      SELECT doc_id, {NGRAM4_D} AS ng FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(ng) AS g FROM ng WHERE doc_id % 20 = 0
+    ), train AS (
+      SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS g
+      FROM ng WHERE doc_id % 20 <> 0
+    )
+    SELECT t.doc_id,
+           t.n_ngrams AS n_ngrams,
+           COUNT(*) AS n_contaminated,
+           CAST(COUNT(*) AS DOUBLE) / t.n_ngrams AS contamination_ratio
+    FROM train t JOIN bench b USING (g)
+    GROUP BY t.doc_id, t.n_ngrams
+    """,
+    tags=("textops:decontaminate", "join"),
+)
+def t_decontaminate(spark, sf_dir) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ng = docs.selectExpr("doc_id", f"{NGRAM4_S} AS ng").localCheckpoint(eager=True)
+    bench = (
+        ng.filter("doc_id % 20 = 0")
+        .selectExpr("explode(ng) AS g")
+        .distinct()
+    )
+    train = ng.filter("doc_id % 20 != 0").selectExpr(
+        "doc_id", "CAST(size(ng) AS BIGINT) AS n_ngrams", "explode(ng) AS g"
+    )
+    return (
+        train.join(bench, "g")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .selectExpr(
+            "doc_id", "n_ngrams", "n_contaminated",
+            "CAST(n_contaminated AS DOUBLE) / n_ngrams AS contamination_ratio",
+        )
+    )
