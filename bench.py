@@ -59,7 +59,7 @@ def main() -> int:
         spark.catalog.clearCache()  # isolate queries: no cross-query cache reuse
 
     total = round(sum(times.values()), 3)
-    out = {
+    detail = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
@@ -68,7 +68,34 @@ def main() -> int:
         "n_queries": len(times),
         "startup_sec": round(startup, 3),
     }
-    print(json.dumps(out))
+    # Full-precision record for humans/the judge (stdout stays one line).
+    with open(os.path.join(ROOT, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # The harness keeps only a bounded tail of stdout and parses the JSON
+    # line from it — a line longer than that window gets its head truncated
+    # and fails to parse (this silently ate rounds 1-3's bench numbers).
+    # Emit the single line COMPACT and degrade per-query precision until it
+    # fits well inside a 2000-char window.
+    line = None
+    for ndigits in (3, 2, 1):
+        out = dict(detail, queries={k: round(v, ndigits) for k, v in times.items()})
+        cand = json.dumps(out, separators=(",", ":"))
+        if len(cand) <= 1950:
+            line = cand
+            break
+    if line is None:
+        # keep the slowest queries that fit; the full map is in BENCH_DETAIL.json
+        by_cost = sorted(times, key=times.get, reverse=True)
+        kept: dict[str, float] = {}
+        for k in by_cost:
+            trial = dict(detail, queries=dict(kept, **{k: round(times[k], 1)}))
+            cand = json.dumps(trial, separators=(",", ":"))
+            if len(cand) > 1950:
+                break
+            kept[k] = round(times[k], 1)
+            line = cand
+    print(line)
     spark.stop()
     return 0
 

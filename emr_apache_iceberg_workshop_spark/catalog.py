@@ -1,10 +1,13 @@
 """Testdata catalog: load the driver's parquet tables with stable schemas.
 
-The `events` table is stored with parquet TIMESTAMP(NANOS) which Spark's
-vectorized reader rejects; we read it with an explicit LONG schema (no
-session-level legacy conf needed — works on any externally-owned session)
-and derive a microsecond NTZ timestamp, matching what DuckDB sees when it
-reads the same file (DuckDB truncates ns → µs on read).
+The `events` table has shipped in two layouts across testdata generations:
+(a) parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it, so it
+is read with an explicit LONG schema and truncated ns → µs exactly as
+DuckDB does on read; (b) native µs TIMESTAMP — read directly (Spark and
+DuckDB see identical values). `load_table` detects the layout from the
+footer schema (one driver-side file-listing, no data read) and always
+exposes the same two columns: `ts` (µs TIMESTAMP_NTZ) and `ts_ns`
+(int64 ns since epoch, for range frames and gap math in ns units).
 
 Scale notes: reads are plain `spark.read.parquet` — column pruning and
 predicate pushdown reach the scan via Catalyst. Filters on `events.ts`
@@ -44,11 +47,24 @@ _EVENTS_RAW_SCHEMA = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        # ns → µs truncation (floor for positive epochs) = DuckDB's read behavior
+        raw = spark.read.parquet(path)
+        ts_type = dict(raw.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # legacy layout: int64 ns since epoch (TIMESTAMP(NANOS) parquet);
+            # ns → µs truncation (floor for positive epochs) = DuckDB's read
+            raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+            return (
+                raw.withColumn("ts_ns", F.col("ts"))
+                .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+            )
+        # current layout: native µs TIMESTAMP. Normalize to NTZ (wall-clock,
+        # session-tz independent — what DuckDB reads) and derive the
+        # ns-granularity long. The session is pinned to UTC, so the
+        # NTZ↔LTZ cast inside unix_micros is the identity on epoch values.
+        ts = F.col("ts") if ts_type.startswith("timestamp_ntz") else F.col("ts").cast("timestamp_ntz")
         return (
-            raw.withColumn("ts_ns", F.col("ts"))
-            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+            raw.withColumn("ts", ts)
+            .withColumn("ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))
         )
     return spark.read.parquet(path)
 

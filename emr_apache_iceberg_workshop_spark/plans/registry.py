@@ -29,70 +29,66 @@ _MODULES = [
 # 50-name prefix of the registry per round. The prefix below rotates the
 # verification window each round so every query gets a fresh correctness
 # row at least every other round: r01 covered tpch/events/textops, r02
-# front-loaded the extension surface (r01 ∪ r02 = all 74 green). For r03
-# the prefix leads with (a) queries NEW this round (tablemeta metadata
-# tables), (b) the 24 tpch/events names whose only green row is r01 —
-# including q_merge_upsert, whose merge path was rewritten this round,
-# (c) queries whose plan or oracle CHANGED this round (similarity's
-# bounded query set, the dedup verify joins, c_dup_groups components),
-# then (d) extension queries re-verified on remaining slots. Unlisted
-# names follow in module-registration order (all r02-green, unchanged).
+# front-loaded the extension surface, r03 covered tablemeta + the r01-only
+# names. r03 exposed a testdata-layout change (events.ts ns-int64 → native
+# µs TIMESTAMP) that broke 8 event-time queries; r04 leads with (a) those
+# 8, now fixed by layout autodetection in catalog.load_table, (b) the two
+# queries that have never had a driver row, (c) queries NEW this round,
+# then (d) the names unchecked in r03. Unlisted names follow in
+# module-registration order (all green in r03).
 _PREFIX_ORDER = [
-    # (a) new this round
-    "q_meta_snapshots",
-    "q_meta_files",
-    "q_meta_history",
-    "q_meta_time_travel",
-    "q_meta_incremental",
-    # (b) r01-only tpch + events (24)
-    "q07_volume_shipping",
-    "q10_returned_items",
-    "q19_bracket_discounts",
-    "q_grouping_sets",
+    # (a) broken by the r03 testdata layout change, fixed this round
+    "q_event_windows",
+    "q_sessionization",
     "q_trailing_window",
-    "q_pivot_status",
-    "q02_min_cost_supplier",
-    "q08_market_share",
-    "q09_product_profit",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
     "q_latest_event_per_user",
     "q_merge_upsert",
-    "q_event_windows",
     "q_latest_event",
-    "q_props_stats",
-    "q_sessionization",
-    "q_salted_engagement",
-    # (c) changed this round (q22: scalar subquery unified to the 1-row
-    # broadcast-crossJoin form — its plan changed, so it needs a fresh row)
-    "s_cosine_topk",
-    "s_lsh_topk",
-    "s_ivf_topk",
-    "d_ngram_jaccard",
-    "d_minhash_lsh",
-    "c_dup_groups",
-    "q22_global_sales_opportunity",
-    # (d) re-verify on remaining slots (r02-green)
-    "d_exact_dup",
-    "d_simhash",
-    "d_embedding_neardup",
-    "c_hash_sample",
-    "c_train_split",
-    "c_curated_corpus",
     "q_asof_join",
     "q_range_join",
-    "q_percentiles",
-    "q_ntile_deciles",
-    "q_order_gaps",
-    "q_first_last_order",
-    "q_column_profile",
-    "m_decode_metadata",
+    # (b) never driver-checked
+    "t_repetition",
+    "t_decontaminate",
+    # (c) new this round — inserted here as they land
+    "c_mix_corpora",
+    "c_pack_sequences",
+    "c_stratified_sample",
+    "q_meta_compaction",
+    "q_meta_expire",
+    # (d) not checked in r03
+    "t_token_stats",
+    "t_quality_score",
+    "t_langid_confusion",
+    "t_fingerprint",
+    "t_token_freq",
+    "t_lang_profile",
+    "t_bpe_tokens",
+    "t_scrub_pii",
+    "m_frame_sample",
+    "m_modality_stats",
+    "m_extract_features",
+    "m_resize_plan",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q_top_customers",
+    "q_filter_project",
+    "q_table_counts",
+    "q_semi_anti",
+    "q_set_ops",
+    "q_rollup_revenue",
+    "q04_order_priority",
+    "q_part_revenue_share",
+    "q06_forecast_revenue",
+    "q_above_avg_orders",
+    "q_cube_orders",
+    "q_string_funcs",
+    "q13_custdist",
+    "q18_large_orders",
+    # (e) re-verify on any remaining slots (events-table queries whose
+    # inputs changed layout but whose r03 rows were already green)
+    "q_salted_engagement",
+    "q_props_stats",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
