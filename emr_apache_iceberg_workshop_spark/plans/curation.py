@@ -39,10 +39,16 @@ from .textops import TOKS_S, TOKS_D, LANG_MARKERS, _LANG_ORDER, _predicted
 # arbitrarily large keys); both engines do identical BIGINT arithmetic.
 _P = 2147483647
 _A = 48271
+_A2 = 69621  # independent minstd-family multiplier: mixing/stratification
+# decisions must not correlate with c_hash_sample/c_train_split assignments
 
 
 def _hash_expr(key: str) -> str:
     return f"(({key} % {_P}) * {_A}) % {_P}"
+
+
+def _hash2_expr(key: str) -> str:
+    return f"(({key} % {_P}) * {_A2}) % {_P}"
 
 
 # --------------------------------------------------------------------------
@@ -239,4 +245,192 @@ def c_curated_corpus(spark, sf_dir) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.sum((F.col("pred_lang") == F.col("lang")).cast("long")).alias("n_lang_agree"),
         F.min("doc_id").alias("min_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus mixing: weighted union of sources into one training mixture.
+# Weights are applied as DETERMINISTIC per-document hash thresholds (same
+# minstd family as c_hash_sample, independent multiplier), so the mixture
+# is reproducible across runs/engines and membership is a pure function of
+# (source tier, doc_id). At 100 TB this is a scan-side predicate per
+# source — no shuffle to mix, one agg to report; upweighting (>1.0, i.e.
+# repeating epochs of a source) is done downstream by the data loader, so
+# weights here are capped at 1.0.
+MIX_WEIGHTS = {
+    # tier boundaries chosen to exercise all paths: keep-all, downsample,
+    # heavy downsample. Tiering by source index keeps the CASE tiny (3
+    # branches) regardless of source count.
+    "high": 1.0,  # src0-src6
+    "mid": 0.5,  # src7-src13
+    "low": 0.2,  # src14+
+}
+
+
+def _mix_tier(dialect: str) -> str:
+    num = "CAST(substr(source, 4) AS BIGINT)" if dialect == "duck" else "CAST(substring(source, 4) AS BIGINT)"
+    return f"CASE WHEN {num} <= 6 THEN 'high' WHEN {num} <= 13 THEN 'mid' ELSE 'low' END"
+
+
+def _mix_keep(dialect: str) -> str:
+    h = _hash2_expr("doc_id")
+    tier = _mix_tier(dialect)
+    thr_mid = int(_P * MIX_WEIGHTS["mid"])
+    thr_low = int(_P * MIX_WEIGHTS["low"])
+    return (
+        f"(({tier}) = 'high' OR (({tier}) = 'mid' AND {h} < {thr_mid})"
+        f" OR (({tier}) = 'low' AND {h} < {thr_low}))"
+    )
+
+
+@query(
+    "c_mix_corpora",
+    oracle=f"""
+    SELECT {_mix_tier('duck')} AS tier,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({TOKS_D})) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS min_doc
+    FROM documents
+    WHERE {_mix_keep('duck')}
+    GROUP BY 1, 2
+    """,
+    tags=("curation:mix", "pushdown"),
+)
+def c_mix_corpora(spark, sf_dir) -> DataFrame:
+    """Weighted corpus mixture: per-tier deterministic downsampling fused
+    into the scan filter (codegen'd, no Python), then per (tier, lang)
+    mixture stats. The membership predicate references only (source,
+    doc_id), so with the corpus partitioned by source the filter prunes
+    entire partitions for weight-0 tiers and runs scan-side otherwise."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.filter(F.expr(_mix_keep("spark")))
+        .withColumn("tier", F.expr(_mix_tier("spark")))
+        .groupBy("tier", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(f"size({TOKS_S})")).cast("long").alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified rebalancing: cap every language stratum at STRATUM_CAP docs
+# via a per-stratum deterministic sampling rate (cap / stratum size).
+# Two-pass shape: a tiny per-stratum count agg (5 rows here; bounded by
+# distinct langs at any scale) broadcast back onto the scan, then the same
+# hash-threshold predicate as c_hash_sample. Inclusion is a pure function
+# of (doc_id, stratum size), reproducible across engines. The threshold is
+# computed in BIGINT ((cap * P) DIV n — cap*P < 2^39, overflow-safe) so
+# Spark and DuckDB agree bit-for-bit; float rates would round differently.
+STRATUM_CAP = 60
+
+
+@query(
+    "c_stratified_sample",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+    SELECT d.lang,
+           COUNT(*) AS n_sampled,
+           MAX(c.n) AS stratum_size,
+           CAST(SUM(len({TOKS_D})) AS BIGINT) AS total_tokens,
+           MIN(d.doc_id) AS min_doc,
+           MAX(d.doc_id) AS max_doc
+    FROM documents d JOIN counts c ON d.lang = c.lang
+    WHERE {_hash2_expr('d.doc_id')} < ({STRATUM_CAP} * CAST({_P} AS BIGINT)) // c.n
+    GROUP BY d.lang
+    """,
+    tags=("curation:stratified", "agg"),
+)
+def c_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Rebalance the corpus: downsample each language to ~STRATUM_CAP docs
+    with a deterministic per-stratum rate. The counts side is one row per
+    stratum — broadcast by AQE at any corpus size — and the filter stays
+    scan-side, so the whole operator is one small agg + one linear pass."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    thr = F.expr(f"CAST({STRATUM_CAP} * CAST({_P} AS BIGINT) DIV __n AS BIGINT)")
+    return (
+        docs.join(counts, "lang")
+        .filter(F.expr(_hash2_expr("doc_id")) < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("__n").alias("stratum_size"),
+            F.sum(F.expr(f"size({TOKS_S})")).cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed token-budget bins for LLM
+# training batches. Docs are sharded by an independent hash (bounded
+# packing domains — a per-(lang) total order would funnel each language
+# through ONE reducer at 100 TB; 64-way sharding caps partition size and
+# the shuffle stays balanced), then packed greedily in doc_id order by
+# exclusive-prefix-sum DIV budget ("offset packing": a bin may overflow by
+# at most one document — the standard streaming-packing tradeoff that
+# keeps assignment a pure window function, no sequential state).
+PACK_BUDGET = 512  # tokens per bin
+PACK_SHARDS = 8  # fixture-sized; 100 TB uses O(cores) shards
+
+
+@query(
+    "c_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {_hash2_expr('doc_id')} % {PACK_SHARDS} AS shard,
+             len({TOKS_D}) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {PACK_BUDGET} AS bin_id
+      FROM toks
+    )
+    SELECT lang, shard, CAST(bin_id AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY lang, shard, bin_id
+    """,
+    tags=("curation:packing", "window"),
+)
+def c_pack_sequences(spark, sf_dir) -> DataFrame:
+    """Token-budget sequence packing: per (lang, shard), docs are packed in
+    doc_id order into ~PACK_BUDGET-token bins via exclusive prefix sum DIV
+    budget — one bounded-partition window shuffle, one agg, deterministic
+    across engines."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"{_hash2_expr('doc_id')} % {PACK_SHARDS} AS shard",
+        f"CAST(size({TOKS_S}) AS BIGINT) AS n_tokens",
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(PACK_BUDGET))
+        .cast("bigint"),
+    )
+    return packed.groupBy("lang", "shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
     )

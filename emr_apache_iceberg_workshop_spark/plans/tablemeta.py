@@ -204,3 +204,118 @@ def q_meta_history(spark, sf_dir) -> DataFrame:
         "operation",
         "is_current_ancestor",
     )
+
+
+# --------------------------------------------------------------------------
+# Maintenance fixture: the same deterministic 3-commit table, then
+# `compact()` (Iceberg rewrite_data_files) and `expire_snapshots(keep=1)`
+# (Iceberg expire_snapshots). End state: ONE snapshot whose data dirs are
+# the compacted files; every pre-compaction dir and the MOR delete file
+# are deleted from disk. Built once per process under
+# `fixtures/tablemeta_maint`; reused when the committed artifact matches.
+MAINT_ROOT = os.path.join(_REPO_ROOT, "fixtures", "tablemeta_maint")
+_MAINT_META = os.path.join(MAINT_ROOT, "_meta.json")
+
+_maint_validated = False
+
+
+def _maint_valid() -> bool:
+    import json
+
+    try:
+        with open(_MAINT_META) as f:
+            snaps = json.load(f)["snapshots"]
+        return (
+            [s["snapshot_id"] for s in snaps] == [4]
+            and snaps[0]["operation"] == "compact"
+            and not os.path.exists(os.path.join(MAINT_ROOT, "data", "s1"))
+        )
+    except Exception:
+        return False
+
+
+def _maint_table(spark):
+    """Build (or reuse) the post-maintenance table: append, append, MOR
+    merge, compact to one file per partition, expire all but the last
+    snapshot. Same injected clock/rows as the demo table so the build is
+    byte-deterministic."""
+    global _maint_validated
+    from ..tables import SnapshotTable
+
+    if _maint_validated or _maint_valid():
+        _maint_validated = True
+        return SnapshotTable(spark, MAINT_ROOT)
+    shutil.rmtree(MAINT_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    t = SnapshotTable.create(
+        spark,
+        MAINT_ROOT,
+        "id bigint, category string, qty bigint",
+        partition_by=["category"],
+        properties={"write.merge.mode": "merge-on-read"},
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    ddl = "id bigint, category string, qty bigint"
+    rows1 = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40), (5, "c", 50), (6, "c", 60)]
+    rows2 = [(7, "a", 70), (8, "b", 80), (9, "c", 90)]
+    t.write(spark.createDataFrame(rows1, ddl).coalesce(1).sortWithinPartitions("id"))
+    t.write(spark.createDataFrame(rows2, ddl).coalesce(1).sortWithinPartitions("id"))
+    src = spark.createDataFrame(
+        [("U", 2, "a", 21), ("I", 10, "d", 100), ("D", 5, "c", None)],
+        "Op string, id bigint, category string, qty bigint",
+    ).coalesce(1).sortWithinPartitions("id")
+    t.merge(src, keys=["id"], op_col="Op")
+    t.compact(target_partitions=1)  # snapshot 4: MOR deletes folded into data
+    t.expire_snapshots(keep_last=1)  # drops s1-s3 metadata AND their files
+    _maint_validated = True
+    return t
+
+
+@query(
+    "q_meta_compaction",
+    # the compacted state must be readable by an EXTERNAL engine as plain
+    # hive-partitioned parquet, with the MOR update/insert/delete already
+    # folded in — the reference's interop promise (read_iceberg_duckdb.py:
+    # 22-44) applied to the maintenance path.
+    oracle=f"""
+    SELECT id, category, qty
+    FROM read_parquet('{MAINT_ROOT}/data/s4/*/*.parquet', hive_partitioning = true)
+    """,
+    tags=("meta:compaction", "tablemeta"),
+)
+def q_meta_compaction(spark, sf_dir) -> DataFrame:
+    """Post-compaction scan (Iceberg `rewrite_data_files`): the engine's
+    scan of the compacted table vs DuckDB reading the compacted files
+    directly — proves compaction preserved the merged state (update
+    applied, insert present, delete gone) and needs no delete-file logic
+    to read."""
+    t = _maint_table(spark)
+    return t.scan().select("id", "category", "qty")
+
+
+@query(
+    "q_meta_expire",
+    oracle=f"""
+    WITH m AS (SELECT snapshots FROM read_json_auto('{_MAINT_META}')),
+         s AS (SELECT unnest(snapshots) AS snap FROM m)
+    SELECT snap.snapshot_id AS snapshot_id,
+           CAST(snap.made_current_at AS DOUBLE) AS committed_at_sec,
+           snap.operation AS operation,
+           CAST(coalesce(list_sum(list_transform(snap.files, f -> f."rows")), 0)
+                AS BIGINT) AS live_rows
+    FROM s
+    """,
+    tags=("meta:expire", "tablemeta"),
+)
+def q_meta_expire(spark, sf_dir) -> DataFrame:
+    """Snapshot expiration (Iceberg `expire_snapshots`): after keeping only
+    the compaction snapshot, `.snapshots` has exactly one row and the
+    expired snapshots' files are physically gone (pytest asserts the
+    deletion; this query proves the surviving metadata cross-engine)."""
+    t = _maint_table(spark)
+    return t.snapshots_table().select(
+        "snapshot_id",
+        F.col("committed_at").cast("double").alias("committed_at_sec"),
+        "operation",
+        F.col("added_rows").alias("live_rows"),
+    )
