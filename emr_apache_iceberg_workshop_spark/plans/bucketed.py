@@ -1,0 +1,100 @@
+"""Bucketed co-located join — the shuffle-free join strategy for big
+fact⋈fact joins at scale.
+
+The TPC-H joins elsewhere in this repo let AQE pick broadcast vs
+sort-merge; both still SHUFFLE at least one side. When the same join key
+is hit repeatedly (orders⋈customer on custkey here; any fact⋈fact join
+at 100 TB), the scale move is to pay the shuffle ONCE at write time:
+`bucketBy(N, key).sortBy(key)` persists both tables pre-hash-partitioned
+and pre-sorted, and every subsequent join on that key is a SortMergeJoin
+with NO Exchange and NO Sort on either side (`tests/test_bucketed.py`
+asserts exactly that plan). This is Spark's native equivalent of the
+co-located / storage-partitioned join; with Iceberg tables the same idea
+is a bucket partition transform (reference family: Iceberg
+`bucket(N, col)` — the workshop's partitioned writes, `raw-bronze.py:
+175-176`, are the value-partition special case).
+
+The bucketed copies live in a per-process warehouse dir (gitignored —
+bucketed file layouts carry nondeterministic task UUIDs, so they are
+rebuilt per process rather than committed). Bucket count is fixture-sized
+at 8; at 100 TB pick ~(table size / target partition size) and the same
+plan holds with zero driver-side changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..catalog import load_table
+from ..functions import dsum, osum
+from .registry import query
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+WAREHOUSE = os.path.join(_REPO_ROOT, "fixtures", "bucketed_wh")
+N_BUCKETS = 8
+
+# sf_dir the bucketed copies were built from, per table name (process-local;
+# the catalog entries live in the session's in-memory catalog anyway)
+_built: dict[str, str] = {}
+
+
+def bucketize(spark, sf_dir: str, name: str, key: str) -> str:
+    """Persist `name` as a bucketed+sorted table on `key`; returns the
+    catalog table name. Idempotent per (process, sf_dir)."""
+    tbl = f"b_{name}"
+    if _built.get(tbl) == sf_dir and spark.catalog.tableExists(tbl):
+        return tbl
+    path = os.path.join(WAREHOUSE, f"{tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, name)
+        # repartition on the key with numPartitions == numBuckets: Spark's
+        # repartition hash and the bucketing hash are the same murmur3 pmod,
+        # so every write task holds exactly one bucket → ONE file per
+        # bucket. That is the precondition for readers to trust the
+        # persisted sort order (multi-file buckets force a re-Sort before
+        # SortMergeJoin even though the Exchange is already eliminated).
+        .repartition(N_BUCKETS, F.col(key))
+        .write.bucketBy(N_BUCKETS, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(tbl)
+    )
+    _built[tbl] = sf_dir
+    return tbl
+
+
+@query(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           {osum('o.o_totalprice', 2)} AS segment_revenue,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("join:bucketed", "colocated"),
+)
+def q_bucketed_join(spark, sf_dir) -> DataFrame:
+    """orders⋈customer on the bucket key: SMJ with no Exchange/Sort on
+    either side (both inputs pre-bucketed+sorted on custkey), then one
+    small agg shuffle on segment. The oracle proves the bucketed copies
+    join to exactly the plain-join answer."""
+    bo = bucketize(spark, sf_dir, "orders", "o_custkey")
+    bc = bucketize(spark, sf_dir, "customer", "c_custkey")
+    o = spark.table(bo).select("o_custkey", "o_totalprice")
+    c = spark.table(bc).select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("segment_revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = [
     "dedup",
     "similarity",
+    "bucketed",
     "multimodal",
     "temporal",
     "profiling",
@@ -55,6 +56,8 @@ _PREFIX_ORDER = [
     "c_stratified_sample",
     "q_meta_compaction",
     "q_meta_expire",
+    "s_knn_graph",
+    "q_bucketed_join",
     # (d) not checked in r03
     "t_token_stats",
     "t_quality_score",

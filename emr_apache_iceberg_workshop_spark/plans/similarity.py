@@ -318,3 +318,54 @@ def s_ivf_topk(spark, sf_dir) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("q_id", "c_id", "cluster", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# k-NN graph build: every vector's top-K neighbors within its LSH bucket.
+# This is the primitive under graph-based clustering and connected-
+# component near-dup detection over embeddings. Unlike the top-k queries
+# above there is NO bounded broadcast side — both sides are the corpus —
+# so the scale shape is different: a self-equi-join on the bucket key
+# (one shuffle of the corpus by bucket, Σ bucket² pair work within
+# partitions, never n²) followed by a per-vector window. At 100 TB the
+# bucket key widens (more hyperplanes) to keep Σ bucket² linear-ish;
+# the join stays a plain shuffle equi-join — no driver state, no
+# broadcast, skew handled by AQE's skew-join split on hot buckets.
+KNN_K = 5
+
+
+@query(
+    "s_knn_graph",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding AS e, {_BUCKET_D} AS bucket,
+                      sqrt({odot('embedding', 'embedding')}) AS nrm
+               FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst,
+                  {odot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine
+           FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+    SELECT src, dst, cosine,
+           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+    FROM scored
+    QUALIFY rank <= {KNN_K}
+    """,
+    tags=("similarity:knn-graph", "join:self"),
+)
+def s_knn_graph(spark, sf_dir) -> DataFrame:
+    """Bucketed k-NN graph: co-bucket self-join scored with the exact
+    decimal dot, top-KNN_K per source vector. One corpus shuffle on the
+    bucket key; no broadcast, no collect — the all-pairs-within-bucket
+    shape that survives an unbounded corpus."""
+    n = _normed(spark, sf_dir, (f"{_BUCKET_S} AS bucket",))
+    a = n.selectExpr("vec_id AS src", "e AS ae", "nrm AS a_nrm", "bucket")
+    b = n.selectExpr("vec_id AS dst", "e AS be", "nrm AS b_nrm", "bucket AS __bb")
+    scored = (
+        a.join(b, (F.col("bucket") == F.col("__bb")) & (F.col("src") != F.col("dst")))
+        .withColumn("cosine", F.expr(sdot("ae", "be")) / (F.col("a_nrm") * F.col("b_nrm")))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src", "dst", "cosine", "rank")
+    )

@@ -37,6 +37,11 @@ _RUNTIME_CONFS: dict[str, str] = {
     # threshold and the planner flips to shuffle joins on its own —
     # size-conditioned, unlike F.broadcast which forces at ANY size.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Trust the persisted sort order of bucketed tables (opt-in since
+    # Spark 3 because multi-file buckets would interleave; plans/bucketed.py
+    # writes exactly one file per bucket, which is the safe case). With it,
+    # a join on the bucket key is SMJ with no Exchange AND no Sort.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 
