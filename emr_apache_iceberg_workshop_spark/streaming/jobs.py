@@ -315,3 +315,50 @@ def run_attribution_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# -- streaming dedup --------------------------------------------------------
+
+
+def stream_dedup_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> int:
+    """Streaming deduplication: keep the FIRST arrival per key, dropping
+    re-deliveries that arrive within the watermark horizon
+    (`dropDuplicatesWithinWatermark` — the streaming twin of W1's
+    latest-per-key batch dedup, but first-wins, which is the at-least-once
+    ingestion contract: re-delivered CDC rows are identical, so first-wins
+    == exactly-once).
+
+    Scale: state is one entry per key within the watermark horizon,
+    partitioned by the state store on the dedup key — bounded by key
+    cardinality per horizon, not stream length; expired keys age out with
+    the watermark. Returns rows WRITTEN (post-dedup) this run."""
+    keys = keys or ["event_id"]
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .parquet(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = 0
+    for p in q.recentProgress:
+        for sink_row in [p.get("sink", {})]:
+            n = sink_row.get("numOutputRows", -1)
+            if n and n > 0:
+                written += n
+    return written

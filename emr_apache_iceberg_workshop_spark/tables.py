@@ -767,3 +767,30 @@ class SnapshotTable:
         for rel in dead:
             shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
         return expired_ids
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data/delete dirs on disk that NO snapshot references
+        (Iceberg `remove_orphan_files`): leftovers of crashed writes that
+        landed files before the metadata swap, or of an expire interrupted
+        mid-delete. Reads only metadata + a two-level dir listing — never
+        data. Returns the removed dir rel-paths."""
+        import shutil
+
+        live: set[str] = set()
+        for s in self._load()["snapshots"]:
+            live |= {_entry_rel(e) for e in s["active_dirs"]}
+            live |= set(s["dirs"])
+            live |= {d["file"] for d in s.get("active_deletes", [])}
+            if s.get("delete_file"):
+                live.add(s["delete_file"])
+        removed: list[str] = []
+        for kind in ("data", "deletes"):
+            base = os.path.join(self.root, kind)
+            if not os.path.isdir(base):
+                continue
+            for name in sorted(os.listdir(base)):
+                rel = f"{kind}/{name}"
+                if rel not in live:
+                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+                    removed.append(rel)
+        return removed

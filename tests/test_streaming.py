@@ -193,3 +193,40 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     got = {(r.click_id, r.purchase_id) for r in out.collect()}
     want = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert got and got == want
+
+
+def test_stream_dedup_first_wins_and_exactly_once(spark, tmp_path):
+    """Re-delivered rows (same event_id) are dropped; a second run over the
+    same checkpoint writes nothing new; result matches batch distinct."""
+    from emr_apache_iceberg_workshop_spark.streaming.jobs import (
+        EVENTS_DDL,
+        stream_dedup_available_now,
+    )
+
+    src = str(tmp_path / "dup_events")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    rows = [
+        (i, f"2024-01-01 0{i % 5}:00:00", i % 3, "view", float(i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, ty, v) for e, t, u, ty, v in rows] + rows[:7],  # 7 re-deliveries
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS timestamp_ntz) AS ts", "user_id", "event_type", "value"
+    )
+    df.coalesce(2).write.parquet(src)
+
+    stream_dedup_available_now(spark, src, out, ckpt)
+    got = spark.read.schema(EVENTS_DDL).parquet(out)
+    assert got.count() == 20
+    assert got.select("event_id").distinct().count() == 20
+    # batch twin: same surviving key set
+    batch = df.dropDuplicates(["event_id"])
+    assert got.select("event_id").subtract(batch.select("event_id")).count() == 0
+
+    # exactly-once: rerun over the same checkpoint is a no-op
+    n2 = stream_dedup_available_now(spark, src, out, ckpt)
+    assert n2 == 0
+    assert spark.read.schema(EVENTS_DDL).parquet(out).count() == 20

@@ -350,3 +350,29 @@ def test_export_snapshot_vanilla_duckdb_roundtrip(spark, tmp_path):
     # partition-column type survives the hive-partitioning round trip
     assert con.execute("SELECT typeof(part) FROM silver LIMIT 1").fetchone()[0] == "VARCHAR"
     assert con.execute("SELECT typeof(id) FROM silver LIMIT 1").fetchone()[0] == "BIGINT"
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Dirs no snapshot references (crashed-write leftovers) are removed;
+    every referenced dir survives and the table state is untouched."""
+    import os
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "orphan_table")
+    t = SnapshotTable.create(spark, root, "k long, v string")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.write(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    # simulate a crashed write: files landed, metadata swap never happened
+    orphan = os.path.join(root, "data", "s99")
+    spark.createDataFrame([(9, "x")], "k long, v string").write.parquet(orphan)
+    stray_delete = os.path.join(root, "deletes", "s98")
+    spark.createDataFrame([(9,)], "k long").write.parquet(stray_delete)
+
+    removed = t.remove_orphan_files()
+    assert sorted(removed) == ["data/s99", "deletes/s98"]
+    assert not os.path.exists(orphan) and not os.path.exists(stray_delete)
+    # live dirs and table state untouched
+    assert {r.k for r in t.scan().collect()} == {1, 2, 3}
+    assert t.remove_orphan_files() == []
