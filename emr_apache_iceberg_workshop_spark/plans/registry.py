@@ -58,6 +58,7 @@ _PREFIX_ORDER = [
     "q_meta_expire",
     "s_knn_graph",
     "q_bucketed_join",
+    "q_meta_pruning",
     # (d) not checked in r03
     "t_token_stats",
     "t_quality_score",

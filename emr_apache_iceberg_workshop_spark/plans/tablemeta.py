@@ -225,10 +225,14 @@ def _maint_valid() -> bool:
     try:
         with open(_MAINT_META) as f:
             snaps = json.load(f)["snapshots"]
+        files = snaps[0].get("files", [])
         return (
             [s["snapshot_id"] for s in snaps] == [4]
             and snaps[0]["operation"] == "compact"
             and not os.path.exists(os.path.join(MAINT_ROOT, "data", "s1"))
+            # round-4 layout: range-clustered compaction with manifest bounds
+            and len(files) >= 4
+            and all("bounds" in f and "id" in f["bounds"] for f in files)
         )
     except Exception:
         return False
@@ -265,7 +269,9 @@ def _maint_table(spark):
         "Op string, id bigint, category string, qty bigint",
     ).coalesce(1).sortWithinPartitions("id")
     t.merge(src, keys=["id"], op_col="Op")
-    t.compact(target_partitions=1)  # snapshot 4: MOR deletes folded into data
+    # snapshot 4: MOR deletes folded into data, files RANGE-CLUSTERED on id
+    # so the manifest's min/max bounds are tight (sort-order rewrite)
+    t.compact(target_partitions=4, sort_by=["id"])
     t.expire_snapshots(keep_last=1)  # drops s1-s3 metadata AND their files
     _maint_validated = True
     return t
@@ -318,4 +324,29 @@ def q_meta_expire(spark, sf_dir) -> DataFrame:
         F.col("committed_at").cast("double").alias("committed_at_sec"),
         "operation",
         F.col("added_rows").alias("live_rows"),
+    )
+
+
+@query(
+    "q_meta_pruning",
+    # correctness contract: manifest pruning must be INVISIBLE in results —
+    # the pruned scan + row filter equals filtering the full compacted
+    # state. The pruning EFFECT (files actually skipped thanks to the
+    # range-clustered rewrite) is pinned by tests/test_tables.py.
+    oracle=f"""
+    SELECT id, category, qty
+    FROM read_parquet('{MAINT_ROOT}/data/s4/*/*.parquet', hive_partitioning = true)
+    WHERE id BETWEEN 7 AND 9
+    """,
+    tags=("meta:pruning", "tablemeta"),
+)
+def q_meta_pruning(spark, sf_dir) -> DataFrame:
+    """Manifest-level file skipping (Iceberg scan planning): plan the scan
+    from per-file min/max bounds recorded at write time — only files whose
+    id range overlaps [7, 9] are opened — then apply the row predicate."""
+    t = _maint_table(spark)
+    return (
+        t.scan_pruned("id", 7, 9)
+        .filter(F.col("id").between(7, 9))
+        .select("id", "category", "qty")
     )

@@ -162,11 +162,39 @@ class SnapshotTable:
         return T.StructType.fromDDL(self._load()["schema"])
 
     # -- writes ------------------------------------------------------------
+    @staticmethod
+    def _col_bounds(md) -> dict:
+        """Per-column [min, max] from the parquet footer (JSON-safe scalar
+        columns only), merged across row groups — the stats an Iceberg
+        manifest stores per data file, enabling file-level pruning before
+        any file is opened."""
+        bounds: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    continue  # physical byte stats (e.g. decimals): skip
+                if not isinstance(mn, (int, float, str, bool)):
+                    mn, mx = str(mn), str(mx)  # dates/timestamps → ISO strings
+                name = col.path_in_schema
+                if name in bounds:
+                    lo, hi = bounds[name]
+                    bounds[name] = [min(lo, mn), max(hi, mx)]
+                else:
+                    bounds[name] = [mn, mx]
+        return bounds
+
     def _file_stats(self, rel_dir: str) -> list[dict]:
         """Manifest entries for every parquet file under `rel_dir`: path,
-        partition tuple, row count (parquet footer), bytes. Driver-side
-        walk + footer reads — O(file count), exactly the bookkeeping an
-        Iceberg writer does when it builds a manifest."""
+        partition tuple, row count (parquet footer), bytes, per-column
+        min/max bounds. Driver-side walk + footer reads — O(file count),
+        exactly the bookkeeping an Iceberg writer does when it builds a
+        manifest."""
         import pyarrow.parquet as pq
 
         base = os.path.join(self.root, rel_dir)
@@ -183,12 +211,14 @@ class SnapshotTable:
                     if "=" in seg:
                         c, v = seg.split("=", 1)
                         part[c] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                md = pq.ParquetFile(fp).metadata
                 out.append(
                     {
                         "path": os.path.join(rel_dir, relp),
                         "partition": part,
-                        "rows": pq.ParquetFile(fp).metadata.num_rows,
+                        "rows": md.num_rows,
                         "bytes": os.path.getsize(fp),
+                        "bounds": self._col_bounds(md),
                     }
                 )
         out.sort(key=lambda f: f["path"])
@@ -732,14 +762,88 @@ class SnapshotTable:
                 return self._scan_snapshot(s, self.schema_at(snapshot_id))
         raise ValueError(f"unknown snapshot {snapshot_id}")
 
-    def compact(self, target_partitions: int | None = None) -> int:
+    def compact(
+        self, target_partitions: int | None = None, sort_by: list[str] | None = None
+    ) -> int:
         """Rewrite the current state into fewer, larger files (Iceberg
-        `rewrite_data_files`). Commits a `compact` snapshot; readers at old
-        snapshots still see the old files until expiration."""
+        `rewrite_data_files`). With `sort_by`, files are RANGE-CLUSTERED on
+        those columns (Iceberg's sort-order rewrite / 1-D z-order): each
+        output file covers a disjoint value range, so the manifest's
+        min/max bounds become tight and `scan_pruned` can skip whole files.
+        Commits a `compact` snapshot; readers at old snapshots still see
+        the old files until expiration."""
         df = self.scan()
         n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
-        squashed = df.coalesce(n).localCheckpoint(eager=True)
+        if sort_by:
+            squashed = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            squashed = df.coalesce(n)
+        squashed = squashed.localCheckpoint(eager=True)
         return self.write(squashed, mode="overwrite", operation="compact")
+
+    # -- manifest-level file pruning (Iceberg scan planning) ---------------
+    def _live_files(self) -> list[tuple[str, dict]]:
+        """(dir_rel, manifest entry) for every data file live in the
+        current snapshot — active dirs minus partition-exclusion masks."""
+        meta = self._load()
+        snaps = meta["snapshots"]
+        if not snaps:
+            return []
+        by_sid = {s["snapshot_id"]: s for s in snaps}
+        out = []
+        for e in snaps[-1]["active_dirs"]:
+            rel, excl = _entry_rel(e), _entry_excl(e)
+            ws = by_sid[_dir_sid(rel)]
+            for f in ws.get("files", []):
+                if f["partition"] in excl:
+                    continue
+                out.append((rel, f))
+        return out
+
+    def plan_files(self, col: str, lo, hi) -> tuple[list[tuple[str, dict]], int]:
+        """Manifest-only scan planning: the live files whose [min, max]
+        bounds for `col` overlap [lo, hi] (files without bounds for the
+        column are conservatively kept), plus the total live-file count.
+        O(manifest) driver work — no file is opened, the same skip an
+        Iceberg scan does before task planning."""
+        live = self._live_files()
+        kept = []
+        for rel, f in live:
+            b = f.get("bounds", {}).get(col)
+            if b is None or not (hi < b[0] or lo > b[1]):
+                kept.append((rel, f))
+        return kept, len(live)
+
+    def scan_pruned(self, col: str, lo, hi) -> DataFrame:
+        """Current-state scan reading ONLY the files `plan_files` keeps.
+        Rows are still unfiltered (bounds overlap ≠ row match): callers
+        apply their predicate on top; correctness is identical to
+        `scan().filter(...)` because pruning only drops files that cannot
+        contain matching rows. MOR delete files still apply."""
+        kept, _total = self.plan_files(col, lo, hi)
+        schema = self.schema()
+        by_dir: dict[str, list[str]] = {}
+        for rel, f in kept:
+            by_dir.setdefault(rel, []).append(os.path.join(self.root, f["path"]))
+        deletes = self._load()["snapshots"][-1].get("active_deletes", []) if kept else []
+        if not by_dir:
+            return self.spark.createDataFrame([], schema)
+        dfs = []
+        for rel, paths in sorted(by_dir.items()):
+            df = (
+                self.spark.read.option("basePath", os.path.join(self.root, rel))
+                .schema(schema)
+                .parquet(*paths)
+            )
+            if deletes:
+                df = df.withColumn("__sid", F.lit(_dir_sid(rel)).cast("long"))
+            dfs.append(df)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        if deletes:
+            out = self._apply_deletes(out, deletes)
+        return out
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest `keep_last` snapshots and delete data

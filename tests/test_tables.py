@@ -376,3 +376,28 @@ def test_remove_orphan_files(spark, tmp_path):
     # live dirs and table state untouched
     assert {r.k for r in t.scan().collect()} == {1, 2, 3}
     assert t.remove_orphan_files() == []
+
+
+def test_manifest_pruning_after_sorted_compaction(spark, tmp_path):
+    """Range-clustered compaction tightens per-file bounds so manifest-only
+    planning skips files; results stay identical to a full scan+filter."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "pruned_table")
+    t = SnapshotTable.create(spark, root, "k long, v string")
+    # two appends with fully OVERLAPPING k ranges: every file spans ~[0,99]
+    rows = [(i, f"r{i}") for i in range(0, 100, 2)]
+    t.write(spark.createDataFrame(rows, "k long, v string").repartition(4))
+    rows2 = [(i, f"r{i}") for i in range(1, 100, 2)]
+    t.write(spark.createDataFrame(rows2, "k long, v string").repartition(4))
+
+    kept_before, total_before = t.plan_files("k", 10, 15)
+    assert len(kept_before) == total_before  # overlapping ranges: no skip
+
+    t.compact(target_partitions=4, sort_by=["k"])
+    kept, total = t.plan_files("k", 10, 15)
+    assert total >= 4 and len(kept) < total  # clustered: files skipped
+
+    got = sorted(r.k for r in t.scan_pruned("k", 10, 15).filter("k BETWEEN 10 AND 15").collect())
+    want = sorted(r.k for r in t.scan().filter("k BETWEEN 10 AND 15").collect())
+    assert got == want == [10, 11, 12, 13, 14, 15]
