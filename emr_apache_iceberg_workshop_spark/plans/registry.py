@@ -59,6 +59,7 @@ _PREFIX_ORDER = [
     "s_knn_graph",
     "q_bucketed_join",
     "q_meta_pruning",
+    "q_meta_changes",
     # (d) not checked in r03
     "t_token_stats",
     "t_quality_score",

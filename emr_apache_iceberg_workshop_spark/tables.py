@@ -451,6 +451,75 @@ class SnapshotTable:
                 rels += s["dirs"]
         return self._read_dirs(rels)
 
+    def changes(self, start_snapshot_id: int | None, end_snapshot_id: int) -> DataFrame:
+        """Changelog scan over (start, end] — the Iceberg
+        `create_changelog_view` / `.changes` analogue: every logical row
+        change with `_change_type` ('insert' | 'delete') and
+        `_snapshot_id`. Appends emit their rows as inserts; MOR merges
+        emit the new data dir as inserts (upserts) plus a delete row per
+        delete-file key NOT re-inserted in the same commit (key columns
+        populated, others NULL — equality-delete semantics); compaction
+        and schema evolution are logical no-ops and emit nothing. COW
+        merges raise: their rewritten dirs don't record which rows
+        changed (same contract as the incremental scan's append-only
+        rule)."""
+        lo = start_snapshot_id or 0
+        schema = self.schema()
+        cols = [f.name for f in schema.fields]
+        frames: list[DataFrame] = []
+        for s in self._load()["snapshots"]:
+            sid = s["snapshot_id"]
+            if not (lo < sid <= end_snapshot_id):
+                continue
+            op = s["operation"]
+            if op in ("evolve-schema", "compact"):
+                continue  # metadata-only / physical-layout-only commits
+            if op in ("append", "create"):
+                df = self._read_dirs(s["dirs"], schema=schema)
+            elif op == "merge" and s.get("delete_file"):
+                df = self._read_dirs(s["dirs"], schema=schema)
+                keys = next(
+                    d["keys"] for d in s["active_deletes"] if d["sid"] == sid
+                )
+                dels = self.spark.read.parquet(
+                    os.path.join(self.root, s["delete_file"])
+                ).join(df.select(*keys), list(keys), "left_anti")
+                del_rows = dels.select(
+                    *[
+                        F.col(c) if c in keys else F.lit(None).cast(f.dataType).alias(c)
+                        for c, f in zip(cols, schema.fields)
+                    ]
+                ).select(
+                    "*",
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(sid).cast("long").alias("_snapshot_id"),
+                )
+                frames.append(del_rows)
+            else:
+                raise ValueError(
+                    f"changelog over non-append/MOR snapshot {sid} ({op})"
+                )
+            frames.append(
+                df.select(
+                    "*",
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(sid).cast("long").alias("_snapshot_id"),
+                )
+            )
+        if not frames:
+            empty = T.StructType(
+                schema.fields
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_snapshot_id", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def history(self) -> DataFrame:
         """Metadata table (S7, `<table>.history`): snapshot_id,
         made_current_at (TIMESTAMP, like Iceberg's), operation, and

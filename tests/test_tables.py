@@ -401,3 +401,41 @@ def test_manifest_pruning_after_sorted_compaction(spark, tmp_path):
     got = sorted(r.k for r in t.scan_pruned("k", 10, 15).filter("k BETWEEN 10 AND 15").collect())
     want = sorted(r.k for r in t.scan().filter("k BETWEEN 10 AND 15").collect())
     assert got == want == [10, 11, 12, 13, 14, 15]
+
+
+def test_changes_changelog(spark, tmp_path):
+    """Changelog: appends are inserts, MOR merge emits upsert-inserts plus
+    equality deletes, compaction emits nothing, COW merges raise."""
+    import pytest as _pytest
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "chg_table")
+    t = SnapshotTable.create(
+        spark, root, "k long, v string",
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    s1 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    src = spark.createDataFrame(
+        [("U", 2, "b2"), ("I", 3, "c"), ("D", 1, None)],
+        "Op string, k long, v string",
+    )
+    s2 = t.merge(src, keys=["k"], op_col="Op")
+    s3 = t.compact(target_partitions=1)
+
+    ch = t.changes(None, s3).collect()
+    by = {(r.k, r._change_type, r._snapshot_id) for r in ch}
+    assert by == {
+        (1, "insert", s1), (2, "insert", s1),          # append
+        (2, "insert", s2), (3, "insert", s2),          # merge upserts
+        (1, "delete", s2),                             # merge delete
+    }  # compaction contributed nothing
+    # range query composes: only the merge's changes
+    assert {r._snapshot_id for r in t.changes(s1, s2).collect()} == {s2}
+
+    # COW merges can't produce a changelog — explicit error
+    t2 = SnapshotTable.create(spark, str(tmp_path / "cow_table"), "k long, v string")
+    t2.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t2.merge(spark.createDataFrame([(1, "z")], "k long, v string"), keys=["k"])
+    with _pytest.raises(ValueError):
+        t2.changes(None, 2).collect()
