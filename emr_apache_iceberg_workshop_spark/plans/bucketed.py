@@ -33,8 +33,28 @@ from ..functions import dsum, osum
 from .registry import query
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-WAREHOUSE = os.path.join(_REPO_ROOT, "fixtures", "bucketed_wh")
+# Per-process warehouse: bucketed layouts are rebuilt per process anyway
+# (catalog entries are session-scoped), and two concurrent processes
+# (e.g. a bench run next to an explain audit) must not race on one dir —
+# a reader can otherwise observe a sibling's half-written rebuild.
+_WH_BASE = os.path.join(_REPO_ROOT, "fixtures", "bucketed_wh")
+WAREHOUSE = os.path.join(_WH_BASE, f"pid{os.getpid()}")
 N_BUCKETS = 8
+
+
+def _sweep_stale_warehouses() -> None:
+    """Best-effort cleanup of warehouses left by dead processes."""
+    if not os.path.isdir(_WH_BASE):
+        return
+    for name in os.listdir(_WH_BASE):
+        if not name.startswith("pid") or name == f"pid{os.getpid()}":
+            continue
+        try:
+            os.kill(int(name[3:]), 0)  # raises if the owner is gone
+        except (ProcessLookupError, ValueError):
+            shutil.rmtree(os.path.join(_WH_BASE, name), ignore_errors=True)
+        except PermissionError:
+            pass  # owner alive under another uid — leave it
 
 # sf_dir the bucketed copies were built from, per table name (process-local;
 # the catalog entries live in the session's in-memory catalog anyway)
@@ -47,6 +67,7 @@ def bucketize(spark, sf_dir: str, name: str, key: str) -> str:
     tbl = f"b_{name}"
     if _built.get(tbl) == sf_dir and spark.catalog.tableExists(tbl):
         return tbl
+    _sweep_stale_warehouses()
     path = os.path.join(WAREHOUSE, f"{tbl}")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(path, ignore_errors=True)
