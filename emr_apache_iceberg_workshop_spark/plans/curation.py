@@ -34,21 +34,26 @@ from .registry import query
 from .dedup import SHINGLES_D, MAX_SHINGLE_DF
 from .textops import TOKS_S, TOKS_D, LANG_MARKERS, _LANG_ORDER, _predicted
 
-# minstd multiplicative hash mod the Mersenne prime 2^31-1. `key % P`
-# BEFORE the multiply keeps every intermediate < 2^61 (int64-safe for
-# arbitrarily large keys); both engines do identical BIGINT arithmetic.
+# Two-round minstd multiplicative hash mod the Mersenne prime 2^31-1.
+# `key % P` BEFORE the first multiply keeps every intermediate < 2^48
+# (int64-safe for arbitrarily large keys); both engines do identical
+# BIGINT arithmetic. TWO rounds matter: a single multiply never wraps P
+# for keys < P/A (e.g. dense doc_ids on a small corpus), leaving the
+# "hash" monotone in the key — thresholds then keep a key-range, not a
+# uniform sample. The second multiply pushes every nonzero key past P,
+# so the output is well-mixed at fixture scale AND 100 TB scale.
 _P = 2147483647
 _A = 48271
-_A2 = 69621  # independent minstd-family multiplier: mixing/stratification
-# decisions must not correlate with c_hash_sample/c_train_split assignments
+_A2 = 69621  # independent multiplier pair: mixing/stratification decisions
+# must not correlate with c_hash_sample/c_train_split assignments
 
 
 def _hash_expr(key: str) -> str:
-    return f"(({key} % {_P}) * {_A}) % {_P}"
+    return f"(((({key} % {_P}) * {_A}) % {_P}) * {_A2}) % {_P}"
 
 
 def _hash2_expr(key: str) -> str:
-    return f"(({key} % {_P}) * {_A2}) % {_P}"
+    return f"(((({key} % {_P}) * {_A2}) % {_P}) * {_A}) % {_P}"
 
 
 # --------------------------------------------------------------------------

@@ -163,3 +163,76 @@ def q_column_profile(spark, sf_dir) -> DataFrame:
         F.min("o_orderdate").alias("date_min"),
         F.max("o_orderdate").alias("date_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch operators — the 100 TB profiling path. Exact COUNT(DISTINCT) and
+# exact percentiles shuffle every value; HyperLogLog++ and t-digest/GK
+# sketches keep per-group state constant-size and merge associatively
+# (one partial agg per partition, tiny final merge — the same shape as
+# SUM). Cross-engine check: a sketch VALUE is engine-specific, so the
+# oracle instead verifies the sketch against the EXACT answer computed in
+# the same statement — the Spark side returns the exact value plus a
+# within-tolerance flag (deterministic: Spark's HLL++/percentile_approx
+# are seed-free), and DuckDB recomputes the exact value with the flag
+# pinned TRUE. A sketch drifting out of tolerance fails the hash match.
+@query(
+    "q_sketch_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("sketch:hll", "agg"),
+)
+def q_sketch_distinct(spark, sf_dir) -> DataFrame:
+    """HLL++ approximate distinct users per event type, checked against
+    the exact distinct in the same result: |approx - exact| / exact must
+    stay within 5% (HLL++ at rsd=0.02 gives ~2% typical error)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02).cast("double")
+                - F.countDistinct("user_id").cast("double")
+            )
+            <= 0.05 * F.countDistinct("user_id").cast("double")
+        ).alias("approx_within_5pct"),
+    )
+
+
+@query(
+    "q_sketch_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+           quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+           TRUE AS approx_within_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("sketch:quantile", "agg"),
+)
+def q_sketch_quantiles(spark, sf_dir) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna, accuracy 1e4 → rank error
+    ≤ 0.01%) checked against the exact continuous quantile: the sketch
+    answer must land within 1% relative error of exact p50/p99. The
+    sketch is the operator you actually run at 100 TB; the exact values
+    here double as the oracle's comparison columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact99 = F.expr("percentile(l_extendedprice, 0.99)")
+    appr = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        exact50.alias("exact_p50"),
+        exact99.alias("exact_p99"),
+        (
+            (F.abs(appr.getItem(0) - exact50) <= 0.01 * exact50)
+            & (F.abs(appr.getItem(1) - exact99) <= 0.01 * exact99)
+        ).alias("approx_within_bounds"),
+    )

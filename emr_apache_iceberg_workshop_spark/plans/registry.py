@@ -60,6 +60,11 @@ _PREFIX_ORDER = [
     "q_bucketed_join",
     "q_meta_pruning",
     "q_meta_changes",
+    "q_sketch_distinct",
+    "q_sketch_quantiles",
+    # hash family strengthened to two rounds this round — results changed
+    "c_hash_sample",
+    "c_train_split",
     # (d) not checked in r03
     "t_token_stats",
     "t_quality_score",
