@@ -439,8 +439,10 @@ class SnapshotTable:
         range, as Iceberg does."""
         lo = start_snapshot_id or 0
         rels: list[str] = []
+        seen = 0
         for s in self._load()["snapshots"]:
             if lo < s["snapshot_id"] <= end_snapshot_id:
+                seen += 1
                 if not s["dirs"] and s["operation"] == "evolve-schema":
                     continue  # metadata-only commit: nothing to read
                 if s["operation"] not in ("append", "create"):
@@ -449,6 +451,13 @@ class SnapshotTable:
                         f"{s['snapshot_id']} ({s['operation']})"
                     )
                 rels += s["dirs"]
+        # snapshot ids are dense: a shorter-than-range walk means part of
+        # the range was expired — raise instead of silently skipping rows
+        # (Iceberg errors on incremental reads over expired snapshots)
+        if seen < end_snapshot_id - lo:
+            raise ValueError(
+                f"incremental range ({lo}, {end_snapshot_id}] spans expired snapshots"
+            )
         return self._read_dirs(rels)
 
     def changes(self, start_snapshot_id: int | None, end_snapshot_id: int) -> DataFrame:
@@ -467,10 +476,12 @@ class SnapshotTable:
         schema = self.schema()
         cols = [f.name for f in schema.fields]
         frames: list[DataFrame] = []
+        seen = 0
         for s in self._load()["snapshots"]:
             sid = s["snapshot_id"]
             if not (lo < sid <= end_snapshot_id):
                 continue
+            seen += 1
             op = s["operation"]
             if op in ("evolve-schema", "compact"):
                 continue  # metadata-only / physical-layout-only commits
@@ -505,6 +516,10 @@ class SnapshotTable:
                     F.lit("insert").alias("_change_type"),
                     F.lit(sid).cast("long").alias("_snapshot_id"),
                 )
+            )
+        if seen < end_snapshot_id - lo:
+            raise ValueError(
+                f"changelog range ({lo}, {end_snapshot_id}] spans expired snapshots"
             )
         if not frames:
             empty = T.StructType(
@@ -822,14 +837,38 @@ class SnapshotTable:
                 return T.StructType.fromDDL(s["summary"]["prev_schema"])
         return self.schema()
 
-    def scan_at(self, snapshot_id: int) -> DataFrame:
-        """Time-travel read: table state AS OF `snapshot_id` (Iceberg
-        `VERSION AS OF` / `snapshot-id` read option), with the schema,
-        exclusion masks, and delete files as of that snapshot."""
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Named immutable ref to a snapshot (Iceberg `CREATE TAG` /
+        `ALTER TABLE ... CREATE TAG`): metadata-only, defaults to the
+        current snapshot. Tagged snapshots survive `expire_snapshots`
+        consumers that resolve by name (`scan_at('audit-2024')`)."""
+        meta = self._load()
+        sid = snapshot_id if snapshot_id is not None else meta["snapshots"][-1]["snapshot_id"]
+        if not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
+            raise ValueError(f"unknown snapshot {sid}")
+        tags = meta.setdefault("tags", {})
+        if name in tags:
+            raise ValueError(f"tag {name} already exists")
+        tags[name] = sid
+        self._commit(meta)
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        return dict(self._load().get("tags", {}))
+
+    def scan_at(self, ref: int | str) -> DataFrame:
+        """Time-travel read: table state AS OF a snapshot id or tag name
+        (Iceberg `VERSION AS OF` accepts both), with the schema, exclusion
+        masks, and delete files as of that snapshot."""
+        if isinstance(ref, str):
+            tags = self._load().get("tags", {})
+            if ref not in tags:
+                raise ValueError(f"unknown tag {ref!r}")
+            ref = tags[ref]
         for s in self._load()["snapshots"]:
-            if s["snapshot_id"] == snapshot_id:
-                return self._scan_snapshot(s, self.schema_at(snapshot_id))
-        raise ValueError(f"unknown snapshot {snapshot_id}")
+            if s["snapshot_id"] == ref:
+                return self._scan_snapshot(s, self.schema_at(ref))
+        raise ValueError(f"unknown snapshot {ref}")
 
     def compact(
         self, target_partitions: int | None = None, sort_by: list[str] | None = None
@@ -926,7 +965,14 @@ class SnapshotTable:
         snaps = meta["snapshots"]
         if len(snaps) <= keep_last:
             return []
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        # tagged snapshots are protected refs (Iceberg: expire retains
+        # snapshots reachable from any branch/tag)
+        protected = set(meta.get("tags", {}).values())
+        tail = {s["snapshot_id"] for s in snaps[-keep_last:]}
+        keep = [s for s in snaps if s["snapshot_id"] in tail | protected]
+        drop = [s for s in snaps if s["snapshot_id"] not in tail | protected]
+        if not drop:
+            return []
         live = {_entry_rel(e) for s in keep for e in s["active_dirs"]}
         live |= {d for s in keep for d in s["dirs"]}
         live |= {d["file"] for s in keep for d in s.get("active_deletes", [])}

@@ -439,3 +439,50 @@ def test_changes_changelog(spark, tmp_path):
     t2.merge(spark.createDataFrame([(1, "z")], "k long, v string"), keys=["k"])
     with _pytest.raises(ValueError):
         t2.changes(None, 2).collect()
+
+
+def test_tags_protect_snapshots_and_resolve_in_time_travel(spark, tmp_path):
+    import pytest as _pytest
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "tag_table")
+    t = SnapshotTable.create(spark, root, "k long, v string")
+    s1 = t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    s2 = t.write(spark.createDataFrame([(2, "b")], "k long, v string"))
+    s3 = t.write(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    t.create_tag("audit", s1)
+    assert t.tags() == {"audit": s1}
+    assert {r.k for r in t.scan_at("audit").collect()} == {1}
+    with _pytest.raises(ValueError):
+        t.create_tag("audit", s2)  # tags are immutable
+    with _pytest.raises(ValueError):
+        t.scan_at("nope")
+
+    # expiration keeps the tagged snapshot alive (Iceberg ref retention)
+    expired = t.expire_snapshots(keep_last=1)
+    assert set(expired) == {s2}
+    assert {r.k for r in t.scan_at("audit").collect()} == {1}
+    assert {r.k for r in t.scan_at(s3).collect()} == {1, 2, 3}
+
+
+def test_incremental_and_changes_raise_over_expired_ranges(spark, tmp_path):
+    import pytest as _pytest
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "exp_range_table")
+    t = SnapshotTable.create(spark, root, "k long, v string")
+    s1 = t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.write(spark.createDataFrame([(2, "b")], "k long, v string"))
+    s3 = t.write(spark.createDataFrame([(3, "c")], "k long, v string"))
+    t.create_tag("first", s1)
+    t.expire_snapshots(keep_last=1)  # drops s2 (s1 is tag-protected)
+
+    with _pytest.raises(ValueError, match="expired"):
+        t.scan_incremental(s1, s3).collect()
+    with _pytest.raises(ValueError, match="expired"):
+        t.changes(s1, s3)
+    # un-expired subranges still work
+    assert {r.k for r in t.scan_incremental(None, s1).collect()} == {1}
