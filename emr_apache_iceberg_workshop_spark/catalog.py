@@ -17,6 +17,8 @@ timestamp column is a computed expression.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,14 +46,29 @@ _EVENTS_RAW_SCHEMA = (
 )
 
 
+def _events_ts_unit(path: str) -> str:
+    """Physical unit of events.ts, read from ONE parquet footer driver-side
+    (pyarrow — Spark's own schema inference THROWS PARQUET_TYPE_ILLEGAL on
+    the legacy TIMESTAMP(NANOS) layout, so detection cannot go through
+    `spark.read`). Returns 'ns' for the legacy int64-ns layout, 'us' for
+    the current native-µs layout."""
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+        f = os.path.join(path, names[0])
+    t = str(pq.ParquetFile(f).schema_arrow.field("ts").type)
+    return "ns" if t in ("timestamp[ns]", "int64") else "us"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        raw = spark.read.parquet(path)
-        ts_type = dict(raw.dtypes).get("ts", "")
-        if ts_type == "bigint":
-            # legacy layout: int64 ns since epoch (TIMESTAMP(NANOS) parquet);
-            # ns → µs truncation (floor for positive epochs) = DuckDB's read
+        if _events_ts_unit(path) == "ns":
+            # legacy layout: int64 ns since epoch (TIMESTAMP(NANOS) parquet,
+            # readable only with an explicit LONG schema); ns → µs
+            # truncation (floor for positive epochs) = DuckDB's read
             raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
             return (
                 raw.withColumn("ts_ns", F.col("ts"))
@@ -61,6 +78,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session-tz independent — what DuckDB reads) and derive the
         # ns-granularity long. The session is pinned to UTC, so the
         # NTZ↔LTZ cast inside unix_micros is the identity on epoch values.
+        raw = spark.read.parquet(path)
+        ts_type = dict(raw.dtypes).get("ts", "")
         ts = F.col("ts") if ts_type.startswith("timestamp_ntz") else F.col("ts").cast("timestamp_ntz")
         return (
             raw.withColumn("ts", ts)
