@@ -57,6 +57,7 @@ _PREFIX_ORDER = [
     "q_meta_compaction",
     "q_meta_expire",
     "s_knn_graph",
+    "s_dup_clusters",
     "q_bucketed_join",
     "q_meta_pruning",
     "q_meta_changes",

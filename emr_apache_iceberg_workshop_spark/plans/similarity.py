@@ -369,3 +369,64 @@ def s_knn_graph(spark, sf_dir) -> DataFrame:
         .filter(F.col("rank") <= KNN_K)
         .select("src", "dst", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding duplicate CLUSTERS: connected components over the within-bucket
+# cosine>=threshold edge graph — the embedding-space analogue of
+# c_dup_groups (same star-contraction operator, different edge source).
+# Composition story: edges reuse the s_knn_graph bucket-self-join shape
+# (corpus shuffle on the bucket key, no broadcast), components reuse
+# operators/graph.connected_components (O(log d) rounds). Bucket-restricted
+# edges are the deliberate LSH tradeoff: near-dups hashing to different
+# buckets aren't linked; both engines apply the identical restriction, so
+# the result is still exact for the operator AS DEFINED. The threshold is
+# fixture-tuned like d_embedding_neardup's: the synthetic embeddings are
+# near-random (within-bucket cosine tops out ~0.43), so 0.4 yields a real
+# edge set; production near-dup thresholds sit at 0.9+.
+CLUSTER_COS = 0.4
+
+
+@query(
+    "s_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+      n AS (SELECT vec_id, embedding AS e, {_BUCKET_D} AS bucket,
+                   sqrt({odot('embedding', 'embedding')}) AS nrm
+            FROM embeddings),
+      edges AS (
+        SELECT a.vec_id AS u, b.vec_id AS v
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {odot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {CLUSTER_COS}),
+      sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+      reach(vec_id, label) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.vec_id
+      )
+    SELECT cluster_id, COUNT(*) AS n_vectors, MAX(vec_id) AS max_vec
+    FROM (SELECT vec_id, MIN(label) AS cluster_id FROM reach GROUP BY vec_id)
+    GROUP BY cluster_id
+    """,
+    tags=("similarity:clusters", "iterative"),
+)
+def s_dup_clusters(spark, sf_dir) -> DataFrame:
+    """Near-duplicate embedding clusters labeled by min vec_id: bucket
+    self-join edges at cosine >= CLUSTER_COS, then large-star/small-star
+    contraction. One corpus shuffle for edges + O(log diameter) edge-set
+    shuffles for components."""
+    from ..operators.graph import connected_components
+
+    n = _normed(spark, sf_dir, (f"{_BUCKET_S} AS bucket",))
+    a = n.selectExpr("vec_id AS u", "e AS ae", "nrm AS a_nrm", "bucket")
+    b = n.selectExpr("vec_id AS v", "e AS be", "nrm AS b_nrm", "bucket AS __bb")
+    edges = (
+        a.join(b, (F.col("bucket") == F.col("__bb")) & (F.col("u") < F.col("v")))
+        .filter(F.expr(sdot("ae", "be")) / (F.col("a_nrm") * F.col("b_nrm")) >= CLUSTER_COS)
+        .select("u", "v")
+    )
+    labels, _rounds = connected_components(edges)
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max("doc_id").alias("max_vec"),
+    )
