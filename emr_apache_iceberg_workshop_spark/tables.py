@@ -233,8 +233,17 @@ class SnapshotTable:
         scale as Iceberg manifest entries."""
         rel = f"data/s{sid}"
         out = os.path.join(self.root, rel)
-        writer = df.write.mode("overwrite")
         part_cols = meta["partition_by"]
+        # Iceberg `write.distribution-mode=hash`: cluster rows by the
+        # partition key before the write so each partition's rows land in
+        # few tasks. Without it, N write tasks × P live partitions emit
+        # N·P files — the small-file explosion that kills 100 TB tables.
+        # Default 'none' preserves the caller's layout (the reference's
+        # writers pre-arrange their data; fixtures rely on it).
+        dist = meta.get("properties", {}).get("write.distribution-mode", "none")
+        if part_cols and dist == "hash":
+            df = df.repartition(*[F.col(c) for c in part_cols])
+        writer = df.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(out)

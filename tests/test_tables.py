@@ -486,3 +486,42 @@ def test_incremental_and_changes_raise_over_expired_ranges(spark, tmp_path):
         t.changes(s1, s3)
     # un-expired subranges still work
     assert {r.k for r in t.scan_incremental(None, s1).collect()} == {1}
+
+
+def test_write_distribution_mode_hash_limits_files_per_partition(spark, tmp_path):
+    """distribution-mode=hash clusters rows by partition key pre-write:
+    each partition dir gets O(1) files instead of one per write task."""
+    import os
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    rows = [(i, ["a", "b", "c"][i % 3], i) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, category string, qty long").repartition(8)
+
+    def files_per_part(root):
+        out = {}
+        base = os.path.join(root, "data", "s1")
+        for part in os.listdir(base):
+            d = os.path.join(base, part)
+            if os.path.isdir(d):
+                out[part] = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+        return out
+
+    r_none = str(tmp_path / "t_none")
+    t = SnapshotTable.create(spark, r_none, "id long, category string, qty long",
+                             partition_by=["category"])
+    t.write(df)
+    r_hash = str(tmp_path / "t_hash")
+    th = SnapshotTable.create(spark, r_hash, "id long, category string, qty long",
+                              partition_by=["category"],
+                              properties={"write.distribution-mode": "hash"})
+    th.write(df)
+
+    none_files = files_per_part(r_none)
+    hash_files = files_per_part(r_hash)
+    # unclustered: every task holds every category -> ~8 files per dir
+    assert max(none_files.values()) >= 4
+    # clustered: each category concentrated in 1-2 tasks
+    assert max(hash_files.values()) <= 2, hash_files
+    # same logical content
+    assert t.scan().count() == th.scan().count() == 300
