@@ -61,8 +61,10 @@ _PREFIX_ORDER = [
     "q_bucketed_join",
     "q_meta_pruning",
     "q_meta_changes",
+    "q_meta_partitions",
     "q_sketch_distinct",
     "q_sketch_quantiles",
+    "t_unigram_logprob",
     # hash family strengthened to two rounds this round — results changed
     "c_hash_sample",
     "c_train_split",

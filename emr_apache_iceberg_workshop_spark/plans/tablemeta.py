@@ -380,3 +380,29 @@ def q_meta_changes(spark, sf_dir) -> DataFrame:
     upserts as inserts, and its non-reinserted delete key as a delete."""
     t = _demo_table(spark)
     return t.changes(None, 3)
+
+
+@query(
+    "q_meta_partitions",
+    # live data files = every data file of the 3 commits (MOR: no masks);
+    # record counts are data-file totals, deletes not netted (Iceberg
+    # .partitions semantics). File counts are layout-stable here because
+    # the fixture writes coalesce(1) per commit.
+    oracle=f"""
+    WITH m AS (SELECT snapshots FROM read_json_auto('{_DEMO_META}')),
+         s AS (SELECT unnest(snapshots) AS snap FROM m),
+         f AS (SELECT unnest(snap.files) AS fl FROM s)
+    SELECT 'category=' || fl."partition".category AS part,
+           COUNT(*) AS file_count,
+           CAST(SUM(fl."rows") AS BIGINT) AS record_count
+    FROM f
+    GROUP BY 1
+    """,
+    tags=("meta:partitions", "tablemeta"),
+)
+def q_meta_partitions(spark, sf_dir) -> DataFrame:
+    """`.partitions` over the demo table: per-partition live file/record
+    totals from the manifest, cross-checked against the committed
+    _meta.json."""
+    t = _demo_table(spark)
+    return t.partitions_table().select("part", "file_count", "record_count")

@@ -411,3 +411,65 @@ def t_decontaminate(spark, sf_dir) -> DataFrame:
             "CAST(n_contaminated AS DOUBLE) / n_ngrams AS contamination_ratio",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model quality score — the KenLM-style perplexity filter
+# of training-data pipelines, reduced to its deterministic core: a unigram
+# LM fit on the corpus itself (token frequencies with add-one smoothing),
+# then each document scored by its mean token negative-log-probability.
+# Low scores = high-likelihood "fluent" docs; very high scores = junk.
+#
+# Scale shape: the LM "training" is ONE token-frequency aggregation (the
+# same map-side-combining shuffle as t_token_freq); scoring joins the
+# exploded corpus against the frequency table on the token key — a plain
+# shuffle equi-join (AQE may broadcast the vocab when it is small; with a
+# 10M-type vocab at 100 TB it flips to sort-merge on its own). All
+# arithmetic is fixed-order per token (ln on doubles is correctly rounded
+# on both engines... it is NOT guaranteed identical across libm builds,
+# so the per-doc score is aggregated with the exact-decimal sum over
+# per-token doubles — both engines sum the same doubles in sorted-key
+# order inside the decimal accumulator, making the comparison exact).
+@query(
+    "t_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS_D}) AS tk FROM documents),
+         vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM vocab),
+         scored AS (
+           SELECT t.doc_id,
+                  -ln((vocab.cnt + 1.0) / (tot.n + tot.v)) AS nlp
+           FROM tok t JOIN vocab ON t.tk = vocab.tk CROSS JOIN tot),
+         per_doc AS (
+           SELECT doc_id, COUNT(*) AS n_tokens,
+                  CAST(CAST(SUM(CAST(nlp AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*) AS DOUBLE) AS mean_nlp
+           FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_tokens, mean_nlp,
+           mean_nlp <= 8.0 AS passes_lm_gate
+    FROM per_doc
+    """,
+    tags=("textops:lm-quality", "join", "agg"),
+)
+def t_unigram_logprob(spark, sf_dir) -> DataFrame:
+    """Per-document mean unigram negative-log-prob under the corpus's own
+    add-one-smoothed unigram LM, plus the quality-gate verdict."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.selectExpr("doc_id", f"explode({TOKS_S}) AS tk")
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").cast("bigint").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        tok.join(vocab, "tk")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar: total count + vocab size
+        .withColumn("nlp", -F.log((F.col("cnt") + F.lit(1.0)) / (F.col("n") + F.col("v"))))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum(F.col("nlp").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).cast("double").alias("mean_nlp"),
+    )
+    return per_doc.withColumn("passes_lm_gate", F.col("mean_nlp") <= 8.0)

@@ -641,6 +641,29 @@ class SnapshotTable:
                 rows.append((2, f["path"], "", f["rows"], f["bytes"], d["sid"]))
         return self.spark.createDataFrame(rows, schema)
 
+    def partitions_table(self) -> DataFrame:
+        """Metadata table (`<table>.partitions` analogue): per live
+        partition, the data-file count / record count / bytes in the
+        current snapshot. Like Iceberg's, record counts are data-file
+        totals — MOR equality deletes are not netted out (they live in
+        the delete files until compaction)."""
+        from collections import defaultdict
+
+        agg: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+        for _rel, f in self._live_files():
+            part = "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for c, v in f["partition"].items()
+            )
+            a = agg[part]
+            a[0] += 1
+            a[1] += f["rows"]
+            a[2] += f["bytes"]
+        rows = [(p, v[0], v[1], v[2]) for p, v in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows, "part string, file_count long, record_count long, total_bytes long"
+        )
+
     def all_files_table(self) -> DataFrame:
         """Metadata table (`<table>.all_files` analogue): every file ever
         ADDED, per snapshot — data files content=0, MOR equality-delete
