@@ -41,6 +41,9 @@ SCALAR_BROADCAST_OK = {
     # round-3: q22's scalar avg-balance subquery was unified from a driver
     # .collect() to the same 1-row broadcast-crossJoin form as the above
     "q22_global_sales_opportunity",
+    # round-4: unigram-LM scorer joins every token row against the 1-row
+    # (total tokens, vocab size) aggregate — same scalar-broadcast shape
+    "t_unigram_logprob",
 }
 
 # ---------------------------------------------------------------------------
@@ -61,6 +64,9 @@ BROADCAST_HINT_ALLOWED = {
     },
     "plans/similarity.py": {
         "q",  # fixed 5-id query set (QUERY_FILTER bounds it at any SF)
+    },
+    "plans/textops.py": {
+        "tot",  # 1-row scalar aggregate (total token count + vocab size)
     },
 }
 
