@@ -525,3 +525,20 @@ def test_write_distribution_mode_hash_limits_files_per_partition(spark, tmp_path
     assert max(hash_files.values()) <= 2, hash_files
     # same logical content
     assert t.scan().count() == th.scan().count() == 300
+
+
+def test_partitions_table(spark, tmp_path):
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "parts_table")
+    t = SnapshotTable.create(spark, root, "id long, category string",
+                             partition_by=["category"],
+                             properties={"write.distribution-mode": "hash"})
+    t.write(spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(10)], "id long, category string"))
+    t.write(spark.createDataFrame([(99, "c")], "id long, category string"))
+    rows = {r.part: (r.file_count, r.record_count) for r in t.partitions_table().collect()}
+    assert rows["category=a"][1] == 5
+    assert rows["category=b"][1] == 5
+    assert rows["category=c"][1] == 1
+    assert all(fc >= 1 for fc, _ in rows.values())
