@@ -76,14 +76,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         # current layout: native µs TIMESTAMP. Normalize to NTZ (wall-clock,
         # session-tz independent — what DuckDB reads) and derive the
-        # ns-granularity long. The session is pinned to UTC, so the
-        # NTZ↔LTZ cast inside unix_micros is the identity on epoch values.
+        # ns-granularity long DIRECTLY from the NTZ value: an NTZ-epoch
+        # timestampdiff never round-trips through the session timezone, so
+        # ts_ns is byte-identical whether the owning session runs UTC (the
+        # repo factory) or not (an externally-owned driver session).
         raw = spark.read.parquet(path)
         ts_type = dict(raw.dtypes).get("ts", "")
         ts = F.col("ts") if ts_type.startswith("timestamp_ntz") else F.col("ts").cast("timestamp_ntz")
         return (
             raw.withColumn("ts", ts)
-            .withColumn("ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))
+            .withColumn(
+                "ts_ns",
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"),
+            )
         )
     return spark.read.parquet(path)
 

@@ -208,8 +208,8 @@ def q_sketch_distinct(spark, sf_dir) -> DataFrame:
     "q_sketch_quantiles",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
-           quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS exact_p99,
            TRUE AS approx_within_bounds
     FROM lineitem
     GROUP BY l_returnflag
@@ -228,9 +228,11 @@ def q_sketch_quantiles(spark, sf_dir) -> DataFrame:
     appr = F.expr(
         "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
     )
+    # percentile interpolation (lo + frac*(hi-lo)) is not bit-identical
+    # across engines/libm builds — round to 6 decimals on both sides
     return li.groupBy("l_returnflag").agg(
-        exact50.alias("exact_p50"),
-        exact99.alias("exact_p99"),
+        F.round(exact50, 6).alias("exact_p50"),
+        F.round(exact99, 6).alias("exact_p99"),
         (
             (F.abs(appr.getItem(0) - exact50) <= 0.01 * exact50)
             & (F.abs(appr.getItem(1) - exact99) <= 0.01 * exact99)

@@ -31,77 +31,68 @@ _MODULES = [
 # verification window each round so every query gets a fresh correctness
 # row at least every other round: r01 covered tpch/events/textops, r02
 # front-loaded the extension surface, r03 covered tablemeta + the r01-only
-# names. r03 exposed a testdata-layout change (events.ts ns-int64 → native
-# µs TIMESTAMP) that broke 8 event-time queries; r04 leads with (a) those
-# 8, now fixed by layout autodetection in catalog.load_table, (b) the two
-# queries that have never had a driver row, (c) queries NEW this round,
-# then (d) the names unchecked in r03. Unlisted names follow in
-# module-registration order (all green in r03).
+# names, r04 covered event-time (post layout fix) + the r04-new operators.
+# r05 leads with (a) the 5 names last driver-checked in r02 whose module
+# (plans/tpch.py) has been code-touched since, (b) the other 40 names not
+# in r04's 50-name window, then (c) 5 queries whose RESULTS change with
+# this round's code fixes (double-rounding in the unigram-LM / sketch
+# comparisons, changelog pre-image rows, tz-independent event ts_ns,
+# shared shingle materialization). Unlisted names follow in
+# module-registration order (all green in r04).
 _PREFIX_ORDER = [
-    # (a) broken by the r03 testdata layout change, fixed this round
-    "q_event_windows",
-    "q_sessionization",
-    "q_trailing_window",
-    "q_latest_event_per_user",
-    "q_merge_upsert",
-    "q_latest_event",
-    "q_asof_join",
-    "q_range_join",
-    # (b) never driver-checked
-    "t_repetition",
-    "t_decontaminate",
-    # (c) new this round — inserted here as they land
-    "c_mix_corpora",
-    "c_pack_sequences",
-    "c_stratified_sample",
-    "q_meta_compaction",
-    "q_meta_expire",
-    "s_knn_graph",
-    "s_dup_clusters",
-    "q_bucketed_join",
-    "q_meta_pruning",
-    "q_meta_changes",
-    "q_meta_partitions",
-    "q_sketch_distinct",
-    "q_sketch_quantiles",
-    "t_unigram_logprob",
-    # hash family strengthened to two rounds this round — results changed
-    "c_hash_sample",
-    "c_train_split",
-    # (d) not checked in r03
-    "t_token_stats",
-    "t_quality_score",
-    "t_langid_confusion",
-    "t_fingerprint",
-    "t_token_freq",
-    "t_lang_profile",
-    "t_bpe_tokens",
-    "t_scrub_pii",
-    "m_frame_sample",
-    "m_modality_stats",
-    "m_extract_features",
-    "m_resize_plan",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_region_revenue",
-    "q_top_customers",
-    "q_filter_project",
-    "q_table_counts",
-    "q_semi_anti",
-    "q_set_ops",
-    "q_rollup_revenue",
-    "q04_order_priority",
-    "q_part_revenue_share",
-    "q06_forecast_revenue",
+    # (a) stale since r02, code-touched since
     "q_above_avg_orders",
     "q_cube_orders",
     "q_string_funcs",
     "q13_custdist",
     "q18_large_orders",
-    # (e) re-verify on any remaining slots (events-table queries whose
-    # inputs changed layout but whose r03 rows were already green)
+    # (b) the remaining 40 names outside the r04 window
     "q_salted_engagement",
     "q_props_stats",
+    "d_exact_dup",
+    "d_ngram_jaccard",
+    "d_minhash_lsh",
+    "d_simhash",
+    "d_embedding_neardup",
+    "s_cosine_topk",
+    "s_lsh_topk",
+    "s_ivf_topk",
+    "m_decode_metadata",
+    "q_percentiles",
+    "q_ntile_deciles",
+    "q_order_gaps",
+    "q_first_last_order",
+    "q_column_profile",
+    "c_dup_groups",
+    "c_curated_corpus",
+    "q_meta_snapshots",
+    "q_meta_files",
+    "q_meta_time_travel",
+    "q_meta_incremental",
+    "q_meta_history",
+    "q22_global_sales_opportunity",
+    "q07_volume_shipping",
+    "q10_returned_items",
+    "q19_bracket_discounts",
+    "q_grouping_sets",
+    "q_pivot_status",
+    "q02_min_cost_supplier",
+    "q08_market_share",
+    "q09_product_profit",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    # (c) results touched by this round's fixes — need fresh driver rows
+    "t_unigram_logprob",
+    "q_sketch_quantiles",
+    "q_meta_changes",
+    "q_event_windows",
+    "t_decontaminate",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -355,8 +355,10 @@ def q_meta_pruning(spark, sf_dir) -> DataFrame:
 @query(
     "q_meta_changes",
     # the oracle reconstructs the changelog from the committed dirs alone:
-    # appends are inserts; the MOR merge's new dir is inserts and its
-    # delete-file keys not re-inserted in the same commit are deletes.
+    # appends are inserts; the MOR merge's new dir is inserts and each
+    # delete-file key ALIVE in the prior state (s1 ∪ s2) is a pre-image
+    # delete (updates = delete + insert, so replaying the changelog
+    # reproduces the table; never-existing keys emit no delete).
     oracle=f"""
     WITH s1 AS (SELECT id, category, qty, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _snapshot_id
                 FROM read_parquet('{DEMO_ROOT}/data/s1/*/*.parquet', hive_partitioning = true)),
@@ -365,10 +367,11 @@ def q_meta_pruning(spark, sf_dir) -> DataFrame:
          s3 AS (SELECT id, category, qty FROM
                 read_parquet('{DEMO_ROOT}/data/s3/*/*.parquet', hive_partitioning = true)),
          s3i AS (SELECT id, category, qty, CAST('insert' AS VARCHAR), CAST(3 AS BIGINT) FROM s3),
+         prior AS (SELECT id FROM s1 UNION SELECT id FROM s2),
          d3 AS (SELECT d.id, CAST(NULL AS VARCHAR) AS category, CAST(NULL AS BIGINT) AS qty,
                        CAST('delete' AS VARCHAR), CAST(3 AS BIGINT)
                 FROM read_parquet('{DEMO_ROOT}/deletes/s3/*.parquet') d
-                ANTI JOIN s3 USING (id))
+                SEMI JOIN prior USING (id))
     SELECT * FROM s1 UNION ALL SELECT * FROM s2
     UNION ALL SELECT * FROM s3i UNION ALL SELECT * FROM d3
     """,
@@ -377,7 +380,9 @@ def q_meta_pruning(spark, sf_dir) -> DataFrame:
 def q_meta_changes(spark, sf_dir) -> DataFrame:
     """Changelog scan (Iceberg `.changes`): every logical change across the
     demo table's three commits — 9 inserts from the appends, the merge's
-    upserts as inserts, and its non-reinserted delete key as a delete."""
+    upserts as inserts, and a pre-image delete per delete-file key that was
+    alive in the prior snapshot (updates appear as delete + insert, making
+    the changelog replayable; the brand-new key emits no delete)."""
     t = _demo_table(spark)
     return t.changes(None, 3)
 

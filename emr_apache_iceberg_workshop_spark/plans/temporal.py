@@ -154,10 +154,10 @@ def q_range_join(spark, sf_dir) -> DataFrame:
     "q_percentiles",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.5) AS p50_price,
-           quantile_cont(l_extendedprice, 0.9) AS p90_price,
-           quantile_cont(l_extendedprice, 0.99) AS p99_price,
-           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price
     FROM lineitem
@@ -168,14 +168,16 @@ def q_range_join(spark, sf_dir) -> DataFrame:
 def q_percentiles(spark, sf_dir) -> DataFrame:
     # Exact percentiles (Spark `percentile`, linear interpolation — the
     # same continuous-quantile definition DuckDB's quantile_cont uses).
-    # At 100 TB switch to percentile_approx (t-digest) unless exactness is
-    # required; exact percentile shuffles all values per group.
+    # Interpolation arithmetic is not bit-identical across engines/libm
+    # builds, so both sides round to 6 decimals. At 100 TB switch to
+    # percentile_approx (t-digest) unless exactness is required; exact
+    # percentile shuffles all values per group.
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
-        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )

@@ -425,11 +425,11 @@ def t_decontaminate(spark, sf_dir) -> DataFrame:
 # exploded corpus against the frequency table on the token key — a plain
 # shuffle equi-join (AQE may broadcast the vocab when it is small; with a
 # 10M-type vocab at 100 TB it flips to sort-merge on its own). All
-# arithmetic is fixed-order per token (ln on doubles is correctly rounded
-# on both engines... it is NOT guaranteed identical across libm builds,
-# so the per-doc score is aggregated with the exact-decimal sum over
-# per-token doubles — both engines sum the same doubles in sorted-key
-# order inside the decimal accumulator, making the comparison exact).
+# arithmetic is fixed-order per token: the per-doc score is aggregated
+# with the exact-decimal sum (order-independent), and because the
+# per-token ln() doubles feeding it are NOT guaranteed identical across
+# libm builds, the reported mean is rounded to 9 decimals in both
+# engines — portable across hosts, still ulp-noise-free discrimination.
 @query(
     "t_unigram_logprob",
     oracle=f"""
@@ -442,8 +442,8 @@ def t_decontaminate(spark, sf_dir) -> DataFrame:
            FROM tok t JOIN vocab ON t.tk = vocab.tk CROSS JOIN tot),
          per_doc AS (
            SELECT doc_id, COUNT(*) AS n_tokens,
-                  CAST(CAST(SUM(CAST(nlp AS DECIMAL(38,12))) AS DOUBLE)
-                       / COUNT(*) AS DOUBLE) AS mean_nlp
+                  ROUND(CAST(CAST(SUM(CAST(nlp AS DECIMAL(38,12))) AS DOUBLE)
+                             / COUNT(*) AS DOUBLE), 9) AS mean_nlp
            FROM scored GROUP BY doc_id)
     SELECT doc_id, n_tokens, mean_nlp,
            mean_nlp <= 8.0 AS passes_lm_gate
@@ -467,9 +467,16 @@ def t_unigram_logprob(spark, sf_dir) -> DataFrame:
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        (
-            F.sum(F.col("nlp").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).cast("double").alias("mean_nlp"),
+        # rounded to 9 decimals in BOTH engines: the decimal accumulator
+        # makes the SUM order-independent, but the per-token ln() doubles
+        # feeding it are libm-build-dependent in the last ulp — rounding
+        # makes the comparison portable across hosts
+        F.round(
+            (
+                F.sum(F.col("nlp").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("double"),
+            9,
+        ).alias("mean_nlp"),
     )
     return per_doc.withColumn("passes_lm_gate", F.col("mean_nlp") <= 8.0)

@@ -169,25 +169,31 @@ class SnapshotTable:
         manifest stores per data file, enabling file-level pruning before
         any file is opened."""
         bounds: dict = {}
+        # a bound is file-wide ONLY if every row group has stats for the
+        # column; a partial bound treated as file-wide would let pruning
+        # skip a file whose stat-less row group holds matching rows
+        incomplete: set = set()
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 col = g.column(ci)
+                name = col.path_in_schema
                 st = col.statistics
                 if st is None or not st.has_min_max:
+                    incomplete.add(name)
                     continue
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes) or isinstance(mx, bytes):
-                    continue  # physical byte stats (e.g. decimals): skip
+                    incomplete.add(name)  # physical byte stats (e.g. decimals)
+                    continue
                 if not isinstance(mn, (int, float, str, bool)):
                     mn, mx = str(mn), str(mx)  # dates/timestamps → ISO strings
-                name = col.path_in_schema
                 if name in bounds:
                     lo, hi = bounds[name]
                     bounds[name] = [min(lo, mn), max(hi, mx)]
                 else:
                     bounds[name] = [mn, mx]
-        return bounds
+        return {k: v for k, v in bounds.items() if k not in incomplete}
 
     def _file_stats(self, rel_dir: str) -> list[dict]:
         """Manifest entries for every parquet file under `rel_dir`: path,
@@ -474,25 +480,34 @@ class SnapshotTable:
         `create_changelog_view` / `.changes` analogue: every logical row
         change with `_change_type` ('insert' | 'delete') and
         `_snapshot_id`. Appends emit their rows as inserts; MOR merges
-        emit the new data dir as inserts (upserts) plus a delete row per
-        delete-file key NOT re-inserted in the same commit (key columns
-        populated, others NULL — equality-delete semantics); compaction
-        and schema evolution are logical no-ops and emit nothing. COW
-        merges raise: their rewritten dirs don't record which rows
-        changed (same contract as the incremental scan's append-only
-        rule)."""
+        emit the new data dir as inserts (upserts) plus a pre-image
+        delete row for every delete-file key that EXISTED in the previous
+        snapshot's state — so an update appears as delete + insert and
+        replaying the changelog in snapshot order reproduces the table
+        (Iceberg's changelog update semantics), while brand-new keys
+        (whose equality delete hit nothing) emit no delete. The existence
+        check is a read-time keys-only semi-join against the prior
+        snapshot — the merge itself stays O(batch). Delete rows carry the
+        key columns, others NULL — equality-delete pre-images, not full
+        row images. Compaction and schema evolution are logical no-ops
+        and emit nothing. COW merges raise: their rewritten dirs don't
+        record which rows changed (same contract as the incremental
+        scan's append-only rule)."""
         lo = start_snapshot_id or 0
         schema = self.schema()
         cols = [f.name for f in schema.fields]
         frames: list[DataFrame] = []
         seen = 0
+        prev_snap: dict | None = None
         for s in self._load()["snapshots"]:
             sid = s["snapshot_id"]
             if not (lo < sid <= end_snapshot_id):
+                prev_snap = s
                 continue
             seen += 1
             op = s["operation"]
             if op in ("evolve-schema", "compact"):
+                prev_snap = s
                 continue  # metadata-only / physical-layout-only commits
             if op in ("append", "create"):
                 df = self._read_dirs(s["dirs"], schema=schema)
@@ -503,7 +518,14 @@ class SnapshotTable:
                 )
                 dels = self.spark.read.parquet(
                     os.path.join(self.root, s["delete_file"])
-                ).join(df.select(*keys), list(keys), "left_anti")
+                )
+                if prev_snap is not None:
+                    # pre-images only for keys alive in the prior snapshot:
+                    # keys-only semi-join, column-pruned scan
+                    prior_keys = self._scan_snapshot(prev_snap, schema).select(*keys)
+                    dels = dels.join(prior_keys, list(keys), "left_semi")
+                else:
+                    dels = dels.limit(0)  # first snapshot: nothing existed
                 del_rows = dels.select(
                     *[
                         F.col(c) if c in keys else F.lit(None).cast(f.dataType).alias(c)
@@ -526,6 +548,7 @@ class SnapshotTable:
                     F.lit(sid).cast("long").alias("_snapshot_id"),
                 )
             )
+            prev_snap = s
         if seen < end_snapshot_id - lo:
             raise ValueError(
                 f"changelog range ({lo}, {end_snapshot_id}] spans expired snapshots"

@@ -428,8 +428,22 @@ def test_changes_changelog(spark, tmp_path):
     assert by == {
         (1, "insert", s1), (2, "insert", s1),          # append
         (2, "insert", s2), (3, "insert", s2),          # merge upserts
-        (1, "delete", s2),                             # merge delete
+        (1, "delete", s2),                             # merge delete (D row)
+        (2, "delete", s2),                             # update pre-image
     }  # compaction contributed nothing
+
+    # the changelog is replayable: applying deletes-then-inserts per
+    # snapshot in order reproduces the current table state
+    state: dict = {}
+    for sid in (s1, s2):
+        snap = [r for r in ch if r._snapshot_id == sid]
+        for r in snap:
+            if r._change_type == "delete":
+                state.pop(r.k, None)
+        for r in snap:
+            if r._change_type == "insert":
+                state[r.k] = r.v
+    assert state == {r.k: r.v for r in t.scan().collect()}
     # range query composes: only the merge's changes
     assert {r._snapshot_id for r in t.changes(s1, s2).collect()} == {s2}
 
