@@ -1,0 +1,646 @@
+"""Native Iceberg v1 metadata emission: make a SnapshotTable readable by
+external engines with NO export step.
+
+The reference's interop promise is that the silver table is a standard
+Iceberg table other engines scan directly — DuckDB discovers the latest
+`*.metadata.json` and calls `iceberg_scan` on it
+(`read_iceberg_duckdb.py:22-44,61`); Snowflake/StarRocks/Athena map the
+same metadata through their catalogs. This module closes that gap for the
+engine's own snapshot layout: `write_iceberg_metadata(table)` emits a
+spec-conformant `metadata/vN.metadata.json` + manifest list + manifest
+(Avro object-container files per the public Avro 1.x spec, with Iceberg's
+required field-ids) that reference the table's EXISTING parquet data files
+in place — zero data copy. An engine with an Iceberg reader then consumes
+the table off the warehouse directory exactly like the reference's
+(`iceberg_scan('<root>/metadata/vN.metadata.json')`).
+
+No Avro library ships in this environment, so the object-container writer
+and a schema-driven decoder (used by tests to round-trip what external
+readers would parse) are implemented here from the public specs:
+- Avro binary encoding + object container: avro.apache.org/docs/1.11.1/specification/
+- Iceberg table spec v1 (metadata.json, manifest list, manifest entry
+  field-ids 500-514 / 0-2 / 100-105): iceberg.apache.org/spec/
+
+Representability: a v1 Iceberg snapshot is a plain list of data files.
+Partition-exclusion masks are resolved file-by-file (a masked file is
+simply not listed). Active MOR equality deletes CANNOT be represented in
+v1 — `write_iceberg_metadata` refuses and tells the caller to `compact()`
+first (compaction folds deletes into data files, after which emission is
+exact). This keeps the emitted metadata truthful rather than approximate.
+
+Scale: emission is driver-side metadata work, O(live file count) — the
+same cost class as an Iceberg commit, no Spark job and no data movement.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+
+# ---------------------------------------------------------------------------
+# Avro binary encoding (writer) — public Avro spec, binary encoding section
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def enc_long(buf: io.BytesIO, n: int) -> None:
+    z = _zigzag(int(n)) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def enc_bytes(buf: io.BytesIO, b: bytes) -> None:
+    enc_long(buf, len(b))
+    buf.write(b)
+
+
+def enc_string(buf: io.BytesIO, s: str) -> None:
+    enc_bytes(buf, s.encode("utf-8"))
+
+
+def _enc_value(buf: io.BytesIO, schema, value) -> None:
+    """Schema-driven binary encoding for the subset of Avro used by Iceberg
+    metadata files: record / union / array / map / primitives."""
+    if isinstance(schema, list):  # union: branch index, then value
+        if value is None and "null" in schema:
+            enc_long(buf, schema.index("null"))
+            return
+        for i, br in enumerate(schema):
+            if br != "null":
+                enc_long(buf, i)
+                _enc_value(buf, br, value)
+                return
+        raise ValueError(f"no non-null branch in union {schema}")
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for f in schema["fields"]:
+                _enc_value(buf, f["type"], value.get(f["name"]))
+            return
+        if t == "array":
+            items = value or []
+            if items:
+                enc_long(buf, len(items))
+                for it in items:
+                    _enc_value(buf, schema["items"], it)
+            enc_long(buf, 0)
+            return
+        if t == "map":
+            kv = value or {}
+            if kv:
+                enc_long(buf, len(kv))
+                for k, v in kv.items():
+                    enc_string(buf, k)
+                    _enc_value(buf, schema["values"], v)
+            enc_long(buf, 0)
+            return
+        if t == "fixed":
+            assert len(value) == schema["size"]
+            buf.write(value)
+            return
+        return _enc_value(buf, t, value)  # {"type": "long", ...} wrapper
+    if schema == "long" or schema == "int":
+        return enc_long(buf, value)
+    if schema == "string":
+        return enc_string(buf, value)
+    if schema == "bytes":
+        return enc_bytes(buf, value)
+    if schema == "boolean":
+        buf.write(b"\x01" if value else b"\x00")
+        return
+    if schema == "double":
+        buf.write(struct.pack("<d", float(value)))
+        return
+    if schema == "float":
+        buf.write(struct.pack("<f", float(value)))
+        return
+    if schema == "null":
+        return
+    raise ValueError(f"unsupported avro type {schema!r}")
+
+
+_MAGIC = b"Obj\x01"
+# fixed sync marker keeps emission byte-deterministic for a given table
+_SYNC = bytes.fromhex("9a97f2c8d3b54e6fa1c2d3e4f5061728")
+
+
+def write_avro_container(
+    path: str, schema: dict, records: list[dict], meta: dict[str, str] | None = None
+) -> int:
+    """One-block Avro object-container file (codec null). Returns byte
+    length (the manifest list records each manifest's length)."""
+    buf = io.BytesIO()
+    buf.write(_MAGIC)
+    kv = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+    kv.update(meta or {})
+    enc_long(buf, len(kv))
+    for k, v in kv.items():
+        enc_string(buf, k)
+        enc_bytes(buf, v.encode("utf-8"))
+    enc_long(buf, 0)
+    buf.write(_SYNC)
+    body = io.BytesIO()
+    for r in records:
+        _enc_value(body, schema, r)
+    data = body.getvalue()
+    enc_long(buf, len(records))
+    enc_long(buf, len(data))
+    buf.write(data)
+    buf.write(_SYNC)
+    out = buf.getvalue()
+    with open(path, "wb") as f:
+        f.write(out)
+    return len(out)
+
+
+# ---------------------------------------------------------------------------
+# Avro binary decoding (reader) — used by tests to round-trip the files the
+# way an external engine's Avro layer would
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.p = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.d[self.p : self.p + n]
+        self.p += n
+        return b
+
+    def long(self) -> int:
+        shift = acc = 0
+        while True:
+            b = self.d[self.p]
+            self.p += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def bytes_(self) -> bytes:
+        return self.read(self.long())
+
+    def string(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+
+def _dec_value(r: _Reader, schema):
+    if isinstance(schema, list):
+        return _dec_value(r, schema[r.long()])
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {f["name"]: _dec_value(r, f["type"]) for f in schema["fields"]}
+        if t == "array":
+            out = []
+            while True:
+                n = r.long()
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte-size prefix
+                    r.long()
+                    n = -n
+                out.extend(_dec_value(r, schema["items"]) for _ in range(n))
+        if t == "map":
+            out = {}
+            while True:
+                n = r.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    r.long()
+                    n = -n
+                for _ in range(n):
+                    k = r.string()  # key before value (eval order)
+                    out[k] = _dec_value(r, schema["values"])
+        if t == "fixed":
+            return r.read(schema["size"])
+        return _dec_value(r, t)
+    if schema in ("long", "int"):
+        return r.long()
+    if schema == "string":
+        return r.string()
+    if schema == "bytes":
+        return r.bytes_()
+    if schema == "boolean":
+        return r.read(1) == b"\x01"
+    if schema == "double":
+        return struct.unpack("<d", r.read(8))[0]
+    if schema == "float":
+        return struct.unpack("<f", r.read(4))[0]
+    if schema == "null":
+        return None
+    raise ValueError(f"unsupported avro type {schema!r}")
+
+
+def read_avro_container(path: str) -> tuple[dict, dict[str, bytes], list]:
+    """Decode an Avro object-container file → (writer schema, file
+    metadata, records)."""
+    with open(path, "rb") as f:
+        r = _Reader(f.read())
+    assert r.read(4) == _MAGIC, "not an avro container"
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            r.long()
+            n = -n
+        for _ in range(n):
+            k = r.string()  # key MUST be read before the value (assignment
+            meta[k] = r.bytes_()  # targets evaluate their subscript last)
+    sync = r.read(16)
+    schema = json.loads(meta["avro.schema"])
+    assert meta.get("avro.codec", b"null") == b"null", "only codec null supported"
+    records: list = []
+    while r.p < len(r.d):
+        cnt = r.long()
+        r.long()  # byte length
+        records.extend(_dec_value(r, schema) for _ in range(cnt))
+        assert r.read(16) == sync, "sync marker mismatch"
+    return schema, meta, records
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v1 schema / manifest structures
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICEBERG = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+    "binary": "binary",
+}
+
+# Avro leaf type for an Iceberg primitive as stored in a PARTITION record
+_ICEBERG_TO_AVRO = {
+    "long": "long",
+    "int": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
+    "binary": "bytes",
+}
+
+
+def iceberg_schema(spark_schema) -> tuple[dict, dict[str, int]]:
+    """Spark StructType → Iceberg v1 schema JSON with assigned field-ids.
+    Returns (schema json, name → field-id). Scalars and arrays of scalars
+    cover this engine's table surface (SURVEY §1.2: the reference's Avro
+    type lattice has no nested structs/maps)."""
+    from pyspark.sql import types as T
+
+    next_id = [0]
+    ids: dict[str, int] = {}
+
+    def conv(dt) -> object:
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        if isinstance(dt, T.ArrayType):
+            next_id[0] += 1
+            return {
+                "type": "list",
+                "element-id": next_id[0] + 1000,  # element ids out of column range
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        s = dt.simpleString()
+        if s not in _SPARK_TO_ICEBERG:
+            raise ValueError(f"unsupported type for iceberg emission: {s}")
+        return _SPARK_TO_ICEBERG[s]
+
+    fields = []
+    for f in spark_schema.fields:
+        next_id[0] += 1
+        ids[f.name] = next_id[0]
+        fields.append(
+            {
+                "id": ids[f.name],
+                "name": f.name,
+                "required": not f.nullable,
+                "type": conv(f.dataType),
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}, ids
+
+
+def _partition_value(raw: str | None, iceberg_type: str):
+    """Hive-dir partition string → typed Iceberg partition value."""
+    if raw is None:
+        return None
+    if iceberg_type == "long" or iceberg_type == "int":
+        return int(raw)
+    if iceberg_type == "double":
+        return float(raw)
+    if iceberg_type == "boolean":
+        return raw.lower() == "true"
+    return raw  # string (dates stay ISO strings only for string cols)
+
+
+def _manifest_entry_schema(part_fields: list[dict]) -> dict:
+    """Avro writer schema for a v1 manifest file (record `manifest_entry`,
+    Iceberg spec field-ids)."""
+    part_rec = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": p["name"],
+                "type": ["null", _ICEBERG_TO_AVRO[p["type"]]],
+                "default": None,
+                "field-id": p["field-id"],
+            }
+            for p in part_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": part_rec, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "default": None, "field-id": 503},
+        {"name": "added_data_files_count", "type": ["null", "int"], "default": None, "field-id": 504},
+        {"name": "existing_data_files_count", "type": ["null", "int"], "default": None, "field-id": 505},
+        {"name": "deleted_data_files_count", "type": ["null", "int"], "default": None, "field-id": 506},
+        {"name": "added_rows_count", "type": ["null", "long"], "default": None, "field-id": 512},
+        {"name": "existing_rows_count", "type": ["null", "long"], "default": None, "field-id": 513},
+        {"name": "deleted_rows_count", "type": ["null", "long"], "default": None, "field-id": 514},
+    ],
+}
+
+
+def write_iceberg_metadata(table, properties: dict | None = None) -> str:
+    """Emit Iceberg v1 metadata for the CURRENT snapshot of a
+    SnapshotTable under `<root>/metadata/`, referencing the live parquet
+    data files in place. Returns the metadata.json path (the argument an
+    external `iceberg_scan` takes). Refuses when active MOR equality
+    deletes exist — v1 cannot represent them; `compact()` folds them
+    first."""
+    meta = table._load()
+    snaps = meta["snapshots"]
+    if not snaps:
+        raise ValueError("empty table: commit a snapshot before emitting metadata")
+    last = snaps[-1]
+    if last.get("active_deletes"):
+        raise ValueError(
+            "active merge-on-read equality deletes are not representable in "
+            "Iceberg v1 metadata — run compact() first to fold them into data files"
+        )
+    root = os.path.abspath(table.root)
+    sid = last["snapshot_id"]
+    ts_ms = int(float(last["made_current_at"]) * 1000)
+
+    schema_json, ids = iceberg_schema(table.schema())
+    part_cols = meta["partition_by"]
+    spec_fields = []
+    part_fields = []  # with resolved iceberg types for the manifest schema
+    for i, c in enumerate(part_cols):
+        fid = 1000 + i
+        spec_fields.append(
+            {"name": c, "transform": "identity", "source-id": ids[c], "field-id": fid}
+        )
+        src_type = next(
+            f["type"] for f in schema_json["fields"] if f["name"] == c
+        )
+        part_fields.append({"name": c, "type": src_type, "field-id": fid})
+
+    live = table._live_files()  # [(rel_dir_entry, file_dict)] — masks resolved
+    entries = []
+    total_rows = 0
+    for _rel, f in live:
+        total_rows += f["rows"]
+        entries.append(
+            {
+                "status": 1,  # ADDED (single-manifest snapshot)
+                "snapshot_id": sid,
+                "data_file": {
+                    "file_path": os.path.join(root, f["path"]),
+                    "file_format": "PARQUET",
+                    "partition": {
+                        p["name"]: _partition_value(
+                            f["partition"].get(p["name"]), p["type"]
+                        )
+                        for p in part_fields
+                    },
+                    "record_count": f["rows"],
+                    "file_size_in_bytes": f["bytes"],
+                    "block_size_in_bytes": 67108864,
+                },
+            }
+        )
+
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    manifest_path = os.path.join(meta_dir, f"{uuid.uuid5(uuid.NAMESPACE_URL, root)}-m0.avro")
+    spec_json = json.dumps(spec_fields)
+    mlen = write_avro_container(
+        manifest_path,
+        _manifest_entry_schema(part_fields),
+        entries,
+        meta={
+            "schema": json.dumps(schema_json),
+            "schema-id": "0",
+            "partition-spec": spec_json,
+            "partition-spec-id": "0",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
+    mlist_path = os.path.join(meta_dir, f"snap-{sid}-1-{uuid.uuid5(uuid.NAMESPACE_URL, root + str(sid))}.avro")
+    write_avro_container(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": mlen,
+                "partition_spec_id": 0,
+                "added_snapshot_id": sid,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        meta={"format-version": "1", "snapshot-id": str(sid)},
+    )
+
+    doc = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, root)),
+        "location": root,
+        "last-updated-ms": ts_ms,
+        "last-column-id": max(ids.values()),
+        "schema": schema_json,
+        "schemas": [schema_json],
+        "current-schema-id": 0,
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": (999 + len(spec_fields)) if spec_fields else 999,
+        "properties": {**meta.get("properties", {}), **(properties or {})},
+        "current-snapshot-id": sid,
+        "snapshots": [
+            {
+                "snapshot-id": sid,
+                "timestamp-ms": ts_ms,
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(entries)),
+                    "added-records": str(total_rows),
+                },
+                "manifest-list": mlist_path,
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": ts_ms, "snapshot-id": sid}],
+        "metadata-log": [],
+    }
+    # version numbering like Iceberg's HadoopTableOperations: vN.metadata.json
+    # + version-hint.text, so `sorted(...)[-1]` discovery (the reference's
+    # read_iceberg_duckdb.py:35-37) finds the newest
+    n = 1
+    while os.path.exists(os.path.join(meta_dir, f"v{n}.metadata.json")):
+        n += 1
+    md_path = os.path.join(meta_dir, f"v{n}.metadata.json")
+    with open(md_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(n))
+    return md_path
+
+
+def external_ddl(metadata_json_path: str, table_name: str) -> dict[str, str]:
+    """Per-engine SQL to attach the emitted Iceberg metadata — the
+    reference ships these by hand for its silver table
+    (`snowflake/demo.sql:28-51`, `starocks/mask.sql:5-17`,
+    `read_iceberg_duckdb.py:61`); here they are generated from the
+    table's own metadata. Returns {engine: sql}. Cloud-only knobs
+    (IAM role ARNs, access keys, bucket URLs) are placeholders exactly
+    as the reference leaves them ('XXX') — they cannot be derived from
+    a local warehouse."""
+    md = metadata_json_path
+    rel_md = os.path.join("metadata", os.path.basename(md))
+    duck = (
+        "INSTALL iceberg;\nLOAD iceberg;\n"
+        f"SELECT * FROM iceberg_scan('{md}');\n"
+        f"SELECT COUNT(*) FROM iceberg_scan('{md}');\n"
+    )
+    snow = (
+        "-- External volume over the warehouse location (see\n"
+        "-- snowflake/demo.sql steps 3-4 for the IAM trust handshake)\n"
+        "CREATE OR REPLACE EXTERNAL VOLUME ext_vol\n"
+        "STORAGE_LOCATIONS = (\n"
+        "    (\n"
+        "        NAME = 'warehouse',\n"
+        "        STORAGE_PROVIDER = 'S3',\n"
+        "        STORAGE_BASE_URL = 's3://XXX/warehouse/',\n"
+        "        STORAGE_AWS_ROLE_ARN = 'arn:aws:iam::XXX:role/snowflake_role',\n"
+        "        STORAGE_AWS_EXTERNAL_ID = 'ext_vol'\n"
+        "    )\n"
+        ");\n\n"
+        "-- No Glue here: the table is filesystem-cataloged, so attach the\n"
+        "-- metadata file directly through an OBJECT_STORE integration\n"
+        "CREATE OR REPLACE CATALOG INTEGRATION obj_store_integ\n"
+        "  CATALOG_SOURCE = OBJECT_STORE\n"
+        "  TABLE_FORMAT = ICEBERG\n"
+        "  ENABLED = TRUE;\n\n"
+        f"CREATE OR REPLACE ICEBERG TABLE {table_name}\n"
+        "  EXTERNAL_VOLUME = 'ext_vol'\n"
+        "  CATALOG = 'obj_store_integ'\n"
+        f"  METADATA_FILE_PATH = '{rel_md}';\n\n"
+        f"SELECT * FROM {table_name};\n"
+    )
+    star = (
+        "-- External catalog (starocks/mask.sql shape; fill the XX\n"
+        "-- credentials for a cloud warehouse, or serve the warehouse dir\n"
+        "-- through a REST catalog for local use)\n"
+        "CREATE EXTERNAL CATALOG iceberg_catalog\n"
+        "PROPERTIES (\n"
+        '    "type" = "iceberg",\n'
+        '    "iceberg.catalog.type" = "rest",\n'
+        '    "iceberg.catalog.uri" = "http://XXX:8181",\n'
+        '    "iceberg.catalog.warehouse" = "s3://XXX/warehouse/"\n'
+        ");\n\n"
+        f"SHOW TABLES IN iceberg_catalog.db;\n"
+        f"SELECT * FROM iceberg_catalog.db.{table_name};\n"
+        f"SELECT COUNT(*) FROM iceberg_catalog.db.{table_name};\n"
+    )
+    return {"duckdb": duck, "snowflake": snow, "starrocks": star}
+
+
+def read_data_files(metadata_json_path: str) -> list[dict]:
+    """Walk the emitted metadata the way an external reader does:
+    metadata.json → current snapshot's manifest list → manifests → data
+    file entries. Returns the data_file dicts (absolute paths). Tests use
+    this to prove the chain is self-describing; it is also the file-listing
+    a query engine without an Iceberg runtime can drive a parquet scan
+    with."""
+    with open(metadata_json_path) as f:
+        doc = json.load(f)
+    snap = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    _, _, manifests = read_avro_container(snap["manifest-list"])
+    out: list[dict] = []
+    for m in manifests:
+        _, _, entries = read_avro_container(m["manifest_path"])
+        out.extend(e["data_file"] for e in entries if e["status"] != 2)
+    return out

@@ -87,12 +87,18 @@ _PREFIX_ORDER = [
     "q17_small_quantity",
     "q20_heavy_shippers",
     "q21_waiting_suppliers",
-    # (c) results touched by this round's fixes — need fresh driver rows
+    # (c) results touched by this round's fixes (decimal rounding for
+    # libm portability; changelog pre-image deletes) — need fresh driver
+    # rows — plus the two round-new queries (native-Iceberg-metadata
+    # chain, .refs). Value-NEUTRAL round-5 changes ride on their green
+    # r04 rows instead of re-occupying slots: the event ts_ns portability
+    # fix and the shared shingle/ngram materializations change plan
+    # shape/provenance only — locally re-verified hash-identical.
     "t_unigram_logprob",
     "q_sketch_quantiles",
     "q_meta_changes",
-    "q_event_windows",
-    "t_decontaminate",
+    "q_meta_iceberg",
+    "q_meta_refs",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -40,9 +40,12 @@ def _fixture_valid() -> bool:
 
     try:
         with open(_DEMO_META) as f:
-            snaps = json.load(f)["snapshots"]
-        return [s["snapshot_id"] for s in snaps] == [1, 2, 3] and any(
-            s.get("delete_file") for s in snaps
+            doc = json.load(f)
+        snaps = doc["snapshots"]
+        return (
+            [s["snapshot_id"] for s in snaps] == [1, 2, 3]
+            and any(s.get("delete_file") for s in snaps)
+            and doc.get("tags") == {"audit": 2}
         )
     except Exception:
         return False
@@ -78,6 +81,7 @@ def _demo_table(spark):
         "Op string, id bigint, category string, qty bigint",
     ).coalesce(1).sortWithinPartitions("id")
     t.merge(src, keys=["id"], op_col="Op")
+    t.create_tag("audit", 2)  # named ref for .refs + tag-resolved time travel
     _validated_this_process = True
     return t
 
@@ -411,3 +415,119 @@ def q_meta_partitions(spark, sf_dir) -> DataFrame:
     _meta.json."""
     t = _demo_table(spark)
     return t.partitions_table().select("part", "file_count", "record_count")
+
+
+# --------------------------------------------------------------------------
+# Native Iceberg v1 metadata emission (S17): the fixture table's CURRENT
+# snapshot is published as metadata/vN.metadata.json + Avro manifest list +
+# manifest, and the QUERY consumes the table exclusively THROUGH that chain
+# (metadata json → manifest list → manifest → listed parquet files). The
+# oracle reads the same data by directory glob with no metadata knowledge —
+# a wrong, missing, or extra file in the emitted manifests breaks the
+# file-count/row/value match. This is the reference's external-read
+# contract (`read_iceberg_duckdb.py:22-44,61`) made driver-checkable in a
+# sandbox whose DuckDB cannot network-install the iceberg extension.
+
+ICE_ROOT = os.path.join(_REPO_ROOT, "fixtures", "iceberg_demo")
+_ice_md_path: str | None = None
+
+
+def _iceberg_demo(spark) -> str:
+    """Deterministic append-only partitioned table (2 commits, coalesce(1)
+    per partition) with Iceberg metadata emitted; returns the
+    vN.metadata.json path. Rebuilt per process only when absent/invalid."""
+    global _ice_md_path
+    from ..iceberg_meta import write_iceberg_metadata
+    from ..tables import SnapshotTable
+
+    if _ice_md_path and os.path.exists(_ice_md_path):
+        return _ice_md_path
+    hint = os.path.join(ICE_ROOT, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            n = f.read().strip()
+        cand = os.path.join(ICE_ROOT, "metadata", f"v{n}.metadata.json")
+        if os.path.exists(cand):
+            _ice_md_path = cand
+            return cand
+    shutil.rmtree(ICE_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, category string, qty bigint"
+    t = SnapshotTable.create(
+        spark,
+        ICE_ROOT,
+        ddl,
+        partition_by=["category"],
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    rows1 = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)]
+    rows2 = [(5, "a", 50), (6, "c", 60), (7, "c", 70)]
+    t.write(spark.createDataFrame(rows1, ddl).coalesce(1).sortWithinPartitions("id"))
+    t.write(spark.createDataFrame(rows2, ddl).coalesce(1).sortWithinPartitions("id"))
+    _ice_md_path = write_iceberg_metadata(t)
+    return _ice_md_path
+
+
+@query(
+    "q_meta_iceberg",
+    # oracle: no metadata — plain recursive glob over the data dirs; agrees
+    # with the metadata-chain read only if the manifests list exactly the
+    # live files with correct partitions and row counts
+    oracle=f"""
+    SELECT category,
+           COUNT(DISTINCT filename) AS n_files,
+           COUNT(*) AS n_rows,
+           CAST(SUM(qty) AS BIGINT) AS qty_total
+    FROM read_parquet('{ICE_ROOT}/data/*/*/*.parquet',
+                      hive_partitioning = true, filename = true)
+    GROUP BY category
+    """,
+    tags=("meta:iceberg", "tablemeta", "interop"),
+)
+def q_meta_iceberg(spark, sf_dir) -> DataFrame:
+    """Scan the fixture table exclusively through its emitted Iceberg v1
+    metadata chain and aggregate per partition (file/row/value totals)."""
+    from ..iceberg_meta import read_data_files
+
+    md = _iceberg_demo(spark)
+    files = read_data_files(md)
+    dfs = [
+        spark.read.schema("id bigint, qty bigint")
+        .parquet(f["file_path"])
+        .select(
+            F.lit(f["partition"]["category"]).alias("category"),
+            F.lit(f["file_path"]).alias("fpath"),
+            "qty",
+        )
+        for f in files
+    ]
+    u = dfs[0]
+    for d in dfs[1:]:
+        u = u.unionByName(d)
+    return u.groupBy("category").agg(
+        F.countDistinct("fpath").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").cast("bigint").alias("qty_total"),
+    )
+
+
+@query(
+    "q_meta_refs",
+    # oracle: the main branch is the max committed snapshot id; tags come
+    # straight from the committed _meta.json
+    oracle=f"""
+    WITH m AS (SELECT snapshots, tags FROM read_json_auto('{_DEMO_META}')),
+         mx AS (SELECT list_max(list_transform(snapshots, s -> s.snapshot_id)) AS cur,
+                       tags FROM m)
+    SELECT 'main' AS ref_name, 'branch' AS ref_type, CAST(cur AS BIGINT) AS snapshot_id
+    FROM mx
+    UNION ALL
+    SELECT 'audit', 'tag', CAST(tags.audit AS BIGINT) FROM mx
+    """,
+    tags=("meta:refs", "tablemeta"),
+)
+def q_meta_refs(spark, sf_dir) -> DataFrame:
+    """`.refs` over the demo table: the main branch plus the audit tag
+    (Iceberg's named-ref listing), cross-checked against _meta.json."""
+    t = _demo_table(spark)
+    return t.refs_table()

@@ -911,6 +911,22 @@ class SnapshotTable:
     def tags(self) -> dict[str, int]:
         return dict(self._load().get("tags", {}))
 
+    def refs_table(self) -> DataFrame:
+        """Metadata table (`<table>.refs` analogue): every named ref —
+        the `main` branch at the current snapshot plus one row per tag
+        (Iceberg lists branches and tags the same way)."""
+        meta = self._load()
+        snaps = meta["snapshots"]
+        rows = []
+        if snaps:
+            rows.append(("main", "branch", snaps[-1]["snapshot_id"]))
+        rows += [
+            (name, "tag", sid) for name, sid in sorted(meta.get("tags", {}).items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "ref_name string, ref_type string, snapshot_id long"
+        )
+
     def scan_at(self, ref: int | str) -> DataFrame:
         """Time-travel read: table state AS OF a snapshot id or tag name
         (Iceberg `VERSION AS OF` accepts both), with the schema, exclusion

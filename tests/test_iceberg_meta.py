@@ -1,0 +1,240 @@
+"""Native Iceberg v1 metadata emission (S17): the snapshot table becomes
+readable by external engines straight off `<root>/metadata/vN.metadata.json`
+— the reference's interop contract (`read_iceberg_duckdb.py:22-44,61`:
+discover latest metadata json, `iceberg_scan` it). The sandbox has no
+Iceberg-enabled external engine (DuckDB's iceberg extension needs a
+network install), so these tests drive the same chain an external reader
+does: metadata.json → manifest list (Avro) → manifest (Avro) → data files
+→ parquet scan, and cross-check the result row-for-row against `scan()`
+via DuckDB's parquet reader."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+    iceberg_schema,
+    read_avro_container,
+    read_data_files,
+    write_avro_container,
+    write_iceberg_metadata,
+)
+from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+
+def test_avro_container_roundtrip(tmp_path):
+    """The hand-rolled Avro object-container writer/decoder agree on every
+    construct the Iceberg metadata files use: records, [null, T] unions,
+    arrays, maps, all primitive types."""
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "f", "type": "boolean"},
+            {"name": "d", "type": "double"},
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "a", "type": {"type": "array", "items": "string"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "r",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": ["null", "string"]}],
+                },
+            },
+        ],
+    }
+    records = [
+        {"l": -(2**62), "i": -1, "s": "héllo", "b": b"\x00\xff", "f": True,
+         "d": 1.5, "u": None, "a": ["p", "q"], "m": {"k1": 7, "k2": -7},
+         "r": {"x": "y"}},
+        {"l": 2**62, "i": 0, "s": "", "b": b"", "f": False, "d": -0.25,
+         "u": 42, "a": [], "m": {}, "r": {"x": None}},
+    ]
+    p = str(tmp_path / "t.avro")
+    n = write_avro_container(p, schema, records, meta={"k": "v"})
+    assert n == os.path.getsize(p)
+    got_schema, got_meta, got = read_avro_container(p)
+    assert got_schema == schema
+    assert got_meta["k"] == b"v"
+    assert got == records
+
+
+def _build_table(spark, root: str) -> SnapshotTable:
+    """Partitioned table with two appends and a partition-scoped COW merge,
+    so the live-file set exercises exclusion masks (a rewritten partition's
+    old files must NOT appear in the emitted manifest)."""
+    ddl = "id bigint, category string, qty bigint"
+    t = SnapshotTable.create(spark, root, ddl, partition_by=["category"])
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)], ddl
+        ).coalesce(1)
+    )
+    t.write(spark.createDataFrame([(5, "c", 50), (6, "c", 60)], ddl).coalesce(1))
+    t.merge(
+        spark.createDataFrame([(2, "a", 21), (7, "d", 70)], ddl).coalesce(1),
+        keys=["id"],
+    )
+    return t
+
+
+def test_emitted_metadata_chain_matches_scan(spark, tmp_path):
+    t = _build_table(spark, str(tmp_path / "ice"))
+    md_path = write_iceberg_metadata(t)
+
+    # --- metadata.json: spec-required v1 keys, discoverable layout -------
+    with open(md_path) as f:
+        doc = json.load(f)
+    for key in (
+        "format-version", "table-uuid", "location", "last-column-id", "schema",
+        "partition-spec", "current-snapshot-id", "snapshots",
+    ):
+        assert key in doc, key
+    assert doc["format-version"] == 1
+    assert doc["schema"]["fields"][0] == {
+        "id": 1, "name": "id", "required": False, "type": "long"
+    }
+    assert doc["partition-spec"] == [
+        {"name": "category", "transform": "identity", "source-id": 2, "field-id": 1000}
+    ]
+    meta_dir = os.path.dirname(md_path)
+    hint = open(os.path.join(meta_dir, "version-hint.text")).read()
+    assert md_path.endswith(f"v{hint}.metadata.json")
+    # lexicographic discovery like read_iceberg_duckdb.py:35-37
+    jsons = sorted(n for n in os.listdir(meta_dir) if n.endswith(".metadata.json"))
+    assert os.path.join(meta_dir, jsons[-1]) == md_path
+
+    # --- manifest chain: external-reader walk = engine's live files ------
+    files = read_data_files(md_path)
+    assert all(f["file_format"] == "PARQUET" for f in files)
+    got_paths = {f["file_path"] for f in files}
+    want_paths = {
+        os.path.join(os.path.abspath(t.root), f["path"]) for _r, f in t._live_files()
+    }
+    assert got_paths == want_paths
+    # the masked partition (category=a rewritten by the merge) appears once
+    cat_a = [f for f in files if f["partition"] == {"category": "a"}]
+    assert len(cat_a) == len({f["file_path"] for f in cat_a})
+
+    # --- manifest stats: record counts match the parquet footers ---------
+    snap = doc["snapshots"][0]
+    _, mmeta, manifests = read_avro_container(snap["manifest-list"])
+    assert mmeta["format-version"] == b"1"
+    assert sum(m["added_rows_count"] for m in manifests) == sum(
+        f["record_count"] for f in files
+    )
+
+    # --- data: reading the listed files = scan(), row for row ------------
+    con = duckdb.connect()
+    paths = sorted(got_paths)
+    rows_duck = con.execute(
+        "SELECT id, qty FROM read_parquet(?) ORDER BY id", [paths]
+    ).fetchall()
+    rows_spark = [
+        (r.id, r.qty) for r in t.scan().select("id", "qty").orderBy("id").collect()
+    ]
+    assert rows_duck == rows_spark
+    assert {r[0] for r in rows_spark} == {1, 2, 3, 4, 5, 6, 7}
+    # the partition values in the manifest agree with the hive dirs
+    assert {f["partition"]["category"] for f in files} == {"a", "b", "c", "d"}
+
+
+def test_mor_deletes_refuse_then_compact_allows(spark, tmp_path):
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "mor"), ddl,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    t.merge(spark.createDataFrame([(2, "b2")], ddl), keys=["id"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        write_iceberg_metadata(t)
+    t.compact(target_partitions=1)
+    md = write_iceberg_metadata(t)
+    files = read_data_files(md)
+    import duckdb as dk
+
+    rows = dk.connect().execute(
+        "SELECT id, v FROM read_parquet(?) ORDER BY id",
+        [sorted(f["file_path"] for f in files)],
+    ).fetchall()
+    assert rows == [(1, "a"), (2, "b2")]
+
+
+def test_reemission_bumps_version(spark, tmp_path):
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(spark, str(tmp_path / "vers"), ddl)
+    t.write(spark.createDataFrame([(1, "a")], ddl))
+    p1 = write_iceberg_metadata(t)
+    t.write(spark.createDataFrame([(2, "b")], ddl))
+    p2 = write_iceberg_metadata(t)
+    assert p1.endswith("v1.metadata.json") and p2.endswith("v2.metadata.json")
+    hint = open(os.path.join(os.path.dirname(p2), "version-hint.text")).read()
+    assert hint == "2"
+    # new metadata sees both rows through the chain
+    assert sum(f["record_count"] for f in read_data_files(p2)) == 2
+
+
+def test_external_ddl_golden():
+    """The generated attach-DDL for each external engine matches the
+    checked-in golden files (reference parity: `snowflake/demo.sql:28-51`,
+    `starocks/mask.sql:5-17`, `read_iceberg_duckdb.py:61`)."""
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import external_ddl
+
+    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+    ddl = external_ddl("/warehouse/silver/metadata/v3.metadata.json", "silver_orders")
+    assert set(ddl) == {"duckdb", "snowflake", "starrocks"}
+    for engine, sql in ddl.items():
+        with open(os.path.join(golden_dir, f"ddl_{engine}.sql")) as f:
+            assert sql == f.read(), engine
+
+
+def test_export_tool_emits_iceberg_and_ddl(spark, tmp_path):
+    """export_snapshot on a COW table also writes native Iceberg metadata
+    (in-place, under the TABLE root) + the three engine DDL files in the
+    export dir; the manifest records the metadata path."""
+    from tools.export_snapshot import export_snapshot
+
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(spark, str(tmp_path / "cow"), ddl)
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    out = str(tmp_path / "exp")
+    manifest = export_snapshot(t, out, view_name="silver")
+    md = manifest["iceberg_metadata"]
+    assert md and os.path.exists(md)
+    assert os.path.dirname(md) == os.path.join(os.path.abspath(t.root), "metadata")
+    for engine in ("duckdb", "snowflake", "starrocks"):
+        with open(os.path.join(out, f"{engine}.sql")) as f:
+            assert "iceberg" in f.read().lower()
+    assert sum(f["record_count"] for f in read_data_files(md)) == 2
+
+
+def test_iceberg_schema_types(spark):
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [
+            T.StructField("s", T.StringType(), True),
+            T.StructField("ts", T.TimestampNTZType(), True),
+            T.StructField("d", T.DateType(), False),
+            T.StructField("emb", T.ArrayType(T.FloatType(), False), True),
+        ]
+    )
+    sch, ids = iceberg_schema(st)
+    by_name = {f["name"]: f for f in sch["fields"]}
+    assert by_name["ts"]["type"] == "timestamp"
+    assert by_name["d"]["required"] is True
+    assert by_name["emb"]["type"]["type"] == "list"
+    assert by_name["emb"]["type"]["element"] == "float"
+    assert by_name["emb"]["type"]["element-required"] is True
+    assert ids == {"s": 1, "ts": 2, "d": 3, "emb": 4}

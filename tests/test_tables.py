@@ -556,3 +556,19 @@ def test_partitions_table(spark, tmp_path):
     assert rows["category=b"][1] == 5
     assert rows["category=c"][1] == 1
     assert all(fc >= 1 for fc, _ in rows.values())
+
+
+def test_refs_table_lists_main_and_tags(spark, tmp_path):
+    """`.refs` metadata table: the main branch tracks the current
+    snapshot; every tag is listed with its pinned snapshot."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "refs_t"), "k long, v string")
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.write(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.create_tag("v1", 1)
+    rows = {(r.ref_name, r.ref_type, r.snapshot_id) for r in t.refs_table().collect()}
+    assert rows == {("main", "branch", 2), ("v1", "tag", 1)}
+    t.write(spark.createDataFrame([(3, "c")], "k long, v string"))
+    rows = {(r.ref_name, r.ref_type, r.snapshot_id) for r in t.refs_table().collect()}
+    assert rows == {("main", "branch", 3), ("v1", "tag", 1)}  # main advanced

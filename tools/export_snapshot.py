@@ -87,12 +87,34 @@ def export_snapshot(
     with open(os.path.join(out_dir, "view.sql"), "w") as f:
         f.write(view_sql)
 
+    # Native Iceberg metadata over the table's own files (no copy) when the
+    # state is v1-representable (current snapshot, no active MOR deletes) —
+    # plus the per-engine attach DDL the reference ships by hand. MOR
+    # tables still get the resolved-parquet export above; compact() first
+    # to make them metadata-emittable.
+    iceberg_md = None
+    if snapshot_id is None:
+        from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+            external_ddl,
+            write_iceberg_metadata,
+        )
+
+        try:
+            iceberg_md = write_iceberg_metadata(table)
+        except ValueError:
+            iceberg_md = None
+        if iceberg_md:
+            for engine, sql in external_ddl(iceberg_md, view_name).items():
+                with open(os.path.join(out_dir, f"{engine}.sql"), "w") as f:
+                    f.write(sql)
+
     manifest = {
         "snapshot_id": sid,
         "schema": schema.simpleString()[len("struct<") : -1],
         "partition_by": part_cols,
         "data_glob": glob,
         "view": view_name,
+        "iceberg_metadata": iceberg_md,
     }
     with open(os.path.join(out_dir, "export.json"), "w") as f:
         json.dump(manifest, f, indent=1)
