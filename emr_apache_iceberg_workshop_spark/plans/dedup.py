@@ -60,7 +60,7 @@ N_BANDS = 4  # 3 rows per band
 MAX_SHINGLE_DF = 1000
 
 
-def _jaccard_scored_pairs(s: "DataFrame") -> "DataFrame":
+def _jaccard_scored_pairs(s: "DataFrame", materialized: bool = False) -> "DataFrame":
     """Exact-jaccard near-dup pairs, candidates from the DF-capped inverted
     index — WITHOUT ever joining the shingle-array table (the r02 design
     shipped the full arrays into the verify join; at sf0.1 that is a
@@ -94,8 +94,11 @@ def _jaccard_scored_pairs(s: "DataFrame") -> "DataFrame":
     project-collapse otherwise inlines the tokenize+shingle expression
     into the Generate and re-evaluates it per OUTPUT row (measured 13.6s
     vs 0.3s at sf0.1 — the classic explode-of-expensive-expression
-    pitfall). One doc-sized checkpoint, same lifecycle as the persist."""
-    s = s.localCheckpoint(eager=True)
+    pitfall). One doc-sized checkpoint, same lifecycle as the persist.
+    Callers holding an already-materialized input (shingle_arrays_for)
+    pass materialized=True to skip the redundant copy."""
+    if not materialized:
+        s = s.localCheckpoint(eager=True)
     e = s.selectExpr("doc_id", "size(sh) AS n", "explode(sh) AS shingle").persist()
     e.count()
     hot = (
@@ -166,19 +169,34 @@ def _jaccard_scored_pairs(s: "DataFrame") -> "DataFrame":
     return out
 
 
-# Verified pair set shared by d_ngram_jaccard and c_dup_groups (same edge
-# semantics): built once per (session, sf_dir) — at 100 TB this is the pair
-# table you materialize to parquet once and every consumer reads.
+# Shared materializations, built once per (session, sf_dir):
+# - shingle_arrays_for: doc_id → distinct 3-token shingle array. The
+#   tokenize+shingle projection is the CPU-dominant step of the whole
+#   dedup family; the jaccard pair build AND the minhash-LSH signature
+#   build both start from it, so it is computed once and the checkpoint
+#   shared. At 100 TB this is the signature table you materialize to
+#   parquet once and every dedup job reads.
+# - jaccard_pairs_for: the verified near-dup pair set on top of it,
+#   shared by d_ngram_jaccard and c_dup_groups (same edge semantics).
+_shingle_cache: dict[tuple[str, str], DataFrame] = {}
 _pair_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def shingle_arrays_for(spark, sf_dir) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    df = _shingle_cache.get(key)
+    if df is None:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        df = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh").localCheckpoint(eager=True)
+        _shingle_cache[key] = df
+    return df
 
 
 def jaccard_pairs_for(spark, sf_dir) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     df = _pair_cache.get(key)
     if df is None:
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
-        s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS sh")
-        df = _jaccard_scored_pairs(s)
+        df = _jaccard_scored_pairs(shingle_arrays_for(spark, sf_dir), materialized=True)
         _pair_cache[key] = df
     return df
 
@@ -313,8 +331,9 @@ def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
     tags=("dedup:minhash-lsh", "join"),
 )
 def d_minhash_lsh(spark, sf_dir) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    s = docs.selectExpr("doc_id", f"{SHINGLES_S} AS __sh").persist()
+    # shared shingle materialization (see shingle_arrays_for): the
+    # tokenize+shingle pass is paid once across the whole dedup family
+    s = shingle_arrays_for(spark, sf_dir).selectExpr("doc_id", "sh AS __sh")
     # Signatures via explode + codegen'd scalars + hash aggregate instead of
     # array lambdas: higher-order functions are interpreted (never codegen'd)
     # and their lambda call sites degrade further in a long-lived session,
@@ -337,7 +356,6 @@ def d_minhash_lsh(spark, sf_dir) -> DataFrame:
     # three recompute the signature subtree before any populates the cache.
     m = s.join(sig, "doc_id").persist()
     m.count()
-    s.unpersist()
     b = m.selectExpr("*", *_band_exprs())
     stack_args = ", ".join(f"{i}, band{i}" for i in range(N_BANDS))
     long = b.selectExpr("doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)")

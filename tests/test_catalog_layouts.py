@@ -61,3 +61,28 @@ def test_both_event_layouts_expose_identical_contract(spark, tmp_path):
         dt = dict(df.dtypes)
         assert dt["ts"].startswith("timestamp"), dt
         assert dt["ts_ns"] == "bigint"
+
+
+def test_ts_ns_is_session_timezone_independent(spark, tmp_path):
+    """ts_ns must be byte-identical whether the owning session runs UTC
+    (the repo factory) or not (an externally-owned driver session): the
+    NTZ-epoch timestampdiff derivation never round-trips through the
+    session timezone. Regression for the unix_micros(cast(ntz as
+    timestamp)) form, which silently shifted by the tz offset."""
+    from emr_apache_iceberg_workshop_spark.catalog import load_table
+
+    _ns_dir, us_dir = _write_layouts(tmp_path)
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    utc = [
+        (r.event_id, r.ts_ns)
+        for r in load_table(spark, us_dir, "events").orderBy("event_id").collect()
+    ]
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = [
+            (r.event_id, r.ts_ns)
+            for r in load_table(spark, us_dir, "events").orderBy("event_id").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert shifted == utc

@@ -93,3 +93,43 @@ def test_verify_values_independent_of_cap(spark, skewed_docs, monkeypatch):
     assert (1001, 1002) in out[10_000] and (2001, 2002) in out[10_000]
     for (a, b), (n_common, jac) in out[10_000].items():
         assert n_common >= 2 and 0.3 <= jac <= 1.0
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """Adversarial diameter: a 100k-node path graph. Star contraction must
+    converge in O(log d) rounds — the property that makes the 100 TB
+    dup-graph tractable (label propagation would need d = 100k rounds,
+    i.e. 100k full edge-set shuffles). Budget: 2·log2(d) + 4 rounds, with
+    every node labeled by the chain's minimum id."""
+    import math
+
+    from emr_apache_iceberg_workshop_spark.operators.graph import connected_components
+
+    n = 100_000
+    edges = spark.range(n - 1).selectExpr("id AS u", "id + 1 AS v")
+    labels, rounds = connected_components(edges, max_rounds=50)
+    budget = int(2 * math.log2(n)) + 4
+    assert rounds <= budget, f"{rounds} rounds > budget {budget}"
+    got = labels.groupBy("label").count().collect()
+    assert len(got) == 1 and got[0].label == 0 and got[0]["count"] == n
+
+
+def test_connected_components_forest_of_chains(spark):
+    """Many medium chains at once (the realistic dup-graph shape: lots of
+    small components): 200 disjoint 500-node chains — every component
+    labeled by its own minimum, round count still logarithmic in the
+    component diameter, not the graph size."""
+    import math
+
+    from emr_apache_iceberg_workshop_spark.operators.graph import connected_components
+
+    chains, length = 200, 500
+    edges = spark.range(chains * (length - 1)).selectExpr(
+        f"id DIV {length - 1} AS c", f"id % {length - 1} AS i"
+    ).selectExpr(f"c * {length} + i AS u", f"c * {length} + i + 1 AS v")
+    labels, rounds = connected_components(edges, max_rounds=50)
+    assert rounds <= int(2 * math.log2(length)) + 4
+    comp = labels.groupBy("label").count()
+    rows = comp.collect()
+    assert len(rows) == chains
+    assert all(r["count"] == length and r.label % length == 0 for r in rows)

@@ -170,3 +170,74 @@ def test_ivf_kmeans_deterministic_and_recall():
     ivf = {(r.q_id, r.c_id) for r in s_ivf_topk(spark, sf).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, f"recall@10 {recall:.3f} < 0.5"
+
+
+def test_multimodal_header_decode_real_formats():
+    """The decode step parses REAL container headers: hand-built minimal
+    PNG / GIF / JPEG / WAV byte streams yield their true dimensions, and
+    unrecognized bytes fall back to the deterministic fake — both paths of
+    the decoder contract."""
+    import struct
+
+    from emr_apache_iceberg_workshop_spark.operators.multimodal import _fake_decode
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 800, 600, 8, 2, 0, 0, 0)
+        + b"\x00" * 4
+    )
+    assert _fake_decode(png) == {
+        "byte_len": len(png), "width": 800, "height": 600, "n_frames": 1
+    }
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 240) + b"\x00" * 3
+    g = _fake_decode(gif)
+    assert (g["width"], g["height"]) == (320, 240)
+
+    jpeg = (
+        b"\xff\xd8\xff"
+        + b"\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640)  # height, width
+        + b"\x03" + b"\x00" * 9
+    )
+    j = _fake_decode(jpeg)
+    assert (j["width"], j["height"]) == (640, 480)
+
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+    )
+    w = _fake_decode(wav)
+    assert (w["width"], w["height"], w["n_frames"]) == (0, 0, 44100)
+
+    # unrecognized bytes → deterministic fake (the fixtures' path)
+    txt = "plain document text".encode()
+    n = len(txt)
+    assert _fake_decode(txt) == {
+        "byte_len": n, "width": n % 640, "height": (n * 7) % 480, "n_frames": n % 30 + 1
+    }
+
+
+def test_multimodal_decode_through_spark_with_real_payloads(spark):
+    """End-to-end through mapInPandas: a real PNG payload and a text
+    payload in the same binary column decode to header metadata and fake
+    metadata respectively."""
+    import struct
+
+    from emr_apache_iceberg_workshop_spark.operators.multimodal import decode_metadata
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 64, 32, 8, 2, 0, 0, 0)
+        + b"\x00" * 4
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(b"just text"))],
+        "doc_id long, modality string, payload binary",
+    )
+    got = {r.doc_id: (r.width, r.height) for r in decode_metadata(df).collect()}
+    assert got[1] == (64, 32)
+    assert got[2] == (len(b"just text") % 640, (len(b"just text") * 7) % 480)
