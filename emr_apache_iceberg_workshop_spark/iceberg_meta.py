@@ -424,26 +424,47 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 
+def _snapshot_files(meta: dict, snap: dict) -> list[dict] | None:
+    """File-level state of one committed snapshot (exclusion masks
+    resolved), or None when the state is not v1-representable (active MOR
+    equality deletes at that point in history)."""
+    if snap.get("active_deletes"):
+        return None
+    by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    out: list[dict] = []
+    for e in snap["active_dirs"]:
+        rel = e if isinstance(e, str) else e["dir"]
+        excl = [] if isinstance(e, str) else e.get("exclude", [])
+        ws = by_sid[int(rel.rsplit("/s", 1)[-1])]
+        for f in ws.get("files", []):
+            if f["partition"] in excl:
+                continue
+            out.append(f)
+    return out
+
+
 def write_iceberg_metadata(table, properties: dict | None = None) -> str:
-    """Emit Iceberg v1 metadata for the CURRENT snapshot of a
-    SnapshotTable under `<root>/metadata/`, referencing the live parquet
-    data files in place. Returns the metadata.json path (the argument an
-    external `iceberg_scan` takes). Refuses when active MOR equality
-    deletes exist — v1 cannot represent them; `compact()` folds them
-    first."""
+    """Emit Iceberg v1 metadata for a SnapshotTable under
+    `<root>/metadata/`, referencing the live parquet data files in place.
+    EVERY v1-representable snapshot in the table's history gets its own
+    manifest list + manifest, so external engines can time-travel
+    (`FOR VERSION AS OF`) exactly like `scan_at`; the current snapshot
+    must be representable or emission refuses. Returns the metadata.json
+    path (the argument an external `iceberg_scan` takes). Active MOR
+    equality deletes are not representable in v1 — `compact()` folds
+    them first."""
     meta = table._load()
     snaps = meta["snapshots"]
     if not snaps:
         raise ValueError("empty table: commit a snapshot before emitting metadata")
-    last = snaps[-1]
-    if last.get("active_deletes"):
+    if snaps[-1].get("active_deletes"):
         raise ValueError(
             "active merge-on-read equality deletes are not representable in "
             "Iceberg v1 metadata — run compact() first to fold them into data files"
         )
     root = os.path.abspath(table.root)
-    sid = last["snapshot_id"]
-    ts_ms = int(float(last["made_current_at"]) * 1000)
+    sid = snaps[-1]["snapshot_id"]
+    ts_ms = int(float(snaps[-1]["made_current_at"]) * 1000)
 
     schema_json, ids = iceberg_schema(table.schema())
     part_cols = meta["partition_by"]
@@ -459,68 +480,97 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
         )
         part_fields.append({"name": c, "type": src_type, "field-id": fid})
 
-    live = table._live_files()  # [(rel_dir_entry, file_dict)] — masks resolved
-    entries = []
-    total_rows = 0
-    for _rel, f in live:
-        total_rows += f["rows"]
-        entries.append(
-            {
-                "status": 1,  # ADDED (single-manifest snapshot)
-                "snapshot_id": sid,
-                "data_file": {
-                    "file_path": os.path.join(root, f["path"]),
-                    "file_format": "PARQUET",
-                    "partition": {
-                        p["name"]: _partition_value(
-                            f["partition"].get(p["name"]), p["type"]
-                        )
-                        for p in part_fields
-                    },
-                    "record_count": f["rows"],
-                    "file_size_in_bytes": f["bytes"],
-                    "block_size_in_bytes": 67108864,
-                },
-            }
-        )
-
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
-    manifest_path = os.path.join(meta_dir, f"{uuid.uuid5(uuid.NAMESPACE_URL, root)}-m0.avro")
     spec_json = json.dumps(spec_fields)
-    mlen = write_avro_container(
-        manifest_path,
-        _manifest_entry_schema(part_fields),
-        entries,
-        meta={
-            "schema": json.dumps(schema_json),
-            "schema-id": "0",
-            "partition-spec": spec_json,
-            "partition-spec-id": "0",
-            "format-version": "1",
-            "content": "data",
-        },
-    )
-    mlist_path = os.path.join(meta_dir, f"snap-{sid}-1-{uuid.uuid5(uuid.NAMESPACE_URL, root + str(sid))}.avro")
-    write_avro_container(
-        mlist_path,
-        _MANIFEST_LIST_SCHEMA,
-        [
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": mlen,
-                "partition_spec_id": 0,
-                "added_snapshot_id": sid,
-                "added_data_files_count": len(entries),
-                "existing_data_files_count": 0,
-                "deleted_data_files_count": 0,
-                "added_rows_count": total_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        ],
-        meta={"format-version": "1", "snapshot-id": str(sid)},
-    )
+
+    snapshots_doc = []
+    snapshot_log = []
+    prev_emitted: int | None = None
+    for snap in snaps:
+        s_id = snap["snapshot_id"]
+        files = _snapshot_files(meta, snap)
+        if files is None:
+            continue  # mid-history MOR state: no v1 representation
+        s_ts = int(float(snap["made_current_at"]) * 1000)
+        entries = []
+        total_rows = 0
+        for f in files:
+            total_rows += f["rows"]
+            entries.append(
+                {
+                    "status": 1,  # ADDED (each snapshot ships one manifest)
+                    "snapshot_id": s_id,
+                    "data_file": {
+                        "file_path": os.path.join(root, f["path"]),
+                        "file_format": "PARQUET",
+                        "partition": {
+                            p["name"]: _partition_value(
+                                f["partition"].get(p["name"]), p["type"]
+                            )
+                            for p in part_fields
+                        },
+                        "record_count": f["rows"],
+                        "file_size_in_bytes": f["bytes"],
+                        "block_size_in_bytes": 67108864,
+                    },
+                }
+            )
+        manifest_path = os.path.join(
+            meta_dir, f"{uuid.uuid5(uuid.NAMESPACE_URL, root + str(s_id))}-m0.avro"
+        )
+        mlen = write_avro_container(
+            manifest_path,
+            _manifest_entry_schema(part_fields),
+            entries,
+            meta={
+                "schema": json.dumps(schema_json),
+                "schema-id": "0",
+                "partition-spec": spec_json,
+                "partition-spec-id": "0",
+                "format-version": "1",
+                "content": "data",
+            },
+        )
+        mlist_path = os.path.join(
+            meta_dir,
+            f"snap-{s_id}-1-{uuid.uuid5(uuid.NAMESPACE_URL, root + 'l' + str(s_id))}.avro",
+        )
+        write_avro_container(
+            mlist_path,
+            _MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": mlen,
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": s_id,
+                    "added_data_files_count": len(entries),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "added_rows_count": total_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+            meta={"format-version": "1", "snapshot-id": str(s_id)},
+        )
+        entry = {
+            "snapshot-id": s_id,
+            "timestamp-ms": s_ts,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(entries)),
+                "added-records": str(total_rows),
+            },
+            "manifest-list": mlist_path,
+            "schema-id": 0,
+        }
+        if prev_emitted is not None:
+            entry["parent-snapshot-id"] = prev_emitted
+        snapshots_doc.append(entry)
+        snapshot_log.append({"timestamp-ms": s_ts, "snapshot-id": s_id})
+        prev_emitted = s_id
 
     doc = {
         "format-version": 1,
@@ -537,20 +587,8 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
         "last-partition-id": (999 + len(spec_fields)) if spec_fields else 999,
         "properties": {**meta.get("properties", {}), **(properties or {})},
         "current-snapshot-id": sid,
-        "snapshots": [
-            {
-                "snapshot-id": sid,
-                "timestamp-ms": ts_ms,
-                "summary": {
-                    "operation": "append",
-                    "added-data-files": str(len(entries)),
-                    "added-records": str(total_rows),
-                },
-                "manifest-list": mlist_path,
-                "schema-id": 0,
-            }
-        ],
-        "snapshot-log": [{"timestamp-ms": ts_ms, "snapshot-id": sid}],
+        "snapshots": snapshots_doc,
+        "snapshot-log": snapshot_log,
         "metadata-log": [],
     }
     # version numbering like Iceberg's HadoopTableOperations: vN.metadata.json
@@ -626,18 +664,18 @@ def external_ddl(metadata_json_path: str, table_name: str) -> dict[str, str]:
     return {"duckdb": duck, "snowflake": snow, "starrocks": star}
 
 
-def read_data_files(metadata_json_path: str) -> list[dict]:
+def read_data_files(metadata_json_path: str, snapshot_id: int | None = None) -> list[dict]:
     """Walk the emitted metadata the way an external reader does:
-    metadata.json → current snapshot's manifest list → manifests → data
-    file entries. Returns the data_file dicts (absolute paths). Tests use
-    this to prove the chain is self-describing; it is also the file-listing
-    a query engine without an Iceberg runtime can drive a parquet scan
-    with."""
+    metadata.json → snapshot's manifest list → manifests → data file
+    entries (default: the current snapshot; pass `snapshot_id` for time
+    travel, the `FOR VERSION AS OF` path). Returns the data_file dicts
+    (absolute paths). Tests use this to prove the chain is
+    self-describing; it is also the file-listing a query engine without
+    an Iceberg runtime can drive a parquet scan with."""
     with open(metadata_json_path) as f:
         doc = json.load(f)
-    snap = next(
-        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
-    )
+    want = snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
+    snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == want)
     _, _, manifests = read_avro_container(snap["manifest-list"])
     out: list[dict] = []
     for m in manifests:

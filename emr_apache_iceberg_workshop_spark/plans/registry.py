@@ -24,6 +24,7 @@ _MODULES = [
     "tpch",
     "events",
     "textops",
+    "streamingq",
 ]
 
 # Registration order matters to external harnesses that check a bounded
@@ -65,11 +66,15 @@ _PREFIX_ORDER = [
     "q_column_profile",
     "c_dup_groups",
     "c_curated_corpus",
-    "q_meta_snapshots",
+    # q_meta_snapshots / q_meta_history yield their slots this round to
+    # the two round-new STREAMING queries: both are r03-signed and
+    # untouched (the fixture's new tags key feeds only q_meta_refs);
+    # they lead the r06 rotation instead.
+    "q_stream_event_windows",
+    "q_stream_dedup",
     "q_meta_files",
     "q_meta_time_travel",
     "q_meta_incremental",
-    "q_meta_history",
     "q22_global_sales_opportunity",
     "q07_volume_shipping",
     "q10_returned_items",

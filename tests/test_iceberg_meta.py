@@ -127,7 +127,9 @@ def test_emitted_metadata_chain_matches_scan(spark, tmp_path):
     assert len(cat_a) == len({f["file_path"] for f in cat_a})
 
     # --- manifest stats: record counts match the parquet footers ---------
-    snap = doc["snapshots"][0]
+    snap = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
     _, mmeta, manifests = read_avro_container(snap["manifest-list"])
     assert mmeta["format-version"] == b"1"
     assert sum(m["added_rows_count"] for m in manifests) == sum(
@@ -238,3 +240,46 @@ def test_iceberg_schema_types(spark):
     assert by_name["emb"]["type"]["element"] == "float"
     assert by_name["emb"]["type"]["element-required"] is True
     assert ids == {"s": 1, "ts": 2, "d": 3, "emb": 4}
+
+
+def test_multi_snapshot_metadata_time_travel(spark, tmp_path):
+    """Every representable snapshot gets its own manifest chain: external
+    readers time-travel (`FOR VERSION AS OF`) to any of them, matching
+    `scan_at`; mid-history MOR states are omitted (no v1 representation)
+    while the post-compaction state is present."""
+    import duckdb
+
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(spark, str(tmp_path / "tt"), ddl)
+    t.write(spark.createDataFrame([(1, "a")], ddl))
+    t.write(spark.createDataFrame([(2, "b")], ddl))
+    t.write(spark.createDataFrame([(3, "c")], ddl))
+    md = write_iceberg_metadata(t)
+    with open(md) as f:
+        doc = json.load(f)
+    assert [s["snapshot-id"] for s in doc["snapshots"]] == [1, 2, 3]
+    assert doc["snapshots"][1]["parent-snapshot-id"] == 1
+    assert doc["current-snapshot-id"] == 3
+    con = duckdb.connect()
+    for sid, want_ids in ((1, {1}), (2, {1, 2}), (3, {1, 2, 3})):
+        paths = sorted(f["file_path"] for f in read_data_files(md, snapshot_id=sid))
+        got = {r[0] for r in con.execute("SELECT id FROM read_parquet(?)", [paths]).fetchall()}
+        assert got == want_ids == {r.id for r in t.scan_at(sid).collect()}
+
+    # MOR history: pre-compaction merge snapshots are skipped, the
+    # compacted current state is emitted
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "tt_mor"), ddl,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t2.write(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    t2.merge(spark.createDataFrame([(2, "b2")], ddl), keys=["id"])
+    t2.compact(target_partitions=1)
+    md2 = write_iceberg_metadata(t2)
+    with open(md2) as f:
+        doc2 = json.load(f)
+    sids = [s["snapshot-id"] for s in doc2["snapshots"]]
+    assert 2 not in sids and doc2["current-snapshot-id"] == 3
+    paths = sorted(f["file_path"] for f in read_data_files(md2))
+    rows = con.execute("SELECT id, v FROM read_parquet(?) ORDER BY id", [paths]).fetchall()
+    assert rows == [(1, "a"), (2, "b2")]
