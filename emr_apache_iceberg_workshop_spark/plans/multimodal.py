@@ -119,3 +119,27 @@ def m_extract_features(spark, sf_dir) -> DataFrame:
 def m_resize_plan(spark, sf_dir) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return resize_images(decode_metadata(attach_payload(docs)))
+
+
+@query(
+    "q_avro_roundtrip",
+    # the oracle is the identity projection: the Spark side encodes every
+    # row to Avro binary (record-level to_avro) and decodes it back
+    # (from_avro) — any codec corruption, truncation, union-branch or
+    # varint error breaks the hash match against the untouched rows
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    tags=("avro:codec", "multimodal", "reference:F5"),
+)
+def q_avro_roundtrip(spark, sf_dir) -> DataFrame:
+    """to_avro → from_avro round trip over the documents table (SURVEY
+    §2.8 F5 — the runtime Avro functions the reference imports): encode
+    each row as one Avro-binary record with the spec-implemented codec,
+    decode back, and the result must be byte-identical to the source."""
+    from ..functions.avro_codec import from_avro, to_avro
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    return from_avro(to_avro(docs), docs.schema)

@@ -241,3 +241,39 @@ def test_multimodal_decode_through_spark_with_real_payloads(spark):
     got = {r.doc_id: (r.width, r.height) for r in decode_metadata(df).collect()}
     assert got[1] == (64, 32)
     assert got[2] == (len(b"just text") % 640, (len(b"just text") * 7) % 480)
+
+
+def test_avro_codec_roundtrip_all_types(spark):
+    """Record-level to_avro/from_avro (SURVEY F5): every supported type
+    plus NULLs survives the binary round trip exactly."""
+    from pyspark.sql import types as T
+
+    from emr_apache_iceberg_workshop_spark.functions.avro_codec import (
+        from_avro,
+        spark_struct_to_avro_schema,
+        to_avro,
+    )
+
+    schema = T.StructType([
+        T.StructField("l", T.LongType(), False),
+        T.StructField("i", T.IntegerType(), True),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("d", T.DoubleType(), True),
+        T.StructField("b", T.BooleanType(), True),
+        T.StructField("y", T.BinaryType(), True),
+    ])
+    rows = [
+        (1, 42, "héllo", 1.5, True, bytearray(b"\x00\xff")),
+        (2, None, None, None, None, None),
+        (-(2**60), -1, "", -0.0, False, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    back = from_avro(to_avro(df), schema).orderBy("l")
+    got = [tuple(r) for r in back.collect()]
+    want = [tuple(r) for r in df.orderBy("l").collect()]
+    assert got == want
+
+    # nullable fields become [null, T] unions; required stay bare
+    av = spark_struct_to_avro_schema(schema)
+    by = {f["name"]: f["type"] for f in av["fields"]}
+    assert by["l"] == "long" and by["i"] == ["null", "int"]
