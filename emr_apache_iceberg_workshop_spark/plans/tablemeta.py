@@ -531,3 +531,56 @@ def q_meta_refs(spark, sf_dir) -> DataFrame:
     (Iceberg's named-ref listing), cross-checked against _meta.json."""
     t = _demo_table(spark)
     return t.refs_table()
+
+
+DML_ROOT = os.path.join(_REPO_ROOT, "fixtures", "dml_demo")
+
+
+def _dml_table(spark):
+    """Deterministic row-level-DML fixture: append 6 rows across 3
+    partitions, DELETE WHERE qty < 25 (kills ids 1,2 in a; b,c untouched
+    dirs), then UPDATE id=4 SET qty=qty*10. Final state is a literal
+    constant — the oracle states it as VALUES."""
+    from ..tables import SnapshotTable
+
+    import json as _json
+
+    try:
+        with open(os.path.join(DML_ROOT, "_meta.json")) as f:
+            ops = [s["operation"] for s in _json.load(f)["snapshots"]]
+        if ops == ["create", "append", "delete", "update"]:
+            return SnapshotTable(spark, DML_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(DML_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, category string, qty bigint"
+    t = SnapshotTable.create(
+        spark, DML_ROOT, ddl, partition_by=["category"],
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40),
+            (5, "c", 50), (6, "c", 60)]
+    t.write(spark.createDataFrame(rows, ddl).coalesce(1).sortWithinPartitions("id"))
+    t.delete_where("qty < 25")
+    t.update_where("id = 4", {"qty": "qty * 10"})
+    return t
+
+
+@query(
+    "q_meta_dml",
+    # the fixture's DML sequence is deterministic, so the expected final
+    # state is a constant relation
+    oracle="""
+    SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'b', CAST(30 AS BIGINT)),
+                          (4, 'b', 400), (5, 'c', 50), (6, 'c', 60))
+    AS t(id, category, qty)
+    """,
+    tags=("meta:dml", "tablemeta", "reference:S13"),
+)
+def q_meta_dml(spark, sf_dir) -> DataFrame:
+    """Row-level DELETE + UPDATE executed copy-on-write partition-scoped
+    (Iceberg `DELETE FROM` / `UPDATE`): the table state after the fixture's
+    DML sequence must equal the constant expected relation."""
+    t = _dml_table(spark)
+    return t.scan().select("id", "category", "qty")

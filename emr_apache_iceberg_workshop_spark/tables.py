@@ -511,6 +511,34 @@ class SnapshotTable:
                 continue  # metadata-only / physical-layout-only commits
             if op in ("append", "create"):
                 df = self._read_dirs(s["dirs"], schema=schema)
+            elif op == "delete" and s.get("delete_file"):
+                # MOR row-level delete: pre-image delete rows only (keys
+                # alive in the prior snapshot), no inserts
+                keys = next(
+                    d["keys"] for d in s["active_deletes"] if d["sid"] == sid
+                )
+                dels = self.spark.read.parquet(
+                    os.path.join(self.root, s["delete_file"])
+                )
+                if prev_snap is not None:
+                    prior_keys = self._scan_snapshot(prev_snap, schema).select(*keys)
+                    dels = dels.join(prior_keys, list(keys), "left_semi")
+                else:
+                    dels = dels.limit(0)
+                frames.append(
+                    dels.select(
+                        *[
+                            F.col(c) if c in keys else F.lit(None).cast(f.dataType).alias(c)
+                            for c, f in zip(cols, schema.fields)
+                        ]
+                    ).select(
+                        "*",
+                        F.lit("delete").alias("_change_type"),
+                        F.lit(sid).cast("long").alias("_snapshot_id"),
+                    )
+                )
+                prev_snap = s
+                continue
             elif op == "merge" and s.get("delete_file"):
                 df = self._read_dirs(s["dirs"], schema=schema)
                 keys = next(
@@ -877,6 +905,152 @@ class SnapshotTable:
                 "files": files,
                 "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
                 "summary": {"mode": "copy-on-write", "scoped_partitions": len(parts)},
+            }
+        )
+        self._commit(meta)
+        return sid
+
+    # -- row-level DELETE / UPDATE (Iceberg `DELETE FROM` / `UPDATE`,
+    # executing the write.delete.mode / write.update.mode the reference
+    # configures at `raw-bronze.py:159-170` but only exercises via MERGE) --
+    def delete_where(self, predicate: str, keys: list[str] | None = None) -> int:
+        """Row-level DELETE FROM ... WHERE. Rows where the predicate is
+        TRUE are removed (FALSE/NULL rows survive — SQL semantics).
+
+        - `write.delete.mode=copy-on-write` (default): rewrite ONLY the
+          partitions containing matching rows (masks over older dirs) —
+          write amplification bounded by touched partitions.
+        - `write.delete.mode=merge-on-read`: requires `keys` (the columns
+          identifying a row, like the reference's merge key): writes an
+          equality-delete file of the matching rows' keys — O(matching)
+          write cost, applied at scan, folded by `compact()`.
+        """
+        mode = self.properties().get("write.delete.mode", "copy-on-write")
+        target = self.scan()
+        pred = F.expr(predicate)
+        if mode == "merge-on-read":
+            if not keys:
+                raise ValueError(
+                    "merge-on-read delete needs `keys` naming the row-identifying "
+                    "columns for the equality-delete file"
+                )
+            meta = self._load()
+            snaps = meta["snapshots"]
+            sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+            drel = f"deletes/s{sid}"
+            target.filter(pred).select(*keys).distinct().write.mode("overwrite").parquet(
+                os.path.join(self.root, drel)
+            )
+            prev = snaps[-1] if snaps else None
+            snaps.append(
+                {
+                    "snapshot_id": sid,
+                    "made_current_at": self._clock(),
+                    "operation": "delete",
+                    "dirs": [],
+                    "active_dirs": prev["active_dirs"] if prev else [],
+                    "partitions": [],
+                    "files": [],
+                    "delete_file": drel,
+                    "delete_file_stats": self._file_stats(drel),
+                    "active_deletes": (list(prev.get("active_deletes", [])) if prev else [])
+                    + [{"file": drel, "sid": sid, "keys": list(keys)}],
+                    "summary": {"mode": "merge-on-read", "predicate": predicate},
+                }
+            )
+            self._commit(meta)
+            return sid
+        survivors = lambda sub: sub.filter(~F.coalesce(pred, F.lit(False)))  # noqa: E731
+        return self._cow_rewrite_where(
+            target, pred, survivors, "delete", {"mode": mode, "predicate": predicate}
+        )
+
+    def update_where(self, predicate: str, assignments: dict[str, str]) -> int:
+        """Row-level UPDATE ... SET ... WHERE (copy-on-write: rewrite only
+        the partitions containing matching rows). `assignments` maps
+        column name → SQL expression evaluated on the matching row."""
+        target = self.scan()
+        schema = {f.name: f.dataType for f in self.schema().fields}
+        for c in assignments:
+            if c not in schema:
+                raise ValueError(f"unknown column {c!r}")
+        pred = F.expr(predicate)
+
+        def apply(sub: DataFrame) -> DataFrame:
+            out = sub
+            for c, expr in assignments.items():
+                out = out.withColumn(
+                    c,
+                    F.when(F.coalesce(pred, F.lit(False)), F.expr(expr).cast(schema[c]))
+                    .otherwise(F.col(c)),
+                )
+            return out
+
+        return self._cow_rewrite_where(
+            target, pred, apply, "update",
+            {"mode": "copy-on-write", "predicate": predicate},
+        )
+
+    def _cow_rewrite_where(
+        self, target: DataFrame, pred, transform, operation: str, summary: dict
+    ) -> int:
+        """Partition-scoped copy-on-write rewrite for row-level DML: the
+        partitions containing predicate-matching rows are rewritten with
+        `transform` applied; untouched partitions' files stay in place
+        (masked per-partition like `_merge_cow_scoped`). Unpartitioned
+        tables rewrite the full state — the only correct COW granularity
+        without a partition spec."""
+        meta = self._load()
+        part_cols = meta["partition_by"]
+        if not part_cols:
+            out = transform(target).select(*target.columns).localCheckpoint(eager=True)
+            return self.write(out, mode="overwrite", operation=operation)
+        parts = [
+            {c: _part_str(v) for c, v in r.asDict().items()}
+            for r in target.filter(pred).select(*part_cols).distinct().collect()
+        ]
+        snaps = meta["snapshots"]
+        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        prev = snaps[-1] if snaps else None
+        if not parts:  # nothing matches: metadata-only no-op commit
+            snaps.append(
+                {
+                    "snapshot_id": sid,
+                    "made_current_at": self._clock(),
+                    "operation": operation,
+                    "dirs": [],
+                    "active_dirs": prev["active_dirs"] if prev else [],
+                    "partitions": [],
+                    "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
+                    "summary": dict(summary, scoped_partitions=0),
+                }
+            )
+            self._commit(meta)
+            return sid
+        sub = target.filter(self._partition_match_expr(parts))
+        out = transform(sub).select(*target.columns).localCheckpoint(eager=True)
+        rel, written_parts, files = self._write_data_dir(out, meta, sid)
+        dir_parts = {s["dirs"][0]: s.get("partitions") for s in snaps if s.get("dirs")}
+        new_active: list = []
+        for e in prev["active_dirs"] if prev else []:
+            erel, excl = _entry_rel(e), _entry_excl(e)
+            new_excl = list(excl) + [p for p in parts if p not in excl]
+            known = dir_parts.get(erel)
+            if known is not None and all(p in new_excl for p in known):
+                continue
+            new_active.append({"dir": erel, "exclude": new_excl})
+        new_active.append(rel)
+        snaps.append(
+            {
+                "snapshot_id": sid,
+                "made_current_at": self._clock(),
+                "operation": operation,
+                "dirs": [rel],
+                "active_dirs": new_active,
+                "partitions": written_parts,
+                "files": files,
+                "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
+                "summary": dict(summary, scoped_partitions=len(parts)),
             }
         )
         self._commit(meta)

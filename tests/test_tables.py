@@ -572,3 +572,84 @@ def test_refs_table_lists_main_and_tags(spark, tmp_path):
     t.write(spark.createDataFrame([(3, "c")], "k long, v string"))
     rows = {(r.ref_name, r.ref_type, r.snapshot_id) for r in t.refs_table().collect()}
     assert rows == {("main", "branch", 3), ("v1", "tag", 1)}  # main advanced
+
+
+def test_delete_where_cow_partition_scoped(spark, tmp_path):
+    """COW row-level DELETE rewrites only the partitions containing
+    matching rows; NULL-predicate rows survive (SQL semantics); untouched
+    partitions' files stay byte-identical on disk."""
+    import os
+
+    root = str(tmp_path / "del_cow")
+    t = SnapshotTable.create(
+        spark, root, "id bigint, qty bigint, part string", partition_by=["part"]
+    )
+    t.write(spark.createDataFrame(
+        [(1, 10, "x"), (2, None, "x"), (3, 30, "y"), (4, 40, "z")],
+        "id bigint, qty bigint, part string",
+    ))
+    z_listing = sorted(os.listdir(os.path.join(root, "data/s1", "part=z")))
+    sid = t.delete_where("qty < 35")  # matches 1 (x) and 3 (y); NULL qty survives
+    assert sid == 2
+    state = {r.id: r.part for r in t.scan().collect()}
+    assert state == {2: "x", 4: "z"}
+    # partition z untouched: same files, no rewrite
+    assert sorted(os.listdir(os.path.join(root, "data/s1", "part=z"))) == z_listing
+    ops = {r.snapshot_id: r.operation for r in t.history().collect()}
+    assert ops[sid] == "delete"
+    # no-match delete: metadata-only commit, state unchanged
+    sid2 = t.delete_where("qty > 1000")
+    assert {r.id for r in t.scan().collect()} == {2, 4}
+    assert {r.snapshot_id for r in t.history().collect()} >= {sid, sid2}
+
+
+def test_delete_where_mor_equality_deletes(spark, tmp_path):
+    """MOR row-level DELETE writes an O(matching) equality-delete file —
+    no rewrite; scan applies it; compact() folds it; the changelog emits
+    pre-image deletes for the removed keys."""
+    root = str(tmp_path / "del_mor")
+    t = SnapshotTable.create(
+        spark, root, "id bigint, qty bigint",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.write(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id bigint, qty bigint"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keys"):
+        t.delete_where("qty >= 20")
+    sid = t.delete_where("qty >= 20", keys=["id"])
+    assert {r.id for r in t.scan().collect()} == {1}
+    ch = t.changes(sid - 1, sid).collect()
+    assert {(r.id, r._change_type) for r in ch} == {(2, "delete"), (3, "delete")}
+    t.compact(target_partitions=1)
+    assert {r.id for r in t.scan().collect()} == {1}
+    # post-compaction the table is Iceberg-v1-representable again
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import write_iceberg_metadata
+
+    assert write_iceberg_metadata(t)
+
+
+def test_update_where_partition_scoped(spark, tmp_path):
+    """COW row-level UPDATE: assignments apply to matching rows only,
+    expressions see the row (qty = qty * 2), untouched partitions keep
+    their files."""
+    import os
+
+    root = str(tmp_path / "upd")
+    t = SnapshotTable.create(
+        spark, root, "id bigint, qty bigint, part string", partition_by=["part"]
+    )
+    t.write(spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "x"), (3, 30, "y")],
+        "id bigint, qty bigint, part string",
+    ))
+    y_listing = sorted(os.listdir(os.path.join(root, "data/s1", "part=y")))
+    sid = t.update_where("id = 1", {"qty": "qty * 2"})
+    assert {(r.id, r.qty) for r in t.scan().collect()} == {(1, 20), (2, 20), (3, 30)}
+    assert sorted(os.listdir(os.path.join(root, "data/s1", "part=y"))) == y_listing
+    assert {r.snapshot_id: r.operation for r in t.history().collect()}[sid] == "update"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown column"):
+        t.update_where("id = 1", {"nope": "1"})
