@@ -3,14 +3,20 @@
 `.history`; `.snapshots` and `.files` are the next metadata tables an
 Iceberg user reaches for).
 
-The queries run against a DETERMINISTIC demo table (fixed rows, injected
-commit clock, three commits: append → append → merge-on-read merge with
-an update + insert + delete) rebuilt from literals on first use per
-process under `fixtures/tablemeta_demo`. The DuckDB oracle reads the SAME
-`_meta.json` the engine commits — the cross-engine-agreement idea the
-reference applies to table data (`read_iceberg_duckdb.py:22-44`), applied
-to table METADATA. Oracle-checked columns avoid file counts/bytes (file
-splits vary with write parallelism); per-partition/snapshot ROW totals are
+The queries run against DETERMINISTIC fixture tables (fixed rows,
+injected commit clocks) rebuilt from literals on first use per process:
+- `fixtures/tablemeta_demo` — append → append → merge-on-read merge with
+  an update + insert + delete, plus an `audit` tag (metadata tables,
+  time travel, changelog, refs);
+- `fixtures/iceberg_demo` — append-only partitioned table with native
+  Iceberg v1 metadata emitted (the external-reader chain query);
+- `fixtures/dml_demo` — append → row-level DELETE → row-level UPDATE
+  (copy-on-write partition-scoped DML).
+The DuckDB oracle reads the SAME `_meta.json` the engine commits — the
+cross-engine-agreement idea the reference applies to table data
+(`read_iceberg_duckdb.py:22-44`), applied to table METADATA.
+Oracle-checked columns avoid file counts/bytes (file splits vary with
+write parallelism); per-partition/snapshot ROW totals are
 layout-independent.
 """
 

@@ -965,10 +965,20 @@ class SnapshotTable:
             target, pred, survivors, "delete", {"mode": mode, "predicate": predicate}
         )
 
-    def update_where(self, predicate: str, assignments: dict[str, str]) -> int:
-        """Row-level UPDATE ... SET ... WHERE (copy-on-write: rewrite only
-        the partitions containing matching rows). `assignments` maps
-        column name → SQL expression evaluated on the matching row."""
+    def update_where(
+        self, predicate: str, assignments: dict[str, str], keys: list[str] | None = None
+    ) -> int:
+        """Row-level UPDATE ... SET ... WHERE. `assignments` maps column
+        name → SQL expression evaluated on the matching row.
+
+        - `write.update.mode=copy-on-write` (default): rewrite only the
+          partitions containing matching rows.
+        - `write.update.mode=merge-on-read` (the reference's silver config,
+          `bronze-silver.py:184-189`): requires `keys`; executes as
+          equality-delete of the matching rows' keys + append of the
+          transformed rows — O(matching) cost, the same delete-file +
+          data-dir commit shape as a MOR MERGE, folded by `compact()`.
+        """
         target = self.scan()
         schema = {f.name: f.dataType for f in self.schema().fields}
         for c in assignments:
@@ -986,6 +996,44 @@ class SnapshotTable:
                 )
             return out
 
+        mode = self.properties().get("write.update.mode", "copy-on-write")
+        if mode == "merge-on-read":
+            if not keys:
+                raise ValueError(
+                    "merge-on-read update needs `keys` naming the row-identifying "
+                    "columns for the equality-delete file"
+                )
+            data_cols = [f.name for f in self.schema().fields]
+            matching = target.filter(F.coalesce(pred, F.lit(False)))
+            # transformed post-images; pred is TRUE on every row here
+            new_rows = apply(matching).select(*data_cols).localCheckpoint(eager=True)
+            meta = self._load()
+            snaps = meta["snapshots"]
+            sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+            rel, parts, files = self._write_data_dir(new_rows, meta, sid)
+            drel = f"deletes/s{sid}"
+            new_rows.select(*keys).distinct().write.mode("overwrite").parquet(
+                os.path.join(self.root, drel)
+            )
+            prev = snaps[-1] if snaps else None
+            snaps.append(
+                {
+                    "snapshot_id": sid,
+                    "made_current_at": self._clock(),
+                    "operation": "merge",  # MOR upsert commit shape (delete+insert)
+                    "dirs": [rel],
+                    "active_dirs": (prev["active_dirs"] if prev else []) + [rel],
+                    "partitions": parts,
+                    "files": files,
+                    "delete_file": drel,
+                    "delete_file_stats": self._file_stats(drel),
+                    "active_deletes": (list(prev.get("active_deletes", [])) if prev else [])
+                    + [{"file": drel, "sid": sid, "keys": list(keys)}],
+                    "summary": {"mode": "merge-on-read", "predicate": predicate},
+                }
+            )
+            self._commit(meta)
+            return sid
         return self._cow_rewrite_where(
             target, pred, apply, "update",
             {"mode": "copy-on-write", "predicate": predicate},

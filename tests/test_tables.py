@@ -653,3 +653,28 @@ def test_update_where_partition_scoped(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown column"):
         t.update_where("id = 1", {"nope": "1"})
+
+
+def test_update_where_mor_equality_deletes(spark, tmp_path):
+    """MOR row-level UPDATE (the reference's silver write.update.mode):
+    executes as equality-delete of matching keys + append of transformed
+    rows — O(matching), no rewrite of untouched files; changelog shows
+    pre-image delete + post-image insert; compact() folds it."""
+    root = str(tmp_path / "upd_mor")
+    t = SnapshotTable.create(
+        spark, root, "id bigint, qty bigint",
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.write(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id bigint, qty bigint"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keys"):
+        t.update_where("qty >= 20", {"qty": "qty + 1"})
+    sid = t.update_where("qty >= 20", {"qty": "qty + 1"}, keys=["id"])
+    assert {(r.id, r.qty) for r in t.scan().collect()} == {(1, 10), (2, 21), (3, 31)}
+    ch = t.changes(sid - 1, sid).collect()
+    assert {(r.id, r._change_type) for r in ch} == {
+        (2, "delete"), (3, "delete"), (2, "insert"), (3, "insert")
+    }
+    t.compact(target_partitions=1)
+    assert {(r.id, r.qty) for r in t.scan().collect()} == {(1, 10), (2, 21), (3, 31)}
