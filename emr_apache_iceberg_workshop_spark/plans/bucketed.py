@@ -119,3 +119,113 @@ def q_bucketed_join(spark, sf_dir) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-pre-filtered join — the "runtime filter" join strategy, explicit.
+#
+# Spark's own InjectRuntimeFilter does this automatically only when a
+# selective DPP-like pattern is detected AND `bloom_filter_agg` internals
+# fire (the function is not user-facing — unresolvable from SQL in 4.1).
+# Building it from public expressions shows the shape: the SMALL side is
+# folded into an m-bit bloom bit-array (k=2 xxhash64 probes) with ONE tiny
+# aggregation, scalar-broadcast to the BIG side's scan, and the scan-side
+# membership test discards non-joining rows BEFORE the join shuffle. The
+# final equi-join is still exact — bloom false positives are dropped there
+# — so the result is identical to the plain join (the oracle proves it).
+#
+# At 100 TB: the big side ships `match_fraction + fpp` of its rows into
+# the join exchange instead of 100%. The bloom build costs one pass over
+# the small side plus an O(m/64)-row aggregate; no driver collect — the
+# bit-array never leaves the JVM (one-row crossJoin broadcast, the same
+# scalar-broadcast pattern the audit allows for subquery scalars).
+
+BLOOM_BITS = 1 << 16  # 65536 bits / 1024 words; fpp ≈ (1-e^(-2n/m))², n≈3k → <1%
+_BLOOM_WORDS = BLOOM_BITS // 64
+_SEED2 = 0x9E3779B9  # second probe: xxhash64(key, golden-ratio salt)
+
+
+def _bloom_bits(key: str) -> list[str]:
+    """The two probe bit positions for `key` (SQL expr strings)."""
+    return [
+        f"pmod(xxhash64({key}), {BLOOM_BITS})",
+        f"pmod(xxhash64({key}, {_SEED2}), {BLOOM_BITS})",
+    ]
+
+
+def bloom_build(small: DataFrame, key: str) -> DataFrame:
+    """1-row DataFrame {bf: array<bigint>[_BLOOM_WORDS]} — the bloom
+    bit-array of `small[key]`, built entirely JVM-side: explode the two
+    probe positions, OR per 64-bit word, densify via a map lookup."""
+    probes = ", ".join(_bloom_bits(key))
+    words = (
+        small.select(F.expr(f"explode(array({probes}))").alias("bit"))
+        .select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("m"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("mp")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {_BLOOM_WORDS - 1}),"
+            " i -> coalesce(try_element_at(mp, i), CAST(0 AS BIGINT)))"
+        ).alias("bf")
+    )
+
+
+def bloom_filter(big: DataFrame, bf_row: DataFrame, key: str) -> DataFrame:
+    """`big` rows passing the bloom membership test on `key` (may contain
+    false positives — follow with the exact join)."""
+    out = big.crossJoin(F.broadcast(bf_row))
+    for h in _bloom_bits(key):
+        out = out.filter(
+            F.expr(
+                f"(try_element_at(bf, CAST(({h}) / 64 AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(({h}) % 64 AS INT))) != 0"
+            )
+        )
+    return out.drop("bf")
+
+
+@query(
+    "q_bloom_join",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           {osum('o.o_totalprice', 2)} AS revenue,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE' AND c.c_acctbal > 7500
+    GROUP BY 1
+    """,
+    tags=("join:bloom", "runtime-filter"),
+)
+def q_bloom_join(spark, sf_dir) -> DataFrame:
+    """Orders of high-balance AUTOMOBILE customers: the selective customer
+    subset (~4% of custkeys) becomes a bloom filter applied inside the
+    orders scan stage, so ~96% of orders never reach the join exchange;
+    the exact join then removes bloom false positives. Identical answer
+    to the plain join (oracle), ~25× less join-shuffle input at scale."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 7500))
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    pre = bloom_filter(orders, bloom_build(cust, "c_custkey"), "o_custkey")
+    return (
+        pre.join(cust, pre.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )

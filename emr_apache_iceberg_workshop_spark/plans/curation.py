@@ -439,3 +439,89 @@ def c_pack_sequences(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source frequency capping — the "no single domain dominates the
+# corpus" rule every web-scale training set applies (cap documents per
+# domain/source before mixing).
+#
+# The naive plan is ROW_NUMBER() OVER (PARTITION BY source ORDER BY hash)
+# ≤ cap — correct, but at 100 TB a viral domain's entire document set
+# lands on ONE window reducer (windows are exempt from AQE skew
+# splitting). This implementation computes the IDENTICAL kept-set
+# distributively:
+#   1. bucket each doc by `h % B` (B=1024 hash buckets);
+#   2. per-(source, bucket) histogram (map-side-combinable groupBy — the
+#      skew-safe aggregation shape) + tiny per-source cumulative sum
+#      (#sources × B rows);
+#   3. keep buckets whose cumulative count stays under the cap outright,
+#      drop buckets past it, and ROW_NUMBER only inside each surviving
+#      bucket (≤ n_source/B rows per window partition — bounded).
+# The kept set equals rank ≤ cap under the lexicographic order
+# (h % B, h, doc_id) — which is what the single-window oracle ranks by —
+# and since h is a uniform hash, bucket-major order is just as unbiased
+# as h-major order.
+
+SOURCE_CAP = 18
+_CAP_BUCKETS = 1024
+
+
+@query(
+    "c_source_cap",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, n_chars, doc_id,
+             {_hash_expr('doc_id')} AS h,
+             {_hash_expr('doc_id')} % {_CAP_BUCKETS} AS bkt
+      FROM documents),
+    r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY bkt, h, doc_id) AS rn
+      FROM d)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE rn <= {SOURCE_CAP}) AS n_kept,
+           CAST(SUM(n_chars) FILTER (WHERE rn <= {SOURCE_CAP}) AS BIGINT) AS kept_chars
+    FROM r GROUP BY source
+    """,
+    tags=("curation:cap", "skew-safe"),
+)
+def c_source_cap(spark, sf_dir) -> DataFrame:
+    """Cap each source at SOURCE_CAP docs (deterministic hash-order
+    selection), skew-safely: histogram + cumulative bucket cutoff, then
+    windows only inside surviving ≤ n/B-row buckets."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        f"{_hash_expr('doc_id')} AS h",
+        f"{_hash_expr('doc_id')} % {_CAP_BUCKETS} AS bkt",
+    )
+    hist = docs.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # buckets with `before >= cap` are fully past the cutoff — dropped
+    # BEFORE their rows are ever shuffled or windowed
+    bounds = (
+        hist.withColumn("before", F.coalesce(F.sum("c").over(wcum), F.lit(0)))
+        .filter(F.col("before") < SOURCE_CAP)
+        .select("source", "bkt", "before")
+    )
+    wb = Window.partitionBy("source", "bkt").orderBy("h", "doc_id")
+    kept = (
+        docs.join(bounds, ["source", "bkt"])
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("before") + F.col("rn") <= SOURCE_CAP)
+    )
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    ks = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+    return tot.join(ks, "source")

@@ -585,3 +585,79 @@ def d_embedding_neardup(spark, sf_dir) -> DataFrame:
         .filter(F.col("cosine") > 0.4)
         .select("vec_a", "vec_b", "cosine", (F.col("label_a") == F.col("label_b")).alias("same_label"))
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring (token-span) dedup — the "dedup at the span level, not
+# the document level" operator from Lee et al., *Deduplicating Training
+# Data Makes Language Models Better* (ACL 2022). Document-level dedup
+# misses boilerplate shared INSIDE otherwise-distinct pages; span-level
+# finds every K-token window that occurs more than once in the corpus.
+#
+# The suffix-array construction in the paper is single-machine; the
+# Spark-native equivalent is the rolling-window hash index: one md5 per
+# K-token window (stride 1), one groupBy on the window hash to find
+# windows with count > 1, one join back to attribute duplicated spans to
+# documents. All shuffles are on the high-cardinality window hash —
+# skew-free, linear in corpus size, no pairwise term anywhere.
+
+SPAN_K = 15  # window length in tokens (the paper uses 50 BPE tokens)
+
+_SPANS_S = f"""
+  CASE WHEN size({TOKS_S}) >= {SPAN_K} THEN
+    transform(sequence(1, size({TOKS_S}) - {SPAN_K - 1}),
+      i -> md5(array_join(slice({TOKS_S}, i, {SPAN_K}), ' ')))
+  ELSE array() END
+""".strip()
+
+_SPANS_D = f"""
+  CASE WHEN len({TOKS_D}) >= {SPAN_K} THEN
+    list_transform(generate_series(1, len({TOKS_D}) - {SPAN_K - 1}),
+      i -> md5(array_to_string({TOKS_D}[i:i + {SPAN_K - 1}], ' ')))
+  ELSE CAST([] AS VARCHAR[]) END
+""".strip()
+
+
+@query(
+    "d_span_dup",
+    oracle=f"""
+    WITH arr AS (SELECT doc_id, {_SPANS_D} AS w FROM documents),
+    spans AS (SELECT doc_id, unnest(w) AS wh FROM arr),
+    c AS (SELECT wh FROM spans GROUP BY wh HAVING COUNT(*) > 1),
+    pd AS (SELECT doc_id, COUNT(*) AS n_dup
+           FROM spans JOIN c USING (wh) GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(len(a.w) AS BIGINT) AS n_spans,
+           CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_spans
+    FROM arr a LEFT JOIN pd USING (doc_id)
+    WHERE len(a.w) > 0
+    """,
+    tags=("dedup:span", "exact-substring"),
+)
+def d_span_dup(spark, sf_dir) -> DataFrame:
+    """Per-document duplicated-span census: of each doc's K-token windows,
+    how many occur elsewhere in the corpus (or again in the same doc).
+    The window-hash arrays are materialized BEFORE the explode (the
+    explode-of-expensive-expression pitfall — see _jaccard_scored_pairs)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    arr = docs.selectExpr("doc_id", f"{_SPANS_S} AS w").localCheckpoint(eager=True)
+    spans = arr.select("doc_id", F.explode("w").alias("wh"))
+    dup_hashes = (
+        spans.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("wh")
+    )
+    per_doc = spans.join(dup_hashes, "wh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    return (
+        arr.select("doc_id", F.expr("CAST(size(w) AS BIGINT)").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        )
+    )

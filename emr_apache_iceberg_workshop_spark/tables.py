@@ -62,6 +62,7 @@ class Snapshot:
     active_deletes: list = field(default_factory=list)  # [{file, sid, keys}]
     files: list = field(default_factory=list)  # manifest: data files added here
     delete_file_stats: list = field(default_factory=list)  # manifest: delete files
+    parent_id: int | None = None  # lineage parent (None: root or legacy linear)
 
 
 def _entry_rel(e) -> str:
@@ -123,11 +124,63 @@ class SnapshotTable:
         return [Snapshot(**s) for s in self._load()["snapshots"]]
 
     def latest_snapshot_id(self) -> int | None:
-        snaps = self._load()["snapshots"]
-        return snaps[-1]["snapshot_id"] if snaps else None
+        head = self._head(self._load())
+        return head["snapshot_id"] if head else None
 
     def properties(self) -> dict:
         return self._load().get("properties", {})
+
+    # -- branch refs (Iceberg branch/WAP model) ----------------------------
+    # `meta["branches"]` maps ref name → snapshot id. The map is
+    # materialized lazily: a purely linear table omits it and `main` is
+    # implicitly the last snapshot (back-compat with pre-branch metadata
+    # and the committed fixtures). The first non-main write pins `main`
+    # explicitly, because from then on the snapshot LIST is no longer the
+    # main lineage — each snapshot carries `parent_id` and lineage is the
+    # parent chain (absent parent_id ⇒ dense linear history, parent=sid-1).
+
+    def _head(self, meta: dict, branch: str = "main") -> dict | None:
+        """Head snapshot entry of `branch`; None for an empty main."""
+        snaps = meta["snapshots"]
+        refs = meta.get("branches", {})
+        if branch not in refs:
+            if branch == "main":
+                return snaps[-1] if snaps else None
+            raise ValueError(f"unknown branch {branch!r}")
+        sid = refs[branch]
+        for s in snaps:
+            if s["snapshot_id"] == sid:
+                return s
+        raise ValueError(f"branch {branch!r} points at expired snapshot {sid}")
+
+    @staticmethod
+    def _advance(meta: dict, branch: str, sid: int, prev_main: int | None) -> None:
+        """Move `branch` to `sid` after appending that snapshot. Writing a
+        non-main branch pins `main` at its pre-commit head first (the list
+        tail stops being the main lineage at that moment)."""
+        if branch == "main" and "branches" not in meta:
+            return  # linear table: main stays implicit
+        refs = meta.setdefault("branches", {})
+        if branch != "main" and "main" not in refs and prev_main is not None:
+            refs["main"] = prev_main
+        refs[branch] = sid
+
+    @staticmethod
+    def _parent_id(s: dict) -> int | None:
+        sid = s["snapshot_id"]
+        return s.get("parent_id", sid - 1 if sid > 1 else None)
+
+    def _lineage(self, meta: dict, head_sid: int) -> list[dict]:
+        """Snapshot entries on the parent chain of `head_sid`, newest
+        first, stopping at the oldest retained ancestor."""
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        chain: list[dict] = []
+        cur: int | None = head_sid
+        while cur is not None and cur in by_id:
+            s = by_id[cur]
+            chain.append(s)
+            cur = self._parent_id(s)
+        return chain
 
     # -- DDL ---------------------------------------------------------------
     @classmethod
@@ -280,13 +333,28 @@ class SnapshotTable:
         walk(out, 0, {})
         return tuples
 
-    def write(self, df: DataFrame, mode: str = "append", operation: str | None = None) -> int:
-        """Append or overwrite; returns the new snapshot id."""
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        operation: str | None = None,
+        branch: str = "main",
+    ) -> int:
+        """Append or overwrite; returns the new snapshot id. `branch`
+        stages the commit on a named ref instead of `main` (Iceberg WAP:
+        `spark.wap.branch` writes land on the branch; `main` readers are
+        unaffected until `fast_forward` publishes it). Writing to a branch
+        that doesn't exist creates it from the current `main` head."""
         meta = self._load()
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         rel, parts, files = self._write_data_dir(df, meta, sid)
-        prev = snaps[-1] if snaps else None
+        main_head = self._head(meta)
+        prev_main = main_head["snapshot_id"] if main_head else None
+        try:
+            prev = self._head(meta, branch)
+        except ValueError:
+            prev = main_head  # auto-create the branch from main
         if mode == "append":
             active = (prev["active_dirs"] if prev else []) + [rel]
             # delete files keep applying to older dirs; appended rows carry
@@ -298,6 +366,7 @@ class SnapshotTable:
         snaps.append(
             {
                 "snapshot_id": sid,
+                "parent_id": prev["snapshot_id"] if prev else None,
                 "made_current_at": self._clock(),
                 "operation": operation or mode,
                 "dirs": [rel],
@@ -308,8 +377,78 @@ class SnapshotTable:
                 "summary": {},
             }
         )
+        self._advance(meta, branch, sid, prev_main)
         self._commit(meta)
         return sid
+
+    # -- branch lifecycle --------------------------------------------------
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Named MUTABLE ref (Iceberg `CREATE BRANCH`): starts at `main`'s
+        head (or an explicit snapshot) and advances independently via
+        `write(..., branch=name)`."""
+        meta = self._load()
+        if name == "main":
+            raise ValueError("main already exists")
+        refs = meta.get("branches", {})
+        if name in refs:
+            raise ValueError(f"branch {name} already exists")
+        if snapshot_id is None:
+            head = self._head(meta)
+            if head is None:
+                raise ValueError("cannot branch an empty table")
+            snapshot_id = head["snapshot_id"]
+        elif not any(s["snapshot_id"] == snapshot_id for s in meta["snapshots"]):
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        main_head = self._head(meta)
+        self._advance(
+            meta, name, snapshot_id, main_head["snapshot_id"] if main_head else None
+        )
+        self._commit(meta)
+        return snapshot_id
+
+    def branches(self) -> dict[str, int]:
+        """Every branch ref, `main` included (implicit-main resolved)."""
+        meta = self._load()
+        out = dict(meta.get("branches", {}))
+        if "main" not in out:
+            head = self._head(meta)
+            if head is not None:
+                out["main"] = head["snapshot_id"]
+        return out
+
+    def fast_forward(self, branch: str, to: str = "main") -> int:
+        """Publish step of write-audit-publish (Iceberg
+        `fast_forward('main', 'audit')`): move `to` up to `branch`'s head.
+        Requires `to`'s head to be an ancestor of `branch`'s head — a
+        fast-forward, never a merge."""
+        meta = self._load()
+        src = self._head(meta, branch)
+        dst = self._head(meta, to)
+        if src is None:
+            raise ValueError(f"branch {branch!r} is empty")
+        if dst is not None:
+            ancestors = {s["snapshot_id"] for s in self._lineage(meta, src["snapshot_id"])}
+            if dst["snapshot_id"] not in ancestors:
+                raise ValueError(
+                    f"{to!r} head {dst['snapshot_id']} is not an ancestor of "
+                    f"{branch!r} head {src['snapshot_id']} — not a fast-forward"
+                )
+        self._advance(
+            meta, to, src["snapshot_id"], dst["snapshot_id"] if dst else None
+        )
+        self._commit(meta)
+        return src["snapshot_id"]
+
+    def drop_branch(self, name: str) -> None:
+        """Remove a branch ref (its snapshots become expirable)."""
+        meta = self._load()
+        if name == "main":
+            raise ValueError("cannot drop main")
+        refs = meta.get("branches", {})
+        if name not in refs:
+            raise ValueError(f"unknown branch {name!r}")
+        del refs[name]
+        self._commit(meta)
 
     # -- schema evolution (Iceberg `ALTER TABLE ... ADD/DROP COLUMN`) ------
     def evolve_schema(
@@ -341,19 +480,21 @@ class SnapshotTable:
         new_ddl = T.StructType(fields).simpleString()[len("struct<") : -1]
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-        prev_active = snaps[-1]["active_dirs"] if snaps else []
+        prev = self._head(meta)
         snaps.append(
             {
                 "snapshot_id": sid,
+                "parent_id": prev["snapshot_id"] if prev else None,
                 "made_current_at": self._clock(),
                 "operation": "evolve-schema",
                 "dirs": [],
-                "active_dirs": prev_active,
-                "active_deletes": list(snaps[-1].get("active_deletes", [])) if snaps else [],
+                "active_dirs": prev["active_dirs"] if prev else [],
+                "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
                 "summary": {"schema": new_ddl, "prev_schema": meta["schema"]},
             }
         )
         meta["schema"] = new_ddl
+        self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid
 
@@ -440,36 +581,47 @@ class SnapshotTable:
             df = self._apply_deletes(df, deletes)
         return df
 
-    def scan(self) -> DataFrame:
+    def scan(self, branch: str = "main") -> DataFrame:
         """Full current-state scan (S5): active dirs minus exclusion masks,
-        minus MOR delete keys."""
-        snaps = self._load()["snapshots"]
-        if not snaps:
+        minus MOR delete keys. `branch` reads a staged ref's state
+        (Iceberg `VERSION AS OF 'branch'` / branch_<name> read)."""
+        head = self._head(self._load(), branch)
+        if head is None:
             return self.spark.createDataFrame([], self.schema())
-        return self._scan_snapshot(snaps[-1], self.schema())
+        return self._scan_snapshot(head, self.schema())
 
     def scan_incremental(self, start_snapshot_id: int | None, end_snapshot_id: int) -> DataFrame:
         """Rows appended in (start, end] — Iceberg incremental-read semantics
         (`bronze-silver.py:146-149`): appends only; raises on overwrite in
         range, as Iceberg does."""
         lo = start_snapshot_id or 0
+        meta = self._load()
+        # walk the PARENT CHAIN from the end snapshot, not the raw list:
+        # with branches, ids interleave across lineages and an id-range
+        # filter would leak sibling-branch commits into the read
+        chain = self._lineage(meta, end_snapshot_id)
+        if not chain or chain[0]["snapshot_id"] != end_snapshot_id:
+            raise ValueError(f"unknown snapshot {end_snapshot_id}")
         rels: list[str] = []
-        seen = 0
-        for s in self._load()["snapshots"]:
-            if lo < s["snapshot_id"] <= end_snapshot_id:
-                seen += 1
-                if not s["dirs"] and s["operation"] == "evolve-schema":
-                    continue  # metadata-only commit: nothing to read
-                if s["operation"] not in ("append", "create"):
-                    raise ValueError(
-                        f"incremental read over non-append snapshot "
-                        f"{s['snapshot_id']} ({s['operation']})"
-                    )
-                rels += s["dirs"]
-        # snapshot ids are dense: a shorter-than-range walk means part of
-        # the range was expired — raise instead of silently skipping rows
-        # (Iceberg errors on incremental reads over expired snapshots)
-        if seen < end_snapshot_id - lo:
+        reached_lo = lo == 0 and self._parent_id(chain[-1]) is None
+        for s in chain:
+            if s["snapshot_id"] <= lo:
+                reached_lo = True
+                break
+            if not s["dirs"] and s["operation"] == "evolve-schema":
+                continue  # metadata-only commit: nothing to read
+            if s["operation"] not in ("append", "create"):
+                raise ValueError(
+                    f"incremental read over non-append snapshot "
+                    f"{s['snapshot_id']} ({s['operation']})"
+                )
+            rels += s["dirs"]
+        # a chain that ends before reaching `lo` (or, for lo=0, before the
+        # root) crossed an expired ancestor — raise instead of silently
+        # skipping rows (Iceberg errors on reads over expired snapshots)
+        if not reached_lo and not (
+            lo == 0 and self._parent_id(chain[-1]) is None
+        ):
             raise ValueError(
                 f"incremental range ({lo}, {end_snapshot_id}] spans expired snapshots"
             )
@@ -494,17 +646,24 @@ class SnapshotTable:
         record which rows changed (same contract as the incremental
         scan's append-only rule)."""
         lo = start_snapshot_id or 0
+        meta = self._load()
         schema = self.schema()
         cols = [f.name for f in schema.fields]
         frames: list[DataFrame] = []
-        seen = 0
+        # parent-chain walk (ascending), like scan_incremental: with
+        # branches, sibling-lineage ids interleave in the global id space
+        chain = self._lineage(meta, end_snapshot_id)
+        if not chain or chain[0]["snapshot_id"] != end_snapshot_id:
+            raise ValueError(f"unknown snapshot {end_snapshot_id}")
+        chain.reverse()  # oldest → newest
+        reached_lo = lo == 0 and self._parent_id(chain[0]) is None
         prev_snap: dict | None = None
-        for s in self._load()["snapshots"]:
+        for s in chain:
             sid = s["snapshot_id"]
-            if not (lo < sid <= end_snapshot_id):
+            if sid <= lo:
+                reached_lo = True
                 prev_snap = s
                 continue
-            seen += 1
             op = s["operation"]
             if op in ("evolve-schema", "compact"):
                 prev_snap = s
@@ -577,7 +736,7 @@ class SnapshotTable:
                 )
             )
             prev_snap = s
-        if seen < end_snapshot_id - lo:
+        if not reached_lo:
             raise ValueError(
                 f"changelog range ({lo}, {end_snapshot_id}] spans expired snapshots"
             )
@@ -598,11 +757,24 @@ class SnapshotTable:
     def history(self) -> DataFrame:
         """Metadata table (S7, `<table>.history`): snapshot_id,
         made_current_at (TIMESTAMP, like Iceberg's), operation, and
-        is_current_ancestor — queried with ORDER BY made_current_at DESC
-        LIMIT 1 in the reference (`bronze-silver.py:133-134`)."""
+        is_current_ancestor (False for snapshots on unpublished branches)
+        — queried with ORDER BY made_current_at DESC LIMIT 1 in the
+        reference (`bronze-silver.py:133-134`)."""
+        meta = self._load()
+        head = self._head(meta)
+        ancestors = (
+            {s["snapshot_id"] for s in self._lineage(meta, head["snapshot_id"])}
+            if head
+            else set()
+        )
         rows = [
-            (s["snapshot_id"], float(s["made_current_at"]), s["operation"], True)
-            for s in self._load()["snapshots"]
+            (
+                s["snapshot_id"],
+                float(s["made_current_at"]),
+                s["operation"],
+                s["snapshot_id"] in ancestors,
+            )
+            for s in meta["snapshots"]
         ]
         return self.spark.createDataFrame(
             rows,
@@ -667,7 +839,7 @@ class SnapshotTable:
         if not snaps:
             return self.spark.createDataFrame([], schema)
         by_sid = {s["snapshot_id"]: s for s in snaps}
-        last = snaps[-1]
+        last = self._head(meta)
 
         def part_repr(part: dict) -> str:
             return "/".join(
@@ -805,7 +977,7 @@ class SnapshotTable:
             os.path.join(self.root, drel)
         )
         dfiles = self._file_stats(drel)
-        prev = snaps[-1] if snaps else None
+        prev = self._head(meta)
         active = (prev["active_dirs"] if prev else []) + [rel]
         active_deletes = (list(prev.get("active_deletes", [])) if prev else []) + [
             {"file": drel, "sid": sid, "keys": list(keys)}
@@ -813,6 +985,7 @@ class SnapshotTable:
         snaps.append(
             {
                 "snapshot_id": sid,
+                "parent_id": prev["snapshot_id"] if prev else None,
                 "made_current_at": self._clock(),
                 "operation": "merge",
                 "dirs": [rel],
@@ -825,6 +998,7 @@ class SnapshotTable:
                 "summary": {"mode": "merge-on-read"},
             }
         )
+        self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid
 
@@ -857,11 +1031,12 @@ class SnapshotTable:
         ]
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-        prev = snaps[-1] if snaps else None
+        prev = self._head(meta)
         if not parts:  # empty batch: metadata-only no-op merge commit
             snaps.append(
                 {
                     "snapshot_id": sid,
+                    "parent_id": prev["snapshot_id"] if prev else None,
                     "made_current_at": self._clock(),
                     "operation": "merge",
                     "dirs": [],
@@ -871,6 +1046,7 @@ class SnapshotTable:
                     "summary": {"mode": "copy-on-write", "scoped_partitions": 0},
                 }
             )
+            self._advance(meta, "main", sid, None)
             self._commit(meta)
             return sid
         match = self._partition_match_expr(parts)
@@ -897,6 +1073,7 @@ class SnapshotTable:
         snaps.append(
             {
                 "snapshot_id": sid,
+                "parent_id": prev["snapshot_id"] if prev else None,
                 "made_current_at": self._clock(),
                 "operation": "merge",
                 "dirs": [rel],
@@ -907,6 +1084,7 @@ class SnapshotTable:
                 "summary": {"mode": "copy-on-write", "scoped_partitions": len(parts)},
             }
         )
+        self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid
 
@@ -941,10 +1119,11 @@ class SnapshotTable:
             target.filter(pred).select(*keys).distinct().write.mode("overwrite").parquet(
                 os.path.join(self.root, drel)
             )
-            prev = snaps[-1] if snaps else None
+            prev = self._head(meta)
             snaps.append(
                 {
                     "snapshot_id": sid,
+                    "parent_id": prev["snapshot_id"] if prev else None,
                     "made_current_at": self._clock(),
                     "operation": "delete",
                     "dirs": [],
@@ -958,6 +1137,7 @@ class SnapshotTable:
                     "summary": {"mode": "merge-on-read", "predicate": predicate},
                 }
             )
+            self._advance(meta, "main", sid, None)
             self._commit(meta)
             return sid
         survivors = lambda sub: sub.filter(~F.coalesce(pred, F.lit(False)))  # noqa: E731
@@ -1015,10 +1195,11 @@ class SnapshotTable:
             new_rows.select(*keys).distinct().write.mode("overwrite").parquet(
                 os.path.join(self.root, drel)
             )
-            prev = snaps[-1] if snaps else None
+            prev = self._head(meta)
             snaps.append(
                 {
                     "snapshot_id": sid,
+                    "parent_id": prev["snapshot_id"] if prev else None,
                     "made_current_at": self._clock(),
                     "operation": "merge",  # MOR upsert commit shape (delete+insert)
                     "dirs": [rel],
@@ -1032,6 +1213,7 @@ class SnapshotTable:
                     "summary": {"mode": "merge-on-read", "predicate": predicate},
                 }
             )
+            self._advance(meta, "main", sid, None)
             self._commit(meta)
             return sid
         return self._cow_rewrite_where(
@@ -1059,11 +1241,12 @@ class SnapshotTable:
         ]
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-        prev = snaps[-1] if snaps else None
+        prev = self._head(meta)
         if not parts:  # nothing matches: metadata-only no-op commit
             snaps.append(
                 {
                     "snapshot_id": sid,
+                    "parent_id": prev["snapshot_id"] if prev else None,
                     "made_current_at": self._clock(),
                     "operation": operation,
                     "dirs": [],
@@ -1073,6 +1256,7 @@ class SnapshotTable:
                     "summary": dict(summary, scoped_partitions=0),
                 }
             )
+            self._advance(meta, "main", sid, None)
             self._commit(meta)
             return sid
         sub = target.filter(self._partition_match_expr(parts))
@@ -1091,6 +1275,7 @@ class SnapshotTable:
         snaps.append(
             {
                 "snapshot_id": sid,
+                "parent_id": prev["snapshot_id"] if prev else None,
                 "made_current_at": self._clock(),
                 "operation": operation,
                 "dirs": [rel],
@@ -1101,6 +1286,7 @@ class SnapshotTable:
                 "summary": dict(summary, scoped_partitions=len(parts)),
             }
         )
+        self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid
 
@@ -1120,7 +1306,7 @@ class SnapshotTable:
         current snapshot. Tagged snapshots survive `expire_snapshots`
         consumers that resolve by name (`scan_at('audit-2024')`)."""
         meta = self._load()
-        sid = snapshot_id if snapshot_id is not None else meta["snapshots"][-1]["snapshot_id"]
+        sid = snapshot_id if snapshot_id is not None else self._head(meta)["snapshot_id"]
         if not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
             raise ValueError(f"unknown snapshot {sid}")
         tags = meta.setdefault("tags", {})
@@ -1135,13 +1321,20 @@ class SnapshotTable:
 
     def refs_table(self) -> DataFrame:
         """Metadata table (`<table>.refs` analogue): every named ref —
-        the `main` branch at the current snapshot plus one row per tag
-        (Iceberg lists branches and tags the same way)."""
+        each branch (`main` first) plus one row per tag (Iceberg lists
+        branches and tags the same way)."""
         meta = self._load()
-        snaps = meta["snapshots"]
-        rows = []
-        if snaps:
-            rows.append(("main", "branch", snaps[-1]["snapshot_id"]))
+        branches = dict(meta.get("branches", {}))
+        if "main" not in branches:
+            head = self._head(meta)
+            if head is not None:
+                branches["main"] = head["snapshot_id"]
+        rows = [
+            (name, "branch", sid)
+            for name, sid in sorted(
+                branches.items(), key=lambda kv: (kv[0] != "main", kv[0])
+            )
+        ]
         rows += [
             (name, "tag", sid) for name, sid in sorted(meta.get("tags", {}).items())
         ]
@@ -1150,14 +1343,19 @@ class SnapshotTable:
         )
 
     def scan_at(self, ref: int | str) -> DataFrame:
-        """Time-travel read: table state AS OF a snapshot id or tag name
-        (Iceberg `VERSION AS OF` accepts both), with the schema, exclusion
-        masks, and delete files as of that snapshot."""
+        """Time-travel read: table state AS OF a snapshot id, tag, or
+        branch name (Iceberg `VERSION AS OF` accepts all three), with the
+        schema, exclusion masks, and delete files as of that snapshot."""
         if isinstance(ref, str):
-            tags = self._load().get("tags", {})
-            if ref not in tags:
-                raise ValueError(f"unknown tag {ref!r}")
-            ref = tags[ref]
+            meta = self._load()
+            tags = meta.get("tags", {})
+            branches = meta.get("branches", {})
+            if ref in tags:
+                ref = tags[ref]
+            elif ref in branches:
+                ref = branches[ref]
+            else:
+                raise ValueError(f"unknown ref {ref!r}")
         for s in self._load()["snapshots"]:
             if s["snapshot_id"] == ref:
                 return self._scan_snapshot(s, self.schema_at(ref))
@@ -1192,7 +1390,7 @@ class SnapshotTable:
             return []
         by_sid = {s["snapshot_id"]: s for s in snaps}
         out = []
-        for e in snaps[-1]["active_dirs"]:
+        for e in self._head(meta)["active_dirs"]:
             rel, excl = _entry_rel(e), _entry_excl(e)
             ws = by_sid[_dir_sid(rel)]
             for f in ws.get("files", []):
@@ -1226,7 +1424,8 @@ class SnapshotTable:
         by_dir: dict[str, list[str]] = {}
         for rel, f in kept:
             by_dir.setdefault(rel, []).append(os.path.join(self.root, f["path"]))
-        deletes = self._load()["snapshots"][-1].get("active_deletes", []) if kept else []
+        head = self._head(self._load())
+        deletes = head.get("active_deletes", []) if (kept and head) else []
         if not by_dir:
             return self.spark.createDataFrame([], schema)
         dfs = []
@@ -1260,7 +1459,10 @@ class SnapshotTable:
             return []
         # tagged snapshots are protected refs (Iceberg: expire retains
         # snapshots reachable from any branch/tag)
+        # tags AND branch heads are protected refs (Iceberg: expire
+        # retains snapshots reachable from any branch/tag)
         protected = set(meta.get("tags", {}).values())
+        protected |= set(meta.get("branches", {}).values())
         tail = {s["snapshot_id"] for s in snaps[-keep_last:]}
         keep = [s for s in snaps if s["snapshot_id"] in tail | protected]
         drop = [s for s in snaps if s["snapshot_id"] not in tail | protected]

@@ -678,3 +678,66 @@ def test_update_where_mor_equality_deletes(spark, tmp_path):
     }
     t.compact(target_partitions=1)
     assert {(r.id, r.qty) for r in t.scan().collect()} == {(1, 10), (2, 21), (3, 31)}
+
+
+def test_wap_branch_write_audit_publish(spark, tmp_path):
+    """Write-audit-publish (Iceberg branch workflow): staged writes are
+    invisible on main until fast_forward publishes them."""
+    t = SnapshotTable.create(spark, str(tmp_path / "wap"), "id bigint, v string")
+    df = lambda rows: spark.createDataFrame(rows, "id bigint, v string")  # noqa: E731
+    t.write(df([(1, "a"), (2, "b")]))
+
+    # WRITE: stage a batch on the audit branch (auto-created from main)
+    sid = t.write(df([(3, "c")]), branch="audit")
+    assert t.scan().count() == 2  # main unaffected
+    assert t.scan(branch="audit").count() == 3
+    assert t.scan_at("audit").count() == 3  # branch name resolves in time travel
+    assert t.branches() == {"main": 1, "audit": sid}
+
+    # AUDIT: more staged commits accumulate on the branch only
+    t.write(df([(4, "d")]), branch="audit")
+    assert t.scan().count() == 2
+    assert t.scan(branch="audit").count() == 4
+
+    # main history stops at the published head; branch commits are
+    # not current ancestors
+    anc = {r["snapshot_id"]: r["is_current_ancestor"] for r in t.history().collect()}
+    assert anc == {1: True, 2: False, 3: False}
+
+    # PUBLISH: fast-forward main to the audited head
+    head = t.fast_forward("audit")
+    assert t.scan().count() == 4
+    assert t.branches()["main"] == head
+    refs = {r["ref_name"]: r["ref_type"] for r in t.refs_table().collect()}
+    assert refs == {"main": "branch", "audit": "branch"}
+
+    # incremental over the published lineage sees the staged rows
+    assert {r["id"] for r in t.scan_incremental(1, head).collect()} == {3, 4}
+    t.drop_branch("audit")
+    assert "audit" not in t.branches()
+
+
+def test_branch_divergence_rejected_and_lineage_isolated(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "div"), "id bigint, v string")
+    df = lambda rows: spark.createDataFrame(rows, "id bigint, v string")  # noqa: E731
+    t.write(df([(1, "a")]))
+    t.write(df([(2, "b")]), branch="exp")  # sid 2, on exp
+    t.write(df([(3, "c")]))  # sid 3, on main — lineages diverge
+
+    # main incremental must NOT leak the branch commit (ids interleave)
+    assert {r["id"] for r in t.scan_incremental(1, 3).collect()} == {3}
+    ch = t.changes(1, 3).collect()
+    assert {r["id"] for r in ch} == {3}
+
+    # diverged → fast_forward refuses (main head not an ancestor of exp)
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("exp")
+
+    # branch heads survive expiration
+    t.write(df([(4, "d")]))
+    expired = t.expire_snapshots(keep_last=1)
+    assert 2 not in expired
+    assert t.scan(branch="exp").count() == 2
+
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.scan(branch="nope")
