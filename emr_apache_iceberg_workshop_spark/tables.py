@@ -498,6 +498,47 @@ class SnapshotTable:
         self._commit(meta)
         return sid
 
+    # -- partition-spec evolution (Iceberg `ALTER TABLE ... ADD/DROP
+    # PARTITION FIELD`) ----------------------------------------------------
+    def evolve_partition_spec(self, partition_by: list[str]) -> int:
+        """Change the partition layout for FUTURE writes as a
+        METADATA-ONLY commit — no data rewrite, exactly like Iceberg spec
+        evolution. Old snapshot dirs keep their layout: every dir is read
+        with its own basePath, so partition columns resolve per-dir
+        regardless of spec, and partition-scoped COW masks remain
+        row-correct on old-layout dirs (the exclusion predicate compares
+        column VALUES — it simply isn't prune-accelerated there). Each
+        data dir's spec is whatever `partition_by` said when it was
+        written; `partitions_table` reports the mixed layouts as distinct
+        partition strings, like Iceberg's partitions table across specs."""
+        meta = self._load()
+        cols = {f.name for f in T.StructType.fromDDL(meta["schema"]).fields}
+        for c in partition_by:
+            if c not in cols:
+                raise ValueError(f"unknown partition column {c}")
+        snaps = meta["snapshots"]
+        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        prev = self._head(meta)
+        snaps.append(
+            {
+                "snapshot_id": sid,
+                "parent_id": prev["snapshot_id"] if prev else None,
+                "made_current_at": self._clock(),
+                "operation": "evolve-partition",
+                "dirs": [],
+                "active_dirs": prev["active_dirs"] if prev else [],
+                "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
+                "summary": {
+                    "partition_by": list(partition_by),
+                    "prev_partition_by": meta["partition_by"],
+                },
+            }
+        )
+        meta["partition_by"] = list(partition_by)
+        self._advance(meta, "main", sid, None)
+        self._commit(meta)
+        return sid
+
     # -- reads -------------------------------------------------------------
     @staticmethod
     def _partition_match_expr(tuples: list):
@@ -608,7 +649,7 @@ class SnapshotTable:
             if s["snapshot_id"] <= lo:
                 reached_lo = True
                 break
-            if not s["dirs"] and s["operation"] == "evolve-schema":
+            if not s["dirs"] and s["operation"] in ("evolve-schema", "evolve-partition"):
                 continue  # metadata-only commit: nothing to read
             if s["operation"] not in ("append", "create"):
                 raise ValueError(
@@ -665,7 +706,7 @@ class SnapshotTable:
                 prev_snap = s
                 continue
             op = s["operation"]
-            if op in ("evolve-schema", "compact"):
+            if op in ("evolve-schema", "evolve-partition", "compact"):
                 prev_snap = s
                 continue  # metadata-only / physical-layout-only commits
             if op in ("append", "create"):
@@ -1362,18 +1403,61 @@ class SnapshotTable:
         raise ValueError(f"unknown snapshot {ref}")
 
     def compact(
-        self, target_partitions: int | None = None, sort_by: list[str] | None = None
+        self,
+        target_partitions: int | None = None,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Rewrite the current state into fewer, larger files (Iceberg
         `rewrite_data_files`). With `sort_by`, files are RANGE-CLUSTERED on
-        those columns (Iceberg's sort-order rewrite / 1-D z-order): each
-        output file covers a disjoint value range, so the manifest's
-        min/max bounds become tight and `scan_pruned` can skip whole files.
-        Commits a `compact` snapshot; readers at old snapshots still see
-        the old files until expiration."""
+        those columns (Iceberg's sort-order rewrite): each output file
+        covers a disjoint value range, so the manifest's min/max bounds
+        become tight and `scan_pruned` can skip whole files — on the
+        LEADING sort column only. With `zorder_by` (2-4 numeric columns),
+        files are clustered on the Z-ORDER CURVE instead (Iceberg's
+        `rewrite_data_files(strategy => 'sort', sort_order => zorder(...))`)
+        : each column is min/max-scaled to 16 bits and the bits
+        interleaved, so EVERY z-column gets usefully tight per-file bounds
+        — multi-dimensional pruning, where a linear sort helps only its
+        first column. The min/max pre-pass is one 1-row aggregate,
+        scalar-broadcast back; the clustering itself is the same
+        range-repartition any sorted rewrite pays. Commits a `compact`
+        snapshot; readers at old snapshots still see the old files until
+        expiration."""
         df = self.scan()
         n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
-        if sort_by:
+        if zorder_by:
+            if sort_by:
+                raise ValueError("sort_by and zorder_by are exclusive")
+            if not 2 <= len(zorder_by) <= 4:
+                raise ValueError("zorder_by takes 2-4 columns")
+            k = len(zorder_by)
+            stats = df.agg(
+                *[F.min(c).cast("double").alias(f"__lo_{c}") for c in zorder_by],
+                *[F.max(c).cast("double").alias(f"__hi_{c}") for c in zorder_by],
+            )
+            # 16-bit min/max scaling per column (nulls sort first as 0),
+            # then bit interleave: bit i of column j → z bit i*k + j
+            interleaves = []
+            for j, c in enumerate(zorder_by):
+                norm = (
+                    f"CAST(coalesce(least(65535.0, greatest(0.0,"
+                    f" (CAST({c} AS DOUBLE) - __lo_{c})"
+                    f" / nullif(__hi_{c} - __lo_{c}, 0.0) * 65535.0)), 0.0) AS BIGINT)"
+                )
+                interleaves.append(
+                    f"aggregate(sequence(0, 15), CAST(0 AS BIGINT),"
+                    f" (acc, i) -> acc + shiftleft({norm} >> i & 1, i * {k} + {j}))"
+                )
+            zexpr = " + ".join(interleaves)
+            squashed = (
+                df.crossJoin(F.broadcast(stats))
+                .withColumn("__z", F.expr(zexpr))
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z", *[f"__lo_{c}" for c in zorder_by], *[f"__hi_{c}" for c in zorder_by])
+            )
+        elif sort_by:
             squashed = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
         else:
             squashed = df.coalesce(n)
