@@ -590,3 +590,129 @@ def q_meta_dml(spark, sf_dir) -> DataFrame:
     DML sequence must equal the constant expected relation."""
     t = _dml_table(spark)
     return t.scan().select("id", "category", "qty")
+
+
+# --------------------------------------------------------------------------
+WAP_ROOT = os.path.join(_REPO_ROOT, "fixtures", "wap_demo")
+_WAP_META = os.path.join(WAP_ROOT, "_meta.json")
+
+
+def _wap_table(spark):
+    """Deterministic write-audit-publish fixture, frozen MID-FLIGHT:
+    2 rows appended to main (sid 1), then 2 + 1 rows staged on an `audit`
+    branch (sids 2, 3) that is NOT yet published — main still reads the
+    pre-branch state. Exercises branch refs, lineage isolation, and
+    per-branch scans (Iceberg `spark.wap.branch` workflow)."""
+    from ..tables import SnapshotTable
+
+    import json as _json
+
+    try:
+        with open(_WAP_META) as f:
+            doc = _json.load(f)
+        if doc.get("branches") == {"main": 1, "audit": 3}:
+            return SnapshotTable(spark, WAP_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(WAP_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, WAP_ROOT, ddl, clock=lambda: 1_700_000_000.0 + 60.0 * next(counter)
+    )
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+    t.write(mk([(1, "a"), (2, "b")]))
+    t.write(mk([(3, "c"), (4, "d")]), branch="audit")
+    t.write(mk([(5, "e")]), branch="audit")
+    return t
+
+
+@query(
+    "q_meta_wap",
+    # oracle: branch refs come straight from the committed _meta.json;
+    # the fixture's row counts are deterministic constants
+    oracle=f"""
+    WITH m AS (SELECT branches FROM read_json_auto('{_WAP_META}'))
+    SELECT 'main' AS ref_name, CAST(m.branches.main AS BIGINT) AS snapshot_id,
+           CAST(2 AS BIGINT) AS n_rows
+    FROM m
+    UNION ALL
+    SELECT 'audit', CAST(m.branches.audit AS BIGINT), 5 FROM m
+    """,
+    tags=("meta:wap", "tablemeta", "branch"),
+)
+def q_meta_wap(spark, sf_dir) -> DataFrame:
+    """Unpublished-branch isolation: `main` still counts 2 rows while the
+    staged `audit` branch counts 5; ref snapshot ids cross-checked against
+    the committed metadata."""
+    t = _wap_table(spark)
+    refs = t.refs_table().filter(F.col("ref_type") == "branch").select(
+        "ref_name", "snapshot_id"
+    )
+    counts = [
+        (name, t.scan(branch=name).count()) for name in ("main", "audit")
+    ]
+    cdf = t.spark.createDataFrame(counts, "ref_name string, n_rows long")
+    return refs.join(cdf, "ref_name")
+
+
+# --------------------------------------------------------------------------
+SPEC_ROOT = os.path.join(_REPO_ROOT, "fixtures", "spec_demo")
+_SPEC_META = os.path.join(SPEC_ROOT, "_meta.json")
+
+
+def _spec_table(spark):
+    """Deterministic partition-spec-evolution fixture: 4 rows written
+    under `partition_by=[part]`, spec evolved to `[category]`
+    (metadata-only), 4 more rows written under the new spec — the live
+    files mix two physical layouts."""
+    from ..tables import SnapshotTable
+
+    import json as _json
+
+    try:
+        with open(_SPEC_META) as f:
+            doc = _json.load(f)
+        ops = [s["operation"] for s in doc["snapshots"]]
+        if ops == ["append", "evolve-partition", "append"]:
+            return SnapshotTable(spark, SPEC_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(SPEC_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, category string, part string"
+    t = SnapshotTable.create(
+        spark, SPEC_ROOT, ddl, partition_by=["part"],
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+    t.write(mk([(1, "a", "x"), (2, "a", "y"), (3, "b", "x"), (4, "b", "y")]))
+    t.evolve_partition_spec(["category"])
+    t.write(mk([(5, "a", "x"), (6, "b", "y"), (7, "b", "x"), (8, "b", "y")]))
+    return t
+
+
+@query(
+    "q_meta_evolution",
+    # live files span both specs: the first commit's files are keyed by
+    # `part`, the post-evolution commit's by `category` — read straight
+    # from the committed manifest, like Iceberg's partitions table
+    # reporting rows per (spec, partition)
+    oracle=f"""
+    WITH m AS (SELECT snapshots FROM read_json_auto('{_SPEC_META}')),
+         s AS (SELECT unnest(snapshots) AS snap FROM m),
+         f AS (SELECT unnest(snap.files) AS fl FROM s)
+    SELECT CASE WHEN fl."partition".part IS NOT NULL
+                THEN 'part=' || fl."partition".part
+                ELSE 'category=' || fl."partition".category END AS part,
+           CAST(SUM(fl."rows") AS BIGINT) AS record_count
+    FROM f
+    GROUP BY 1
+    """,
+    tags=("meta:evolution", "tablemeta", "spec"),
+)
+def q_meta_evolution(spark, sf_dir) -> DataFrame:
+    """`.partitions` across a partition-spec change: old-layout and
+    new-layout partitions coexist, each with correct record counts."""
+    t = _spec_table(spark)
+    return t.partitions_table().select("part", "record_count")
