@@ -439,6 +439,27 @@ class SnapshotTable:
         self._commit(meta)
         return src["snapshot_id"]
 
+    def rollback_to_snapshot(self, snapshot_id: int) -> int:
+        """Move `main` back to an ancestor snapshot (Iceberg
+        `rollback_to_snapshot`): metadata-only; later snapshots stay
+        retained (and expirable) but leave the current lineage — the next
+        write forks from the rollback point."""
+        meta = self._load()
+        head = self._head(meta)
+        if head is None:
+            raise ValueError("empty table")
+        ancestors = {s["snapshot_id"] for s in self._lineage(meta, head["snapshot_id"])}
+        if snapshot_id not in ancestors:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of main head "
+                f"{head['snapshot_id']}"
+            )
+        self._advance(meta, "main", snapshot_id, None)
+        if "branches" not in meta:
+            meta["branches"] = {"main": snapshot_id}
+        self._commit(meta)
+        return snapshot_id
+
     def drop_branch(self, name: str) -> None:
         """Remove a branch ref (its snapshots become expirable)."""
         meta = self._load()

@@ -819,3 +819,27 @@ def test_zorder_compaction_prunes_on_both_columns(spark, tmp_path):
         t.compact(zorder_by=["a"])
     with pytest.raises(ValueError):
         t.compact(sort_by=["a"], zorder_by=["a", "b"])
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "rb"), "id bigint, v string")
+    df = lambda rows: spark.createDataFrame(rows, "id bigint, v string")  # noqa: E731
+    t.write(df([(1, "a")]))
+    t.write(df([(2, "b")]))
+    t.write(df([(3, "c")]))
+    assert t.scan().count() == 3
+
+    t.rollback_to_snapshot(2)
+    assert {r["id"] for r in t.scan().collect()} == {1, 2}
+    assert t.latest_snapshot_id() == 2
+    # snapshot 3 left the lineage but is still time-travelable
+    assert t.scan_at(3).count() == 3
+    anc = {r["snapshot_id"]: r["is_current_ancestor"] for r in t.history().collect()}
+    assert anc == {1: True, 2: True, 3: False}
+
+    # next write forks from the rollback point
+    t.write(df([(4, "d")]))
+    assert {r["id"] for r in t.scan().collect()} == {1, 2, 4}
+
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.rollback_to_snapshot(3)
