@@ -431,6 +431,7 @@ def _snapshot_files(meta: dict, snap: dict) -> list[dict] | None:
     if snap.get("active_deletes"):
         return None
     by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    spec_cols = set(meta["partition_by"])
     out: list[dict] = []
     for e in snap["active_dirs"]:
         rel = e if isinstance(e, str) else e["dir"]
@@ -439,6 +440,11 @@ def _snapshot_files(meta: dict, snap: dict) -> list[dict] | None:
         for f in ws.get("files", []):
             if f["partition"] in excl:
                 continue
+            if set(f["partition"]) != spec_cols:
+                # file written under an earlier partition spec: this
+                # emission writes a single (current) spec, and declaring
+                # the file under it would fabricate null partition values
+                return None
             out.append(f)
     return out
 
@@ -454,17 +460,20 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
     equality deletes are not representable in v1 — `compact()` folds
     them first."""
     meta = table._load()
-    snaps = meta["snapshots"]
-    if not snaps:
+    head = table._head(meta)
+    if head is None:
         raise ValueError("empty table: commit a snapshot before emitting metadata")
-    if snaps[-1].get("active_deletes"):
+    if head.get("active_deletes"):
         raise ValueError(
             "active merge-on-read equality deletes are not representable in "
             "Iceberg v1 metadata — run compact() first to fold them into data files"
         )
+    # emit the MAIN lineage only (ascending): staged-branch snapshots are
+    # not part of the published history external engines should see
+    snaps = list(reversed(table._lineage(meta, head["snapshot_id"])))
     root = os.path.abspath(table.root)
-    sid = snaps[-1]["snapshot_id"]
-    ts_ms = int(float(snaps[-1]["made_current_at"]) * 1000)
+    sid = head["snapshot_id"]
+    ts_ms = int(float(head["made_current_at"]) * 1000)
 
     schema_json, ids = iceberg_schema(table.schema())
     part_cols = meta["partition_by"]
@@ -491,7 +500,13 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
         s_id = snap["snapshot_id"]
         files = _snapshot_files(meta, snap)
         if files is None:
-            continue  # mid-history MOR state: no v1 representation
+            if snap["snapshot_id"] == sid:
+                raise ValueError(
+                    "current snapshot mixes partition-spec layouts — this "
+                    "emission declares a single spec; run compact() to "
+                    "rewrite the live files under the current spec first"
+                )
+            continue  # mid-history MOR / mixed-spec state: no v1 representation
         s_ts = int(float(snap["made_current_at"]) * 1000)
         entries = []
         total_rows = 0

@@ -283,3 +283,36 @@ def test_multi_snapshot_metadata_time_travel(spark, tmp_path):
     paths = sorted(f["file_path"] for f in read_data_files(md2))
     rows = con.execute("SELECT id, v FROM read_parquet(?) ORDER BY id", [paths]).fetchall()
     assert rows == [(1, "a"), (2, "b2")]
+
+
+def test_emission_covers_main_lineage_only_and_refuses_mixed_spec(spark, tmp_path):
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import write_iceberg_metadata
+    import json, pytest
+
+    ddl = "id bigint, category string"
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+
+    # staged-branch snapshots stay out of the published metadata
+    t = SnapshotTable.create(spark, str(tmp_path / "b"), ddl)
+    t.write(mk([(1, "a")]))
+    t.write(mk([(2, "b")]), branch="audit")  # unpublished
+    p = write_iceberg_metadata(t)
+    doc = json.load(open(p))
+    assert [s["snapshot-id"] for s in doc["snapshots"]] == [1]
+    assert doc["current-snapshot-id"] == 1
+
+    # a mixed-spec live state refuses; compact() makes it representable
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "s"), ddl + ", part string", partition_by=["part"]
+    )
+    mk2 = lambda rows: spark.createDataFrame(rows, ddl + ", part string").coalesce(1)  # noqa: E731
+    t2.write(mk2([(1, "a", "x")]))
+    t2.evolve_partition_spec(["category"])
+    t2.write(mk2([(2, "b", "y")]))
+    with pytest.raises(ValueError, match="mixes partition-spec"):
+        write_iceberg_metadata(t2)
+    t2.compact(target_partitions=1)
+    p2 = write_iceberg_metadata(t2)
+    doc2 = json.load(open(p2))
+    assert doc2["current-snapshot-id"] == t2.latest_snapshot_id()

@@ -44,6 +44,10 @@ SCALAR_BROADCAST_OK = {
     # round-4: unigram-LM scorer joins every token row against the 1-row
     # (total tokens, vocab size) aggregate — same scalar-broadcast shape
     "t_unigram_logprob",
+    # round-5: the bloom bit-array is a 1-row O(m/64)-word aggregate
+    # crossJoin-broadcast into the big side's scan stage — the runtime-
+    # filter shape; the membership predicate itself is scan-side codegen
+    "q_bloom_join",
 }
 
 # ---------------------------------------------------------------------------
