@@ -554,7 +554,7 @@ def _dml_table(spark):
     try:
         with open(os.path.join(DML_ROOT, "_meta.json")) as f:
             ops = [s["operation"] for s in _json.load(f)["snapshots"]]
-        if ops == ["create", "append", "delete", "update"]:
+        if ops == ["append", "delete", "update"]:
             return SnapshotTable(spark, DML_ROOT)
     except Exception:
         pass

@@ -72,6 +72,12 @@ BROADCAST_HINT_ALLOWED = {
     "plans/textops.py": {
         "tot",  # 1-row scalar aggregate (total token count + vocab size)
     },
+    "plans/bucketed.py": {
+        "bf_row",  # 1-row bloom bit-array (O(BLOOM_BITS/64) words, corpus-size-free)
+    },
+    "tables.py": {
+        "stats",  # 1-row per-column min/max aggregate (z-order scaling)
+    },
 }
 
 
