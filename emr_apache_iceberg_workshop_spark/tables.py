@@ -148,6 +148,12 @@ class SnapshotTable:
                 return snaps[-1] if snaps else None
             raise ValueError(f"unknown branch {branch!r}")
         sid = refs[branch]
+        if sid is None:
+            # main pinned at "no snapshot" (a branch was written before
+            # main's first commit)
+            if branch == "main":
+                return None
+            raise ValueError(f"branch {branch!r} points at no snapshot")
         for s in snaps:
             if s["snapshot_id"] == sid:
                 return s
@@ -161,7 +167,10 @@ class SnapshotTable:
         if branch == "main" and "branches" not in meta:
             return  # linear table: main stays implicit
         refs = meta.setdefault("branches", {})
-        if branch != "main" and "main" not in refs and prev_main is not None:
+        if branch != "main" and "main" not in refs:
+            # pin main at its pre-commit head — possibly None (branch
+            # written before main's first commit): once the snapshot list
+            # holds branch commits, implicit main is no longer derivable
             refs["main"] = prev_main
         refs[branch] = sid
 

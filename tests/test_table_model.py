@@ -1,0 +1,126 @@
+"""Randomized model-based test of the snapshot table layer.
+
+A seeded random sequence of table operations (append / overwrite /
+MOR merge / row-level delete / compact / partition-spec evolution /
+branch write / fast-forward publish) runs against BOTH the real
+`SnapshotTable` and a trivial pure-Python model of the expected row
+multiset. After every operation the real `scan()` must equal the model;
+at the end, time travel must reproduce each recorded intermediate state,
+and expiration must not disturb the current state.
+
+This is the state-machine complement to the example-based tests: it
+exercises operation INTERLEAVINGS (merge after overwrite after branch
+write after spec evolution ...) no hand-written test enumerates.
+"""
+
+from __future__ import annotations
+
+import random
+
+from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+DDL = "id bigint, v string, part string"
+
+
+def _rows(rng, n, id_hi=30):
+    return [
+        (rng.randrange(id_hi), rng.choice("abcde"), rng.choice(["x", "y", "z"]))
+        for _ in range(n)
+    ]
+
+
+def _multiset(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def _scan_rows(df):
+    return _multiset((r["id"], r["v"], r["part"]) for r in df.collect())
+
+
+def _run_model(spark, tmp_path, seed: int, steps: int = 18):
+    rng = random.Random(seed)
+    t = SnapshotTable.create(
+        spark,
+        str(tmp_path / f"m{seed}"),
+        DDL,
+        partition_by=["part"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    df = lambda rows: spark.createDataFrame(rows, DDL)  # noqa: E731
+
+    main: list[tuple] = []
+    branch: list[tuple] | None = None  # state of branch "b" when it exists
+    states: dict[int, list[tuple]] = {}  # main-lineage sid -> expected rows
+
+    def commit_main(sid):
+        states[sid] = list(main)
+
+    for _step in range(steps):
+        op = rng.choice(
+            ["append", "append", "merge", "overwrite", "delete", "compact",
+             "evolve", "branch_write", "publish"]
+        )
+        if op == "append":
+            rows = _rows(rng, rng.randrange(1, 5))
+            main = main + rows
+            commit_main(t.write(df(rows)))
+        elif op == "overwrite":
+            rows = _rows(rng, rng.randrange(1, 4))
+            main = list(rows)
+            commit_main(t.write(df(rows), mode="overwrite"))
+        elif op == "merge":
+            # unique ids per batch (MERGE cardinality rule)
+            batch = {r[0]: r for r in _rows(rng, rng.randrange(1, 5))}
+            rows = list(batch.values())
+            main = [r for r in main if r[0] not in batch] + rows
+            commit_main(t.merge(df(rows), keys=["id"]))
+        elif op == "delete":
+            lo = rng.randrange(0, 30)
+            main = [r for r in main if not (lo <= r[0] < lo + 6)]
+            commit_main(t.delete_where(f"id >= {lo} AND id < {lo + 6}"))
+        elif op == "compact":
+            commit_main(t.compact(target_partitions=2))
+        elif op == "evolve":
+            commit_main(t.evolve_partition_spec(rng.choice([["part"], ["v"]])))
+        elif op == "branch_write":
+            rows = _rows(rng, rng.randrange(1, 4))
+            if branch is None:
+                branch = list(main)  # auto-created from main
+            t.write(df(rows), branch="b")
+            branch += rows
+        elif op == "publish":
+            if branch is None:
+                continue
+            try:
+                t.fast_forward("b")
+            except ValueError:
+                continue  # diverged — refusal is the correct behavior
+            # publish succeeded: branch state IS the new main state, and
+            # the publish commit belongs to the main lineage now
+            main = list(branch)
+            states[t.latest_snapshot_id()] = list(main)
+
+        assert _scan_rows(t.scan()) == _multiset(main), f"seed={seed} after {op}"
+        if branch is not None:
+            assert _scan_rows(t.scan(branch="b")) == _multiset(branch)
+
+    # time travel reproduces every recorded main-lineage state that is
+    # still on the current lineage (overwrite/publish may have forked)
+    meta = t._load()
+    lineage = {s["snapshot_id"] for s in t._lineage(meta, t.latest_snapshot_id())}
+    checked = 0
+    for sid in sorted(set(states) & lineage):
+        assert _scan_rows(t.scan_at(sid)) == _multiset(states[sid]), (
+            f"seed={seed} time travel to {sid}"
+        )
+        checked += 1
+    assert checked >= 2  # the walk actually exercised history
+
+    # expiration keeps the current state intact
+    t.expire_snapshots(keep_last=2)
+    assert _scan_rows(t.scan()) == _multiset(main)
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    for seed in (7, 23):
+        _run_model(spark, tmp_path, seed)

@@ -843,3 +843,16 @@ def test_rollback_to_snapshot(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not an ancestor"):
         t.rollback_to_snapshot(3)
+
+
+def test_branch_write_on_empty_table_keeps_main_empty(spark, tmp_path):
+    """Regression: a branch write BEFORE main's first commit must pin
+    main at 'no snapshot' — implicit main would otherwise resolve to the
+    branch head (found by the randomized model test)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "eb"), "id bigint, v string")
+    t.write(spark.createDataFrame([(1, "a")], "id bigint, v string"), branch="b")
+    assert t.scan().count() == 0
+    assert t.latest_snapshot_id() is None
+    assert t.scan(branch="b").count() == 1
+    t.fast_forward("b")
+    assert t.scan().count() == 1
