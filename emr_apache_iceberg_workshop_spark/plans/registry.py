@@ -101,7 +101,8 @@ _PREFIX_ORDER = [
     # shape/provenance only — locally re-verified hash-identical.
     # r06 window should LEAD with the round-5-new names the r05 window
     # could not hold: q_avro_roundtrip, q_meta_dml, q_bloom_join,
-    # c_source_cap, d_span_dup, q_meta_wap, q_meta_evolution (all new,
+    # c_source_cap, d_span_dup, q_meta_wap, q_meta_evolution,
+    # q_meta_rollback (all new,
     # driver-unchecked), q_stream_event_windows/q_stream_dedup if they
     # miss r05, then q_meta_snapshots/q_meta_history (slots yielded this
     # round), then the 49 names checked in r04.

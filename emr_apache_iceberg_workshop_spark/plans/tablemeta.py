@@ -716,3 +716,59 @@ def q_meta_evolution(spark, sf_dir) -> DataFrame:
     new-layout partitions coexist, each with correct record counts."""
     t = _spec_table(spark)
     return t.partitions_table().select("part", "record_count")
+
+
+# --------------------------------------------------------------------------
+RB_ROOT = os.path.join(_REPO_ROOT, "fixtures", "rollback_demo")
+_RB_META = os.path.join(RB_ROOT, "_meta.json")
+
+
+def _rb_table(spark):
+    """Deterministic rollback fixture: append {1,2} (sid 1), append {3}
+    (sid 2), rollback to sid 1, append {4} (sid 3 forking from sid 1).
+    Final main = {1,2,4}; sid 2 is retained but off-lineage."""
+    from ..tables import SnapshotTable
+
+    import json as _json
+
+    try:
+        with open(_RB_META) as f:
+            doc = _json.load(f)
+        if doc.get("branches", {}).get("main") == 3 and len(doc["snapshots"]) == 3:
+            return SnapshotTable(spark, RB_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(RB_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, RB_ROOT, ddl, clock=lambda: 1_700_000_000.0 + 60.0 * next(counter)
+    )
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+    t.write(mk([(1, "a"), (2, "b")]))
+    t.write(mk([(3, "c")]))
+    t.rollback_to_snapshot(1)
+    t.write(mk([(4, "d")]))
+    return t
+
+
+@query(
+    "q_meta_rollback",
+    # the fixture's history is a deterministic constant (like q_meta_dml);
+    # the load-bearing fact is sid 2 retained but off-lineage after the
+    # rollback, while sid 3 forked from sid 1
+    oracle="""
+    SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'append', true),
+                          (2, 'append', false),
+                          (3, 'append', true))
+    AS t(snapshot_id, operation, is_current_ancestor)
+    """,
+    tags=("meta:rollback", "tablemeta"),
+    bench=True,
+)
+def q_meta_rollback(spark, sf_dir) -> DataFrame:
+    """History after a rollback: the rolled-past snapshot is retained but
+    no longer a current ancestor; the post-rollback write forks from the
+    rollback point."""
+    t = _rb_table(spark)
+    return t.history().select("snapshot_id", "operation", "is_current_ancestor")
