@@ -11,7 +11,12 @@ injected commit clocks) rebuilt from literals on first use per process:
 - `fixtures/iceberg_demo` — append-only partitioned table with native
   Iceberg v1 metadata emitted (the external-reader chain query);
 - `fixtures/dml_demo` — append → row-level DELETE → row-level UPDATE
-  (copy-on-write partition-scoped DML).
+  (copy-on-write partition-scoped DML);
+- `fixtures/wap_demo` — write-audit-publish frozen mid-flight (staged
+  `audit` branch, unpublished);
+- `fixtures/spec_demo` — partition-spec evolution with live mixed
+  layouts;
+- `fixtures/rollback_demo` — rollback past a retained snapshot + fork.
 The DuckDB oracle reads the SAME `_meta.json` the engine commits — the
 cross-engine-agreement idea the reference applies to table data
 (`read_iceberg_duckdb.py:22-44`), applied to table METADATA.
@@ -649,11 +654,11 @@ def q_meta_wap(spark, sf_dir) -> DataFrame:
     refs = t.refs_table().filter(F.col("ref_type") == "branch").select(
         "ref_name", "snapshot_id"
     )
-    counts = [
-        (name, t.scan(branch=name).count()) for name in ("main", "audit")
-    ]
-    cdf = t.spark.createDataFrame(counts, "ref_name string, n_rows long")
-    return refs.join(cdf, "ref_name")
+    labeled = t.scan().select(F.lit("main").alias("ref_name")).unionByName(
+        t.scan(branch="audit").select(F.lit("audit").alias("ref_name"))
+    )
+    counts = labeled.groupBy("ref_name").agg(F.count(F.lit(1)).alias("n_rows"))
+    return refs.join(counts, "ref_name")
 
 
 # --------------------------------------------------------------------------
