@@ -144,3 +144,143 @@ def q_stream_dedup(spark, sf_dir) -> DataFrame:
         "user_id",
         "event_type",
     )
+
+
+# --------------------------------------------------------------------------
+# Stateful sessionization executed AS A STREAM — the applyInPandasWithState
+# custom operator under the driver's oracle gate.
+
+_SES_GAP_US = 30 * 60 * 1_000_000  # 30-minute gap, microseconds
+_SES_OUT = "user_id long, session_no long, n_events long, start_us long, end_us long"
+_SES_STATE = "n_events long, start_us long, last_us long, session_no long"
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _sessionize_us_fn(key, pdfs, state):
+    """Gap-sessionization over exact int64 microseconds (the seconds-double
+    variant in streaming/jobs.py is fine for its pytest twin, but the
+    driver's bit-exact oracle comparison demands integer gap arithmetic —
+    no float rounding at the 30-minute boundary). Emits CLOSED sessions;
+    the open tail stays in state."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        n_events, start_us, last_us, session_no = state.get
+    else:
+        n_events, start_us, last_us, session_no = 0, None, None, 0
+    all_us = pd.concat([pdf["us"] for pdf in pdfs], ignore_index=True)
+    out = []
+    for us in sorted(all_us.astype("int64")):
+        us = int(us)
+        if last_us is not None and us - last_us > _SES_GAP_US:
+            out.append((user_id, session_no, n_events, start_us, last_us))
+            session_no += 1
+            n_events, start_us = 0, us
+        elif start_us is None:
+            start_us = us
+            if session_no == 0:
+                session_no = 1  # 1-based like the batch cumulative sum
+        n_events += 1
+        last_us = us
+    state.update((n_events, start_us, last_us, session_no))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_no", "n_events", "start_us", "end_us"]
+        )
+
+
+_ses_dir_cache: dict[str, str] = {}
+
+
+def _sessionize_stream_dir(spark, sf_dir: str) -> str:
+    """Staged stream source: events.parquet (symlink) PLUS one sentinel
+    event per user at max(ts)+2h. The sentinel closes every user's real
+    last session (applyInPandasWithState emits only closed sessions and
+    NoTimeout never flushes the open tail); the sentinel's own one-event
+    session stays open and unemitted, so the sink holds EXACTLY the batch
+    sessionization's rows."""
+    import os
+
+    key = os.path.abspath(sf_dir)
+    d = _ses_dir_cache.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix="eiws_sess_src_")
+    os.symlink(os.path.join(key, "events.parquet"), os.path.join(d, "events.parquet"))
+    from ..catalog import load_table
+
+    ev = load_table(spark, key, "events")
+    sentinels = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).selectExpr(
+        "CAST(-user_id AS BIGINT) AS event_id",
+        "timestampadd(HOUR, 2, mx) AS ts",
+        "user_id",
+        "CAST('__sentinel' AS STRING) AS event_type",
+        "CAST(0.0 AS DOUBLE) AS value",
+    )
+    sentinels.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "sentinels"))
+    # the file source walks subdirs only with globs; flatten the sentinel
+    # file up into the source dir instead
+    sub = os.path.join(d, "sentinels")
+    part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+    os.replace(os.path.join(sub, part), os.path.join(d, "sentinels.parquet"))
+    import shutil as _shutil
+
+    _shutil.rmtree(sub, ignore_errors=True)
+    _ses_dir_cache[key] = d
+    return d
+
+
+@query(
+    "q_stream_sessionize",
+    # batch twin: the same gap-sessionization q_sessionization states
+    # (sentinels excluded by construction — they never close)
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts), '{TS_FMT_DUCK}') AS session_end
+    FROM sess GROUP BY user_id, session_no
+    """,
+    tags=("streaming:stateful", "sessionization"),
+)
+def q_stream_sessionize(spark, sf_dir) -> DataFrame:
+    """applyInPandasWithState gap-sessionization executed AS A STREAM
+    (AvailableNow → memory sink): per-user 30-minute-gap sessions, exact
+    int64-µs arithmetic, tz-independent NTZ-epoch timestamps — must equal
+    the batch window-function sessionization over the same events."""
+    src = _sessionize_stream_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    prepped = stream.selectExpr(
+        "user_id", f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts) AS us"
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sessions = prepped.groupBy("user_id").applyInPandasWithState(
+        _sessionize_us_fn,
+        outputStructType=_SES_OUT,
+        stateStructType=_SES_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(sessions, spark, "append", "stream_sess")
+    ntz = lambda c: f"timestampadd(MICROSECOND, {c}, {_EPOCH_NTZ})"  # noqa: E731
+    return out.selectExpr(
+        "user_id",
+        "session_no",
+        "n_events",
+        f"date_format({ntz('start_us')}, '{TS_FMT_SPARK}') AS session_start",
+        f"date_format({ntz('end_us')}, '{TS_FMT_SPARK}') AS session_end",
+    )
