@@ -145,19 +145,19 @@ _BLOOM_WORDS = BLOOM_BITS // 64
 _SEED2 = 0x9E3779B9  # second probe: xxhash64(key, golden-ratio salt)
 
 
-def _bloom_bits(key: str) -> list[str]:
+def _bloom_bits(key: str, bits: int = BLOOM_BITS) -> list[str]:
     """The two probe bit positions for `key` (SQL expr strings)."""
     return [
-        f"pmod(xxhash64({key}), {BLOOM_BITS})",
-        f"pmod(xxhash64({key}, {_SEED2}), {BLOOM_BITS})",
+        f"pmod(xxhash64({key}), {bits})",
+        f"pmod(xxhash64({key}, {_SEED2}), {bits})",
     ]
 
 
-def bloom_build(small: DataFrame, key: str) -> DataFrame:
+def bloom_build(small: DataFrame, key: str, bits: int = BLOOM_BITS) -> DataFrame:
     """1-row DataFrame {bf: array<bigint>[_BLOOM_WORDS]} — the bloom
     bit-array of `small[key]`, built entirely JVM-side: explode the two
     probe positions, OR per 64-bit word, densify via a map lookup."""
-    probes = ", ".join(_bloom_bits(key))
+    probes = ", ".join(_bloom_bits(key, bits))
     words = (
         small.select(F.expr(f"explode(array({probes}))").alias("bit"))
         .select(
@@ -171,17 +171,19 @@ def bloom_build(small: DataFrame, key: str) -> DataFrame:
         F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("mp")
     ).select(
         F.expr(
-            f"transform(sequence(0, {_BLOOM_WORDS - 1}),"
+            f"transform(sequence(0, {bits // 64 - 1}),"
             " i -> coalesce(try_element_at(mp, i), CAST(0 AS BIGINT)))"
         ).alias("bf")
     )
 
 
-def bloom_filter(big: DataFrame, bf_row: DataFrame, key: str) -> DataFrame:
+def bloom_filter(
+    big: DataFrame, bf_row: DataFrame, key: str, bits: int = BLOOM_BITS
+) -> DataFrame:
     """`big` rows passing the bloom membership test on `key` (may contain
     false positives — follow with the exact join)."""
     out = big.crossJoin(F.broadcast(bf_row))
-    for h in _bloom_bits(key):
+    for h in _bloom_bits(key, bits):
         out = out.filter(
             F.expr(
                 f"(try_element_at(bf, CAST(({h}) / 64 AS INT) + 1)"

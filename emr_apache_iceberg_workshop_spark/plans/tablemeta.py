@@ -777,3 +777,40 @@ def q_meta_rollback(spark, sf_dir) -> DataFrame:
     rollback point."""
     t = _rb_table(spark)
     return t.history().select("snapshot_id", "operation", "is_current_ancestor")
+
+
+@query(
+    "q_meta_manifests",
+    # per-snapshot manifest stats straight from the committed _meta.json;
+    # file counts are layout-stable here (fixture writes coalesce(1))
+    oracle=f"""
+    WITH m AS (SELECT snapshots FROM read_json_auto('{_DEMO_META}')),
+         s AS (SELECT unnest(snapshots) AS snap FROM m)
+    SELECT CAST(snap.snapshot_id AS BIGINT) AS snapshot_id,
+           snap.operation AS operation,
+           CAST(coalesce(len(snap.files), 0) AS INT) AS added_data_files,
+           CAST(coalesce(len(snap.delete_file_stats), 0) AS INT) AS added_delete_files,
+           CAST(coalesce(list_sum(list_transform(snap.files, f -> f."rows")), 0)
+                AS BIGINT) AS added_rows,
+           CAST(coalesce(list_sum(list_transform(snap.delete_file_stats, f -> f."rows")), 0)
+                AS BIGINT) AS added_delete_rows,
+           array_to_string(list_sort(list_distinct(list_transform(
+               snap.files, f -> 'category=' || coalesce(f."partition".category, 'null')))),
+               ',') AS partitions
+    FROM s
+    """,
+    tags=("meta:manifests", "tablemeta"),
+)
+def q_meta_manifests(spark, sf_dir) -> DataFrame:
+    """`.manifests` over the demo table: per-commit added data/delete file
+    counts, added row totals, and the touched partition set."""
+    t = _demo_table(spark)
+    return t.manifests_table().select(
+        "snapshot_id",
+        "operation",
+        "added_data_files",
+        "added_delete_files",
+        "added_rows",
+        "added_delete_rows",
+        F.concat_ws(",", F.col("partition_summary")).alias("partitions"),
+    )

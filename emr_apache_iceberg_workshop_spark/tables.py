@@ -980,6 +980,41 @@ class SnapshotTable:
             " record_count long, file_bytes long",
         )
 
+    def manifests_table(self) -> DataFrame:
+        """Metadata table (`<table>.manifests` analogue): one row per
+        snapshot's write manifest — added data/delete file counts, added
+        rows, and the partition set the commit touched."""
+        rows = []
+        for s in self._load()["snapshots"]:
+            files = s.get("files", [])
+            dels = s.get("delete_file_stats", [])
+            parts = sorted(
+                {
+                    "/".join(
+                        f"{c}={'null' if v is None else v}"
+                        for c, v in f["partition"].items()
+                    )
+                    for f in files
+                }
+            )
+            rows.append(
+                (
+                    s["snapshot_id"],
+                    s["operation"],
+                    len(files),
+                    len(dels),
+                    sum(f["rows"] for f in files),
+                    sum(f["rows"] for f in dels),
+                    parts,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, operation string, added_data_files int,"
+            " added_delete_files int, added_rows long, added_delete_rows long,"
+            " partition_summary array<string>",
+        )
+
     # -- merge (J1) --------------------------------------------------------
     def merge(
         self,

@@ -277,3 +277,45 @@ def test_avro_codec_roundtrip_all_types(spark):
     av = spark_struct_to_avro_schema(schema)
     by = {f["name"]: f["type"] for f in av["fields"]}
     assert by["l"] == "long" and by["i"] == ["null", "int"]
+
+
+def test_bloom_filter_false_positives_dropped_by_exact_join(spark):
+    """A deliberately under-sized bloom (64 bits for 40 keys) passes false
+    positives; the exact join must still produce exactly the plain-join
+    answer — the bloom is a pre-filter, never a correctness device."""
+    from emr_apache_iceberg_workshop_spark.plans.bucketed import (
+        bloom_build,
+        bloom_filter,
+    )
+
+    small = spark.range(0, 40).selectExpr("id AS k")
+    big = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v")
+    bf = bloom_build(small, "k", bits=64)
+    pre = bloom_filter(big, bf, "k", bits=64)
+    n_pre = pre.count()
+    assert n_pre > 40  # the tiny filter really does admit false positives
+    joined = pre.join(small, "k")
+    got = sorted(r["k"] for r in joined.collect())
+    assert got == list(range(40))  # exact join drops every false positive
+
+    # properly-sized filter: no false negatives either
+    bf2 = bloom_build(small, "k", bits=1 << 16)
+    pre2 = bloom_filter(big, bf2, "k", bits=1 << 16)
+    assert sorted(r["k"] for r in pre2.join(small, "k").collect()) == list(range(40))
+
+
+def test_manifests_table(spark, tmp_path):
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "mf"), "id bigint, part string", partition_by=["part"]
+    )
+    df = lambda rows: spark.createDataFrame(rows, "id bigint, part string")  # noqa: E731
+    t.write(df([(1, "x"), (2, "y")]).coalesce(1))
+    t.write(df([(3, "x")]).coalesce(1))
+    rows = {r["snapshot_id"]: r for r in t.manifests_table().collect()}
+    assert rows[1]["added_data_files"] == 2  # one file per partition
+    assert rows[1]["added_rows"] == 2
+    assert rows[1]["partition_summary"] == ["part=x", "part=y"]
+    assert rows[2]["added_data_files"] == 1
+    assert rows[2]["partition_summary"] == ["part=x"]
