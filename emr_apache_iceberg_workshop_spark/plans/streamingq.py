@@ -284,3 +284,48 @@ def q_stream_sessionize(spark, sf_dir) -> DataFrame:
         f"date_format({ntz('start_us')}, '{TS_FMT_SPARK}') AS session_start",
         f"date_format({ntz('end_us')}, '{TS_FMT_SPARK}') AS session_end",
     )
+
+
+@query(
+    "q_stream_join",
+    # batch twin: plain interval self-join over the same events
+    oracle=f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming:stream-stream-join", "interval-join"),
+)
+def q_stream_join(spark, sf_dir) -> DataFrame:
+    """Watermarked stream-stream interval join executed AS A STREAM
+    (click→purchase attribution within 1 hour, both sides watermarked so
+    state is bounded): AvailableNow over one file = one microbatch, so no
+    state eviction can precede the data and the sink must hold exactly
+    the batch interval join's rows."""
+    from ..streaming.jobs import stream_stream_attribution
+
+    src = _events_stream_dir(sf_dir)
+    ev = lambda: spark.readStream.schema(EVENTS_DDL).parquet(src)  # noqa: E731
+    joined = stream_stream_attribution(
+        ev().filter(F.col("event_type") == "click"),
+        ev().filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        watermark="2 hours",
+    )
+    out = _run_to_memory(joined, spark, "append", "stream_join")
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("purchase_ts", TS_FMT_SPARK).alias("purchase_ts"),
+        "purchase_value",
+    )
