@@ -104,8 +104,9 @@ _PREFIX_ORDER = [
     # c_source_cap, d_span_dup, q_meta_wap, q_meta_evolution,
     # q_meta_rollback (all new,
     # driver-unchecked), q_stream_event_windows/q_stream_dedup if they
-    # miss r05, plus q_stream_sessionize and q_stream_join (stateful /
-    # stream-stream streaming under the oracle gate) and q_meta_manifests,
+    # miss r05, plus q_stream_sessionize / q_stream_join / q_stream_cdc
+    # (stateful, stream-stream, and end-to-end-CDC streaming under the
+    # oracle gate) and q_meta_manifests,
     # then q_meta_snapshots/q_meta_history (slots yielded this
     # round), then the 49 names checked in r04.
     "t_unigram_logprob",

@@ -329,3 +329,87 @@ def q_stream_join(spark, sf_dir) -> DataFrame:
         F.date_format("purchase_ts", TS_FMT_SPARK).alias("purchase_ts"),
         "purchase_value",
     )
+
+
+# --------------------------------------------------------------------------
+# The reference's CORE workload end-to-end under the oracle gate: CDC files
+# → streaming dedup+MERGE → silver table state (raw-bronze + bronze-silver
+# collapsed into the Structured Streaming upgrade, reference
+# `bronze-silver.py:249-285`).
+
+_CDC_HEADER = (
+    "Op\treplicadmstimestamp\tinvoiceid\titemid\tcategory\tprice\tquantity"
+    "\torderdate\tdestinationstate\tshippingtype\treferral"
+)
+# the reference's deterministic demo rows (datagen/raw-datagen.py:88-98,
+# datagen/updates_iceberg.py:89-96): 5 inserts, then 2 updates that mutate
+# category with a '####' suffix on keys (40994,67) and (83597,37)
+_CDC_BATCH1 = [
+    "I\t2024-02-16 15:30:41.041474\t24137\t34\tdegree\t53.51\t1\t2023-03-29\tSC\t3-Day\tbook",
+    "I\t2024-08-20 17:16:03.213831\t15587\t59\tbit\t40.94\t5\t2022-07-16\tPW\t3-Day\tmanagement",
+    "I\t2024-10-28 20:02:37.424182\t42918\t69\tschool\t27.23\t3\t2024-04-29\tCT\t2-Day\ttrouble",
+    "I\t2024-06-27 14:36:25.103244\t40994\t67\tmarket\t92.02\t1\t2021-05-21\tVI\t2-Day\tothers",
+    "I\t2024-02-01 19:52:59.444793\t83597\t37\tlanguage\t97.07\t3\t2021-09-10\tSC\tStandard\tplay",
+]
+_CDC_BATCH2 = [
+    "U\t2024-11-01 10:00:00.000000\t40994\t67\tmarket####\t92.02\t1\t2021-05-21\tVI\t2-Day\tothers",
+    "U\t2024-11-01 10:00:01.000000\t83597\t37\tlanguage####\t97.07\t3\t2021-09-10\tSC\tStandard\tplay",
+]
+
+_cdc_cache: dict[int, tuple[str, str, str]] = {}
+
+
+def _cdc_dirs() -> tuple[str, str, str]:
+    import os
+
+    key = os.getpid()
+    dirs = _cdc_cache.get(key)
+    if dirs is None:
+        base = tempfile.mkdtemp(prefix="eiws_cdc_")
+        inp = os.path.join(base, "in")
+        os.makedirs(inp)
+        for name, rows in (("batch1.csv", _CDC_BATCH1), ("batch2.csv", _CDC_BATCH2)):
+            with open(os.path.join(inp, name), "w") as f:
+                f.write(_CDC_HEADER + "\n" + "\n".join(rows) + "\n")
+        dirs = (inp, os.path.join(base, "silver"), os.path.join(base, "ckpt"))
+        _cdc_cache[key] = dirs
+    return dirs
+
+
+@query(
+    "q_stream_cdc",
+    # latest-wins expected state is a deterministic constant: the two
+    # updated keys carry the '####'-suffixed categories
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(24137 AS BIGINT), CAST(34 AS BIGINT), 'degree',
+         CAST(53.51 AS DOUBLE), 1, 'SC', '2024-02-16 15:30:41.041474'),
+        (15587, 59, 'bit', 40.94, 5, 'PW', '2024-08-20 17:16:03.213831'),
+        (42918, 69, 'school', 27.23, 3, 'CT', '2024-10-28 20:02:37.424182'),
+        (40994, 67, 'market####', 92.02, 1, 'VI', '2024-11-01 10:00:00.000000'),
+        (83597, 37, 'language####', 97.07, 3, 'SC', '2024-11-01 10:00:01.000000'))
+    AS t(invoiceid, itemid, category, price, quantity, destinationstate, op_ts)
+    """,
+    tags=("streaming:cdc-upsert", "reference:J1"),
+)
+def q_stream_cdc(spark, sf_dir) -> DataFrame:
+    """The reference pipeline's observable contract, executed as a
+    STREAM: the demo CDC feed (5 I rows + 2 U rows) through
+    `stream_cdc_upsert` (file-source checkpoint → per-microbatch dedup →
+    MOR MERGE) must leave the silver table in the latest-wins state the
+    reference's Athena/DuckDB readers would see. Re-runs are no-ops
+    (exactly-once on the file source), so bench passes and driver
+    re-checks return the identical table."""
+    from ..streaming.jobs import stream_cdc_upsert
+
+    inp, tbl, ckpt = _cdc_dirs()
+    t = stream_cdc_upsert(spark, inp, tbl, ckpt, op_col="Op")
+    return t.scan().select(
+        "invoiceid",
+        "itemid",
+        "category",
+        "price",
+        "quantity",
+        "destinationstate",
+        F.date_format("replicadmstimestamp", TS_FMT_SPARK).alias("op_ts"),
+    )
