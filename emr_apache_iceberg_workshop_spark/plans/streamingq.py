@@ -62,18 +62,30 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 def _run_to_memory(stream_df: DataFrame, spark, mode: str, prefix: str) -> DataFrame:
     """Drive a streaming DataFrame to completion into a uniquely-named
-    memory sink; returns the sink table."""
+    memory sink; returns the sink table.
+
+    Shuffle partitions are clamped to 8 for the run: a streaming query
+    instantiates one state store PER shuffle partition PER stateful
+    operator, and store setup/commit dominates these bounded fixture-scale
+    runs (a stream-stream join on a vanilla 200-partition session pays
+    400 store commits per microbatch for ~10k rows). Results are
+    partition-count-independent; the session conf is restored after."""
     name = f"{prefix}_{next(_run_counter)}"
     ck = tempfile.mkdtemp(prefix=f"eiws_{prefix}_ck_")
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
