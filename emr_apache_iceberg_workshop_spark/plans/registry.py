@@ -106,7 +106,7 @@ _PREFIX_ORDER = [
     # driver-unchecked), q_stream_event_windows/q_stream_dedup if they
     # miss r05, plus q_stream_sessionize / q_stream_join / q_stream_cdc
     # (stateful, stream-stream, and end-to-end-CDC streaming under the
-    # oracle gate) and q_meta_manifests,
+    # oracle gate) and q_meta_manifests / q_meta_pos_delete,
     # then q_meta_snapshots/q_meta_history (slots yielded this
     # round), then the 49 names checked in r04.
     "t_unigram_logprob",

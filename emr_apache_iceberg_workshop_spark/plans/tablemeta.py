@@ -814,3 +814,93 @@ def q_meta_manifests(spark, sf_dir) -> DataFrame:
         "added_delete_rows",
         F.concat_ws(",", F.col("partition_summary")).alias("partitions"),
     )
+
+
+# --------------------------------------------------------------------------
+POSDEL_ROOT = os.path.join(_REPO_ROOT, "fixtures", "posdel_demo")
+_POSDEL_META = os.path.join(POSDEL_ROOT, "_meta.json")
+
+
+def _posdel_table(spark):
+    """Deterministic positional-delete fixture (Iceberg v2 position
+    deletes — `write.delete.style=position`): append 6 rows, MOR DELETE
+    WHERE qty < 25 (delete file = (file_rel, pos) identities, no keys),
+    MOR UPDATE id=4 (positional pre-image + post-image append)."""
+    from ..tables import SnapshotTable
+
+    import json as _json
+
+    try:
+        with open(_POSDEL_META) as f:
+            doc = _json.load(f)
+        ops = [s["operation"] for s in doc["snapshots"]]
+        styles = {
+            d.get("style")
+            for s in doc["snapshots"]
+            for d in s.get("active_deletes", [])
+        }
+        if ops == ["append", "delete", "merge"] and styles == {"position"}:
+            return SnapshotTable(spark, POSDEL_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(POSDEL_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, category string, qty bigint"
+    t = SnapshotTable.create(
+        spark, POSDEL_ROOT, ddl, partition_by=["category"],
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+            "write.delete.style": "position",
+        },
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40),
+            (5, "c", 50), (6, "c", 60)]
+    t.write(spark.createDataFrame(rows, ddl).coalesce(1).sortWithinPartitions("id"))
+    t.delete_where("qty < 25")
+    t.update_where("id = 4", {"qty": "qty * 10"})
+    return t
+
+
+@query(
+    "q_meta_pos_delete",
+    # same DML sequence as q_meta_dml, executed with POSITIONAL deletes:
+    # the final state constant must be identical, and the changelog's
+    # delete rows must be FULL pre-images (positional identity resolves
+    # the exact prior row — equality deletes can only emit key stubs)
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'pre', CAST(1 AS BIGINT), 'a', CAST(10 AS BIGINT)),
+        (1, 'pre', 2, 'a', 20),
+        (2, 'pre', 4, 'b', 40),
+        (3, 'state', 3, 'b', 30),
+        (3, 'state', 4, 'b', 400),
+        (3, 'state', 5, 'c', 50),
+        (3, 'state', 6, 'c', 60))
+    AS t(seq, kind, id, category, qty)
+    """,
+    tags=("meta:pos-delete", "tablemeta", "reference:S13"),
+)
+def q_meta_pos_delete(spark, sf_dir) -> DataFrame:
+    """Positional-delete MOR lifecycle: final table state plus the
+    changelog's full-row delete pre-images, both as one driver-checkable
+    relation (`seq` groups: 1 = delete pre-images, 2 = update pre-image,
+    3 = final state)."""
+    t = _posdel_table(spark)
+    ch = t.changes(1, t.latest_snapshot_id())
+    pre = ch.filter(F.col("_change_type") == "delete").select(
+        F.when(F.col("_snapshot_id") == 2, F.lit(1)).otherwise(F.lit(2)).cast("bigint").alias("seq"),
+        F.lit("pre").alias("kind"),
+        "id",
+        "category",
+        "qty",
+    )
+    state = t.scan().select(
+        F.lit(3).cast("bigint").alias("seq"),
+        F.lit("state").alias("kind"),
+        "id",
+        "category",
+        "qty",
+    )
+    return pre.unionByName(state)

@@ -583,26 +583,49 @@ class SnapshotTable:
             ors = ands if ors is None else (ors | ands)
         return ors
 
+    def _rel_path_expr(self):
+        """Column: a data row's file path relative to the table root,
+        derived from the parquet `_metadata` column (scheme-independent).
+        (rel_path, row_index) is the positional-delete row identity."""
+        root = os.path.abspath(self.root)
+        # strip any URI scheme ('file:', 'file://') down to the plain path,
+        # then drop '<root>/'
+        plain = "regexp_replace(_metadata.file_path, '^[a-zA-Z0-9]+:/+', '/')"
+        return F.expr(f"substring({plain}, {len(root) + 2})")
+
     def _read_entries(
         self,
         entries: list,
         schema: T.StructType | None = None,
         with_sid: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Union of per-dir reads. Dict entries carry partition-exclusion
         masks (partitions rewritten by a later partition-scoped merge);
         `with_sid` tags rows with the snapshot id of their dir so MOR
-        delete files can be applied with a sid-conditioned anti-join."""
+        delete files can be applied with a sid-conditioned anti-join;
+        `with_pos` adds (__rel, __pos) — the row's physical identity for
+        positional deletes."""
         schema = schema or self.schema()
         if not entries:
             df = self.spark.createDataFrame([], schema)
-            return df.withColumn("__sid", F.lit(0).cast("long")) if with_sid else df
+            if with_sid:
+                df = df.withColumn("__sid", F.lit(0).cast("long"))
+            if with_pos:
+                df = df.withColumn("__rel", F.lit("").cast("string")).withColumn(
+                    "__pos", F.lit(0).cast("long")
+                )
+            return df
         dfs = []
         for e in entries:
             rel, excl = _entry_rel(e), _entry_excl(e)
             p = os.path.join(self.root, rel)
             # basePath per snapshot dir so partition columns resolve
             df = self.spark.read.option("basePath", p).schema(schema).parquet(p)
+            if with_pos:
+                df = df.withColumn("__rel", self._rel_path_expr()).withColumn(
+                    "__pos", F.col("_metadata.row_index")
+                )
             if excl:
                 # exclusion is a partition-column predicate → partition
                 # pruning drops the masked dirs' subtrees at planning time
@@ -618,13 +641,34 @@ class SnapshotTable:
     def _read_dirs(self, rels: list[str], schema: T.StructType | None = None) -> DataFrame:
         return self._read_entries(rels, schema=schema)
 
-    def _apply_deletes(self, df: DataFrame, deletes: list) -> DataFrame:
+    def _apply_deletes(
+        self, df: DataFrame, deletes: list, keep_identity: bool = False
+    ) -> DataFrame:
         """MOR read path: suppress any row whose key appears in a delete
         file COMMITTED AFTER the row's own snapshot (equality deletes with
         sequence-number semantics, like Iceberg v2). One anti-join per
         distinct key set (normally exactly one). The delete side is the
         accumulated merge keys — small relative to data and compacted away
         by `compact()`; AQE picks broadcast vs shuffle by size."""
+        # positional deletes first: (file, row_index) pairs bind to physical
+        # rows, no sequence-number condition needed (files are immutable
+        # and later appends land in new files)
+        pos_dels = [d for d in deletes if d.get("style") == "position"]
+        if pos_dels:
+            pairs = None
+            for d in pos_dels:
+                one = self.spark.read.parquet(os.path.join(self.root, d["file"]))
+                pairs = one if pairs is None else pairs.unionByName(one)
+            pairs = pairs.select(
+                F.col("file_rel").alias("__del_rel"), F.col("pos").alias("__del_pos")
+            )
+            df = df.join(
+                pairs,
+                (F.col("__rel") == F.col("__del_rel"))
+                & (F.col("__pos") == F.col("__del_pos")),
+                "left_anti",
+            )
+        deletes = [d for d in deletes if d.get("style") != "position"]
         by_keys: dict[tuple, list] = {}
         for d in deletes:
             by_keys.setdefault(tuple(d["keys"]), []).append(d)
@@ -643,11 +687,69 @@ class SnapshotTable:
             for k in keys:
                 cond = cond & (F.col(k) == F.col(f"__del_{k}"))
             df = df.join(dels, cond, "left_anti")
-        return df.drop("__sid")
+        if keep_identity:
+            return df
+        return df.drop("__sid", "__rel", "__pos")
+
+    def _positional_preimages(
+        self, prev_snap: dict | None, schema: T.StructType, drel: str
+    ) -> DataFrame:
+        """Full pre-image rows for a positional delete file: the prior
+        snapshot's rows at the recorded (file_rel, pos) identities."""
+        if prev_snap is None:
+            return self.spark.createDataFrame([], schema)
+        pairs = (
+            self.spark.read.parquet(os.path.join(self.root, drel))
+            .select(
+                F.col("file_rel").alias("__del_rel"), F.col("pos").alias("__del_pos")
+            )
+        )
+        deletes = prev_snap.get("active_deletes", [])
+        df = self._read_entries(
+            prev_snap["active_dirs"],
+            schema=schema,
+            with_sid=bool(deletes),
+            with_pos=True,
+        )
+        if deletes:
+            df = self._apply_deletes(df, deletes, keep_identity=True)
+        matched = df.join(
+            pairs,
+            (F.col("__rel") == F.col("__del_rel"))
+            & (F.col("__pos") == F.col("__del_pos")),
+            "inner",  # identities are unique → no fan-out
+        )
+        return matched.select(*[f.name for f in schema.fields])
+
+    def _positions_where(self, pred) -> DataFrame:
+        """(file_rel, pos) row identities of current-state rows matching
+        `pred` — the content of a positional delete file."""
+        meta = self._load()
+        head = self._head(meta)
+        if head is None:
+            return self.spark.createDataFrame([], "file_rel string, pos long")
+        deletes = head.get("active_deletes", [])
+        df = self._read_entries(
+            head["active_dirs"],
+            schema=self.schema(),
+            with_sid=bool(deletes),
+            with_pos=True,
+        )
+        if deletes:
+            df = self._apply_deletes(df, deletes, keep_identity=True)
+        return df.filter(pred).select(
+            F.col("__rel").alias("file_rel"), F.col("__pos").alias("pos")
+        )
 
     def _scan_snapshot(self, snap: dict, schema: T.StructType) -> DataFrame:
         deletes = snap.get("active_deletes", [])
-        df = self._read_entries(snap["active_dirs"], schema=schema, with_sid=bool(deletes))
+        has_pos = any(d.get("style") == "position" for d in deletes)
+        df = self._read_entries(
+            snap["active_dirs"],
+            schema=schema,
+            with_sid=bool(deletes),
+            with_pos=has_pos,
+        )
         if deletes:
             df = self._apply_deletes(df, deletes)
         return df
@@ -742,11 +844,27 @@ class SnapshotTable:
             if op in ("append", "create"):
                 df = self._read_dirs(s["dirs"], schema=schema)
             elif op == "delete" and s.get("delete_file"):
-                # MOR row-level delete: pre-image delete rows only (keys
-                # alive in the prior snapshot), no inserts
-                keys = next(
-                    d["keys"] for d in s["active_deletes"] if d["sid"] == sid
+                # MOR row-level delete: pre-image delete rows only, no
+                # inserts. Equality deletes carry the key columns (others
+                # NULL); positional deletes carry FULL pre-images — the
+                # (file, pos) identity resolves to the exact prior row.
+                dentry = next(
+                    d for d in s["active_deletes"] if d["sid"] == sid
                 )
+                if dentry.get("style") == "position":
+                    pre = self._positional_preimages(
+                        prev_snap, schema, s["delete_file"]
+                    )
+                    frames.append(
+                        pre.select(
+                            "*",
+                            F.lit("delete").alias("_change_type"),
+                            F.lit(sid).cast("long").alias("_snapshot_id"),
+                        )
+                    )
+                    prev_snap = s
+                    continue
+                keys = dentry["keys"]
                 dels = self.spark.read.parquet(
                     os.path.join(self.root, s["delete_file"])
                 )
@@ -771,9 +889,30 @@ class SnapshotTable:
                 continue
             elif op == "merge" and s.get("delete_file"):
                 df = self._read_dirs(s["dirs"], schema=schema)
-                keys = next(
-                    d["keys"] for d in s["active_deletes"] if d["sid"] == sid
+                dentry = next(
+                    d for d in s["active_deletes"] if d["sid"] == sid
                 )
+                if dentry.get("style") == "position":
+                    pre = self._positional_preimages(
+                        prev_snap, schema, s["delete_file"]
+                    )
+                    frames.append(
+                        pre.select(
+                            "*",
+                            F.lit("delete").alias("_change_type"),
+                            F.lit(sid).cast("long").alias("_snapshot_id"),
+                        )
+                    )
+                    frames.append(
+                        df.select(
+                            "*",
+                            F.lit("insert").alias("_change_type"),
+                            F.lit(sid).cast("long").alias("_snapshot_id"),
+                        )
+                    )
+                    prev_snap = s
+                    continue
+                keys = dentry["keys"]
                 dels = self.spark.read.parquet(
                     os.path.join(self.root, s["delete_file"])
                 )
@@ -1207,24 +1346,37 @@ class SnapshotTable:
         - `write.delete.mode=merge-on-read`: requires `keys` (the columns
           identifying a row, like the reference's merge key): writes an
           equality-delete file of the matching rows' keys — O(matching)
-          write cost, applied at scan, folded by `compact()`.
+          write cost, applied at scan, folded by `compact()`. With
+          `write.delete.style=position` (Iceberg v2's POSITIONAL deletes
+          — what Spark's own MOR DELETE writes), no keys are needed: the
+          delete file records (file_rel, pos) row identities from the
+          parquet `_metadata` column instead.
         """
         mode = self.properties().get("write.delete.mode", "copy-on-write")
+        style = self.properties().get("write.delete.style", "equality")
         target = self.scan()
         pred = F.expr(predicate)
         if mode == "merge-on-read":
-            if not keys:
+            if style == "position":
+                matched = self._positions_where(pred)
+            elif not keys:
                 raise ValueError(
                     "merge-on-read delete needs `keys` naming the row-identifying "
-                    "columns for the equality-delete file"
+                    "columns for the equality-delete file "
+                    "(or set write.delete.style=position)"
                 )
             meta = self._load()
             snaps = meta["snapshots"]
             sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
             drel = f"deletes/s{sid}"
-            target.filter(pred).select(*keys).distinct().write.mode("overwrite").parquet(
-                os.path.join(self.root, drel)
-            )
+            if style == "position":
+                matched.write.mode("overwrite").parquet(os.path.join(self.root, drel))
+                entry = {"file": drel, "sid": sid, "style": "position"}
+            else:
+                target.filter(pred).select(*keys).distinct().write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(self.root, drel))
+                entry = {"file": drel, "sid": sid, "keys": list(keys)}
             prev = self._head(meta)
             snaps.append(
                 {
@@ -1239,8 +1391,12 @@ class SnapshotTable:
                     "delete_file": drel,
                     "delete_file_stats": self._file_stats(drel),
                     "active_deletes": (list(prev.get("active_deletes", [])) if prev else [])
-                    + [{"file": drel, "sid": sid, "keys": list(keys)}],
-                    "summary": {"mode": "merge-on-read", "predicate": predicate},
+                    + [entry],
+                    "summary": {
+                        "mode": "merge-on-read",
+                        "style": style,
+                        "predicate": predicate,
+                    },
                 }
             )
             self._advance(meta, "main", sid, None)
@@ -1283,24 +1439,39 @@ class SnapshotTable:
             return out
 
         mode = self.properties().get("write.update.mode", "copy-on-write")
+        style = self.properties().get("write.delete.style", "equality")
         if mode == "merge-on-read":
-            if not keys:
+            if style != "position" and not keys:
                 raise ValueError(
                     "merge-on-read update needs `keys` naming the row-identifying "
-                    "columns for the equality-delete file"
+                    "columns for the equality-delete file "
+                    "(or set write.delete.style=position)"
                 )
             data_cols = [f.name for f in self.schema().fields]
             matching = target.filter(F.coalesce(pred, F.lit(False)))
             # transformed post-images; pred is TRUE on every row here
             new_rows = apply(matching).select(*data_cols).localCheckpoint(eager=True)
+            if style == "position":
+                # pre-image row identities, captured BEFORE the append (the
+                # appended files have new paths, so they can never collide)
+                matched_pos = self._positions_where(
+                    F.coalesce(pred, F.lit(False))
+                ).localCheckpoint(eager=True)
             meta = self._load()
             snaps = meta["snapshots"]
             sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
             rel, parts, files = self._write_data_dir(new_rows, meta, sid)
             drel = f"deletes/s{sid}"
-            new_rows.select(*keys).distinct().write.mode("overwrite").parquet(
-                os.path.join(self.root, drel)
-            )
+            if style == "position":
+                matched_pos.write.mode("overwrite").parquet(
+                    os.path.join(self.root, drel)
+                )
+                entry = {"file": drel, "sid": sid, "style": "position"}
+            else:
+                new_rows.select(*keys).distinct().write.mode("overwrite").parquet(
+                    os.path.join(self.root, drel)
+                )
+                entry = {"file": drel, "sid": sid, "keys": list(keys)}
             prev = self._head(meta)
             snaps.append(
                 {
@@ -1315,8 +1486,12 @@ class SnapshotTable:
                     "delete_file": drel,
                     "delete_file_stats": self._file_stats(drel),
                     "active_deletes": (list(prev.get("active_deletes", [])) if prev else [])
-                    + [{"file": drel, "sid": sid, "keys": list(keys)}],
-                    "summary": {"mode": "merge-on-read", "predicate": predicate},
+                    + [entry],
+                    "summary": {
+                        "mode": "merge-on-read",
+                        "style": style,
+                        "predicate": predicate,
+                    },
                 }
             )
             self._advance(meta, "main", sid, None)
@@ -1586,6 +1761,10 @@ class SnapshotTable:
             )
             if deletes:
                 df = df.withColumn("__sid", F.lit(_dir_sid(rel)).cast("long"))
+                if any(d.get("style") == "position" for d in deletes):
+                    df = df.withColumn("__rel", self._rel_path_expr()).withColumn(
+                        "__pos", F.col("_metadata.row_index")
+                    )
             dfs.append(df)
         out = dfs[0]
         for d in dfs[1:]:

@@ -856,3 +856,64 @@ def test_branch_write_on_empty_table_keeps_main_empty(spark, tmp_path):
     assert t.scan(branch="b").count() == 1
     t.fast_forward("b")
     assert t.scan().count() == 1
+
+
+def test_positional_deletes_mor(spark, tmp_path):
+    """write.delete.style=position: the MOR delete file records
+    (file_rel, pos) row identities — Iceberg v2 positional deletes, the
+    flavor Spark's own MOR DELETE writes. No key columns required."""
+    import os
+
+    root = str(tmp_path / "pd")
+    t = SnapshotTable.create(
+        spark, root, "id bigint, v string, part string", partition_by=["part"],
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+            "write.delete.style": "position",
+        },
+    )
+    df = lambda rows: spark.createDataFrame(rows, "id bigint, v string, part string")  # noqa: E731
+    t.write(df([(i, f"v{i}", "x" if i % 2 else "y") for i in range(10)]))
+
+    # DELETE: no keys needed, predicate on any column
+    s2 = t.delete_where("id < 3")
+    assert {r["id"] for r in t.scan().collect()} == set(range(3, 10))
+    # the delete file holds positional identities, not keys
+    dels = spark.read.parquet(os.path.join(root, "deletes/s2"))
+    assert set(dels.columns) == {"file_rel", "pos"}
+    assert dels.count() == 3
+    # no data dir was rewritten (pure MOR)
+    snap = next(s for s in t.snapshots() if s.snapshot_id == s2)
+    assert snap.dirs == []
+
+    # deleting an already-deleted row is a no-op (positions bind to the
+    # LIVE state at delete time)
+    t.delete_where("id = 0")
+    assert t.scan().count() == 7
+
+    # UPDATE with positional style: pre-image positions + post-image rows
+    t.update_where("id = 5", {"v": "'updated'"})
+    state = {r["id"]: r["v"] for r in t.scan().collect()}
+    assert state[5] == "updated"
+    assert len(state) == 7
+
+    # time travel sees each intermediate state
+    assert t.scan_at(s2).count() == 7
+    assert t.scan_at(1).count() == 10
+
+    # changelog: positional deletes emit FULL pre-images
+    ch = t.changes(1, t.latest_snapshot_id()).collect()
+    pre5 = [r for r in ch if r["_change_type"] == "delete" and r["id"] == 5]
+    assert pre5 and pre5[0]["v"] == "v5"  # full row, not a key-only stub
+    deleted_ids = {r["id"] for r in ch if r["_change_type"] == "delete"}
+    assert deleted_ids == {0, 1, 2, 5}
+
+    # compact folds the positional deletes into plain data files
+    t.compact(target_partitions=1)
+    assert {r["id"]: r["v"] for r in t.scan().collect()} == state
+    assert not t.snapshots()[-1].active_deletes
+
+    # manifest pruning path also honors positional deletes
+    t2_rows = t.scan_pruned("id", 0, 100)
+    assert t2_rows.count() == 7
