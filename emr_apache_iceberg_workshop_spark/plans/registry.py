@@ -100,7 +100,9 @@ _PREFIX_ORDER = [
     # fix and the shared shingle/ngram materializations change plan
     # shape/provenance only — locally re-verified hash-identical.
     # r06 window should LEAD with the round-5-new names the r05 window
-    # could not hold: q_avro_roundtrip, q_meta_dml, q_bloom_join,
+    # could not hold: q_meta_hidden (hidden-partitioning transforms),
+    # t_tfidf_keywords, s_topic_clusters,
+    # q_avro_roundtrip, q_meta_dml, q_bloom_join,
     # c_source_cap, d_span_dup, q_meta_wap, q_meta_evolution,
     # q_meta_rollback (all new,
     # driver-unchecked), q_stream_event_windows/q_stream_dedup if they

@@ -446,3 +446,53 @@ def s_dup_clusters(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.max("doc_id").alias("max_vec"),
     )
+
+
+# --------------------------------------------------------------------------
+_TOPIC_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, embedding AS e, label FROM embeddings),
+    samp AS (SELECT vec_id, e, {_H_D} AS h FROM emb ORDER BY h, vec_id LIMIT {IVF_SAMPLE}),
+    sr AS (SELECT vec_id, e, row_number() OVER (ORDER BY h, vec_id) AS rn FROM samp),
+    c0 AS (SELECT rn AS cluster, e AS ce FROM sr WHERE rn <= {K_IVF}),
+    {",".join(_ivf_iter_cte(i + 1, f"c{i}") for i in range(IVF_ROUNDS))},
+    cf AS (SELECT cluster, ce, ({odot('ce', 'ce')}) AS cn2 FROM c{IVF_ROUNDS}),
+    asg AS (SELECT m.vec_id, m.label, c.cluster,
+              row_number() OVER (PARTITION BY m.vec_id
+                ORDER BY 2 * ({odot('m.e', 'c.ce')}) - c.cn2 DESC, c.cluster) AS rnk
+            FROM emb m CROSS JOIN cf c)
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+    FROM asg WHERE rnk = 1
+    GROUP BY 1
+    """
+
+
+@query(
+    "s_topic_clusters",
+    oracle=_TOPIC_ORACLE,
+    tags=("similarity:clustering", "kmeans", "agg"),
+)
+def s_topic_clusters(spark, sf_dir) -> DataFrame:
+    """Corpus topic clustering: every embedding assigned to its nearest
+    k-means centroid (the same seeded Lloyd's index `s_ivf_topk` probes,
+    shared via `_kmeans_centroids`' per-session cache), summarized per
+    cluster with integer-exact stats (count, distinct labels, id sum) so
+    the cross-engine compare never touches a float aggregate.
+
+    Scale shape: the assignment is a pure projection over the corpus
+    (centroids are O(K·d) literals in the expression — no join, no
+    shuffle), followed by ONE map-side-combined aggregation on K keys.
+    This is the 100 TB corpus-organization primitive: label a petabyte by
+    topic without moving it."""
+    cents, cn2 = _kmeans_centroids(spark, sf_dir)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).selectExpr(
+        "vec_id", "embedding AS e", "label"
+    )
+    assigned = emb.withColumn("cluster", F.expr(_assign_expr(cents, cn2)).cast("int"))
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+    )

@@ -904,3 +904,100 @@ def q_meta_pos_delete(spark, sf_dir) -> DataFrame:
         "qty",
     )
     return pre.unionByName(state)
+
+
+# --------------------------------------------------------------------------
+HIDDEN_ROOT = os.path.join(_REPO_ROOT, "fixtures", "hidden_demo")
+_HIDDEN_META = os.path.join(HIDDEN_ROOT, "_meta.json")
+
+
+def _hidden_table(spark):
+    """Deterministic hidden-partitioning fixture (Iceberg transformed
+    partition spec): `days(ts), bucket(4, user_id)` — partition values
+    are DERIVED, data files keep only the source columns. Two append
+    commits over 4 days × a handful of users; coalesce(1) keeps the
+    file-per-partition layout stable for the manifest oracle."""
+    import datetime as _dt
+    import json as _json
+
+    from ..tables import SnapshotTable
+
+    try:
+        with open(_HIDDEN_META) as f:
+            doc = _json.load(f)
+        ops = [s["operation"] for s in doc["snapshots"]]
+        if ops == ["append", "append"] and doc["partition_by"] == [
+            "days(ts)",
+            "bucket(4, user_id)",
+        ]:
+            return SnapshotTable(spark, HIDDEN_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(HIDDEN_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, ts timestamp, user_id bigint, val bigint"
+    t = SnapshotTable.create(
+        spark, HIDDEN_ROOT, ddl,
+        partition_by=["days(ts)", "bucket(4, user_id)"],
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+    t.write(mk([
+        (i, _dt.datetime(2024, 1, 1 + i % 4, 3 * (i % 8)), i % 6, 10 * i)
+        for i in range(12)
+    ]))
+    t.write(mk([
+        (i, _dt.datetime(2024, 1, 1 + i % 4, 3 * (i % 8)), i % 6, 10 * i)
+        for i in range(12, 24)
+    ]))
+    return t
+
+
+@query(
+    "q_meta_hidden",
+    # three independent recomputations in the oracle: live file count
+    # from the committed _meta.json, the day-range prune decision replayed
+    # over the manifest partition values, and the row/value totals straight
+    # from the parquet files — all joined into the same single-row shape
+    # the engine answers from plan_files + scan_pruned
+    oracle=f"""
+    WITH m AS (SELECT snapshots FROM read_json_auto('{_HIDDEN_META}')),
+         s AS (SELECT unnest(snapshots) AS snap FROM m),
+         f AS (SELECT unnest(snap.files) AS fl FROM s),
+         d AS (SELECT * FROM read_parquet(
+                   '{HIDDEN_ROOT}/data/*/ts_day=*/user_id_bucket=*/*.parquet',
+                   hive_partitioning = true)
+               WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+                 AND ts <= TIMESTAMP '2024-01-03 23:59:59')
+    SELECT (SELECT CAST(COUNT(*) AS INT) FROM f) AS files_total,
+           (SELECT CAST(COUNT(*) AS INT) FROM f
+             WHERE fl."partition".ts_day BETWEEN '2024-01-02' AND '2024-01-03')
+               AS files_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS rows_in_range,
+           (SELECT CAST(SUM(val) AS BIGINT) FROM d) AS sum_val
+    """,
+    tags=("meta:hidden-partitioning", "tablemeta", "reference:S12"),
+)
+def q_meta_hidden(spark, sf_dir) -> DataFrame:
+    """Hidden partitioning end-to-end: a `days(ts), bucket(4, user_id)`
+    table planned with a predicate on the SOURCE column `ts` — manifest
+    partition values prune file reads through the transform (the Iceberg
+    feature identity partitioning can't express), then `scan_pruned`
+    returns exactly the rows a full scan + filter would."""
+    t = _hidden_table(spark)
+    lo, hi = "2024-01-02 00:00:00", "2024-01-03 23:59:59"
+    kept, total = t.plan_files("ts", lo, hi)
+    agg = (
+        t.scan_pruned("ts", lo, hi)
+        .filter(F.col("ts").between(lo, hi))
+        .agg(
+            F.count("*").alias("rows_in_range"),
+            F.sum("val").alias("sum_val"),
+        )
+    )
+    return agg.select(
+        F.lit(total).cast("int").alias("files_total"),
+        F.lit(len(kept)).cast("int").alias("files_kept"),
+        "rows_in_range",
+        "sum_val",
+    )

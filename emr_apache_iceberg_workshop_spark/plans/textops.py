@@ -497,3 +497,62 @@ def t_unigram_logprob(spark, sf_dir) -> DataFrame:
         ).alias("mean_nlp"),
     )
     return per_doc.withColumn("passes_lm_gate", F.col("mean_nlp") <= 8.0)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t_tfidf_keywords",
+    # ranking key is INTEGER arithmetic (tf·10⁶ ÷ (df+1), floor division)
+    # — exactly reproducible across engines, unlike ln()-based TF-IDF
+    # whose last-ulp libm differences can flip ranks (the portability
+    # hazard t_unigram_logprob works around with decimal rounding)
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS_D}) AS token FROM documents),
+         tok3 AS (SELECT doc_id, token FROM tok WHERE length(token) >= 3),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok3 GROUP BY 1, 2),
+         df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok3 GROUP BY 1),
+         s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                      tf.tf * 1000000 // (df.df + 1) AS score_milli
+               FROM tf JOIN df USING (token)),
+         r AS (SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_milli DESC, token) AS keyword_rank
+               FROM s)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, df, score_milli,
+           CAST(keyword_rank AS INT) AS keyword_rank
+    FROM r WHERE keyword_rank <= 3
+    """,
+    tags=("textops:tfidf", "window", "join", "agg"),
+)
+def t_tfidf_keywords(spark, sf_dir) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (tokens ≥ 3 chars).
+
+    Weighting is reciprocal document frequency on a fixed-point integer
+    scale: `score_milli = tf·10⁶ div (df+1)` — monotone in tf and 1/df
+    like classic TF-IDF, but exact (no floating log), so rank order is
+    bit-identical in any engine. Scale shape: one token-grain shuffle for
+    tf (map-side combined), one for df, a token-key join (AQE picks
+    broadcast when the vocabulary is small), one per-doc window."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.selectExpr("doc_id", f"explode({TOKS_S}) AS token").filter(
+        F.length("token") >= 3
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    s = tf.join(df_, "token").withColumn(
+        "score_milli", F.expr("tf * 1000000 div (df + 1)")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("token")
+    )
+    return (
+        s.withColumn("keyword_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("keyword_rank") <= 3)
+        .select("doc_id", "token", F.col("tf").cast("long").alias("tf"),
+                "df", "score_milli", "keyword_rank")
+    )

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .operators.relational import merge_upsert
+from .partitioning import PartitionField, field_expr, parse_spec, prune_keep
 
 _META = "_meta.json"
 
@@ -209,6 +210,10 @@ class SnapshotTable:
             schema_ddl = schema.simpleString()[len("struct<") : -1]
         else:
             schema_ddl = schema
+        cols = {f.name for f in T.StructType.fromDDL(schema_ddl).fields}
+        for f in parse_spec(partition_by or []):
+            if f.source not in cols:
+                raise ValueError(f"unknown partition source column {f.source}")
         t = cls(spark, root, clock=clock)
         t._commit(
             {
@@ -301,7 +306,16 @@ class SnapshotTable:
         scale as Iceberg manifest entries."""
         rel = f"data/s{sid}"
         out = os.path.join(self.root, rel)
-        part_cols = meta["partition_by"]
+        fields = self._part_fields(meta)
+        schema = T.StructType.fromDDL(meta["schema"])
+        # hidden partitioning: derive the transformed partition columns
+        # (days/bucket/truncate/... of a source column) before the write;
+        # Spark's partitionBy strips them into directory names, so data
+        # files keep only the source column — exactly Iceberg's layout
+        for f in fields:
+            if f.transform != "identity":
+                df = df.withColumn(f.name, field_expr(f, schema))
+        part_names = [f.name for f in fields]
         # Iceberg `write.distribution-mode=hash`: cluster rows by the
         # partition key before the write so each partition's rows land in
         # few tasks. Without it, N write tasks × P live partitions emit
@@ -309,13 +323,17 @@ class SnapshotTable:
         # Default 'none' preserves the caller's layout (the reference's
         # writers pre-arrange their data; fixtures rely on it).
         dist = meta.get("properties", {}).get("write.distribution-mode", "none")
-        if part_cols and dist == "hash":
-            df = df.repartition(*[F.col(c) for c in part_cols])
+        if part_names and dist == "hash":
+            df = df.repartition(*[F.col(c) for c in part_names])
         writer = df.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
+        if part_names:
+            writer = writer.partitionBy(*part_names)
         writer.parquet(out)
-        return rel, self._list_partitions(out, part_cols), self._file_stats(rel)
+        return rel, self._list_partitions(out, part_names), self._file_stats(rel)
+
+    @staticmethod
+    def _part_fields(meta: dict) -> list[PartitionField]:
+        return parse_spec(meta["partition_by"])
 
     @staticmethod
     def _list_partitions(out: str, part_cols: list[str]) -> list:
@@ -504,8 +522,8 @@ class SnapshotTable:
             if name not in names:
                 raise ValueError(f"column {name} does not exist")
             names.discard(name)
-            if name in meta["partition_by"]:
-                raise ValueError(f"cannot drop partition column {name}")
+            if any(f.source == name for f in self._part_fields(meta)):
+                raise ValueError(f"cannot drop partition source column {name}")
             fields = [f for f in fields if f.name != name]
         new_ddl = T.StructType(fields).simpleString()[len("struct<") : -1]
         snaps = meta["snapshots"]
@@ -543,9 +561,9 @@ class SnapshotTable:
         partition strings, like Iceberg's partitions table across specs."""
         meta = self._load()
         cols = {f.name for f in T.StructType.fromDDL(meta["schema"]).fields}
-        for c in partition_by:
-            if c not in cols:
-                raise ValueError(f"unknown partition column {c}")
+        for f in parse_spec(partition_by):
+            if f.source not in cols:
+                raise ValueError(f"unknown partition column {f.source}")
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         prev = self._head(meta)
@@ -571,17 +589,43 @@ class SnapshotTable:
 
     # -- reads -------------------------------------------------------------
     @staticmethod
-    def _partition_match_expr(tuples: list):
-        """Column expression: row's partition tuple ∈ `tuples` (null-safe,
-        string-form values — Spark casts the literal to the column type)."""
+    def _partition_match_expr(tuples: list, fields: list[PartitionField], schema):
+        """Column expression over DATA rows: row's partition tuple ∈
+        `tuples` (null-safe, string-form values — Spark casts the literal
+        to the expression type). Transformed fields re-derive the
+        partition value from the source column (`field_expr`), so the
+        predicate is correct on any dir regardless of which spec it was
+        written under; identity fields compare the column directly (and
+        partition-prune, since the column IS the directory key)."""
+        by_name = {f.name: f for f in fields}
         ors = None
         for t in tuples:
             ands = None
             for col, val in t.items():
-                e = F.col(col).eqNullSafe(F.lit(val))
+                f = by_name.get(col)
+                lhs = field_expr(f, schema) if f is not None else F.col(col)
+                e = lhs.eqNullSafe(F.lit(val))
                 ands = e if ands is None else (ands & e)
             ors = ands if ors is None else (ors | ands)
         return ors
+
+    def _all_part_fields(self, meta: dict) -> list[PartitionField]:
+        """Partition fields of the CURRENT spec plus every spec this table
+        has ever had (evolve-partition commits record both sides), deduped
+        by field name — exclusion masks written under an old spec must
+        still resolve after evolution."""
+        specs: list[str] = list(meta["partition_by"])
+        for s in meta.get("snapshots", []):
+            summ = s.get("summary", {})
+            if s.get("operation") == "evolve-partition":
+                specs += summ.get("partition_by", []) + summ.get("prev_partition_by", [])
+        out: dict[str, PartitionField] = {}
+        from .partitioning import parse_field
+
+        for s in dict.fromkeys(specs):
+            f = parse_field(s)
+            out.setdefault(f.name, f)
+        return list(out.values())
 
     def _rel_path_expr(self):
         """Column: a data row's file path relative to the table root,
@@ -616,6 +660,7 @@ class SnapshotTable:
                     "__pos", F.lit(0).cast("long")
                 )
             return df
+        all_fields = self._all_part_fields(self._load())
         dfs = []
         for e in entries:
             rel, excl = _entry_rel(e), _entry_excl(e)
@@ -627,9 +672,17 @@ class SnapshotTable:
                     "__pos", F.col("_metadata.row_index")
                 )
             if excl:
-                # exclusion is a partition-column predicate → partition
-                # pruning drops the masked dirs' subtrees at planning time
-                df = df.filter(~self._partition_match_expr(excl))
+                # exclusion re-derives partition values from data columns
+                # (identity: the column itself → partition pruning drops
+                # masked subtrees at planning time; transformed: the
+                # transform expression, row-filtered)
+                df = df.filter(~self._partition_match_expr(excl, all_fields, schema))
+            # hidden-partition dirs: Spark appends the derived directory
+            # column even under an explicit read schema — project back to
+            # the table schema so unions across specs line up
+            keep = schema.fieldNames() + (["__rel", "__pos"] if with_pos else [])
+            if set(df.columns) != set(keep):
+                df = df.select(*keep)
             if with_sid:
                 df = df.withColumn("__sid", F.lit(_dir_sid(rel)).cast("long"))
             dfs.append(df)
@@ -1263,12 +1316,14 @@ class SnapshotTable:
         2-column pruned target scan, then the merge joins only the affected
         partitions' rows — write amplification O(touched partitions)."""
         meta = self._load()
-        part_cols = meta["partition_by"]
+        fields = self._part_fields(meta)
+        schema = T.StructType.fromDDL(meta["schema"])
+        part_sel = [field_expr(f, schema).alias(f.name) for f in fields]
         src_local = src.localCheckpoint(eager=True)  # read 3x below
         src_keys = src_local.select(*keys).distinct()
-        src_parts = src_local.select(*part_cols).distinct()
+        src_parts = src_local.select(*part_sel).distinct()
         tgt_parts = (
-            target.join(src_keys, list(keys), "left_semi").select(*part_cols).distinct()
+            target.join(src_keys, list(keys), "left_semi").select(*part_sel).distinct()
         )
         parts = [
             {c: _part_str(v) for c, v in r.asDict().items()}
@@ -1294,7 +1349,7 @@ class SnapshotTable:
             self._advance(meta, "main", sid, None)
             self._commit(meta)
             return sid
-        match = self._partition_match_expr(parts)
+        match = self._partition_match_expr(parts, fields, schema)
         tgt_sub = target.filter(match)
         merged = merge_upsert(tgt_sub, src_local, keys, op_col=op_col, delete_value=delete_value)
         merged = merged.select(*target.columns).localCheckpoint(eager=True)
@@ -1512,13 +1567,15 @@ class SnapshotTable:
         tables rewrite the full state — the only correct COW granularity
         without a partition spec."""
         meta = self._load()
-        part_cols = meta["partition_by"]
-        if not part_cols:
+        fields = self._part_fields(meta)
+        if not fields:
             out = transform(target).select(*target.columns).localCheckpoint(eager=True)
             return self.write(out, mode="overwrite", operation=operation)
+        schema = T.StructType.fromDDL(meta["schema"])
+        part_sel = [field_expr(f, schema).alias(f.name) for f in fields]
         parts = [
             {c: _part_str(v) for c, v in r.asDict().items()}
-            for r in target.filter(pred).select(*part_cols).distinct().collect()
+            for r in target.filter(pred).select(*part_sel).distinct().collect()
         ]
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
@@ -1540,7 +1597,7 @@ class SnapshotTable:
             self._advance(meta, "main", sid, None)
             self._commit(meta)
             return sid
-        sub = target.filter(self._partition_match_expr(parts))
+        sub = target.filter(self._partition_match_expr(parts, fields, schema))
         out = transform(sub).select(*target.columns).localCheckpoint(eager=True)
         rel, written_parts, files = self._write_data_dir(out, meta, sid)
         dir_parts = {s["dirs"][0]: s.get("partitions") for s in snaps if s.get("dirs")}
@@ -1728,14 +1785,48 @@ class SnapshotTable:
         bounds for `col` overlap [lo, hi] (files without bounds for the
         column are conservatively kept), plus the total live-file count.
         O(manifest) driver work — no file is opened, the same skip an
-        Iceberg scan does before task planning."""
+        Iceberg scan does before task planning.
+
+        Hidden-partitioning aware: when the table's spec has a field
+        whose SOURCE is `col` (e.g. `days(ts)` for a `ts` predicate),
+        the predicate is mapped into transform space and checked against
+        each file's manifest partition value — the Iceberg trick that
+        prunes on `ts` filters without `ts_day` appearing in the query.
+        `bucket(N, col)` prunes equality predicates (lo == hi) to 1/N of
+        the files; monotone transforms prune ranges."""
+        fields = [f for f in self._part_fields(self._load()) if f.source == col]
+        bucket_of = {f.name: self._bucket_of(f) for f in fields if f.transform == "bucket"}
         live = self._live_files()
         kept = []
         for rel, f in live:
             b = f.get("bounds", {}).get(col)
-            if b is None or not (hi < b[0] or lo > b[1]):
-                kept.append((rel, f))
+            if b is not None and (hi < b[0] or lo > b[1]):
+                continue
+            part = f.get("partition", {})
+            if any(
+                pf.name in part
+                and not prune_keep(pf, part[pf.name], lo, hi, bucket_of=bucket_of.get(pf.name))
+                for pf in fields
+            ):
+                continue
+            kept.append((rel, f))
         return kept, len(live)
+
+    def _bucket_of(self, pf: PartitionField):
+        """`value -> bucket number` for one bucket partition field —
+        computed with the same Spark hash the writer used (one 1-row
+        local job per distinct literal; planning-time only)."""
+        dtype = dict((sf.name, sf.dataType) for sf in self.schema().fields)[pf.source]
+
+        def of(value) -> int:
+            row = (
+                self.spark.range(1)
+                .select(F.pmod(F.hash(F.lit(value).cast(dtype)), F.lit(pf.param)))
+                .first()
+            )
+            return int(row[0])
+
+        return of
 
     def scan_pruned(self, col: str, lo, hi) -> DataFrame:
         """Current-state scan reading ONLY the files `plan_files` keeps.
@@ -1759,6 +1850,9 @@ class SnapshotTable:
                 .schema(schema)
                 .parquet(*paths)
             )
+            if set(df.columns) != set(schema.fieldNames()):
+                # hidden-partition dirs append the derived directory column
+                df = df.select(*schema.fieldNames())
             if deletes:
                 df = df.withColumn("__sid", F.lit(_dir_sid(rel)).cast("long"))
                 if any(d.get("style") == "position" for d in deletes):

@@ -65,7 +65,16 @@ def export_snapshot(
     sid = snapshot_id if snapshot_id is not None else table.latest_snapshot_id()
     df = table.scan() if snapshot_id is None else table.scan_at(snapshot_id)
     schema = table.schema() if snapshot_id is None else table.schema_at(snapshot_id)
-    part_cols = table._load()["partition_by"]
+    from emr_apache_iceberg_workshop_spark.partitioning import field_expr, parse_spec
+
+    fields = parse_spec(table._load()["partition_by"])
+    # hidden partitioning: derive the transformed directory columns so the
+    # export keeps the table's physical layout; the generated view selects
+    # only schema columns, so the derived dirs stay pruning-only
+    for pf in fields:
+        if pf.transform != "identity":
+            df = df.withColumn(pf.name, field_expr(pf, schema))
+    part_cols = [pf.name for pf in fields]
     data_dir = os.path.join(out_dir, "data")
     writer = df.write.mode("overwrite")
     if part_cols:
@@ -111,7 +120,8 @@ def export_snapshot(
     manifest = {
         "snapshot_id": sid,
         "schema": schema.simpleString()[len("struct<") : -1],
-        "partition_by": part_cols,
+        "partition_by": table._load()["partition_by"],
+        "partition_dirs": part_cols,
         "data_glob": glob,
         "view": view_name,
         "iceberg_metadata": iceberg_md,
