@@ -354,10 +354,28 @@ def iceberg_schema(spark_schema) -> tuple[dict, dict[str, int]]:
     return {"type": "struct", "schema-id": 0, "fields": fields}, ids
 
 
-def _partition_value(raw: str | None, iceberg_type: str):
-    """Hive-dir partition string → typed Iceberg partition value."""
+def _partition_value(raw: str | None, iceberg_type: str, transform: str = "identity"):
+    """Hive-dir partition string → typed Iceberg partition value.
+    Transformed fields store Iceberg's canonical representations: day as
+    an Avro date (days since epoch), hour/month/year as int offsets from
+    1970 (the directory strings are '2024-01-02-05' / '2024-01' / '2024')."""
     if raw is None:
         return None
+    if transform == "days":
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(raw).toordinal() - _dt.date(1970, 1, 1).toordinal()
+    if transform == "hours":
+        import datetime as _dt
+
+        d, hh = raw.rsplit("-", 1)
+        days = _dt.date.fromisoformat(d).toordinal() - _dt.date(1970, 1, 1).toordinal()
+        return days * 24 + int(hh)
+    if transform == "months":
+        y, m = raw.split("-")
+        return (int(y) - 1970) * 12 + (int(m) - 1)
+    if transform == "years":
+        return int(raw) - 1970
     if iceberg_type == "long" or iceberg_type == "int":
         return int(raw)
     if iceberg_type == "double":
@@ -430,8 +448,10 @@ def _snapshot_files(meta: dict, snap: dict) -> list[dict] | None:
     equality deletes at that point in history)."""
     if snap.get("active_deletes"):
         return None
+    from .partitioning import parse_spec as _parse_spec
+
     by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
-    spec_cols = set(meta["partition_by"])
+    spec_cols = {pf.name for pf in _parse_spec(meta["partition_by"])}
     out: list[dict] = []
     for e in snap["active_dirs"]:
         rel = e if isinstance(e, str) else e["dir"]
@@ -460,6 +480,22 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
     equality deletes are not representable in v1 — `compact()` folds
     them first."""
     meta = table._load()
+    from .partitioning import parse_spec
+
+    if any(f.transform == "bucket" for f in parse_spec(meta["partition_by"])):
+        # bucket values are derived with Spark's seed-42 Murmur3, not
+        # Iceberg's seed-0 hash of the serialized value; declaring them
+        # under Iceberg's `bucket[N]` would invite an external engine to
+        # prune equality predicates with ICEBERG's hash over values
+        # computed differently — wrong results, silently. Refuse; the
+        # monotone transforms (day/hour/month/year/truncate) ARE
+        # semantically identical and are emitted below. export_snapshot
+        # still produces the resolved-parquet + view for bucket tables.
+        raise ValueError(
+            "bucket partition specs are not emitted as native Iceberg "
+            "metadata (hash-function mismatch) — use an identity/monotone "
+            "spec, or export_snapshot's resolved parquet view"
+        )
     head = table._head(meta)
     if head is None:
         raise ValueError("empty table: commit a snapshot before emitting metadata")
@@ -476,18 +512,32 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
     ts_ms = int(float(head["made_current_at"]) * 1000)
 
     schema_json, ids = iceberg_schema(table.schema())
-    part_cols = meta["partition_by"]
+    # Iceberg spec transform names + result types; the monotone transforms
+    # are semantically identical to Iceberg's, so declaring them is truthful
+    # (day → date; hour/month/year → int offsets from 1970; truncate keeps
+    # the source type). bucket was refused above.
+    _TF_JSON = {"days": "day", "hours": "hour", "months": "month", "years": "year"}
     spec_fields = []
-    part_fields = []  # with resolved iceberg types for the manifest schema
-    for i, c in enumerate(part_cols):
+    part_fields = []  # with resolved iceberg types + transform for encoding
+    for i, pf in enumerate(parse_spec(meta["partition_by"])):
         fid = 1000 + i
-        spec_fields.append(
-            {"name": c, "transform": "identity", "source-id": ids[c], "field-id": fid}
-        )
         src_type = next(
-            f["type"] for f in schema_json["fields"] if f["name"] == c
+            f["type"] for f in schema_json["fields"] if f["name"] == pf.source
         )
-        part_fields.append({"name": c, "type": src_type, "field-id": fid})
+        if pf.transform == "identity":
+            tname, rtype = "identity", src_type
+        elif pf.transform == "truncate":
+            tname, rtype = f"truncate[{pf.param}]", src_type
+        elif pf.transform == "days":
+            tname, rtype = "day", "date"
+        else:
+            tname, rtype = _TF_JSON[pf.transform], "int"
+        spec_fields.append(
+            {"name": pf.name, "transform": tname, "source-id": ids[pf.source], "field-id": fid}
+        )
+        part_fields.append(
+            {"name": pf.name, "type": rtype, "field-id": fid, "transform": pf.transform}
+        )
 
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -521,7 +571,8 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
                         "file_format": "PARQUET",
                         "partition": {
                             p["name"]: _partition_value(
-                                f["partition"].get(p["name"]), p["type"]
+                                f["partition"].get(p["name"]), p["type"],
+                                p.get("transform", "identity"),
                             )
                             for p in part_fields
                         },

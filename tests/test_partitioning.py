@@ -195,12 +195,58 @@ def test_create_rejects_unknown_source(spark, tmp_path):
         )
 
 
-def test_iceberg_meta_refuses_transformed_spec(spark, hidden_table):
+def test_iceberg_meta_refuses_bucket_spec(spark, hidden_table):
     from emr_apache_iceberg_workshop_spark.iceberg_meta import write_iceberg_metadata
 
-    t, _, _ = hidden_table
-    with pytest.raises(ValueError, match="transformed partition specs"):
+    t, _, _ = hidden_table  # spec contains bucket(4, user_id)
+    with pytest.raises(ValueError, match="bucket partition specs"):
         write_iceberg_metadata(t)
+
+
+def test_iceberg_meta_emits_monotone_transforms(spark, tmp_path):
+    """Native Iceberg v1 emission of a days(ts)+truncate(2,v) table: the
+    spec declares Iceberg's transform names and the manifests carry
+    Iceberg's canonical partition representations (day as days-since-epoch
+    via the Avro date logical type, truncate as the source type)."""
+    import json
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+        read_data_files,
+        write_iceberg_metadata,
+    )
+
+    root = os.path.join(str(tmp_path), "mono")
+    ddl = "id bigint, ts timestamp, v string"
+    t = SnapshotTable.create(
+        spark, root, ddl, partition_by=["days(ts)", "truncate(2, v)"]
+    )
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), "alpha"),
+        (2, dt.datetime(2024, 1, 2, 6), "altair"),
+        (3, dt.datetime(2024, 1, 2, 7), "beta"),
+    ]
+    t.write(spark.createDataFrame(rows, ddl).coalesce(1))
+    md_path = write_iceberg_metadata(t)
+    with open(md_path) as f:
+        doc = json.load(f)
+    assert doc["partition-spec"] == [
+        {"name": "ts_day", "transform": "day", "source-id": 2, "field-id": 1000},
+        {"name": "v_trunc", "transform": "truncate[2]", "source-id": 3, "field-id": 1001},
+    ]
+    files = read_data_files(md_path)
+    parts = sorted(
+        (f["partition"]["ts_day"], f["partition"]["v_trunc"]) for f in files
+    )
+    epoch = dt.date(1970, 1, 1).toordinal()
+    d1 = dt.date(2024, 1, 1).toordinal() - epoch
+    d2 = dt.date(2024, 1, 2).toordinal() - epoch
+    assert parts == [(d1, "al"), (d2, "al"), (d2, "be")]
+    # hour/month/year offsets from 1970 (Iceberg canonical ints)
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import _partition_value
+
+    assert _partition_value("2024-01-02-05", "int", "hours") == (d2 * 24) + 5
+    assert _partition_value("2024-01", "int", "months") == (2024 - 1970) * 12
+    assert _partition_value("2024", "int", "years") == 54
 
 
 def test_export_snapshot_transformed(spark, tmp_path, hidden_table):
