@@ -499,6 +499,18 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
     head = table._head(meta)
     if head is None:
         raise ValueError("empty table: commit a snapshot before emitting metadata")
+    renames = table._renames(meta)
+    if renames:
+        last_rename = max(r[0] for r in renames)
+        for e in head["active_dirs"]:
+            rel = e if isinstance(e, str) else e["dir"]
+            if int(rel.rsplit("/s", 1)[-1]) < last_rename:
+                # those parquet files carry pre-rename column names; this
+                # emission has no field-id mapping to redeclare them
+                raise ValueError(
+                    "live data files predate a column rename — run compact() "
+                    "before emitting Iceberg metadata"
+                )
     if head.get("active_deletes"):
         raise ValueError(
             "active merge-on-read equality deletes are not representable in "

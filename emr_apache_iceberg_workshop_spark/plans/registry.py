@@ -101,7 +101,9 @@ _PREFIX_ORDER = [
     # shape/provenance only — locally re-verified hash-identical.
     # r06 window should LEAD with the round-5-new names the r05 window
     # could not hold: q_meta_hidden (hidden-partitioning transforms),
-    # t_tfidf_keywords, s_topic_clusters,
+    # t_tfidf_keywords, s_topic_clusters, q_meta_as_of (timestamp time
+    # travel), q_meta_maintain (partition-scoped maintenance policy),
+    # q_sql_surface (SQL façade lifecycle),
     # q_avro_roundtrip, q_meta_dml, q_bloom_join,
     # c_source_cap, d_span_dup, q_meta_wap, q_meta_evolution,
     # q_meta_rollback (all new,

@@ -1001,3 +1001,211 @@ def q_meta_hidden(spark, sf_dir) -> DataFrame:
         "rows_in_range",
         "sum_val",
     )
+
+
+@query(
+    "q_meta_as_of",
+    # a wall-clock instant BETWEEN the second append (t=1700000060) and
+    # the MOR merge (t=1700000120) must resolve to snapshot 2's state —
+    # the same independent reconstruction q_meta_time_travel checks, now
+    # reached through timestamp resolution instead of a snapshot id
+    oracle=f"""
+    SELECT id, category, qty
+    FROM read_parquet(['{DEMO_ROOT}/data/s1/*/*.parquet',
+                       '{DEMO_ROOT}/data/s2/*/*.parquet'],
+                      hive_partitioning = true)
+    """,
+    tags=("meta:timestamp-as-of", "tablemeta"),
+)
+def q_meta_as_of(spark, sf_dir) -> DataFrame:
+    """Time travel by wall-clock time (Iceberg `FOR TIMESTAMP AS OF`):
+    the latest snapshot made current at or before the instant — here a
+    time 30 s after the second append and before the merge."""
+    t = _demo_table(spark)
+    return t.scan_as_of(1_700_000_090.0).select("id", "category", "qty")
+
+
+# --------------------------------------------------------------------------
+MAINTP_ROOT = os.path.join(_REPO_ROOT, "fixtures", "maint_policy_demo")
+_MAINTP_META = os.path.join(MAINTP_ROOT, "_meta.json")
+
+
+def _maintp_table(spark):
+    """Deterministic maintenance-policy fixture: three 1-file appends into
+    partition a (overfull at max_files=2), one into b (healthy), then
+    `maintain(2)` — the policy rewrite touches ONLY partition a."""
+    import json as _json
+
+    from ..tables import SnapshotTable
+
+    try:
+        with open(_MAINTP_META) as f:
+            doc = _json.load(f)
+        ops = [s["operation"] for s in doc["snapshots"]]
+        if ops == ["append", "append", "append", "maintain"]:
+            return SnapshotTable(spark, MAINTP_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(MAINTP_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, category string, v bigint"
+    t = SnapshotTable.create(
+        spark, MAINTP_ROOT, ddl, partition_by=["category"],
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+    t.write(mk([(1, "a", 10), (10, "b", 100)]))
+    t.write(mk([(2, "a", 20)]))
+    t.write(mk([(3, "a", 30)]))
+    t.maintain(max_files_per_partition=2)
+    return t
+
+
+@query(
+    "q_meta_maintain",
+    # the policy's outcome is a deterministic constant: partition a's
+    # three small files became one, b kept its single original file, no
+    # row was lost, and the commit is a 'maintain' scoped to 1 partition
+    # (fixture writes coalesce(1), so file counts are layout-stable —
+    # same caveat handling as q_meta_manifests)
+    oracle="""
+    SELECT * FROM (VALUES ('a', 1, CAST(3 AS BIGINT), CAST(60 AS BIGINT),
+                           'maintain', 1),
+                          ('b', 1, CAST(1 AS BIGINT), CAST(100 AS BIGINT),
+                           'maintain', 1))
+    AS t(category, n_live_files, n_rows, sum_v, last_op, scoped_partitions)
+    """,
+    tags=("meta:maintenance-policy", "tablemeta", "reference:S5c"),
+)
+def q_meta_maintain(spark, sf_dir) -> DataFrame:
+    """Auto-maintenance policy: per-partition live file counts and row
+    totals AFTER `maintain()` compacted only the overfull partition."""
+    t = _maintp_table(spark)
+    per_part: dict[str, int] = {}
+    for _rel, f in t._live_files():
+        c = f["partition"]["category"]
+        per_part[c] = per_part.get(c, 0) + 1
+    last = t.snapshots()[-1]
+    files_df = spark.createDataFrame(
+        [(c, n) for c, n in sorted(per_part.items())],
+        "category string, n_live_files int",
+    )
+    rows_df = t.scan().groupBy("category").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    return (
+        files_df.join(rows_df, "category")
+        .withColumn("last_op", F.lit(last.operation))
+        .withColumn(
+            "scoped_partitions",
+            F.lit(int(last.summary.get("overfull_partitions", 0))).cast("int"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+SQLDEMO_ROOT = os.path.join(_REPO_ROOT, "fixtures", "sql_demo")
+_SQLDEMO_META = os.path.join(SQLDEMO_ROOT, "_meta.json")
+
+
+def _sql_table(spark):
+    """Deterministic SQL-façade fixture: the full statement lifecycle the
+    reference drives through spark.sql — CREATE TABLE ... USING iceberg,
+    INSERT, the reference's MERGE INTO shape (aliases + dedup subquery +
+    CDC DELETE clause, `bronze-silver.py:250-285`), DELETE FROM, UPDATE —
+    executed from SQL TEXT via sqlext.SqlCatalog."""
+    import json as _json
+
+    from ..sqlext import SqlCatalog
+    from ..tables import SnapshotTable
+
+    try:
+        with open(_SQLDEMO_META) as f:
+            doc = _json.load(f)
+        ops = [s["operation"] for s in doc["snapshots"]]
+        if ops == ["append", "merge", "delete", "update"]:
+            return SnapshotTable(spark, SQLDEMO_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(SQLDEMO_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    cat = SqlCatalog(spark, warehouse=os.path.join(_REPO_ROOT, "fixtures"))
+    cat.sql(
+        """CREATE TABLE sql_demo (
+               invoiceid BIGINT, itemid BIGINT, category STRING, qty BIGINT
+           ) USING iceberg
+           TBLPROPERTIES ('write.merge.mode'='copy-on-write')"""
+    )
+    # deterministic commit clock, like every other fixture: SqlCatalog
+    # re-instantiates SnapshotTable per statement, so pin the clock by
+    # wrapping table() for the build
+    clock = lambda: 1_700_000_000.0 + 60.0 * next(counter)  # noqa: E731
+    orig_table = cat.table
+
+    def table_with_clock(name):
+        tt = orig_table(name)
+        tt._clock = clock
+        return tt
+
+    cat.table = table_with_clock
+    cat.sql(
+        "INSERT INTO sql_demo VALUES (1, 1, 'alpha', 10), (2, 1, 'beta', 20),"
+        " (3, 1, 'gamma', 30)"
+    )
+    spark.createDataFrame(
+        [(1, 1, "alpha2", 11, "U", 2), (1, 1, "stale", 99, "U", 1),
+         (2, 1, "beta", 20, "D", 1), (9, 9, "new", 90, "I", 1)],
+        "invoiceid bigint, itemid bigint, category string, qty bigint,"
+        " Op string, processed_time bigint",
+    ).createOrReplaceTempView("__sql_demo_batch")
+    cat.sql(
+        """
+        MERGE INTO sql_demo AS target
+        USING (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY invoiceid, itemid
+                    ORDER BY processed_time DESC
+                ) AS row_num FROM __sql_demo_batch
+            ) AS deduped_source WHERE row_num = 1
+        ) AS source
+        ON target.invoiceid = source.invoiceid
+           AND target.itemid = source.itemid
+        WHEN MATCHED AND source.Op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+            target.category = source.category,
+            target.qty = source.qty
+        WHEN NOT MATCHED THEN INSERT
+            (invoiceid, itemid, category, qty)
+            VALUES (source.invoiceid, source.itemid, source.category, source.qty)
+        """
+    )
+    cat.sql("DELETE FROM sql_demo WHERE qty > 50")
+    cat.sql("UPDATE sql_demo SET qty = qty * 2 WHERE category = 'gamma'")
+    return cat.table("sql_demo")
+
+
+@query(
+    "q_sql_surface",
+    # the lifecycle lands on a deterministic constant: MERGE updated
+    # (1,1)→alpha2/11 latest-wins over the stale row, deleted (2,1) via
+    # the CDC clause, inserted (9,9); DELETE removed qty>50 (the new 90);
+    # UPDATE doubled gamma. History = the four statements in order.
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'alpha2', CAST(11 AS BIGINT), 4),
+        (3, 1, 'gamma', 60, 4))
+    AS t(invoiceid, itemid, category, qty, n_commits)
+    """,
+    tags=("sql-facade", "tablemeta", "reference:C4"),
+)
+def q_sql_surface(spark, sf_dir) -> DataFrame:
+    """The reference's spark.sql surface (C4) executed as SQL TEXT through
+    `sqlext.SqlCatalog`: CREATE/INSERT/MERGE (the `bronze-silver.py`
+    statement shape with a CDC DELETE clause)/DELETE/UPDATE, verified on
+    the final state + commit count."""
+    t = _sql_table(spark)
+    n = len(t.snapshots())
+    return t.scan().select(
+        "invoiceid", "itemid", "category", "qty",
+    ).withColumn("n_commits", F.lit(n).cast("int"))

@@ -1,0 +1,408 @@
+"""SQL façade over `SnapshotTable`: run the reference's literal SQL.
+
+The reference drives every table operation through `spark.sql` strings
+against Iceberg's Spark extensions — `MERGE INTO` upserts
+(`bronze-silver.py:250-285`), `SELECT * FROM <t>.history`
+(`bronze-silver.py:116`), and the Iceberg docs' `DELETE FROM` / `UPDATE`
+/ `CALL system.*` procedures its table properties configure
+(`raw-bronze.py:159-170`). Without the Iceberg runtime jar those
+statements don't parse in vanilla Spark, so this module provides
+`SqlCatalog.sql(text)`: a RESTRICTED, documented grammar that recognizes
+the Iceberg-extension statements, maps them onto the `SnapshotTable`
+API, and hands everything else (the actual SELECT bodies, subqueries,
+temp views) to real `spark.sql` — Catalyst still plans all reads.
+
+Supported grammar (case-insensitive keywords; one statement per call):
+
+- ``CREATE TABLE [IF NOT EXISTS] <name> (<col type>, ...) [USING iceberg]
+  [PARTITIONED BY (<spec>, ...)] [TBLPROPERTIES ('k'='v', ...)]``
+  — partition specs take hidden-partitioning transforms (`days(ts)`,
+  `bucket(8, id)`, `truncate(4, s)`) like Iceberg DDL.
+- ``INSERT INTO <name> <SELECT ...>`` / ``INSERT INTO <name> VALUES ...``
+- ``DELETE FROM <name> WHERE <pred>``
+- ``UPDATE <name> SET c = expr[, ...] [WHERE <pred>]``
+- ``MERGE INTO <name> [AS] t USING (<subquery>)|<view> [AS] s
+  ON t.k = s.k [AND ...]
+  [WHEN MATCHED AND s.<op> = '<v>' THEN DELETE]
+  WHEN MATCHED THEN UPDATE SET * | SET t.c = s.c, ...
+  WHEN NOT MATCHED THEN INSERT * | INSERT (...) VALUES (s...)``
+  — the reference's statement shape verbatim; assignments must be the
+  identity mapping `t.c = s.c` (Iceberg MERGE with computed assignments
+  is out of scope, like the reference's usage).
+- ``SELECT ...`` over registered tables, with
+  ``<name> [FOR] VERSION AS OF <sid|'tag'>``,
+  ``<name> [FOR] TIMESTAMP AS OF '<ts>'``, and metadata suffixes
+  ``<name>.history|.snapshots|.files|.partitions|.refs|.manifests`` —
+  each reference is materialized as a temp view and the rewritten text
+  runs through `spark.sql`.
+- ``CALL [catalog.]system.rewrite_data_files('<name>')`` /
+  ``expire_snapshots('<name>'[, <retain_last>])`` /
+  ``remove_orphan_files('<name>')`` /
+  ``rollback_to_snapshot('<name>', <sid>)`` /
+  ``fast_forward('<name>', '<branch>'[, '<to>'])`` — named
+  (``arg => v``) or positional.
+- ``ALTER TABLE <name> ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
+  / ``ADD PARTITION FIELD <spec>`` / ``DROP PARTITION FIELD <spec>`` /
+  ``CREATE TAG <tag> [AS OF VERSION <sid>]`` /
+  ``CREATE BRANCH <branch> [AS OF VERSION <sid>]``.
+
+DML returns the new snapshot id (int); SELECT returns a DataFrame.
+Anything unrecognized raises ValueError with the offending statement —
+never a silent wrong answer.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .tables import SnapshotTable
+
+_META_TABLES = ("history", "snapshots", "files", "partitions", "refs", "manifests")
+
+
+def _ws(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren/quote depth 0."""
+    out, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+class SqlCatalog:
+    """Name → `SnapshotTable` registry + the restricted-SQL dispatcher.
+
+    `warehouse` is where `CREATE TABLE` puts new table roots
+    (`<warehouse>/<name with dots as dirs>`); pre-existing tables attach
+    with `register(name, root)`."""
+
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse
+        self._tables: dict[str, str] = {}  # lower-name -> root
+        self._viewn = 0
+
+    def register(self, name: str, root: str) -> None:
+        self._tables[name.lower()] = root
+
+    def table(self, name: str) -> SnapshotTable:
+        root = self._tables.get(name.lower())
+        if root is None:
+            raise ValueError(f"unknown table {name!r} (register() it first)")
+        return SnapshotTable(self.spark, root)
+
+    # -- dispatcher --------------------------------------------------------
+    def sql(self, text: str):
+        stmt = _ws(text)
+        head = stmt.split(None, 2)[0].upper() if stmt else ""
+        if head == "CREATE" and re.match(r"CREATE\s+TABLE", stmt, re.I):
+            return self._create_table(stmt)
+        if head == "INSERT":
+            return self._insert(stmt)
+        if head == "DELETE":
+            return self._delete(stmt)
+        if head == "UPDATE":
+            return self._update(stmt)
+        if head == "MERGE":
+            return self._merge(stmt)
+        if head == "CALL":
+            return self._call(stmt)
+        if head == "ALTER":
+            return self._alter(stmt)
+        if head in ("SELECT", "WITH"):
+            return self.spark.sql(self._rewrite_reads(stmt))
+        raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+
+    # -- DDL ---------------------------------------------------------------
+    def _create_table(self, stmt: str):
+        m = re.match(
+            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+            r"\((?P<cols>.*?)\)\s*(?:USING\s+\w+\s*)?"
+            r"(?:PARTITIONED\s+BY\s*\((?P<part>.*?)\)\s*)?"
+            r"(?:TBLPROPERTIES\s*\((?P<props>.*?)\)\s*)?$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"unsupported CREATE TABLE: {stmt[:120]!r}")
+        name = m.group("name")
+        if name.lower() in self._tables:
+            if re.search(r"IF\s+NOT\s+EXISTS", stmt, re.I):
+                return None
+            raise ValueError(f"table {name!r} already exists")
+        if self.warehouse is None:
+            raise ValueError("CREATE TABLE needs a catalog warehouse dir")
+        root = os.path.join(self.warehouse, *name.split("."))
+        props = {}
+        for kv in _split_top(m.group("props") or ""):
+            km = re.match(r"'([^']+)'\s*=\s*'([^']*)'", kv.strip())
+            if not km:
+                raise ValueError(f"unsupported TBLPROPERTIES entry: {kv!r}")
+            props[km.group(1)] = km.group(2)
+        SnapshotTable.create(
+            self.spark,
+            root,
+            m.group("cols"),
+            partition_by=_split_top(m.group("part") or "") or None,
+            properties=props or None,
+        )
+        self.register(name, root)
+        return None
+
+    def _alter(self, stmt: str):
+        m = re.match(r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+(?P<rest>.*)$", stmt, re.I)
+        if not m:
+            raise ValueError(f"unsupported ALTER TABLE: {stmt[:120]!r}")
+        t, rest = self.table(m.group("name")), m.group("rest").strip()
+        am = re.match(r"ADD\s+COLUMNS?\s*\((?P<cols>.*)\)$", rest, re.I) or re.match(
+            r"ADD\s+COLUMNS?\s+(?P<cols>.+)$", rest, re.I
+        )
+        if am:
+            add = {}
+            for c in _split_top(am.group("cols")):
+                cn, _, ct = c.strip().partition(" ")
+                add[cn] = ct.strip()
+            return t.evolve_schema(add=add)
+        dm = re.match(r"DROP\s+COLUMNS?\s+(?P<col>[\w,\s]+)$", rest, re.I)
+        if dm:
+            return t.evolve_schema(drop=[c.strip() for c in dm.group("col").split(",")])
+        pm = re.match(r"ADD\s+PARTITION\s+FIELD\s+(?P<spec>.+)$", rest, re.I)
+        if pm:
+            return t.evolve_partition_spec(
+                t._load()["partition_by"] + [pm.group("spec").strip()]
+            )
+        pm = re.match(r"DROP\s+PARTITION\s+FIELD\s+(?P<spec>.+)$", rest, re.I)
+        if pm:
+            spec = pm.group("spec").strip()
+            cur = t._load()["partition_by"]
+            if spec not in cur:
+                raise ValueError(f"not a partition field: {spec!r}")
+            return t.evolve_partition_spec([s for s in cur if s != spec])
+        rm = re.match(
+            r"RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)$", rest, re.I
+        )
+        if rm:
+            return t.rename_column(rm.group("old"), rm.group("new"))
+        tm = re.match(
+            r"CREATE\s+(?P<kind>TAG|BRANCH)\s+(?P<ref>\w+)"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(?P<sid>\d+))?$",
+            rest,
+            re.I,
+        )
+        if tm:
+            sid = int(tm.group("sid")) if tm.group("sid") else None
+            if tm.group("kind").upper() == "TAG":
+                return t.create_tag(tm.group("ref"), sid)
+            return t.create_branch(tm.group("ref"), sid)
+        raise ValueError(f"unsupported ALTER TABLE action: {rest[:80]!r}")
+
+    # -- DML ---------------------------------------------------------------
+    def _insert(self, stmt: str):
+        m = re.match(r"INSERT\s+INTO\s+(?P<name>[\w.]+)\s+(?P<rest>.+)$", stmt, re.I)
+        if not m:
+            raise ValueError(f"unsupported INSERT: {stmt[:120]!r}")
+        t = self.table(m.group("name"))
+        rest = m.group("rest").strip()
+        if re.match(r"VALUES", rest, re.I):
+            df = self.spark.sql(f"SELECT * FROM ({rest})")
+            df = df.toDF(*t.schema().fieldNames())
+        else:
+            df = self.spark.sql(self._rewrite_reads(rest))
+        return t.write(df, mode="append")
+
+    def _delete(self, stmt: str):
+        m = re.match(
+            r"DELETE\s+FROM\s+(?P<name>[\w.]+)\s+WHERE\s+(?P<pred>.+)$", stmt, re.I
+        )
+        if not m:
+            raise ValueError(f"unsupported DELETE: {stmt[:120]!r}")
+        return self.table(m.group("name")).delete_where(m.group("pred"))
+
+    def _update(self, stmt: str):
+        m = re.match(
+            r"UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"
+            r"(?:\s+WHERE\s+(?P<pred>.+))?$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"unsupported UPDATE: {stmt[:120]!r}")
+        assignments = {}
+        for a in _split_top(m.group("sets")):
+            col, _, expr = a.partition("=")
+            assignments[col.strip()] = expr.strip()
+        return self.table(m.group("name")).update_where(
+            m.group("pred") or "true", assignments
+        )
+
+    def _merge(self, stmt: str):
+        m = re.match(
+            r"MERGE\s+INTO\s+(?P<name>[\w.]+)(?:\s+AS)?\s+(?P<talias>\w+)\s+"
+            r"USING\s+(?P<src>\(.*\)|[\w.]+)(?:\s+AS)?\s+(?P<salias>\w+)\s+"
+            r"ON\s+(?P<on>.+?)\s+(?P<whens>WHEN\s+.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"unsupported MERGE: {stmt[:120]!r}")
+        name, ta, sa = m.group("name"), m.group("talias"), m.group("salias")
+        t = self.table(name)
+        # ON: conjunction of talias.k = salias.k equalities → merge keys
+        keys = []
+        for conj in re.split(r"\s+AND\s+", m.group("on"), flags=re.I):
+            em = re.match(
+                rf"\s*(?:{ta}\.)?(\w+)\s*=\s*(?:{sa}\.)?(\w+)\s*$", conj, re.I
+            )
+            if not em or em.group(1).lower() != em.group(2).lower():
+                raise ValueError(f"unsupported MERGE ON term: {conj!r}")
+            keys.append(em.group(1))
+        op_col, delete_value = None, "D"
+        whens = m.group("whens")
+        dm = re.search(
+            rf"WHEN\s+MATCHED\s+AND\s+(?:{sa}\.)?(\w+)\s*=\s*'([^']*)'\s+THEN\s+DELETE",
+            whens,
+            re.I,
+        )
+        if dm:
+            op_col, delete_value = dm.group(1), dm.group(2)
+        um = re.search(
+            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>\*|.+?)"
+            r"(?=\s+WHEN\s+|$)",
+            whens,
+            re.I | re.S,
+        )
+        if not um:
+            raise ValueError("MERGE needs WHEN MATCHED THEN UPDATE SET")
+        sets = um.group("sets").strip()
+        if sets != "*":
+            for a in _split_top(sets):
+                am = re.match(
+                    rf"\s*(?:{ta}\.)?(\w+)\s*=\s*(?:{sa}\.)?(\w+)\s*$", a, re.I
+                )
+                if not am or am.group(1).lower() != am.group(2).lower():
+                    raise ValueError(f"unsupported MERGE assignment: {a!r}")
+        if not re.search(
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", whens, re.I
+        ):
+            raise ValueError("MERGE needs WHEN NOT MATCHED THEN INSERT")
+        src_text = m.group("src")
+        if src_text.startswith("("):
+            src = self.spark.sql(self._rewrite_reads(src_text[1:-1]))
+        elif src_text.lower() in self._tables:
+            src = self.table(src_text).scan()
+        else:
+            src = self.spark.table(src_text)
+        return t.merge(src, keys, op_col=op_col, delete_value=delete_value)
+
+    # -- procedures --------------------------------------------------------
+    def _call(self, stmt: str):
+        m = re.match(
+            r"CALL\s+(?:[\w]+\.)?system\.(?P<proc>\w+)\s*\((?P<args>.*)\)\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"unsupported CALL: {stmt[:120]!r}")
+        proc = m.group("proc").lower()
+        pos, named = [], {}
+        for a in _split_top(m.group("args")):
+            nm = re.match(r"(\w+)\s*=>\s*(.+)$", a.strip())
+            if nm:
+                named[nm.group(1).lower()] = nm.group(2).strip()
+            else:
+                pos.append(a.strip())
+
+        def val(key: str, i: int, default=None):
+            v = named.get(key, pos[i] if i < len(pos) else None)
+            if v is None:
+                return default
+            return v.strip().strip("'\"")
+
+        t = self.table(val("table", 0))
+        if proc == "rewrite_data_files":
+            return t.compact()
+        if proc == "expire_snapshots":
+            keep = val("retain_last", 1)
+            return t.expire_snapshots(keep_last=int(keep) if keep else 1)
+        if proc == "remove_orphan_files":
+            return t.remove_orphan_files()
+        if proc == "rollback_to_snapshot":
+            return t.rollback_to_snapshot(int(val("snapshot_id", 1)))
+        if proc == "fast_forward":
+            return t.fast_forward(val("branch", 1), to=val("to", 2, "main"))
+        raise ValueError(f"unsupported procedure system.{proc}")
+
+    # -- reads -------------------------------------------------------------
+    def _rewrite_reads(self, text: str) -> str:
+        """Substitute registered table references (plus time-travel
+        clauses and metadata suffixes) with temp views over the
+        corresponding `SnapshotTable` reads; the rewritten text runs
+        through real spark.sql."""
+        out = text
+        for name in sorted(self._tables, key=len, reverse=True):
+            pat = re.compile(
+                rf"(?<![\w.]){re.escape(name)}"
+                rf"(?:\.(?P<meta>{'|'.join(_META_TABLES)}))?"
+                rf"(?:\s+(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+"
+                rf"(?P<ver>'[^']*'|\d+))?"
+                rf"(?:\s+(?:FOR\s+)?(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+"
+                rf"(?P<ts>'[^']*'))?"
+                rf"(?![\w.])",
+                re.I,
+            )
+
+            def sub(mm: re.Match) -> str:
+                t = self.table(name)
+                meta, ver, ts = mm.group("meta"), mm.group("ver"), mm.group("ts")
+                if meta:
+                    df = getattr(
+                        t,
+                        {
+                            "history": "history",
+                            "snapshots": "snapshots_table",
+                            "files": "files_table",
+                            "partitions": "partitions_table",
+                            "refs": "refs_table",
+                            "manifests": "manifests_table",
+                        }[meta.lower()],
+                    )()
+                elif ver:
+                    ref = ver.strip("'")
+                    df = t.scan_at(int(ref) if ref.isdigit() else ref)
+                elif ts:
+                    df = t.scan_as_of(ts.strip("'"))
+                else:
+                    df = t.scan()
+                self._viewn += 1
+                vname = f"__sqlext_{self._viewn}"
+                df.createOrReplaceTempView(vname)
+                return vname
+
+            out = pat.sub(sub, out)
+        return out

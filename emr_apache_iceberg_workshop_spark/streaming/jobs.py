@@ -172,6 +172,54 @@ CDC_DDL = (
 )
 
 
+def apply_cdc_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    table_root: str,
+    keys: list[str],
+    order_col: str,
+    op_col: str | None = None,
+    delete_value: str = "D",
+    partition_by: list[str] | None = None,
+    merge_mode: str = "merge-on-read",
+) -> bool:
+    """One exactly-once CDC microbatch: dedup latest-per-key, then MERGE
+    with the foreachBatch `batch_id` stamped into the commit summary
+    (atomic with the merge). A replayed batch whose id is already
+    committed is skipped. Returns True when a merge was committed, False
+    when the batch was empty or a replay."""
+    from ..operators import dedup_latest
+    from ..tables import SnapshotTable
+
+    if batch_df.isEmpty():
+        return False
+    src = dedup_latest(batch_df, keys, [F.col(order_col).desc(), *keys])
+    if SnapshotTable.exists(table_root):
+        table = SnapshotTable(spark, table_root)
+        done = [
+            s.summary.get("streaming.batch-id")
+            for s in table.snapshots()
+            if s.summary.get("streaming.batch-id") is not None
+        ]
+        if done and batch_id <= max(done):
+            return False  # at-least-once replay of a committed batch
+    else:
+        data_cols = [c for c in src.columns if op_col is None or c != op_col]
+        table = SnapshotTable.create(
+            spark,
+            table_root,
+            src.select(*data_cols).schema,
+            partition_by=partition_by,
+            properties={"write.merge.mode": merge_mode},
+        )
+    table.merge(
+        src, keys, op_col=op_col, delete_value=delete_value,
+        summary_extra={"streaming.batch-id": int(batch_id)},
+    )
+    return True
+
+
 def stream_cdc_upsert(
     spark: SparkSession,
     input_dir: str,
@@ -191,10 +239,17 @@ def stream_cdc_upsert(
     loop (`bronze-silver.py:75-109,146-149,249-285`): the file-source
     checkpoint replaces the hand-rolled snapshot watermark, and each
     microbatch runs the same dedup-then-merge the batch pipeline runs.
-    foreachBatch is at-least-once, but latest-wins MERGE is idempotent
-    (re-merging an already-applied batch is a no-op on table STATE), so the
-    observable table converges exactly-once — fixing the reference's
-    crash-between-write-and-checkpoint double-processing gap.
+
+    Exactly-once: every merge commit stamps its foreachBatch `batch_id`
+    into the snapshot summary IN THE SAME atomic metadata swap (the trick
+    Iceberg's streaming sink uses with `spark.sql.streaming.epochId`), and
+    a replayed batch — foreachBatch is at-least-once — is SKIPPED when its
+    id is already committed: no duplicate snapshot, no duplicate work. The
+    latest-wins MERGE stays idempotent underneath as a second line of
+    defense (a crash BETWEEN data write and metadata swap leaves no
+    committed batch id, and the re-merge converges to the same state) —
+    fixing the reference's crash-between-write-and-checkpoint
+    double-processing gap.
 
     The silver table defaults to `write.merge.mode=merge-on-read`, matching
     the reference's MOR silver (`bronze-silver.py:184-189`): each
@@ -210,7 +265,6 @@ def stream_cdc_upsert(
 
     Returns the `SnapshotTable` after all available data is applied.
     """
-    from ..operators import dedup_latest
     from ..tables import SnapshotTable
 
     keys = keys or ["invoiceid", "itemid"]
@@ -223,21 +277,11 @@ def stream_cdc_upsert(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        src = dedup_latest(batch_df, keys, [F.col(order_col).desc(), *keys])
-        if SnapshotTable.exists(table_root):
-            table = SnapshotTable(spark, table_root)
-        else:
-            data_cols = [c for c in src.columns if op_col is None or c != op_col]
-            table = SnapshotTable.create(
-                spark,
-                table_root,
-                src.select(*data_cols).schema,
-                partition_by=partition_by,
-                properties={"write.merge.mode": merge_mode},
-            )
-        table.merge(src, keys, op_col=op_col, delete_value=delete_value)
+        apply_cdc_batch(
+            spark, batch_df, batch_id, table_root, keys,
+            order_col=order_col, op_col=op_col, delete_value=delete_value,
+            partition_by=partition_by, merge_mode=merge_mode,
+        )
 
     q = (
         stream.writeStream.foreachBatch(_apply)

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -320,11 +321,39 @@ class SnapshotTable:
         # partition key before the write so each partition's rows land in
         # few tasks. Without it, N write tasks × P live partitions emit
         # N·P files — the small-file explosion that kills 100 TB tables.
+        # `range` range-partitions on the sort order (or partition keys),
+        # giving every output file a DISJOINT value range — the layout
+        # that makes manifest min/max pruning maximally effective.
         # Default 'none' preserves the caller's layout (the reference's
         # writers pre-arrange their data; fixtures rely on it).
-        dist = meta.get("properties", {}).get("write.distribution-mode", "none")
-        if part_names and dist == "hash":
+        props = meta.get("properties", {})
+        dist = props.get("write.distribution-mode", "none")
+        sort_cols = [
+            c.strip() for c in props.get("write.sort-order", "").split(",") if c.strip()
+        ]
+        if dist == "hash" and part_names:
             df = df.repartition(*[F.col(c) for c in part_names])
+        elif dist == "range":
+            rng = sort_cols or part_names
+            if not rng:
+                raise ValueError(
+                    "write.distribution-mode=range needs write.sort-order "
+                    "or a partition spec"
+                )
+            # optional explicit task count; default lets AQE size the
+            # ranges by bytes (the right behavior at scale — small tables
+            # coalesce to few files, large ones split)
+            n = props.get("write.range-partitions")
+            cols = [F.col(c) for c in rng]
+            df = (
+                df.repartitionByRange(int(n), *cols)
+                if n
+                else df.repartitionByRange(*cols)
+            )
+        if sort_cols:
+            # Iceberg `write.sort-order`: local (within-task) sort before
+            # the write — no extra shuffle, tight per-file min/max bounds
+            df = df.sortWithinPartitions(*sort_cols)
         writer = df.write.mode("overwrite")
         if part_names:
             writer = writer.partitionBy(*part_names)
@@ -366,6 +395,7 @@ class SnapshotTable:
         mode: str = "append",
         operation: str | None = None,
         branch: str = "main",
+        summary_extra: dict | None = None,
     ) -> int:
         """Append or overwrite; returns the new snapshot id. `branch`
         stages the commit on a named ref instead of `main` (Iceberg WAP:
@@ -401,7 +431,7 @@ class SnapshotTable:
                 "partitions": parts,
                 "files": files,
                 "active_deletes": active_deletes,
-                "summary": {},
+                "summary": dict(summary_extra or {}),
             }
         )
         self._advance(meta, branch, sid, prev_main)
@@ -546,6 +576,63 @@ class SnapshotTable:
         self._commit(meta)
         return sid
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Iceberg `ALTER TABLE ... RENAME COLUMN` as a METADATA-ONLY
+        commit. Iceberg resolves renames through field ids; this layer
+        records the rename in the commit log and every read maps each
+        dir's columns through the renames committed after it was written
+        (`_read_entries`), so old files answer to the new name with zero
+        rewrite — including across chained renames. Restrictions, checked
+        here: partition SOURCE columns can't be renamed (directory names
+        embed them), and active equality-delete files keyed on the column
+        must be compacted away first (their parquet stores the old name)."""
+        meta = self._load()
+        fields = list(T.StructType.fromDDL(meta["schema"]).fields)
+        names = [f.name for f in fields]
+        if old not in names:
+            raise ValueError(f"column {old!r} does not exist")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if not re.match(r"^\w+$", new):
+            raise ValueError(f"invalid column name {new!r}")
+        if any(f.source == old or f.name == old for f in self._part_fields(meta)):
+            raise ValueError(f"cannot rename partition source column {old!r}")
+        head = self._head(meta)
+        if head:
+            for d in head.get("active_deletes", []):
+                if old in d.get("keys", []):
+                    raise ValueError(
+                        f"column {old!r} keys an active equality-delete file — "
+                        "run compact() before renaming"
+                    )
+        new_fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in fields
+        ]
+        new_ddl = T.StructType(new_fields).simpleString()[len("struct<") : -1]
+        snaps = meta["snapshots"]
+        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        snaps.append(
+            {
+                "snapshot_id": sid,
+                "parent_id": head["snapshot_id"] if head else None,
+                "made_current_at": self._clock(),
+                "operation": "evolve-schema",
+                "dirs": [],
+                "active_dirs": head["active_dirs"] if head else [],
+                "active_deletes": list(head.get("active_deletes", [])) if head else [],
+                "summary": {
+                    "schema": new_ddl,
+                    "prev_schema": meta["schema"],
+                    "renamed": {"from": old, "to": new},
+                },
+            }
+        )
+        meta["schema"] = new_ddl
+        self._advance(meta, "main", sid, None)
+        self._commit(meta)
+        return sid
+
     # -- partition-spec evolution (Iceberg `ALTER TABLE ... ADD/DROP
     # PARTITION FIELD`) ----------------------------------------------------
     def evolve_partition_spec(self, partition_by: list[str]) -> int:
@@ -637,19 +724,46 @@ class SnapshotTable:
         plain = "regexp_replace(_metadata.file_path, '^[a-zA-Z0-9]+:/+', '/')"
         return F.expr(f"substring({plain}, {len(root) + 2})")
 
+    @staticmethod
+    def _renames(meta: dict) -> list[tuple[int, str, str]]:
+        """(snapshot_id, old, new) for every rename commit, ascending."""
+        out = []
+        for s in meta.get("snapshots", []):
+            r = s.get("summary", {}).get("renamed")
+            if r:
+                out.append((s["snapshot_id"], r["from"], r["to"]))
+        return out
+
+    @staticmethod
+    def _name_at(renames: list, dir_sid: int, name: str, as_of: int | None) -> str:
+        """The name column `name` (as of snapshot `as_of`; None = head) had
+        when dir `dir_sid` was written: unwind renames committed in
+        (dir_sid, as_of], newest first (handles chains a→b→c)."""
+        for rsid, old, new in reversed(renames):
+            if rsid <= dir_sid or (as_of is not None and rsid > as_of):
+                continue
+            if name == new:
+                name = old
+        return name
+
     def _read_entries(
         self,
         entries: list,
         schema: T.StructType | None = None,
         with_sid: bool = False,
         with_pos: bool = False,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Union of per-dir reads. Dict entries carry partition-exclusion
         masks (partitions rewritten by a later partition-scoped merge);
         `with_sid` tags rows with the snapshot id of their dir so MOR
         delete files can be applied with a sid-conditioned anti-join;
         `with_pos` adds (__rel, __pos) — the row's physical identity for
-        positional deletes."""
+        positional deletes. Columns renamed AFTER a dir was written are
+        read under their historical name and aliased (Iceberg reads by
+        field id; this layer reads by the per-snapshot name mapping —
+        `as_of` bounds the mapping for time-travel reads)."""
+        meta = self._load()
         schema = schema or self.schema()
         if not entries:
             df = self.spark.createDataFrame([], schema)
@@ -660,31 +774,40 @@ class SnapshotTable:
                     "__pos", F.lit(0).cast("long")
                 )
             return df
-        all_fields = self._all_part_fields(self._load())
+        all_fields = self._all_part_fields(meta)
+        renames = self._renames(meta)
         dfs = []
         for e in entries:
             rel, excl = _entry_rel(e), _entry_excl(e)
             p = os.path.join(self.root, rel)
+            dsid = _dir_sid(rel)
+            hist = [
+                (self._name_at(renames, dsid, f.name, as_of), f)
+                for f in schema.fields
+            ] if renames else [(f.name, f) for f in schema.fields]
+            read_schema = T.StructType(
+                [T.StructField(hn, f.dataType, f.nullable) for hn, f in hist]
+            )
             # basePath per snapshot dir so partition columns resolve
-            df = self.spark.read.option("basePath", p).schema(schema).parquet(p)
+            df = self.spark.read.option("basePath", p).schema(read_schema).parquet(p)
             if with_pos:
                 df = df.withColumn("__rel", self._rel_path_expr()).withColumn(
                     "__pos", F.col("_metadata.row_index")
                 )
+            # alias historical names back to the requested schema, and drop
+            # the derived directory column hidden-partition dirs append
+            sel = [F.col(hn).alias(f.name) for hn, f in hist] + (
+                [F.col("__rel"), F.col("__pos")] if with_pos else []
+            )
+            df = df.select(*sel)
             if excl:
                 # exclusion re-derives partition values from data columns
                 # (identity: the column itself → partition pruning drops
                 # masked subtrees at planning time; transformed: the
                 # transform expression, row-filtered)
                 df = df.filter(~self._partition_match_expr(excl, all_fields, schema))
-            # hidden-partition dirs: Spark appends the derived directory
-            # column even under an explicit read schema — project back to
-            # the table schema so unions across specs line up
-            keep = schema.fieldNames() + (["__rel", "__pos"] if with_pos else [])
-            if set(df.columns) != set(keep):
-                df = df.select(*keep)
             if with_sid:
-                df = df.withColumn("__sid", F.lit(_dir_sid(rel)).cast("long"))
+                df = df.withColumn("__sid", F.lit(dsid).cast("long"))
             dfs.append(df)
         out = dfs[0]
         for d in dfs[1:]:
@@ -802,6 +925,7 @@ class SnapshotTable:
             schema=schema,
             with_sid=bool(deletes),
             with_pos=has_pos,
+            as_of=snap["snapshot_id"],
         )
         if deletes:
             df = self._apply_deletes(df, deletes)
@@ -1214,6 +1338,7 @@ class SnapshotTable:
         keys: list[str],
         op_col: str | None = None,
         delete_value: str = "D",
+        summary_extra: dict | None = None,
     ) -> int:
         """MERGE INTO: latest-wins upsert of `source` (pre-deduplicated, one
         row per key) into the table; commits a new snapshot. Execution
@@ -1235,20 +1360,32 @@ class SnapshotTable:
         src = source.select(*[c for c in target.columns if c in source.columns],
                             *([op_col] if op_col and op_col not in target.columns else []))
         if mode == "merge-on-read":
-            return self._merge_mor(src, keys, op_col=op_col, delete_value=delete_value)
+            return self._merge_mor(
+                src, keys, op_col=op_col, delete_value=delete_value,
+                summary_extra=summary_extra,
+            )
         if self._load()["partition_by"]:
             return self._merge_cow_scoped(
-                target, src, keys, op_col=op_col, delete_value=delete_value
+                target, src, keys, op_col=op_col, delete_value=delete_value,
+                summary_extra=summary_extra,
             )
         merged = merge_upsert(target, src, keys, op_col=op_col, delete_value=delete_value)
         merged = merged.select(*target.columns)
         # materialize: the merged plan reads the current snapshot dirs and
         # must not be re-evaluated lazily after the metadata swap
         merged_local = merged.localCheckpoint(eager=True)
-        return self.write(merged_local, mode="overwrite", operation="merge")
+        return self.write(
+            merged_local, mode="overwrite", operation="merge",
+            summary_extra=summary_extra,
+        )
 
     def _merge_mor(
-        self, src: DataFrame, keys: list[str], op_col: str | None, delete_value: str
+        self,
+        src: DataFrame,
+        keys: list[str],
+        op_col: str | None,
+        delete_value: str,
+        summary_extra: dict | None = None,
     ) -> int:
         """Merge-on-read execution: ONE pass over the batch — write the
         upserted rows as a new data dir and the batch's keys as an equality
@@ -1293,7 +1430,7 @@ class SnapshotTable:
                 "delete_file": drel,
                 "delete_file_stats": dfiles,
                 "active_deletes": active_deletes,
-                "summary": {"mode": "merge-on-read"},
+                "summary": dict({"mode": "merge-on-read"}, **(summary_extra or {})),
             }
         )
         self._advance(meta, "main", sid, None)
@@ -1307,6 +1444,7 @@ class SnapshotTable:
         keys: list[str],
         op_col: str | None,
         delete_value: str,
+        summary_extra: dict | None = None,
     ) -> int:
         """Partition-scoped copy-on-write: rewrite ONLY the partitions the
         batch touches. Affected = source rows' partitions ∪ partitions of
@@ -1343,7 +1481,10 @@ class SnapshotTable:
                     "active_dirs": prev["active_dirs"] if prev else [],
                     "partitions": [],
                     "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
-                    "summary": {"mode": "copy-on-write", "scoped_partitions": 0},
+                    "summary": dict(
+                        {"mode": "copy-on-write", "scoped_partitions": 0},
+                        **(summary_extra or {}),
+                    ),
                 }
             )
             self._advance(meta, "main", sid, None)
@@ -1381,7 +1522,10 @@ class SnapshotTable:
                 "partitions": written_parts,
                 "files": files,
                 "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
-                "summary": {"mode": "copy-on-write", "scoped_partitions": len(parts)},
+                "summary": dict(
+                    {"mode": "copy-on-write", "scoped_partitions": len(parts)},
+                    **(summary_extra or {}),
+                ),
             }
         )
         self._advance(meta, "main", sid, None)
@@ -1699,6 +1843,34 @@ class SnapshotTable:
                 return self._scan_snapshot(s, self.schema_at(ref))
         raise ValueError(f"unknown snapshot {ref}")
 
+    def scan_as_of(self, ts) -> DataFrame:
+        """Time-travel read by wall-clock time (Iceberg `FOR TIMESTAMP AS
+        OF`): the state of the LATEST main-lineage snapshot made current
+        at or before `ts` (epoch seconds, datetime, or
+        'YYYY-MM-DD HH:MM:SS[.ffffff]' UTC string). Resolution walks the
+        current main lineage — after a rollback, snapshots off the new
+        lineage are not candidates (this table keeps no metadata-log of
+        ref re-points, a documented difference from Iceberg's
+        snapshot-log)."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts).replace(tzinfo=_dt.timezone.utc).timestamp()
+        elif isinstance(ts, _dt.datetime):
+            ts = ts.replace(tzinfo=ts.tzinfo or _dt.timezone.utc).timestamp()
+        meta = self._load()
+        head = self._head(meta)
+        if head is None:
+            raise ValueError("empty table: no snapshot at or before that time")
+        lineage = self._lineage(meta, head["snapshot_id"])  # newest first
+        for s in lineage:
+            if float(s["made_current_at"]) <= float(ts):
+                return self._scan_snapshot(s, self.schema_at(s["snapshot_id"]))
+        raise ValueError(
+            f"no snapshot at or before {ts} (oldest retained: "
+            f"{float(lineage[-1]['made_current_at'])})"
+        )
+
     def compact(
         self,
         target_partitions: int | None = None,
@@ -1761,6 +1933,50 @@ class SnapshotTable:
         squashed = squashed.localCheckpoint(eager=True)
         return self.write(squashed, mode="overwrite", operation="compact")
 
+    def maintain(self, max_files_per_partition: int = 4) -> int | None:
+        """Targeted small-file compaction (the auto-maintenance policy a
+        catalog service runs on an Iceberg table): rewrite ONLY the
+        partitions whose live data-file count exceeds the threshold,
+        leaving every healthy partition's files untouched. Partition file
+        counts come from the MANIFEST — the overfull set is found with
+        zero data I/O — and the rewrite is the same partition-scoped COW
+        commit MERGE/DML use, so maintenance cost is O(overfull
+        partitions), never a full-table rewrite. Appends keep streaming in
+        while cold partitions stay byte-identical. Returns the new
+        snapshot id, or None when no partition breaches the policy (no
+        commit at all). Unpartitioned tables fall back to a whole-table
+        `compact()` when the total file count breaches the threshold."""
+        from collections import Counter
+
+        meta = self._load()
+        fields = self._part_fields(meta)
+        live = self._live_files()
+        if not fields:
+            if len(live) <= max_files_per_partition:
+                return None
+            return self.compact()
+        counts = Counter(
+            tuple(sorted(f["partition"].items())) for _rel, f in live
+        )
+        over = [dict(k) for k, c in counts.items() if c > max_files_per_partition]
+        if not over:
+            return None
+        schema = self.schema()
+        match = self._partition_match_expr(over, fields, schema)
+        part_exprs = [field_expr(f, schema) for f in fields]
+        return self._cow_rewrite_where(
+            self.scan(),
+            match,
+            # cluster the rewritten rows by partition value so each
+            # overfull partition lands in ~1 write task → ~1 file
+            lambda df: df.repartition(max(1, len(over)), *part_exprs),
+            "maintain",
+            {
+                "policy_max_files_per_partition": max_files_per_partition,
+                "overfull_partitions": len(over),
+            },
+        )
+
     # -- manifest-level file pruning (Iceberg scan planning) ---------------
     def _live_files(self) -> list[tuple[str, dict]]:
         """(dir_rel, manifest entry) for every data file live in the
@@ -1796,10 +2012,12 @@ class SnapshotTable:
         the files; monotone transforms prune ranges."""
         fields = [f for f in self._part_fields(self._load()) if f.source == col]
         bucket_of = {f.name: self._bucket_of(f) for f in fields if f.transform == "bucket"}
+        renames = self._renames(self._load())
         live = self._live_files()
         kept = []
         for rel, f in live:
-            b = f.get("bounds", {}).get(col)
+            hist_col = self._name_at(renames, _dir_sid(rel), col, None)
+            b = f.get("bounds", {}).get(hist_col)
             if b is not None and (hi < b[0] or lo > b[1]):
                 continue
             part = f.get("partition", {})
@@ -1844,15 +2062,23 @@ class SnapshotTable:
         if not by_dir:
             return self.spark.createDataFrame([], schema)
         dfs = []
+        renames = self._renames(self._load())
         for rel, paths in sorted(by_dir.items()):
+            dsid = _dir_sid(rel)
+            hist = [
+                (self._name_at(renames, dsid, f.name, None), f)
+                for f in schema.fields
+            ]
+            read_schema = T.StructType(
+                [T.StructField(hn, f.dataType, f.nullable) for hn, f in hist]
+            )
             df = (
                 self.spark.read.option("basePath", os.path.join(self.root, rel))
-                .schema(schema)
+                .schema(read_schema)
                 .parquet(*paths)
             )
-            if set(df.columns) != set(schema.fieldNames()):
-                # hidden-partition dirs append the derived directory column
-                df = df.select(*schema.fieldNames())
+            # alias historical names to current; drops hidden-partition cols
+            df = df.select(*[F.col(hn).alias(f.name) for hn, f in hist])
             if deletes:
                 df = df.withColumn("__sid", F.lit(_dir_sid(rel)).cast("long"))
                 if any(d.get("style") == "position" for d in deletes):

@@ -1,0 +1,158 @@
+"""SQL façade: the reference's literal spark.sql statements against
+SnapshotTable (MERGE INTO shape from `bronze-silver.py:250-285`,
+`.history` reads from `bronze-silver.py:116`, Iceberg-docs DML/CALL)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from emr_apache_iceberg_workshop_spark.sqlext import SqlCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return SqlCatalog(spark, warehouse=str(tmp_path / "wh"))
+
+
+def test_create_insert_select_roundtrip(spark, cat):
+    cat.sql(
+        """CREATE TABLE db.items (
+               id BIGINT, category STRING, qty BIGINT
+           ) USING iceberg
+           PARTITIONED BY (category)
+           TBLPROPERTIES ('write.merge.mode'='copy-on-write')"""
+    )
+    cat.sql("INSERT INTO db.items VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30)")
+    got = cat.sql("SELECT category, SUM(qty) AS s FROM db.items GROUP BY category")
+    assert {(r.category, r.s) for r in got.collect()} == {("a", 40), ("b", 20)}
+    # INSERT INTO ... SELECT
+    cat.sql("INSERT INTO db.items SELECT id + 10, category, qty FROM db.items")
+    assert cat.sql("SELECT COUNT(*) AS n FROM db.items").first().n == 6
+
+
+def test_reference_merge_statement_shape(spark, cat):
+    """The reference's MERGE text (aliases, subquery dedup, explicit
+    UPDATE SET / INSERT column lists) runs verbatim."""
+    cat.sql("CREATE TABLE silver (invoiceid BIGINT, itemid BIGINT, category STRING)")
+    cat.sql("INSERT INTO silver VALUES (1, 1, 'old'), (2, 1, 'keep')")
+    spark.createDataFrame(
+        [(1, 1, "new", 2), (1, 1, "stale", 1), (9, 9, "ins", 1)],
+        "invoiceid bigint, itemid bigint, category string, processed_time bigint",
+    ).createOrReplaceTempView("__temp_table")
+    cat.sql(
+        """
+        MERGE INTO silver AS target
+        USING (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY invoiceid ORDER BY processed_time DESC
+                ) AS row_num FROM __temp_table
+            ) AS deduped_source WHERE row_num = 1
+        ) AS source
+        ON target.invoiceid = source.invoiceid
+           AND target.itemid = source.itemid
+        WHEN MATCHED THEN
+            UPDATE SET target.category = source.category
+        WHEN NOT MATCHED THEN
+            INSERT (invoiceid, itemid, category)
+            VALUES (source.invoiceid, source.itemid, source.category)
+        """
+    )
+    got = {(r.invoiceid, r.itemid): r.category
+           for r in cat.sql("SELECT * FROM silver").collect()}
+    assert got == {(1, 1): "new", (2, 1): "keep", (9, 9): "ins"}
+
+
+def test_merge_with_cdc_delete_clause(spark, cat):
+    cat.sql("CREATE TABLE tgt (k BIGINT, v STRING)")
+    cat.sql("INSERT INTO tgt VALUES (1, 'a'), (2, 'b')")
+    spark.createDataFrame(
+        [(1, "a2", "U"), (2, "b", "D"), (3, "c", "I")],
+        "k bigint, v string, Op string",
+    ).createOrReplaceTempView("cdc_batch")
+    cat.sql(
+        """MERGE INTO tgt AS t USING cdc_batch AS s ON t.k = s.k
+           WHEN MATCHED AND s.Op = 'D' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM tgt").collect()}
+    assert got == {1: "a2", 3: "c"}
+
+
+def test_delete_update_and_time_travel(spark, cat):
+    cat.sql("CREATE TABLE t1 (id BIGINT, v STRING)")
+    cat.sql("INSERT INTO t1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sid1 = cat.table("t1").latest_snapshot_id()
+    cat.sql("DELETE FROM t1 WHERE id = 2")
+    cat.sql("UPDATE t1 SET v = 'patched' WHERE id = 3")
+    got = {r.id: r.v for r in cat.sql("SELECT * FROM t1").collect()}
+    assert got == {1: "a", 3: "patched"}
+    # VERSION AS OF sees the pre-DML state
+    old = cat.sql(f"SELECT COUNT(*) AS n FROM t1 VERSION AS OF {sid1}")
+    assert old.first().n == 3
+    # metadata suffix
+    hist = cat.sql("SELECT operation FROM t1.history ORDER BY made_current_at")
+    assert [r.operation for r in hist.collect()] == ["append", "delete", "update"]
+
+
+def test_call_procedures_and_alter(spark, cat):
+    cat.sql("CREATE TABLE t2 (id BIGINT, v STRING)")
+    cat.sql("INSERT INTO t2 VALUES (1, 'a')")
+    cat.sql("INSERT INTO t2 VALUES (2, 'b')")
+    t = cat.table("t2")
+    cat.sql("CALL system.rewrite_data_files('t2')")
+    assert t.snapshots()[-1].operation == "compact"
+    cat.sql("CALL sc.system.expire_snapshots(table => 't2', retain_last => 1)")
+    assert len([s for s in t.snapshots()]) >= 1
+    cat.sql("ALTER TABLE t2 ADD COLUMNS (w BIGINT)")
+    assert "w" in t.schema().fieldNames()
+    cat.sql("ALTER TABLE t2 DROP COLUMN w")
+    assert "w" not in t.schema().fieldNames()
+    cat.sql("ALTER TABLE t2 CREATE TAG audit")
+    assert "audit" in t.tags()
+    sid = t.latest_snapshot_id()
+    cat.sql("INSERT INTO t2 VALUES (3, 'c')")
+    cat.sql(f"CALL system.rollback_to_snapshot('t2', {sid})")
+    assert {r.id for r in cat.sql("SELECT * FROM t2").collect()} == {1, 2}
+
+
+def test_hidden_partition_ddl(spark, cat):
+    cat.sql(
+        """CREATE TABLE ev (id BIGINT, ts TIMESTAMP, uid BIGINT)
+           PARTITIONED BY (days(ts), bucket(4, uid))"""
+    )
+    cat.sql(
+        "INSERT INTO ev VALUES (1, TIMESTAMP '2024-01-01 10:00:00', 7),"
+        " (2, TIMESTAMP '2024-01-02 11:00:00', 8)"
+    )
+    t = cat.table("ev")
+    s1 = os.path.join(t.root, "data", "s1")
+    assert any(d.startswith("ts_day=") for d in os.listdir(s1))
+    assert cat.sql("SELECT COUNT(*) AS n FROM ev WHERE uid = 7").first().n == 1
+    cat.sql("ALTER TABLE ev ADD PARTITION FIELD months(ts)")
+    assert "months(ts)" in t._load()["partition_by"]
+
+
+def test_unsupported_statements_raise(spark, cat):
+    cat.sql("CREATE TABLE t3 (id BIGINT)")
+    with pytest.raises(ValueError, match="unsupported"):
+        cat.sql("TRUNCATE TABLE t3")
+    with pytest.raises(ValueError, match="unsupported MERGE ON"):
+        cat.sql(
+            """MERGE INTO t3 AS t USING t3 AS s ON t.id > s.id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *"""
+        )
+    with pytest.raises(ValueError, match="unknown table"):
+        cat.sql("DELETE FROM nope WHERE true")
+
+
+def test_rename_column_sql(spark, cat):
+    cat.sql("CREATE TABLE t4 (id BIGINT, amount BIGINT)")
+    cat.sql("INSERT INTO t4 VALUES (1, 10)")
+    cat.sql("ALTER TABLE t4 RENAME COLUMN amount TO qty")
+    got = cat.sql("SELECT id, qty FROM t4").collect()
+    assert [(r.id, r.qty) for r in got] == [(1, 10)]

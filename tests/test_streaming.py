@@ -230,3 +230,34 @@ def test_stream_dedup_first_wins_and_exactly_once(spark, tmp_path):
     n2 = stream_dedup_available_now(spark, src, out, ckpt)
     assert n2 == 0
     assert spark.read.schema(EVENTS_DDL).parquet(out).count() == 20
+
+
+def test_apply_cdc_batch_replay_skipped(spark, tmp_path):
+    """At-least-once replay of a committed microbatch is SKIPPED: the
+    batch id is stamped into the merge commit atomically, so a re-applied
+    batch produces no new snapshot and no duplicate work."""
+    from emr_apache_iceberg_workshop_spark.streaming.jobs import apply_cdc_batch
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    tbl = str(tmp_path / "tbl")
+    ddl = "k bigint, ts string, v string"
+    b0 = spark.createDataFrame([(1, "t1", "a"), (2, "t1", "b")], ddl)
+    b1 = spark.createDataFrame([(1, "t2", "a2")], ddl)
+
+    assert apply_cdc_batch(spark, b0, 0, tbl, ["k"], order_col="ts")
+    t = SnapshotTable(spark, tbl)
+    n0 = len(t.snapshots())
+    assert t.snapshots()[-1].summary["streaming.batch-id"] == 0
+
+    # replay batch 0 (crash after commit, before checkpoint): skipped
+    assert apply_cdc_batch(spark, b0, 0, tbl, ["k"], order_col="ts") is False
+    assert len(t.snapshots()) == n0
+
+    # next batch applies normally
+    assert apply_cdc_batch(spark, b1, 1, tbl, ["k"], order_col="ts")
+    assert len(t.snapshots()) == n0 + 1
+    assert {r.k: r.v for r in t.scan().collect()} == {1: "a2", 2: "b"}
+
+    # empty batch: no commit either way
+    empty = spark.createDataFrame([], ddl)
+    assert apply_cdc_batch(spark, empty, 2, tbl, ["k"], order_col="ts") is False

@@ -917,3 +917,215 @@ def test_positional_deletes_mor(spark, tmp_path):
     # manifest pruning path also honors positional deletes
     t2_rows = t.scan_pruned("id", 0, 100)
     assert t2_rows.count() == 7
+
+
+def test_scan_as_of_timestamp(spark, tmp_path):
+    """`FOR TIMESTAMP AS OF`: wall-clock resolution along the current main
+    lineage, accepting epoch floats, ISO strings, and datetimes; after a
+    rollback the off-lineage snapshot is not a candidate."""
+    import datetime as dt
+    import itertools
+    import os
+
+    counter = itertools.count()
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "asof"), ddl,
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+    t.write(mk([(1, "a")]))          # sid 1 @ t0
+    t.write(mk([(2, "b")]))          # sid 2 @ t0+60
+    t.write(mk([(3, "c")]))          # sid 3 @ t0+120
+
+    assert t.scan_as_of(1_700_000_000.0).count() == 1
+    assert t.scan_as_of(1_700_000_090.0).count() == 2   # between sid 2 and 3
+    assert t.scan_as_of(1_700_009_999.0).count() == 3   # after head
+    iso = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=1_700_000_060)
+    assert t.scan_as_of(iso).count() == 2
+    assert t.scan_as_of(iso.isoformat(sep=" ")).count() == 2
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        t.scan_as_of(1_600_000_000.0)
+
+    # rollback: sid 3 leaves the main lineage; a later write forks from 2
+    t.rollback_to_snapshot(2)
+    t.write(mk([(4, "d")]))          # sid 4 @ t0+180, parent 2
+    assert t.scan_as_of(1_700_009_999.0).count() == 3   # {1,2,4}
+    got = {r.id for r in t.scan_as_of(1_700_009_999.0).collect()}
+    assert got == {1, 2, 4}
+    # an instant in sid 3's window now resolves to sid 2 (3 is off-lineage)
+    assert {r.id for r in t.scan_as_of(1_700_000_130.0).collect()} == {1, 2}
+
+
+def test_maintain_partition_scoped_compaction(spark, tmp_path):
+    """maintain(): only overfull partitions are rewritten; healthy
+    partitions keep their exact files; a policy-clean table commits
+    nothing."""
+    import os
+
+    ddl = "id bigint, category string, v string"
+    t = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "mnt"), ddl, partition_by=["category"]
+    )
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+    # category 'a' gets 3 files (3 appends), 'b' gets 1
+    t.write(mk([(1, "a", "x"), (10, "b", "y")]))
+    t.write(mk([(2, "a", "x")]))
+    t.write(mk([(3, "a", "x")]))
+
+    def files_by_part():
+        out: dict[str, list[str]] = {}
+        for _rel, f in t._live_files():
+            out.setdefault(f["partition"]["category"], []).append(f["path"])
+        return out
+
+    before = files_by_part()
+    assert len(before["a"]) == 3 and len(before["b"]) == 1
+
+    sid = t.maintain(max_files_per_partition=2)
+    assert sid is not None
+    after = files_by_part()
+    assert len(after["a"]) == 1                      # rewritten
+    assert sorted(after["b"]) == sorted(before["b"])  # byte-identical files
+    assert t.snapshots()[-1].operation == "maintain"
+    assert t.snapshots()[-1].summary["overfull_partitions"] == 1
+    assert {r.id for r in t.scan().collect()} == {1, 2, 3, 10}
+
+    # now policy-clean: no commit
+    n_snaps = len(t.snapshots())
+    assert t.maintain(max_files_per_partition=2) is None
+    assert len(t.snapshots()) == n_snaps
+
+
+def test_maintain_hidden_partitions_and_unpartitioned(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    # hidden spec: days(ts)
+    ddl = "id bigint, ts timestamp"
+    t = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "mh"), ddl, partition_by=["days(ts)"]
+    )
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+    for k in range(3):
+        t.write(mk([(k, dt.datetime(2024, 5, 1, k))]))   # same day, 3 files
+    t.write(mk([(9, dt.datetime(2024, 5, 2))]))          # other day, 1 file
+    assert t.maintain(max_files_per_partition=2) is not None
+    counts = {}
+    for _rel, f in t._live_files():
+        counts[f["partition"]["ts_day"]] = counts.get(f["partition"]["ts_day"], 0) + 1
+    assert counts == {"2024-05-01": 1, "2024-05-02": 1}
+    assert t.scan().count() == 4
+
+    # unpartitioned: falls back to whole-table compact
+    u = SnapshotTable.create(spark, os.path.join(str(tmp_path), "mu"), "id bigint")
+    for k in range(3):
+        u.write(spark.createDataFrame([(k,)], "id bigint").coalesce(1))
+    assert u.maintain(max_files_per_partition=2) is not None
+    assert u.snapshots()[-1].operation == "compact"
+    assert u.scan().count() == 3
+
+
+def test_write_sort_order_and_range_distribution(spark, tmp_path):
+    """`write.sort-order` + `write.distribution-mode=range`: every written
+    file covers a DISJOINT id range, so manifest pruning on id skips all
+    but one file for a point lookup — without any explicit compact()."""
+    import os
+
+    t = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "so"), "id bigint, v string",
+        properties={
+            "write.sort-order": "id",
+            "write.distribution-mode": "range",
+            "write.range-partitions": "4",
+        },
+    )
+    import random
+
+    rows = [(i, f"v{i}") for i in range(2000)]
+    random.Random(7).shuffle(rows)
+    t.write(spark.createDataFrame(rows, "id bigint, v string").repartition(8))
+
+    live = t._live_files()
+    assert len(live) > 1
+    bounds = sorted(f["bounds"]["id"] for _r, f in live)
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2  # disjoint ranges: range-clustered layout
+    kept, total = t.plan_files("id", 42, 42)
+    assert len(kept) == 1 and total == len(live)
+    assert t.scan_pruned("id", 42, 42).filter("id = 42").count() == 1
+    # rows inside each file are locally sorted (write.sort-order)
+    first_rel, first = sorted(live, key=lambda rf: rf[1]["path"])[0]
+    ids = [
+        r.id
+        for r in spark.read.parquet(os.path.join(t.root, first["path"])).collect()
+    ]
+    assert ids == sorted(ids)
+
+
+def test_rename_column_zero_rewrite(spark, tmp_path):
+    """RENAME COLUMN: metadata-only; old files answer to the new name
+    through the per-snapshot name mapping — incl. chained renames, time
+    travel, pruning, and post-rename writes mixing physical layouts."""
+    import os
+
+    t = SnapshotTable.create(spark, os.path.join(str(tmp_path), "rn"), "id bigint, amount bigint")
+    mk = lambda rows: spark.createDataFrame(rows, t.schema()).coalesce(1)  # noqa: E731
+    t.write(spark.createDataFrame([(1, 10), (2, 20)], "id bigint, amount bigint").coalesce(1))
+    sid1 = t.latest_snapshot_id()
+    t.rename_column("amount", "qty")
+    assert t.schema().fieldNames() == ["id", "qty"]
+    # old files (physical col 'amount') read under the new name
+    assert {r.id: r.qty for r in t.scan().collect()} == {1: 10, 2: 20}
+    # post-rename write lands with the NEW physical name; mixed dirs union
+    t.write(spark.createDataFrame([(3, 30)], "id bigint, qty bigint").coalesce(1))
+    assert {r.id: r.qty for r in t.scan().collect()} == {1: 10, 2: 20, 3: 30}
+    # chained rename
+    t.rename_column("qty", "quantity")
+    got = t.scan()
+    assert got.columns == ["id", "quantity"]
+    assert got.filter("quantity >= 20").count() == 2
+    # time travel: schema AS OF sid1 still says 'amount'
+    old = t.scan_at(sid1)
+    assert old.columns == ["id", "amount"]
+    assert {r.id: r.amount for r in old.collect()} == {1: 10, 2: 20}
+    # manifest pruning maps the predicate back to write-time names
+    kept, total = t.plan_files("quantity", 30, 99)
+    assert total == 2
+    rows = t.scan_pruned("quantity", 30, 99).filter("quantity >= 30").collect()
+    assert [r.id for r in rows] == [3]
+    # DML on the renamed column touches old-layout files correctly
+    t.update_where("quantity = 10", {"quantity": "quantity + 1"})
+    assert {r.id: r.quantity for r in t.scan().collect()} == {1: 11, 2: 20, 3: 30}
+
+
+def test_rename_column_guards(spark, tmp_path):
+    import os
+
+    t = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "rng"), "id bigint, category string, v bigint",
+        partition_by=["category"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    ddl = "id bigint, category string, v bigint"
+    t.write(spark.createDataFrame([(1, "a", 1)], ddl).coalesce(1))
+    with pytest.raises(ValueError, match="partition source"):
+        t.rename_column("category", "cat")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("v", "id")
+    # active equality-delete keyed on the column → refuse until compact
+    t.merge(spark.createDataFrame([(1, "a", 2)], ddl), keys=["id"])
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.rename_column("id", "pk")
+    t.compact()
+    assert t.rename_column("id", "pk")
+    assert {r.pk for r in t.scan().collect()} == {1}
+    # native metadata emission refuses pre-rename live files
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import write_iceberg_metadata
+
+    with pytest.raises(ValueError, match="predate a column rename"):
+        write_iceberg_metadata(t)
+    t.compact()
+    assert write_iceberg_metadata(t)
