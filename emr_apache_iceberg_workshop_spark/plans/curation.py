@@ -525,3 +525,60 @@ def c_source_cap(spark, sf_dir) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("kept_chars"),
     )
     return tot.join(ks, "source")
+
+
+# --------------------------------------------------------------------------
+_CHUNK, _STRIDE = 16, 12  # tokens per chunk, step between chunk starts
+
+
+@query(
+    "c_chunk_documents",
+    # overlapping fixed-size token windows (the pretraining chunker):
+    # starts at 1, 1+stride, ... while start <= n_tokens; each chunk is
+    # slice(tokens, start, CHUNK) — last chunks are short, never empty
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_D} AS toks FROM documents),
+         c AS (SELECT doc_id,
+                      unnest(generate_series(1, greatest(len(toks), 1), {_STRIDE}))
+                          AS start_token,
+                      toks
+               FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST((start_token - 1) / {_STRIDE} AS INT) AS chunk_id,
+           CAST(start_token AS INT) AS start_token,
+           CAST(least({_CHUNK}, len(toks) - start_token + 1) AS INT) AS chunk_len,
+           array_to_string(list_slice(toks, start_token,
+                                      start_token + {_CHUNK} - 1), ' ') AS chunk_text
+    FROM c
+    """,
+    tags=("curation:chunking", "explode"),
+)
+def c_chunk_documents(spark, sf_dir) -> DataFrame:
+    """Fixed-size overlapping token chunks per document ({C} tokens,
+    stride {S}) — the windowing step that turns variable-length documents
+    into training-sized sequences while keeping overlap for context
+    continuity.
+
+    Scale shape: pure per-row explode of a generated start-index
+    sequence — no shuffle, no state; output size is a constant factor of
+    input tokens. At 100 TB this is a map-only job."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = docs.selectExpr("doc_id", f"{TOKS_S} AS toks").filter(F.expr("size(toks) > 0"))
+    c = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, greatest(size(toks), 1), {_STRIDE})")
+        ).alias("start_token"),
+        "toks",
+    )
+    return c.select(
+        "doc_id",
+        F.expr(f"CAST((start_token - 1) / {_STRIDE} AS INT)").alias("chunk_id"),
+        F.col("start_token").cast("int"),
+        F.expr(f"CAST(least({_CHUNK}, size(toks) - start_token + 1) AS INT)").alias(
+            "chunk_len"
+        ),
+        F.expr(f"concat_ws(' ', slice(toks, start_token, {_CHUNK}))").alias(
+            "chunk_text"
+        ),
+    )

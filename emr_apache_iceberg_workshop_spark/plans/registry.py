@@ -103,7 +103,8 @@ _PREFIX_ORDER = [
     # could not hold: q_meta_hidden (hidden-partitioning transforms),
     # t_tfidf_keywords, s_topic_clusters, q_meta_as_of (timestamp time
     # travel), q_meta_maintain (partition-scoped maintenance policy),
-    # q_sql_surface (SQL façade lifecycle),
+    # q_sql_surface (SQL façade lifecycle), t_boilerplate (source-level
+    # template detection), c_chunk_documents (training-window chunker),
     # q_avro_roundtrip, q_meta_dml, q_bloom_join,
     # c_source_cap, d_span_dup, q_meta_wap, q_meta_evolution,
     # q_meta_rollback (all new,

@@ -556,3 +556,79 @@ def t_tfidf_keywords(spark, sf_dir) -> DataFrame:
         .select("doc_id", "token", F.col("tf").cast("long").alias("tf"),
                 "df", "score_milli", "keyword_rank")
     )
+
+
+# --------------------------------------------------------------------------
+_BP_MIN_DOCS = 5  # a shingle seen in >= this many docs of one source is boilerplate
+
+# same 3-token shingle definition as dedup.SHINGLES_D (dedup imports this
+# module's TOKS_*, so the shared definition can't be imported back — the
+# expression is reconstructed identically; DuckDB's generate_series on an
+# empty range yields [], so no <3-token CASE guard is needed here)
+_SH_D = f"""
+  list_distinct(list_transform(generate_series(1, len({TOKS_D}) - 2),
+    i -> {TOKS_D}[i] || ' ' || {TOKS_D}[i + 1] || ' ' || {TOKS_D}[i + 2]))
+""".strip()
+
+
+@query(
+    "t_boilerplate",
+    # CCNet/Dolma-style boilerplate detection: 3-token shingles repeated
+    # across >= N documents of the SAME source are boilerplate; a doc is
+    # flagged when more than half its distinct shingles are boilerplate.
+    # The verdict compares 2·n_boiler > n_shingles — integer arithmetic,
+    # no float fraction in the cross-engine hash.
+    oracle=f"""
+    WITH s AS (SELECT doc_id, source,
+                      {_SH_D} AS sh
+               FROM documents),
+         e AS (SELECT doc_id, source, unnest(sh) AS shingle FROM s),
+         df AS (SELECT source, shingle, COUNT(DISTINCT doc_id) AS n_docs
+                FROM e GROUP BY 1, 2),
+         per_doc AS (
+           SELECT e.doc_id, e.source,
+                  COUNT(*) AS n_shingles,
+                  CAST(SUM(CASE WHEN df.n_docs >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_boiler
+           FROM e JOIN df ON e.source = df.source AND e.shingle = df.shingle
+           GROUP BY 1, 2)
+    SELECT doc_id, source, CAST(n_shingles AS BIGINT) AS n_shingles, n_boiler,
+           2 * n_boiler > n_shingles AS is_boilerplate_heavy
+    FROM per_doc
+    """,
+    tags=("textops:boilerplate", "join", "agg"),
+)
+def t_boilerplate(spark, sf_dir) -> DataFrame:
+    """Per-document boilerplate load: the fraction of a doc's distinct
+    3-token shingles that recur across ≥{N} docs of the same source —
+    the repeated-template signal CCNet/Dolma strip before training.
+
+    Scale shape: reuses the dedup family's shared shingle
+    materialization (the signature table); one (source, shingle)
+    aggregation with map-side combine, one shuffle join back on the same
+    key, one per-doc aggregation. No floats cross engines."""
+    from .dedup import shingle_arrays_for
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
+    sh = shingle_arrays_for(spark, sf_dir)
+    e = (
+        sh.join(docs, "doc_id")
+        .select("doc_id", "source", F.explode("sh").alias("shingle"))
+    )
+    df_ = e.groupBy("source", "shingle").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        e.join(df_, ["source", "shingle"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("n_docs") >= _BP_MIN_DOCS).cast("int"))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "source", "n_shingles", "n_boiler",
+        (2 * F.col("n_boiler") > F.col("n_shingles")).alias("is_boilerplate_heavy"),
+    )
