@@ -403,6 +403,92 @@ def q_meta_changes(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "q_meta_entries",
+    # the DML fixture's lifecycle is deterministic, so the entry statuses
+    # are a constant relation: the append's category=c file is carried
+    # forward (EXISTING), the UPDATE's partition-scoped rewrite ADDED a
+    # new category=b file and left a DELETED tombstone for the b file it
+    # masked out; category=a died in snapshot 2 (an older commit), so its
+    # tombstone has already aged out of the one-commit window.
+    oracle="""
+    SELECT * FROM (VALUES (CAST(0 AS INT), CAST(1 AS BIGINT), 'category=c', CAST(2 AS BIGINT)),
+                          (1, 3, 'category=b', 2),
+                          (2, 3, 'category=b', 2))
+    AS t(status, snapshot_id, part, record_count)
+    """,
+    tags=("meta:entries", "tablemeta"),
+)
+def q_meta_entries(spark, sf_dir) -> DataFrame:
+    """`.entries` over the DML fixture: per manifest entry of the current
+    snapshot, the lifecycle status (1=ADDED / 0=EXISTING / 2=DELETED) plus
+    the commit that did it — all from the manifest, zero data I/O."""
+    t = _dml_table(spark)
+    return t.entries_table().select(
+        "status",
+        "snapshot_id",
+        F.col("partition").alias("part"),
+        "record_count",
+    )
+
+
+@query(
+    "q_meta_incr_agg",
+    # the oracle is a FULL RECOMPUTE of the final state from the committed
+    # raw files alone (MOR resolution: s1 ∪ s2 minus delete-file keys,
+    # plus the merge's upsert dir) — fully independent of the changelog
+    # path the Spark side uses, so a wrong/missing/extra change row (or a
+    # broken pre-image) breaks the value hash.
+    oracle=f"""
+    WITH base AS (
+      SELECT id, category, qty
+      FROM read_parquet('{DEMO_ROOT}/data/s1/*/*.parquet', hive_partitioning = true)
+      UNION ALL
+      SELECT id, category, qty
+      FROM read_parquet('{DEMO_ROOT}/data/s2/*/*.parquet', hive_partitioning = true)),
+    dels AS (SELECT id FROM read_parquet('{DEMO_ROOT}/deletes/s3/*.parquet')),
+    live AS (
+      SELECT * FROM base ANTI JOIN dels USING (id)
+      UNION ALL
+      SELECT id, category, qty
+      FROM read_parquet('{DEMO_ROOT}/data/s3/*/*.parquet', hive_partitioning = true))
+    SELECT category,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM live GROUP BY category
+    """,
+    tags=("meta:incr-agg", "tablemeta", "cdc"),
+)
+def q_meta_incr_agg(spark, sf_dir) -> DataFrame:
+    """Incremental aggregate maintenance off the changelog (the
+    materialized-view refresh an Iceberg CDC consumer runs instead of a
+    full recompute): seed the aggregate at snapshot 1, then fold the
+    `.changes` stream of snapshots 2..3 into it — inserts add, pre-image
+    deletes retract (`full_preimages=True` supplies the complete old row
+    so its measure can be subtracted). At 100 TB this touches only the
+    changed rows per refresh — O(delta), not O(table) — which is the
+    entire point of a replayable changelog; the oracle recomputes the
+    same aggregate from scratch off the raw committed files."""
+    t = _demo_table(spark)
+    base = t.scan_at(1).select("category", "qty", F.lit(1).alias("w"))
+    delta = t.changes(1, 3, full_preimages=True).select(
+        "category",
+        "qty",
+        F.when(F.col("_change_type") == "delete", F.lit(-1))
+        .otherwise(F.lit(1))
+        .alias("w"),
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("category")
+        .agg(
+            F.sum(F.col("qty") * F.col("w")).cast("bigint").alias("sum_qty"),
+            F.sum("w").cast("bigint").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+@query(
     "q_meta_partitions",
     # live data files = every data file of the 3 commits (MOR: no masks);
     # record counts are data-file totals, deletes not netted (Iceberg

@@ -977,7 +977,12 @@ class SnapshotTable:
             )
         return self._read_dirs(rels)
 
-    def changes(self, start_snapshot_id: int | None, end_snapshot_id: int) -> DataFrame:
+    def changes(
+        self,
+        start_snapshot_id: int | None,
+        end_snapshot_id: int,
+        full_preimages: bool = False,
+    ) -> DataFrame:
         """Changelog scan over (start, end] — the Iceberg
         `create_changelog_view` / `.changes` analogue: every logical row
         change with `_change_type` ('insert' | 'delete') and
@@ -989,9 +994,17 @@ class SnapshotTable:
         (Iceberg's changelog update semantics), while brand-new keys
         (whose equality delete hit nothing) emit no delete. The existence
         check is a read-time keys-only semi-join against the prior
-        snapshot — the merge itself stays O(batch). Delete rows carry the
-        key columns, others NULL — equality-delete pre-images, not full
-        row images. Compaction and schema evolution are logical no-ops
+        snapshot — the merge itself stays O(batch). By default delete
+        rows carry the key columns, others NULL — equality-delete
+        pre-images, not full row images. With `full_preimages=True` the
+        scan recovers COMPLETE pre-image rows instead, semi-joining the
+        prior snapshot's state against the delete keys (Iceberg
+        `create_changelog_view`'s compute-updates pass) — one extra
+        keyed probe per delete commit at read time, which is what makes
+        the changelog consumable by downstream incremental computation
+        (retractions need the full old row, e.g. to subtract it from an
+        aggregate). Positional deletes always carry full pre-images.
+        Compaction and schema evolution are logical no-ops
         and emit nothing. COW merges raise: their rewritten dirs don't
         record which rows changed (same contract as the incremental
         scan's append-only rule)."""
@@ -999,6 +1012,37 @@ class SnapshotTable:
         meta = self._load()
         schema = self.schema()
         cols = [f.name for f in schema.fields]
+
+        def eq_preimages(dels: DataFrame, keys, prev_snap, sid: int) -> DataFrame:
+            """Delete-frame for one equality-delete file: key-cols-only
+            pre-images by default, full prior rows when requested."""
+            if prev_snap is None:
+                # first snapshot: nothing existed, the delete hit nothing
+                pre = dels.limit(0).select(
+                    *[
+                        F.col(c) if c in keys else F.lit(None).cast(f.dataType).alias(c)
+                        for c, f in zip(cols, schema.fields)
+                    ]
+                )
+            elif full_preimages:
+                prior = self._scan_snapshot(prev_snap, schema)
+                pre = prior.join(
+                    dels.select(*keys).distinct(), list(keys), "left_semi"
+                ).select(*cols)
+            else:
+                prior_keys = self._scan_snapshot(prev_snap, schema).select(*keys)
+                pre = dels.join(prior_keys, list(keys), "left_semi").select(
+                    *[
+                        F.col(c) if c in keys else F.lit(None).cast(f.dataType).alias(c)
+                        for c, f in zip(cols, schema.fields)
+                    ]
+                )
+            return pre.select(
+                "*",
+                F.lit("delete").alias("_change_type"),
+                F.lit(sid).cast("long").alias("_snapshot_id"),
+            )
+
         frames: list[DataFrame] = []
         # parent-chain walk (ascending), like scan_incremental: with
         # branches, sibling-lineage ids interleave in the global id space
@@ -1045,23 +1089,7 @@ class SnapshotTable:
                 dels = self.spark.read.parquet(
                     os.path.join(self.root, s["delete_file"])
                 )
-                if prev_snap is not None:
-                    prior_keys = self._scan_snapshot(prev_snap, schema).select(*keys)
-                    dels = dels.join(prior_keys, list(keys), "left_semi")
-                else:
-                    dels = dels.limit(0)
-                frames.append(
-                    dels.select(
-                        *[
-                            F.col(c) if c in keys else F.lit(None).cast(f.dataType).alias(c)
-                            for c, f in zip(cols, schema.fields)
-                        ]
-                    ).select(
-                        "*",
-                        F.lit("delete").alias("_change_type"),
-                        F.lit(sid).cast("long").alias("_snapshot_id"),
-                    )
-                )
+                frames.append(eq_preimages(dels, keys, prev_snap, sid))
                 prev_snap = s
                 continue
             elif op == "merge" and s.get("delete_file"):
@@ -1093,24 +1121,7 @@ class SnapshotTable:
                 dels = self.spark.read.parquet(
                     os.path.join(self.root, s["delete_file"])
                 )
-                if prev_snap is not None:
-                    # pre-images only for keys alive in the prior snapshot:
-                    # keys-only semi-join, column-pruned scan
-                    prior_keys = self._scan_snapshot(prev_snap, schema).select(*keys)
-                    dels = dels.join(prior_keys, list(keys), "left_semi")
-                else:
-                    dels = dels.limit(0)  # first snapshot: nothing existed
-                del_rows = dels.select(
-                    *[
-                        F.col(c) if c in keys else F.lit(None).cast(f.dataType).alias(c)
-                        for c, f in zip(cols, schema.fields)
-                    ]
-                ).select(
-                    "*",
-                    F.lit("delete").alias("_change_type"),
-                    F.lit(sid).cast("long").alias("_snapshot_id"),
-                )
-                frames.append(del_rows)
+                frames.append(eq_preimages(dels, keys, prev_snap, sid))
             else:
                 raise ValueError(
                     f"changelog over non-append/MOR snapshot {sid} ({op})"
@@ -1295,6 +1306,72 @@ class SnapshotTable:
             "snapshot_id long, content int, file_path string, part string,"
             " record_count long, file_bytes long",
         )
+
+    def entries_table(self) -> DataFrame:
+        """Metadata table (`<table>.entries` analogue): one row per
+        manifest entry of the CURRENT snapshot with the entry lifecycle
+        status Iceberg records — 1=ADDED by this commit, 0=EXISTING
+        (carried forward from an earlier commit), 2=DELETED by this
+        commit (the tombstone entry Iceberg keeps so incremental readers
+        can see removals until the manifest is rewritten; here derived as
+        the live-set diff against the parent snapshot, so tombstones older
+        than one commit are gone — same practical window a compacted
+        manifest gives). `status` pairs with `snapshot_id` (the commit
+        that ADDED the file, or the head commit for DELETED entries) to
+        answer "which commit did this to the file" with zero data I/O."""
+        meta = self._load()
+        snaps = meta["snapshots"]
+        schema = (
+            "status int, snapshot_id long, content int, file_path string,"
+            " partition string, record_count long, file_bytes long"
+        )
+        if not snaps:
+            return self.spark.createDataFrame([], schema)
+        by_sid = {s["snapshot_id"]: s for s in snaps}
+        head = self._head(meta)
+        head_sid = head["snapshot_id"]
+
+        def live(snap: dict) -> dict:
+            out = {}
+            for e in snap["active_dirs"]:
+                rel, excl = _entry_rel(e), _entry_excl(e)
+                ws = by_sid[_dir_sid(rel)]
+                for f in ws.get("files", []):
+                    if f["partition"] in excl:
+                        continue
+                    out[f["path"]] = (_dir_sid(rel), f)
+            return out
+
+        def part_repr(part: dict) -> str:
+            return "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for c, v in part.items()
+            )
+
+        cur = live(head)
+        parent_sid = self._parent_id(head)
+        # parent may be expired: no tombstones derivable, current-only view
+        prev = live(by_sid[parent_sid]) if parent_sid in by_sid else {}
+        rows = []
+        for path, (sid, f) in cur.items():
+            rows.append(
+                (1 if sid == head_sid else 0, sid, 0, path,
+                 part_repr(f["partition"]), f["rows"], f["bytes"])
+            )
+        for path, (_sid, f) in prev.items():
+            if path not in cur:
+                rows.append(
+                    (2, head_sid, 0, path, part_repr(f["partition"]),
+                     f["rows"], f["bytes"])
+                )
+        for d in head.get("active_deletes", []):
+            ws = by_sid[d["sid"]]
+            for f in ws.get("delete_file_stats", []):
+                rows.append(
+                    (1 if d["sid"] == head_sid else 0, d["sid"], 2,
+                     f["path"], "", f["rows"], f["bytes"])
+                )
+        return self.spark.createDataFrame(rows, schema)
 
     def manifests_table(self) -> DataFrame:
         """Metadata table (`<table>.manifests` analogue): one row per

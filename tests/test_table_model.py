@@ -58,7 +58,7 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
     for _step in range(steps):
         op = rng.choice(
             ["append", "append", "merge", "overwrite", "delete", "compact",
-             "evolve", "branch_write", "publish"]
+             "evolve", "branch_write", "publish", "update", "maintain"]
         )
         if op == "append":
             rows = _rows(rng, rng.randrange(1, 5))
@@ -79,7 +79,25 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             main = [r for r in main if not (lo <= r[0] < lo + 6)]
             commit_main(t.delete_where(f"id >= {lo} AND id < {lo + 6}"))
         elif op == "compact":
-            commit_main(t.compact(target_partitions=2))
+            # alternate plain squash and range-clustered (sorted) rewrite
+            if rng.random() < 0.5:
+                commit_main(t.compact(target_partitions=2))
+            else:
+                commit_main(t.compact(target_partitions=2, sort_by=["id"]))
+        elif op == "update":
+            lo = rng.randrange(0, 30)
+            main = [
+                (i, "z", p) if lo <= i < lo + 4 else (i, v, p)
+                for (i, v, p) in main
+            ]
+            sid = t.update_where(f"id >= {lo} AND id < {lo + 4}", {"v": "'z'"})
+            if sid is not None:
+                commit_main(sid)
+        elif op == "maintain":
+            # logical no-op: targeted small-file compaction (or nothing)
+            sid = t.maintain(max_files_per_partition=2)
+            if sid is not None:
+                commit_main(sid)
         elif op == "evolve":
             commit_main(t.evolve_partition_spec(rng.choice([["part"], ["v"]])))
         elif op == "branch_write":
@@ -103,6 +121,18 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         assert _scan_rows(t.scan()) == _multiset(main), f"seed={seed} after {op}"
         if branch is not None:
             assert _scan_rows(t.scan(branch="b")) == _multiset(branch)
+        if _step % 5 == 0:
+            # manifest-consistency invariant: the non-tombstone entries of
+            # `.entries` are exactly the live data files of `.files`
+            ent = {
+                r.file_path
+                for r in t.entries_table().collect()
+                if r.status != 2 and r.content == 0
+            }
+            files = {
+                r.file_path for r in t.files_table().collect() if r.content == 0
+            }
+            assert ent == files, f"seed={seed} entries/files diverge after {op}"
 
     # time travel reproduces every recorded main-lineage state that is
     # still on the current lineage (overwrite/publish may have forked)

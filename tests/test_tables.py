@@ -455,6 +455,88 @@ def test_changes_changelog(spark, tmp_path):
         t2.changes(None, 2).collect()
 
 
+def test_entries_table_statuses(spark, tmp_path):
+    """`.entries`: ADDED(1)/EXISTING(0)/DELETED(2) per manifest entry of
+    the current snapshot; MOR equality-delete files appear with content=2;
+    tombstones cover exactly the parent-snapshot diff."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "ent_table")
+    t = SnapshotTable.create(
+        spark, root, "id long, part string, v long", partition_by=["part"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    ddl = "id long, part string, v long"
+    t.write(spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20)], ddl).coalesce(1))
+    ent1 = t.entries_table().collect()
+    assert {(r.status, r.snapshot_id) for r in ent1} == {(1, 1), (1, 1)} or all(
+        r.status == 1 and r.snapshot_id == 1 for r in ent1
+    )
+
+    # MOR merge: upsert dir + equality-delete file both ADDED by commit 2
+    src = spark.createDataFrame([("U", 1, "x", 11)], "Op string, " + ddl)
+    s2 = t.merge(src, keys=["id"], op_col="Op")
+    ent2 = t.entries_table().collect()
+    data = {(r.status, r.snapshot_id) for r in ent2 if r.content == 0}
+    dels = {(r.status, r.snapshot_id) for r in ent2 if r.content == 2}
+    assert (1, s2) in data and (0, 1) in data  # new upsert dir + carried s1 files
+    assert dels == {(1, s2)}
+
+    # partition-scoped COW rewrite (update x): old x file tombstoned
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "ent_cow"), ddl, partition_by=["part"]
+    )
+    t2.write(spark.createDataFrame([(1, "x", 10), (2, "y", 20)], ddl).coalesce(1))
+    s2b = t2.update_where("id = 1", {"v": "v + 1"})
+    ent = {(r.status, r.snapshot_id, r.partition) for r in t2.entries_table().collect()}
+    assert ent == {
+        (0, 1, "part=y"),      # y carried forward
+        (1, s2b, "part=x"),    # rewritten x ADDED
+        (2, s2b, "part=x"),    # old x tombstoned by this commit
+    }
+
+
+def test_changes_full_preimages_enable_incremental_aggregation(spark, tmp_path):
+    """`full_preimages=True` recovers COMPLETE pre-image rows for equality
+    deletes (default emits key-cols-only), including EVERY duplicate row
+    the delete kills — which is what lets a downstream consumer retract
+    old values from an incrementally maintained aggregate."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "pre_table")
+    t = SnapshotTable.create(
+        spark, root, "k long, v long",
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    # duplicate key 1: an equality delete kills BOTH rows
+    s1 = t.write(spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "k long, v long"))
+    src = spark.createDataFrame(
+        [("U", 1, 12), ("D", 2, None), ("D", 9, None)], "Op string, k long, v long"
+    )
+    s2 = t.merge(src, keys=["k"], op_col="Op")
+
+    # default: key-only pre-images, one per killed KEY, non-key cols NULL
+    key_only = [
+        (r.k, r.v) for r in t.changes(s1, s2).collect() if r._change_type == "delete"
+    ]
+    assert sorted(key_only) == [(1, None), (2, None)]  # k=9 never existed
+
+    # full: every prior ROW for each killed key, with its real values
+    full = [
+        (r.k, r.v)
+        for r in t.changes(s1, s2, full_preimages=True).collect()
+        if r._change_type == "delete"
+    ]
+    assert sorted(full) == [(1, 10), (1, 11), (2, 20)]
+
+    # the point of full pre-images: incremental fold == full recompute
+    agg = 10 + 11 + 20  # sum(v) at s1
+    for r in t.changes(s1, s2, full_preimages=True).collect():
+        agg += -r.v if r._change_type == "delete" else r.v
+    assert agg == sum(r.v for r in t.scan().collect())
+
+
 def test_tags_protect_snapshots_and_resolve_in_time_travel(spark, tmp_path):
     import pytest as _pytest
 
