@@ -121,6 +121,80 @@ def m_resize_plan(spark, sf_dir) -> DataFrame:
     return resize_images(decode_metadata(attach_payload(docs)))
 
 
+_JSONL_BUILT: dict[str, str] = {}  # sf_dir -> fixture path (process-local)
+
+
+def _jsonl_fixture(sf_dir: str) -> str:
+    """Deterministic JSONL shard built from the sf_dir documents table:
+    every document as one JSON line (doc_id order, escaped newlines) plus
+    exactly TWO malformed lines appended — the corpus a quarantining
+    reader must survive. Rebuilt once per (process, sf_dir)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    base = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out_dir = os.path.join(base, "fixtures", "jsonl_demo",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    out = os.path.join(out_dir, "docs.jsonl")
+    if _JSONL_BUILT.get(sf_dir) == out and os.path.isfile(out):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["doc_id"])
+    tmp = out + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r, separators=(",", ":")) + "\n")
+        f.write('{"doc_id": 999999999, "text": "truncated\n')  # broken JSON
+        f.write("definitely not json\n")
+    os.replace(tmp, out)
+    _JSONL_BUILT[sf_dir] = out
+    return out
+
+
+@query(
+    "q_jsonl_scan",
+    # the oracle aggregates the SOURCE table the JSONL shard was exported
+    # from (plus the two constant malformed lines): any row loss, escaping
+    # bug, or type mangling in the JSONL writer/reader breaks the match
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '<corrupt>', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+    tags=("source:jsonl", "multimodal"),
+)
+def q_jsonl_scan(spark, sf_dir) -> DataFrame:
+    """JSONL corpus scan with pinned schema + quarantine accounting
+    (`sources/jsonl.py`): per-language doc/char totals over the valid
+    rows and the malformed-line count as a `<corrupt>` bucket — ONE scan,
+    one shuffle, no schema-inference pass. PERMISSIVE mode captures the
+    two injected broken lines into `_corrupt_record` instead of failing
+    the job (the behavior that keeps a 100 TB load alive when one shard
+    in a million is mangled)."""
+    from ..sources.jsonl import CORRUPT_COL, read_jsonl
+
+    df = read_jsonl(
+        spark,
+        _jsonl_fixture(sf_dir),
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return (
+        df.groupBy(
+            F.when(F.col(CORRUPT_COL).isNotNull(), F.lit("<corrupt>"))
+            .otherwise(F.col("lang"))
+            .alias("lang")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
 @query(
     "q_avro_roundtrip",
     # the oracle is the identity projection: the Spark side encodes every

@@ -102,7 +102,8 @@ _PREFIX_ORDER = [
     # r06 window should LEAD with the round-5-new names the r05 window
     # could not hold: q_meta_incr_agg (changelog-driven incremental
     # aggregate maintenance), q_meta_entries (.entries lifecycle
-    # statuses), q_meta_hidden (hidden-partitioning transforms),
+    # statuses), q_jsonl_scan (pinned-schema JSONL source + quarantine),
+    # q_meta_hidden (hidden-partitioning transforms),
     # t_tfidf_keywords, s_topic_clusters, q_meta_as_of (timestamp time
     # travel), q_meta_maintain (partition-scoped maintenance policy),
     # q_sql_surface (SQL façade lifecycle), t_boilerplate (source-level

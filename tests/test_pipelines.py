@@ -183,3 +183,44 @@ def test_s3_lister_pagination_and_watermark(tmp_path):
     ckpt.commit_processed_time(200.0)
     files, max_seen = src.get_new_files()
     assert files == ["s3://b/raw/b.csv"] and max_seen == 300.0
+
+
+def test_jsonl_source_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL source (sources/jsonl.py): pinned-schema read, corrupt-line
+    capture instead of job failure, quarantine feed carries the raw bad
+    lines, and a write→read round trip is lossless — including values
+    with embedded newlines/tabs/unicode (escaped, so line-splitting is
+    safe)."""
+    from emr_apache_iceberg_workshop_spark.sources.jsonl import (
+        CORRUPT_COL, quarantine_rows, read_jsonl, valid_rows, write_jsonl,
+    )
+
+    ddl = "id bigint, text string"
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "plain"}\n'
+        '{"id": 2, "text": "new\\nline and tab\\t and \\u00e9"}\n'
+        '{"id": 3, "text": "unterminated\n'  # broken: unclosed string
+        "garbage line\n"
+        '{"id": 4, "text": null}\n',
+        encoding="utf-8",
+    )
+    df = read_jsonl(spark, str(p), ddl)
+    ok = {(r.id, r.text) for r in valid_rows(df).collect()}
+    assert ok == {(1, "plain"), (2, "new\nline and tab\t and é"), (4, None)}
+    bad = sorted(r.raw_line for r in quarantine_rows(df).collect())
+    assert bad == sorted(['{"id": 3, "text": "unterminated', "garbage line"])
+    # schema declares the capture column exactly once
+    assert df.columns.count(CORRUPT_COL) == 1
+
+    # round trip through the writer: escaping keeps one record per line
+    out = tmp_path / "out"
+    write_jsonl(valid_rows(df), str(out), n_files=1)
+    back = {(r.id, r.text) for r in valid_rows(read_jsonl(spark, str(out), ddl)).collect()}
+    assert back == ok
+
+    # schema is required and the capture column name is reserved
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_jsonl(spark, str(p), f"id bigint, {CORRUPT_COL} string")
