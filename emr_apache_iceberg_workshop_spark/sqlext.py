@@ -32,7 +32,7 @@ Supported grammar (case-insensitive keywords; one statement per call):
 - ``SELECT ...`` over registered tables, with
   ``<name> [FOR] VERSION AS OF <sid|'tag'>``,
   ``<name> [FOR] TIMESTAMP AS OF '<ts>'``, and metadata suffixes
-  ``<name>.history|.snapshots|.files|.partitions|.refs|.manifests`` —
+  ``<name>.history|.snapshots|.files|.partitions|.refs|.manifests|.entries`` —
   each reference is materialized as a temp view and the rewritten text
   runs through `spark.sql`.
 - ``CALL [catalog.]system.rewrite_data_files('<name>')`` /
@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .tables import SnapshotTable
 
-_META_TABLES = ("history", "snapshots", "files", "partitions", "refs", "manifests")
+_META_TABLES = ("history", "snapshots", "files", "partitions", "refs", "manifests", "entries")
 
 
 def _ws(s: str) -> str:
@@ -390,6 +390,7 @@ class SqlCatalog:
                             "partitions": "partitions_table",
                             "refs": "refs_table",
                             "manifests": "manifests_table",
+                            "entries": "entries_table",
                         }[meta.lower()],
                     )()
                 elif ver:

@@ -96,6 +96,9 @@ def test_delete_update_and_time_travel(spark, cat):
     # metadata suffix
     hist = cat.sql("SELECT operation FROM t1.history ORDER BY made_current_at")
     assert [r.operation for r in hist.collect()] == ["append", "delete", "update"]
+    # .entries suffix: the UPDATE's rewrite ADDED a file this commit
+    ent = cat.sql("SELECT status, COUNT(*) AS n FROM t1.entries GROUP BY status")
+    assert {r.status for r in ent.collect()} >= {1}
 
 
 def test_call_procedures_and_alter(spark, cat):
