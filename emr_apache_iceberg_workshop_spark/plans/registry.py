@@ -103,6 +103,7 @@ _PREFIX_ORDER = [
     # could not hold: q_meta_incr_agg (changelog-driven incremental
     # aggregate maintenance), q_meta_entries (.entries lifecycle
     # statuses), q_jsonl_scan (pinned-schema JSONL source + quarantine),
+    # t_hashed_classifier (feature-hashed linear quality gate),
     # q_meta_hidden (hidden-partitioning transforms),
     # t_tfidf_keywords, s_topic_clusters, q_meta_as_of (timestamp time
     # travel), q_meta_maintain (partition-scoped maintenance policy),

@@ -632,3 +632,60 @@ def t_boilerplate(spark, sf_dir) -> DataFrame:
         "doc_id", "source", "n_shingles", "n_boiler",
         (2 * F.col("n_boiler") > F.col("n_shingles")).alias("is_boilerplate_heavy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Feature-hashed linear classifier (the fastText/CCNet quality-filter
+# SHAPE): hash each token into K buckets, score the document as the sum
+# of per-bucket weights, gate on the sign of the mean. The "model" here
+# is a fixed deterministic weight table (weight(b) is a pure function of
+# the bucket id) — in production the weights come from training, but the
+# EXECUTION shape is identical: tokenize → hash → gather weights → sum,
+# all built-in array lambdas, zero Python, no shuffle (per-row map).
+# Scoring stays in INTEGER space (weights in [-500, 499], exact sum) so
+# the cross-engine compare is order-independent and libm-free; the mean
+# is the single final division.
+_CLS_K = 4096  # hash buckets
+_H32_TOK_S = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
+_H32_TOK_D = "CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)"
+_W_S = f"((({_H32_TOK_S} % {_CLS_K}) + 1) * 48271) % 1000 - 500"
+_W_D = f"((({_H32_TOK_D} % {_CLS_K}) + 1) * 48271) % 1000 - 500"
+
+
+@query(
+    "t_hashed_classifier",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({TOKS_D}) AS BIGINT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform({TOKS_D}, x -> {_W_D})), 0)
+                AS BIGINT) AS w_sum,
+           CASE WHEN len({TOKS_D}) > 0
+                THEN CAST(coalesce(list_sum(list_transform({TOKS_D}, x -> {_W_D})), 0)
+                          AS DOUBLE) / len({TOKS_D})
+                ELSE 0.0 END AS mean_w,
+           CASE WHEN len({TOKS_D}) > 0
+                AND coalesce(list_sum(list_transform({TOKS_D}, x -> {_W_D})), 0) > 0
+                THEN true ELSE false END AS keep
+    FROM documents
+    """,
+    tags=("text", "quality", "classifier"),
+)
+def t_hashed_classifier(spark, sf_dir) -> DataFrame:
+    """Hashed bag-of-words linear scoring per document: md5-prefix token
+    hash → one of 4096 buckets → fixed integer weight, summed exactly;
+    `keep` gates on a positive mean. The 100 TB shape of every
+    fastText-style quality/language filter: map-only, codegen'd, the
+    weight table a broadcast-free pure expression (a real model's K×1
+    weight vector would ride along as a broadcast literal array)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({TOKS_S}) AS BIGINT) AS n_tokens",
+        f"aggregate({TOKS_S}, 0L, (acc, x) -> acc + ({_W_S})) AS w_sum",
+        f"""CASE WHEN size({TOKS_S}) > 0
+             THEN CAST(aggregate({TOKS_S}, 0L, (acc, x) -> acc + ({_W_S})) AS DOUBLE)
+                  / size({TOKS_S})
+             ELSE 0.0D END AS mean_w""",
+        f"""size({TOKS_S}) > 0
+            AND aggregate({TOKS_S}, 0L, (acc, x) -> acc + ({_W_S})) > 0 AS keep""",
+    )

@@ -1,5 +1,6 @@
 from .jobs import (  # noqa: F401
     stream_ingest_available_now,
+    stream_jsonl_ingest_available_now,
     windowed_event_counts,
     run_windowed_agg_available_now,
     sessionize_stateful,

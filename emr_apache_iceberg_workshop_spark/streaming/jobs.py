@@ -65,6 +65,61 @@ def stream_ingest_available_now(
     return n
 
 
+def stream_jsonl_ingest_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+) -> tuple[int, int]:
+    """JSONL corpus ingestion with quarantine — the streaming twin of
+    `sources/jsonl.py`: pinned schema (no inference), PERMISSIVE
+    corrupt-line capture, `Trigger.AvailableNow` + transactional
+    checkpoint for exactly-once file tracking. Each microbatch splits
+    into valid rows (parquet sink) and raw malformed lines (quarantine
+    parquet) inside one foreachBatch call; both writes land in a
+    batch-id-scoped directory with mode=overwrite, so a crash-replay of
+    a microbatch (foreachBatch is at-least-once) overwrites its own
+    partial output instead of double-appending — the standard
+    idempotent-foreachBatch pattern. Returns (valid_rows,
+    quarantined_lines) for this run."""
+    import os as _os
+
+    from ..sources.jsonl import CORRUPT_COL, jsonl_schema
+
+    counts = {"ok": 0, "bad": 0}
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # split reads it twice
+        ok = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        bad = batch.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("raw_line"), F.col("input_file")
+        )
+        counts["ok"] += ok.count()
+        counts["bad"] += bad.count()
+        ok.write.mode("overwrite").parquet(_os.path.join(output_dir, f"batch={bid}"))
+        bad.write.mode("overwrite").parquet(
+            _os.path.join(quarantine_dir, f"batch={bid}")
+        )
+
+    stream = (
+        spark.readStream.schema(jsonl_schema(schema_ddl))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(input_dir)
+        .withColumn("input_file", F.input_file_name())
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counts["ok"], counts["bad"]
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window agg (append-mode-compatible).
 

@@ -261,3 +261,33 @@ def test_apply_cdc_batch_replay_skipped(spark, tmp_path):
     # empty batch: no commit either way
     empty = spark.createDataFrame([], ddl)
     assert apply_cdc_batch(spark, empty, 2, tbl, ["k"], order_col="ts") is False
+
+
+def test_jsonl_stream_ingest_quarantines_and_is_exactly_once(spark, tmp_path):
+    """Streaming JSONL ingest: pinned schema, malformed lines land in the
+    quarantine sink (with their source file), valid rows in the data sink;
+    the checkpoint makes re-runs no-ops and new shards incremental."""
+    from emr_apache_iceberg_workshop_spark.streaming import (
+        stream_jsonl_ingest_available_now,
+    )
+
+    inp, out, quar, ckpt = (str(tmp_path / d) for d in ("in", "out", "q", "ck"))
+    os.makedirs(inp)
+    ddl = "id bigint, text string"
+    with open(f"{inp}/b1.jsonl", "w") as f:
+        f.write('{"id": 1, "text": "a"}\n{"id": 2, "text": "b"}\nBROKEN LINE\n')
+    assert stream_jsonl_ingest_available_now(spark, inp, out, quar, ckpt, ddl) == (2, 1)
+    assert {r.id for r in spark.read.parquet(out).collect()} == {1, 2}
+    q1 = spark.read.parquet(quar).collect()
+    assert [r.raw_line for r in q1] == ["BROKEN LINE"]
+    assert "b1.jsonl" in q1[0].input_file
+
+    # exactly-once: same checkpoint, no new files → nothing reprocessed
+    assert stream_jsonl_ingest_available_now(spark, inp, out, quar, ckpt, ddl) == (0, 0)
+    assert spark.read.parquet(out).count() == 2
+
+    # a new shard streams in incrementally
+    with open(f"{inp}/b2.jsonl", "w") as f:
+        f.write('{"id": 3, "text": "c"}\n')
+    assert stream_jsonl_ingest_available_now(spark, inp, out, quar, ckpt, ddl) == (1, 0)
+    assert {r.id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
