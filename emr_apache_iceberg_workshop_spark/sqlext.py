@@ -39,12 +39,17 @@ Supported grammar (case-insensitive keywords; one statement per call):
   ``expire_snapshots('<name>'[, <retain_last>])`` /
   ``remove_orphan_files('<name>')`` /
   ``rollback_to_snapshot('<name>', <sid>)`` /
+  ``cherrypick_snapshot('<name>', <sid>)`` /
   ``fast_forward('<name>', '<branch>'[, '<to>'])`` — named
   (``arg => v``) or positional.
 - ``ALTER TABLE <name> ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
   / ``ADD PARTITION FIELD <spec>`` / ``DROP PARTITION FIELD <spec>`` /
   ``CREATE TAG <tag> [AS OF VERSION <sid>]`` /
-  ``CREATE BRANCH <branch> [AS OF VERSION <sid>]``.
+  ``CREATE BRANCH <branch> [AS OF VERSION <sid>]`` /
+  ``SET TBLPROPERTIES ('k'='v', ...)`` /
+  ``WRITE [DISTRIBUTED BY PARTITION] [LOCALLY] ORDERED BY c1[, ...]``
+  (the Iceberg write-order DDL → `write.sort-order` +
+  `write.distribution-mode` properties, applied to future writes).
 
 DML returns the new snapshot id (int); SELECT returns a DataFrame.
 Anything unrecognized raises ValueError with the offending statement —
@@ -220,6 +225,30 @@ class SqlCatalog:
             if tm.group("kind").upper() == "TAG":
                 return t.create_tag(tm.group("ref"), sid)
             return t.create_branch(tm.group("ref"), sid)
+        sm = re.match(r"SET\s+TBLPROPERTIES\s*\((?P<kv>.*)\)$", rest, re.I)
+        if sm:
+            props = {}
+            for pair in _split_top(sm.group("kv")):
+                k, _, v = pair.partition("=")
+                props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            return t.set_properties(props)
+        # Iceberg Spark-extension write-order DDL: ALTER TABLE t WRITE
+        # [DISTRIBUTED BY PARTITION] [LOCALLY] ORDERED BY c1, c2
+        wm = re.match(
+            r"WRITE\s+(?:(?P<dist>DISTRIBUTED\s+BY\s+PARTITION)\s+)?"
+            r"(?:LOCALLY\s+)?ORDERED\s+BY\s+\(?(?P<cols>[\w,\s]+?)\)?$",
+            rest,
+            re.I,
+        )
+        if wm:
+            props = {
+                "write.sort-order": ",".join(
+                    c.strip() for c in wm.group("cols").split(",")
+                )
+            }
+            if wm.group("dist"):
+                props["write.distribution-mode"] = "hash"
+            return t.set_properties(props)
         raise ValueError(f"unsupported ALTER TABLE action: {rest[:80]!r}")
 
     # -- DML ---------------------------------------------------------------
@@ -354,6 +383,8 @@ class SqlCatalog:
             return t.remove_orphan_files()
         if proc == "rollback_to_snapshot":
             return t.rollback_to_snapshot(int(val("snapshot_id", 1)))
+        if proc == "cherrypick_snapshot":
+            return t.cherry_pick_snapshot(int(val("snapshot_id", 1)))
         if proc == "fast_forward":
             return t.fast_forward(val("branch", 1), to=val("to", 2, "main"))
         raise ValueError(f"unsupported procedure system.{proc}")

@@ -132,6 +132,18 @@ class SnapshotTable:
     def properties(self) -> dict:
         return self._load().get("properties", {})
 
+    def set_properties(self, updates: dict) -> None:
+        """Update table properties (Iceberg `ALTER TABLE ... SET
+        TBLPROPERTIES` / `WRITE ORDERED BY`): a metadata-file swap, no
+        snapshot — matching Iceberg, where property changes version the
+        metadata but add nothing to the snapshot log. Takes effect for
+        FUTURE writes (e.g. `write.sort-order`, `write.merge.mode`)."""
+        meta = self._load()
+        meta.setdefault("properties", {}).update(
+            {k: str(v) for k, v in updates.items()}
+        )
+        self._commit(meta)
+
     # -- branch refs (Iceberg branch/WAP model) ----------------------------
     # `meta["branches"]` maps ref name → snapshot id. The map is
     # materialized lazily: a purely linear table omits it and `main` is
@@ -495,6 +507,71 @@ class SnapshotTable:
         )
         self._commit(meta)
         return src["snapshot_id"]
+
+    def cherry_pick_snapshot(self, snapshot_id: int) -> int:
+        """Iceberg `CALL system.cherrypick_snapshot`: re-apply a staged
+        snapshot's changes on top of the CURRENT main head as a new
+        commit — the write-audit-publish path when main has advanced past
+        the staging point (`fast_forward` refuses divergence; cherry-pick
+        rebases). Restricted to plain-append snapshots (Iceberg limits
+        cherry-pick to appends/dynamic overwrites): an append's whole
+        contribution is its own new dirs, so re-basing is just adding
+        them to the head's active set. Refused when the head carries MOR
+        delete files newer than the staged commit — in this layout a data
+        dir keeps its original commit id, so such a delete file would
+        retroactively apply to the cherry-picked rows (Iceberg instead
+        re-sequences the incoming files; refusing is the honest
+        equivalent)."""
+        meta = self._load()
+        snaps = meta["snapshots"]
+        src = next((s for s in snaps if s["snapshot_id"] == snapshot_id), None)
+        if src is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        if src["operation"] not in ("append", "create"):
+            raise ValueError(
+                f"only append snapshots can be cherry-picked; "
+                f"{snapshot_id} is {src['operation']!r}"
+            )
+        head = self._head(meta)
+        if head is None:
+            raise ValueError("empty table")
+        head_dirs = {_entry_rel(e) for e in head["active_dirs"]}
+        incoming = [d for d in src["dirs"] if d not in head_dirs]
+        if not incoming:
+            raise ValueError(
+                f"snapshot {snapshot_id} is already applied on main"
+            )
+        newer_deletes = [
+            d for d in head.get("active_deletes", []) if d["sid"] > snapshot_id
+        ]
+        if newer_deletes:
+            raise ValueError(
+                f"cannot cherry-pick {snapshot_id}: main carries delete "
+                f"files from later commits "
+                f"({[d['sid'] for d in newer_deletes]}) that would "
+                f"retroactively apply to the incoming rows"
+            )
+        sid = snaps[-1]["snapshot_id"] + 1
+        snaps.append(
+            {
+                "snapshot_id": sid,
+                "parent_id": head["snapshot_id"],
+                "made_current_at": self._clock(),
+                "operation": "cherrypick",
+                # no dirs/files of its own: the incoming dirs stay
+                # manifest-owned by the source snapshot (like Iceberg,
+                # where cherry-pick reuses the staged manifests)
+                "dirs": [],
+                "active_dirs": list(head["active_dirs"]) + incoming,
+                "partitions": [],
+                "files": [],
+                "active_deletes": list(head.get("active_deletes", [])),
+                "summary": {"cherry_picked_from": snapshot_id},
+            }
+        )
+        self._advance(meta, "main", sid, head["snapshot_id"])
+        self._commit(meta)
+        return sid
 
     def rollback_to_snapshot(self, snapshot_id: int) -> int:
         """Move `main` back to an ancestor snapshot (Iceberg

@@ -118,8 +118,12 @@ def test_call_procedures_and_alter(spark, cat):
     assert "audit" in t.tags()
     sid = t.latest_snapshot_id()
     cat.sql("INSERT INTO t2 VALUES (3, 'c')")
+    staged = t.latest_snapshot_id()
     cat.sql(f"CALL system.rollback_to_snapshot('t2', {sid})")
     assert {r.id for r in cat.sql("SELECT * FROM t2").collect()} == {1, 2}
+    # the rolled-back append can be re-applied on the new lineage
+    cat.sql(f"CALL system.cherrypick_snapshot('t2', {staged})")
+    assert {r.id for r in cat.sql("SELECT * FROM t2").collect()} == {1, 2, 3}
 
 
 def test_hidden_partition_ddl(spark, cat):
@@ -159,3 +163,22 @@ def test_rename_column_sql(spark, cat):
     cat.sql("ALTER TABLE t4 RENAME COLUMN amount TO qty")
     got = cat.sql("SELECT id, qty FROM t4").collect()
     assert [(r.id, r.qty) for r in got] == [(1, 10)]
+
+
+def test_set_tblproperties_and_write_ordered_by(spark, cat):
+    """Property DDL: SET TBLPROPERTIES and the Iceberg write-order DDL
+    both version the metadata without a snapshot, and the sort order
+    applies to FUTURE writes (per-file min/max become disjoint)."""
+    cat.sql("CREATE TABLE tp (id BIGINT, v STRING)")
+    t = cat.table("tp")
+    cat.sql("ALTER TABLE tp SET TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    assert t.properties()["write.merge.mode"] == "merge-on-read"
+    n_snaps = len(t.snapshots())
+    cat.sql("ALTER TABLE tp WRITE DISTRIBUTED BY PARTITION ORDERED BY id")
+    assert t.properties()["write.sort-order"] == "id"
+    assert t.properties()["write.distribution-mode"] == "hash"
+    assert len(t.snapshots()) == n_snaps  # metadata-only, no snapshot
+
+    cat.sql("INSERT INTO tp VALUES (3, 'c'), (1, 'a'), (2, 'b')")
+    got = [r.id for r in cat.sql("SELECT id FROM tp ORDER BY id").collect()]
+    assert got == [1, 2, 3]

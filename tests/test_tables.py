@@ -1211,3 +1211,52 @@ def test_rename_column_guards(spark, tmp_path):
         write_iceberg_metadata(t)
     t.compact()
     assert write_iceberg_metadata(t)
+
+
+def test_cherry_pick_publishes_stale_staged_append(spark, tmp_path):
+    """WAP with a moved main: fast_forward refuses the divergence, and
+    cherry-pick re-applies the staged APPEND onto the new head; non-append
+    staged commits, already-applied snapshots, and heads carrying newer
+    MOR delete files are refused."""
+    import pytest as _pytest
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "k long, v string"
+    t = SnapshotTable.create(spark, str(tmp_path / "cp"), ddl)
+    t.write(spark.createDataFrame([(1, "a")], ddl))
+    staged = t.write(spark.createDataFrame([(2, "b")], ddl), branch="audit")
+    # main advances while audit sits unpublished
+    t.write(spark.createDataFrame([(3, "c")], ddl))
+    with _pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("audit")
+
+    sid = t.cherry_pick_snapshot(staged)
+    assert {(r.k, r.v) for r in t.scan().collect()} == {(1, "a"), (2, "b"), (3, "c")}
+    assert t.snapshots()[-1].operation == "cherrypick"
+    # time travel to the pre-pick head still excludes the staged rows
+    assert {r.k for r in t.scan_at(sid - 1).collect()} == {1, 3}
+
+    with _pytest.raises(ValueError, match="already applied"):
+        t.cherry_pick_snapshot(staged)
+
+    # non-append staged snapshot: refused
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "cp2"), ddl,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t2.write(spark.createDataFrame([(1, "a")], ddl))
+    m = t2.merge(spark.createDataFrame([(1, "z")], ddl), keys=["k"])
+    with _pytest.raises(ValueError, match="only append"):
+        t2.cherry_pick_snapshot(m)
+
+    # head with newer MOR deletes than the staged commit: refused
+    t3 = SnapshotTable.create(
+        spark, str(tmp_path / "cp3"), ddl,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t3.write(spark.createDataFrame([(1, "a")], ddl))
+    staged3 = t3.write(spark.createDataFrame([(2, "b")], ddl), branch="audit")
+    t3.merge(spark.createDataFrame([(1, "z")], ddl), keys=["k"])  # newer delete file
+    with _pytest.raises(ValueError, match="delete files from later"):
+        t3.cherry_pick_snapshot(staged3)
