@@ -748,6 +748,73 @@ def q_meta_wap(spark, sf_dir) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+CP_ROOT = os.path.join(_REPO_ROOT, "fixtures", "cherrypick_demo")
+_CP_META = os.path.join(CP_ROOT, "_meta.json")
+
+
+def _cp_table(spark):
+    """Deterministic cherry-pick fixture: 2 rows on main (sid 1), 2 rows
+    staged on an `audit` branch (sid 2), main advances independently
+    (sid 3, 1 row) so fast-forward publish is impossible, then the
+    staged append is cherry-picked onto the moved head (sid 4)."""
+    from ..tables import SnapshotTable
+
+    import json as _json
+
+    try:
+        with open(_CP_META) as f:
+            doc = _json.load(f)
+        snaps = doc["snapshots"]
+        if [s["operation"] for s in snaps] == [
+            "append", "append", "append", "cherrypick"
+        ] and doc.get("branches", {}).get("main") == 4:
+            return SnapshotTable(spark, CP_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(CP_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, CP_ROOT, ddl, clock=lambda: 1_700_000_000.0 + 60.0 * next(counter)
+    )
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+    t.write(mk([(1, "a"), (2, "b")]))
+    staged = t.write(mk([(3, "c"), (4, "d")]), branch="audit")
+    t.write(mk([(5, "e")]))  # main moves: audit is no longer fast-forwardable
+    t.cherry_pick_snapshot(staged)
+    return t
+
+
+@query(
+    "q_meta_cherrypick",
+    # the fixture lifecycle is deterministic: final main state is the
+    # union of both lineages' appends, the cherry-pick commit re-uses the
+    # staged dir (snapshot 2's manifest) rather than rewriting it, and
+    # time travel to the pre-pick head excludes the staged rows
+    oracle="""
+    SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a', CAST(5 AS BIGINT), CAST(3 AS BIGINT)),
+                          (2, 'b', 5, 3), (3, 'c', 5, 3), (4, 'd', 5, 3), (5, 'e', 5, 3))
+    AS t(id, v, n_now, n_before_pick)
+    """,
+    tags=("meta:cherrypick", "tablemeta", "branch"),
+)
+def q_meta_cherrypick(spark, sf_dir) -> DataFrame:
+    """Cherry-pick publish (Iceberg `cherrypick_snapshot`): the staged
+    audit append lands on a main head that moved past the staging point
+    — final state is both lineages' rows, while time travel to the
+    pre-pick head still excludes the staged batch (the commit added the
+    staged DIR to the active set; no data was rewritten)."""
+    t = _cp_table(spark)
+    now = t.scan().select("id", "v")
+    n_now = now.agg(F.count(F.lit(1)).cast("bigint").alias("n_now"))
+    n_before = (
+        t.scan_at(3)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_before_pick"))
+    )
+    return now.crossJoin(F.broadcast(n_now)).crossJoin(F.broadcast(n_before))
+
+
+# --------------------------------------------------------------------------
 SPEC_ROOT = os.path.join(_REPO_ROOT, "fixtures", "spec_demo")
 _SPEC_META = os.path.join(SPEC_ROOT, "_meta.json")
 
