@@ -149,7 +149,10 @@ def _py_transform(field: PartitionField, v):
         return str(v)[:10]
     if tf == "hours":
         if isinstance(v, datetime):
-            return v.strftime("%Y-%m-%d-%H")
+            # explicit padding, not strftime: glibc's %Y does NOT zero-pad
+            # years < 1000, which would misorder transform-space string
+            # comparisons ('999-…' > '2000-…') and falsely prune files
+            return f"{v.year:04d}-{v.month:02d}-{v.day:02d}-{v.hour:02d}"
         s = str(v)  # 'YYYY-MM-DD HH:MM:SS' → 'YYYY-MM-DD-HH'
         return s[:10] + "-" + s[11:13] if len(s) >= 13 else s
     if tf == "months":
