@@ -496,3 +496,88 @@ def s_topic_clusters(spark, sf_dir) -> DataFrame:
         F.countDistinct("label").cast("long").alias("n_labels"),
         F.sum("vec_id").cast("long").alias("sum_vec_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Int8-quantized top-k: symmetric per-vector quantization (q_i =
+# floor(127·x_i / maxabs)) shrinks the corpus 4× (float32 → int8) and
+# turns scoring into pure int64 multiply-adds — the memory/bandwidth
+# lever production vector search pulls at 100 TB (store int8, rank by
+# integer dot, optionally exact-rescore the short list). floor (not
+# round) keeps the quantizer bit-portable: IEEE multiply/divide then an
+# exact floor — no half-even/half-up divergence between engines; sqrt is
+# correctly-rounded per IEEE so the normalized score is also exact.
+# Plan shape is the broadcast-query pattern: quantization is map-only
+# over the corpus scan, no shuffle added.
+_QMA_S = (
+    "greatest(array_max(transform(e, x -> CAST(x AS DOUBLE))),"
+    " -array_min(transform(e, x -> CAST(x AS DOUBLE))))"
+)
+_IDOT_S = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+_IDOT_D = "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS BIGINT)"
+
+
+@query(
+    "s_quantized_topk",
+    oracle=f"""
+    WITH b0 AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+         b1 AS (SELECT vec_id, e,
+                       greatest(list_max(e), -list_min(e)) AS ma
+                FROM b0),
+         b AS (SELECT vec_id,
+                      list_transform(e, x -> CAST(floor(x * 127.0 / ma) AS BIGINT)) AS q
+               FROM b1 WHERE ma > 0),
+         n AS (SELECT vec_id, q, {_IDOT_D.format(a='q', b='q')} AS qnrm2 FROM b),
+         scored AS (
+           SELECT qv.vec_id AS q_id, c.vec_id AS c_id,
+                  {_IDOT_D.format(a='qv.q', b='c.q')} AS qdot,
+                  CAST({_IDOT_D.format(a='qv.q', b='c.q')} AS DOUBLE)
+                  / (sqrt(CAST(qv.qnrm2 AS DOUBLE)) * sqrt(CAST(c.qnrm2 AS DOUBLE)))
+                  AS approx_cos
+           FROM n qv JOIN n c
+             ON qv.vec_id % 100 = 0 AND qv.vec_id < 500 AND qv.vec_id <> c.vec_id)
+    SELECT q_id, c_id, qdot, approx_cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS rank
+    FROM scored
+    QUALIFY rank <= {TOPK}
+    """,
+    tags=("similarity:quantized", "topk"),
+)
+def s_quantized_topk(spark, sf_dir) -> DataFrame:
+    """Int8 symmetric quantization + integer-dot top-k over the corpus:
+    4× smaller vectors, int64 scoring, broadcast-bounded query set — the
+    quantized tier a 100 TB ANN deployment serves from. Scores are the
+    integer dot products normalized by the quantized norms; exact
+    cross-engine (floor quantizer + IEEE sqrt)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    base = (
+        emb.selectExpr("vec_id", "embedding AS e")
+        .selectExpr("vec_id", "e", f"{_QMA_S} AS ma")
+        .filter("ma > 0")
+        .selectExpr(
+            "vec_id",
+            "transform(e, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / ma) AS BIGINT)) AS q",
+        )
+        .selectExpr("vec_id", "q", _IDOT_S.format(a="q", b="q") + " AS qnrm2")
+    )
+    qs = base.filter(QUERY_FILTER).selectExpr(
+        "vec_id AS q_id", "q AS qq_vec", "qnrm2 AS q_nrm2"
+    )
+    scored = (
+        base.join(F.broadcast(qs), F.expr("q_id <> vec_id"))
+        .selectExpr(
+            "q_id",
+            "vec_id AS c_id",
+            _IDOT_S.format(a="qq_vec", b="q") + " AS qdot",
+            "CAST(" + _IDOT_S.format(a="qq_vec", b="q") + " AS DOUBLE)"
+            " / (sqrt(CAST(q_nrm2 AS DOUBLE)) * sqrt(CAST(qnrm2 AS DOUBLE)))"
+            " AS approx_cos",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("approx_cos"), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOPK)
+    )
