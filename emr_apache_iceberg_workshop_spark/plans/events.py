@@ -251,3 +251,116 @@ def q_salted_engagement(spark, sf_dir) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum(F.col("value"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered conversion funnel: view → click (after the view) → purchase
+# (after that click), strictly sequenced per user. Expressed as three
+# user_id-keyed aggregations chained by joins — every shuffle is on the
+# same high-cardinality key (AQE reuses the partitioning), each MIN is
+# map-side partial, and nothing materializes per-event state. The shape
+# survives 100 TB because each stage is filter → partial-agg → same-key
+# join; no window over the whole event stream, no per-user arrays.
+@query(
+    "q_funnel_steps",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS t_view_ns
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click_ns
+               FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view_ns
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase_ns
+               FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click_ns
+               GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view_ns, c.t_click_ns, p.t_purchase_ns,
+           CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+                AS BIGINT) AS steps_completed
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    tags=("events:funnel", "analytics"),
+)
+def q_funnel_steps(spark, sf_dir) -> DataFrame:
+    """Per-user strict-order funnel over the event stream: the first
+    view, the first click AFTER that view, the first purchase AFTER that
+    click; `steps_completed` counts how deep each user got."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts_ns")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_view_ns"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_ns") > F.col("t_view_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_click_ns"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_ns") > F.col("t_click_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_purchase_ns"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .selectExpr(
+            "user_id",
+            "t_view_ns",
+            "t_click_ns",
+            "t_purchase_ns",
+            "CAST(1 + CAST(t_click_ns IS NOT NULL AS INT)"
+            " + CAST(t_purchase_ns IS NOT NULL AS INT) AS BIGINT)"
+            " AS steps_completed",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly retention cohorts: users grouped by first-seen ISO week, counted
+# in every subsequent week they were active. Two same-key shuffles
+# (first-seen per user, distinct active weeks per user) + one join; the
+# output is O(weeks²) regardless of event volume — the canonical
+# retention triangle at any scale.
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events)
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events:retention", "analytics"),
+)
+def q_retention_cohorts(spark, sf_dir) -> DataFrame:
+    """Cohort retention triangle: first-seen ISO week per user × the
+    weeks they came back, as (cohort_week, week_offset, n_users)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
