@@ -29,7 +29,13 @@ from emr_apache_iceberg_workshop_spark.session import build_session  # noqa: E40
 # intended algorithm (brute-force correctness baseline, by definition).
 # d_simhash and d_embedding_neardup are NOT here: their candidate steps are
 # banded/blocked equi-joins and a BNLJ in their plan is a regression.
-PAIR_JOIN_OK = {"s_cosine_topk"}
+PAIR_JOIN_OK = {
+    "s_cosine_topk",
+    # round-5: the quantized tier joins the corpus stream against the
+    # same fixed 5-id query set (q_id <> vec_id non-equi) — the bounded
+    # pair-join shape, broadcast side constant at any corpus scale
+    "s_quantized_topk",
+}
 
 # Queries whose BNLJ is a 1-row scalar-aggregate broadcast (HAVING > scalar
 # subquery) — the correct physical plan for a scalar threshold: the single
@@ -48,6 +54,10 @@ SCALAR_BROADCAST_OK = {
     # crossJoin-broadcast into the big side's scan stage — the runtime-
     # filter shape; the membership predicate itself is scan-side codegen
     "q_bloom_join",
+    # round-5: the cherry-pick query annotates the 5-row fixture state
+    # with two 1-row COUNT aggregates (current and pre-pick row counts)
+    # via scalar crossJoin broadcasts
+    "q_meta_cherrypick",
 }
 
 # ---------------------------------------------------------------------------
@@ -68,6 +78,7 @@ BROADCAST_HINT_ALLOWED = {
     },
     "plans/similarity.py": {
         "q",  # fixed 5-id query set (QUERY_FILTER bounds it at any SF)
+        "qs",  # the same fixed query set, quantized tier
     },
     "plans/textops.py": {
         "tot",  # 1-row scalar aggregate (total token count + vocab size)
@@ -77,6 +88,9 @@ BROADCAST_HINT_ALLOWED = {
     },
     "tables.py": {
         "stats",  # 1-row per-column min/max aggregate (z-order scaling)
+    },
+    "plans/tablemeta.py": {
+        "n_now", "n_before",  # 1-row COUNT aggregates over the fixture
     },
 }
 
