@@ -107,7 +107,7 @@ _PREFIX_ORDER = [
     # q_meta_cherrypick (staged-append publish onto a moved main),
     # s_quantized_topk (int8 symmetric quantization + integer-dot ANN),
     # q_funnel_steps / q_retention_cohorts (ordered funnel, retention
-    # triangle),
+    # triangle), q_stream_incr_agg (streaming fold of the change feed),
     # q_meta_hidden (hidden-partitioning transforms),
     # t_tfidf_keywords, s_topic_clusters, q_meta_as_of (timestamp time
     # travel), q_meta_maintain (partition-scoped maintenance policy),

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import TS_FMT_DUCK, TS_FMT_SPARK, dsum, osum
 from ..streaming.jobs import EVENTS_DDL
 from .registry import query
+from .tablemeta import DEMO_ROOT as _DEMO_ROOT
 
 _run_counter = itertools.count()
 
@@ -425,3 +426,80 @@ def q_stream_cdc(spark, sf_dir) -> DataFrame:
         "destinationstate",
         F.date_format("replicadmstimestamp", TS_FMT_SPARK).alias("op_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+_incr_stream_cache: dict[str, str] = {}
+
+
+def _changes_stream_dir(spark) -> str:
+    """The tablemeta demo table's FULL-PRE-IMAGE changelog, materialized
+    once per process as a parquet directory — the change feed a
+    downstream streaming consumer would subscribe to."""
+    import os
+
+    d = _incr_stream_cache.get("d")
+    if d is None or not os.path.isdir(d):
+        from .tablemeta import _demo_table
+
+        t = _demo_table(spark)
+        d = tempfile.mkdtemp(prefix="eiws_changes_src_")
+        t.changes(None, 3, full_preimages=True).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        _incr_stream_cache["d"] = d
+    return d
+
+
+@query(
+    "q_stream_incr_agg",
+    # identical oracle to q_meta_incr_agg: a from-scratch recompute of the
+    # final aggregate off the raw committed files — the streaming fold of
+    # the change feed must land on the same numbers
+    oracle=f"""
+    WITH base AS (
+      SELECT id, category, qty
+      FROM read_parquet('{_DEMO_ROOT}/data/s1/*/*.parquet', hive_partitioning = true)
+      UNION ALL
+      SELECT id, category, qty
+      FROM read_parquet('{_DEMO_ROOT}/data/s2/*/*.parquet', hive_partitioning = true)),
+    dels AS (SELECT id FROM read_parquet('{_DEMO_ROOT}/deletes/s3/*.parquet')),
+    live AS (
+      SELECT * FROM base ANTI JOIN dels USING (id)
+      UNION ALL
+      SELECT id, category, qty
+      FROM read_parquet('{_DEMO_ROOT}/data/s3/*/*.parquet', hive_partitioning = true))
+    SELECT category,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM live GROUP BY category
+    """,
+    tags=("streaming:incr-agg", "cdc"),
+)
+def q_stream_incr_agg(spark, sf_dir) -> DataFrame:
+    """Streaming incremental aggregate maintenance: subscribe to the
+    table's change feed (inserts + full pre-image deletes) and keep a
+    signed running aggregate per category — Spark's stateful streaming
+    aggregation IS the incremental-view-maintenance engine here, folding
+    each microbatch's deltas into state instead of recomputing. The
+    memory sink is the harness; production would writeStream the same
+    aggregation into a table sink."""
+    d = _changes_stream_dir(spark)
+    ddl = (
+        "id bigint, category string, qty bigint,"
+        " _change_type string, _snapshot_id bigint"
+    )
+    stream = spark.readStream.schema(ddl).parquet(d)
+    agg = (
+        stream.withColumn(
+            "w",
+            F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(F.lit(1)),
+        )
+        .groupBy("category")
+        .agg(
+            F.sum(F.col("qty") * F.col("w")).cast("bigint").alias("sum_qty"),
+            F.sum("w").cast("bigint").alias("cnt"),
+        )
+    )
+    out = _run_to_memory(agg, spark, "complete", "incragg")
+    return out.filter(F.col("cnt") > 0)

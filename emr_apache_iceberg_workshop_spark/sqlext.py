@@ -32,7 +32,7 @@ Supported grammar (case-insensitive keywords; one statement per call):
 - ``SELECT ...`` over registered tables, with
   ``<name> [FOR] VERSION AS OF <sid|'tag'>``,
   ``<name> [FOR] TIMESTAMP AS OF '<ts>'``, and metadata suffixes
-  ``<name>.history|.snapshots|.files|.partitions|.refs|.manifests|.entries`` —
+  ``<name>.history|.snapshots|.files|.partitions|.refs|.manifests|.entries|.changes`` —
   each reference is materialized as a temp view and the rewritten text
   runs through `spark.sql`.
 - ``CALL [catalog.]system.rewrite_data_files('<name>')`` /
@@ -65,7 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .tables import SnapshotTable
 
-_META_TABLES = ("history", "snapshots", "files", "partitions", "refs", "manifests", "entries")
+_META_TABLES = ("history", "snapshots", "files", "partitions", "refs", "manifests", "entries", "changes")
 
 
 def _ws(s: str) -> str:
@@ -411,7 +411,11 @@ class SqlCatalog:
             def sub(mm: re.Match) -> str:
                 t = self.table(name)
                 meta, ver, ts = mm.group("meta"), mm.group("ver"), mm.group("ts")
-                if meta:
+                if meta and meta.lower() == "changes":
+                    # full-range changelog (Iceberg table_changes over the
+                    # whole history); COW rewrites raise, as changes() does
+                    df = t.changes(None, t.latest_snapshot_id())
+                elif meta:
                     df = getattr(
                         t,
                         {

@@ -182,3 +182,24 @@ def test_set_tblproperties_and_write_ordered_by(spark, cat):
     cat.sql("INSERT INTO tp VALUES (3, 'c'), (1, 'a'), (2, 'b')")
     got = [r.id for r in cat.sql("SELECT id FROM tp ORDER BY id").collect()]
     assert got == [1, 2, 3]
+
+
+def test_changes_suffix(spark, cat):
+    cat.sql(
+        "CREATE TABLE ch (id BIGINT, v STRING)"
+        " TBLPROPERTIES ('write.merge.mode'='merge-on-read')"
+    )
+    cat.sql("INSERT INTO ch VALUES (1, 'a'), (2, 'b')")
+    spark.createDataFrame([(1, "a2")], "id bigint, v string").createOrReplaceTempView(
+        "up"
+    )
+    cat.sql(
+        """MERGE INTO ch AS t USING up AS s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""
+    )
+    got = cat.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM ch.changes GROUP BY _change_type"
+    ).collect()
+    counts = {r._change_type: r.n for r in got}
+    # 2 appends + 1 upsert insert, 1 pre-image delete for the update
+    assert counts == {"insert": 3, "delete": 1}

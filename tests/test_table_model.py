@@ -152,5 +152,5 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
 
 
 def test_random_op_sequences_match_model(spark, tmp_path):
-    for seed in (7, 23):
+    for seed in (7, 23, 41):
         _run_model(spark, tmp_path, seed)
