@@ -1,10 +1,13 @@
 """Driver-checked Structured Streaming queries.
 
-The six streaming jobs in `streaming/jobs.py` are pytest-verified against
-their batch twins; the two queries here additionally put REAL streaming
-executions under the driver's DuckDB-oracle gate: each runs a bounded
-Structured Streaming query to completion (`Trigger.AvailableNow` → memory
-sink) over the driver's parquet testdata and returns the sink table. The
+The streaming jobs in `streaming/jobs.py` are pytest-verified against
+their batch twins; the queries here additionally put REAL streaming
+executions under the driver's DuckDB-oracle gate (windowed agg, dedup,
+stateful sessionization, stream-stream join, end-to-end CDC, and the
+change-feed incremental aggregate): each runs a bounded Structured
+Streaming query to completion (`Trigger.AvailableNow` → memory sink)
+over the driver's parquet testdata (or a deterministic fixture feed) and
+returns the sink table. The
 oracle is plain batch SQL — streaming-vs-batch equivalence IS the check
 (the strongest correctness statement Structured Streaming offers for
 bounded input: same result as the batch query over the same data).
