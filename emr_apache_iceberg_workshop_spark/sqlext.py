@@ -18,7 +18,11 @@ Supported grammar (case-insensitive keywords; one statement per call):
   [PARTITIONED BY (<spec>, ...)] [TBLPROPERTIES ('k'='v', ...)]``
   — partition specs take hidden-partitioning transforms (`days(ts)`,
   `bucket(8, id)`, `truncate(4, s)`) like Iceberg DDL.
+- ``CREATE TABLE <name> [USING iceberg] [PARTITIONED BY (...)]
+  [TBLPROPERTIES (...)] AS <SELECT ...>`` (CTAS — schema from the SELECT)
 - ``INSERT INTO <name> <SELECT ...>`` / ``INSERT INTO <name> VALUES ...``
+  / ``INSERT OVERWRITE [TABLE] <name> ...`` (snapshot-isolated overwrite)
+- ``DESCRIBE [TABLE] <name>`` / ``SHOW TBLPROPERTIES <name>``
 - ``DELETE FROM <name> WHERE <pred>``
 - ``UPDATE <name> SET c = expr[, ...] [WHERE <pred>]``
 - ``MERGE INTO <name> [AS] t USING (<subquery>)|<view> [AS] s
@@ -140,12 +144,48 @@ class SqlCatalog:
             return self._call(stmt)
         if head == "ALTER":
             return self._alter(stmt)
+        if head == "DESCRIBE":
+            return self._describe(stmt)
+        if head == "SHOW":
+            return self._show(stmt)
         if head in ("SELECT", "WITH"):
             return self.spark.sql(self._rewrite_reads(stmt))
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
 
+    def _describe(self, stmt: str):
+        m = re.match(r"DESCRIBE\s+(?:TABLE\s+)?(?P<name>[\w.]+)$", stmt, re.I)
+        if not m:
+            raise ValueError(f"unsupported DESCRIBE: {stmt[:120]!r}")
+        t = self.table(m.group("name"))
+        rows = [(f.name, f.dataType.simpleString(), "") for f in t.schema().fields]
+        spec = t._load().get("partition_by") or []
+        if spec:
+            rows.append(("# Partition Information", "", ""))
+            rows += [(s, "", "") for s in spec]
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
+
+    def _show(self, stmt: str):
+        m = re.match(r"SHOW\s+TBLPROPERTIES\s+(?P<name>[\w.]+)$", stmt, re.I)
+        if not m:
+            raise ValueError(f"unsupported SHOW: {stmt[:120]!r}")
+        props = sorted(self.table(m.group("name")).properties().items())
+        return self.spark.createDataFrame(props or [], "key string, value string")
+
     # -- DDL ---------------------------------------------------------------
     def _create_table(self, stmt: str):
+        ctas = re.match(
+            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+            r"(?:USING\s+\w+\s*)?"
+            r"(?:PARTITIONED\s+BY\s*\((?P<part>.*?)\)\s*)?"
+            r"(?:TBLPROPERTIES\s*\((?P<props>.*?)\)\s*)?"
+            r"AS\s+(?P<select>(?:SELECT|WITH)\s.+)$",
+            stmt,
+            re.I,
+        )
+        if ctas:
+            return self._create_table_as(ctas)
         m = re.match(
             r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
             r"\((?P<cols>.*?)\)\s*(?:USING\s+\w+\s*)?"
@@ -179,6 +219,34 @@ class SqlCatalog:
         )
         self.register(name, root)
         return None
+
+    def _create_table_as(self, m: re.Match):
+        """CTAS (Iceberg `CREATE TABLE ... AS SELECT`): schema derived
+        from the SELECT, then created + loaded as one logical statement
+        (create commit then append commit in this layout)."""
+        name = m.group("name")
+        if name.lower() in self._tables:
+            raise ValueError(f"table {name!r} already exists")
+        if self.warehouse is None:
+            raise ValueError("CREATE TABLE needs a catalog warehouse dir")
+        df = self.spark.sql(self._rewrite_reads(m.group("select")))
+        props = {}
+        for kv in _split_top(m.group("props") or ""):
+            km = re.match(r"'([^']+)'\s*=\s*'([^']*)'", kv.strip())
+            if not km:
+                raise ValueError(f"unsupported TBLPROPERTIES entry: {kv!r}")
+            props[km.group(1)] = km.group(2)
+        root = os.path.join(self.warehouse, *name.split("."))
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        t = SnapshotTable.create(
+            self.spark,
+            root,
+            ddl,
+            partition_by=_split_top(m.group("part") or "") or None,
+            properties=props or None,
+        )
+        self.register(name, root)
+        return t.write(df, mode="append")
 
     def _alter(self, stmt: str):
         m = re.match(r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+(?P<rest>.*)$", stmt, re.I)
@@ -253,7 +321,12 @@ class SqlCatalog:
 
     # -- DML ---------------------------------------------------------------
     def _insert(self, stmt: str):
-        m = re.match(r"INSERT\s+INTO\s+(?P<name>[\w.]+)\s+(?P<rest>.+)$", stmt, re.I)
+        m = re.match(
+            r"INSERT\s+(?P<mode>INTO|OVERWRITE)(?:\s+TABLE)?\s+"
+            r"(?P<name>[\w.]+)\s+(?P<rest>.+)$",
+            stmt,
+            re.I,
+        )
         if not m:
             raise ValueError(f"unsupported INSERT: {stmt[:120]!r}")
         t = self.table(m.group("name"))
@@ -263,7 +336,8 @@ class SqlCatalog:
             df = df.toDF(*t.schema().fieldNames())
         else:
             df = self.spark.sql(self._rewrite_reads(rest))
-        return t.write(df, mode="append")
+        mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
+        return t.write(df, mode=mode)
 
     def _delete(self, stmt: str):
         m = re.match(

@@ -203,3 +203,45 @@ def test_changes_suffix(spark, cat):
     counts = {r._change_type: r.n for r in got}
     # 2 appends + 1 upsert insert, 1 pre-image delete for the update
     assert counts == {"insert": 3, "delete": 1}
+
+
+def test_ctas_insert_overwrite_describe_show(spark, cat):
+    """CTAS derives the schema from the SELECT; INSERT OVERWRITE replaces
+    the state in a new snapshot (time travel still sees the old one);
+    DESCRIBE/SHOW TBLPROPERTIES read the metadata."""
+    cat.sql("CREATE TABLE src (id BIGINT, grp STRING, qty BIGINT)")
+    cat.sql("INSERT INTO src VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    cat.sql(
+        """CREATE TABLE agg USING iceberg
+           TBLPROPERTIES ('write.merge.mode'='copy-on-write')
+           AS SELECT grp, SUM(qty) AS total FROM src GROUP BY grp"""
+    )
+    got = {(r.grp, r.total) for r in cat.sql("SELECT * FROM agg").collect()}
+    assert got == {("a", 30), ("b", 30)}
+    assert cat.table("agg").properties()["write.merge.mode"] == "copy-on-write"
+
+    sid = cat.table("agg").latest_snapshot_id()
+    cat.sql("INSERT OVERWRITE agg SELECT grp, SUM(qty) * 2 AS total FROM src GROUP BY grp")
+    got = {(r.grp, r.total) for r in cat.sql("SELECT * FROM agg").collect()}
+    assert got == {("a", 60), ("b", 60)}
+    # the pre-overwrite snapshot is still readable
+    old = cat.sql(f"SELECT SUM(total) AS s FROM agg VERSION AS OF {sid}")
+    assert old.first().s == 60
+
+    desc = cat.sql("DESCRIBE TABLE agg").collect()
+    assert [(r.col_name, r.data_type) for r in desc][:2] == [
+        ("grp", "string"), ("total", "bigint"),
+    ]
+    props = {r.key: r.value for r in cat.sql("SHOW TBLPROPERTIES agg").collect()}
+    assert props["write.merge.mode"] == "copy-on-write"
+
+    # partitioned CTAS writes hive layout
+    cat.sql("CREATE TABLE aggp PARTITIONED BY (grp) AS SELECT grp, qty FROM src")
+    import os as _os
+
+    t = cat.table("aggp")
+    data = _os.path.join(t.root, "data")
+    sdirs = [_os.path.join(data, s) for s in _os.listdir(data)]
+    assert any(
+        x.startswith("grp=") for s in sdirs for x in _os.listdir(s)
+    )
