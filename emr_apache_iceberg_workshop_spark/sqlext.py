@@ -22,7 +22,9 @@ Supported grammar (case-insensitive keywords; one statement per call):
   [TBLPROPERTIES (...)] AS <SELECT ...>`` (CTAS — schema from the SELECT)
 - ``INSERT INTO <name> <SELECT ...>`` / ``INSERT INTO <name> VALUES ...``
   / ``INSERT OVERWRITE [TABLE] <name> ...`` (snapshot-isolated overwrite)
-- ``DESCRIBE [TABLE] <name>`` / ``SHOW TBLPROPERTIES <name>``
+- ``DESCRIBE [TABLE] <name>`` / ``SHOW TBLPROPERTIES <name>`` /
+  ``SHOW TABLES`` / ``DROP TABLE [IF EXISTS] <name> [PURGE]`` (plain DROP
+  forgets the catalog entry; PURGE also deletes the files, like Iceberg)
 - ``DELETE FROM <name> WHERE <pred>``
 - ``UPDATE <name> SET c = expr[, ...] [WHERE <pred>]``
 - ``MERGE INTO <name> [AS] t USING (<subquery>)|<view> [AS] s
@@ -132,6 +134,8 @@ class SqlCatalog:
         head = stmt.split(None, 2)[0].upper() if stmt else ""
         if head == "CREATE" and re.match(r"CREATE\s+TABLE", stmt, re.I):
             return self._create_table(stmt)
+        if head == "DROP":
+            return self._drop_table(stmt)
         if head == "INSERT":
             return self._insert(stmt)
         if head == "DELETE":
@@ -167,11 +171,40 @@ class SqlCatalog:
         )
 
     def _show(self, stmt: str):
+        if re.match(r"SHOW\s+TABLES$", stmt, re.I):
+            rows = sorted((n, r) for n, r in self._tables.items())
+            return self.spark.createDataFrame(
+                rows or [], "table_name string, root string"
+            )
         m = re.match(r"SHOW\s+TBLPROPERTIES\s+(?P<name>[\w.]+)$", stmt, re.I)
         if not m:
             raise ValueError(f"unsupported SHOW: {stmt[:120]!r}")
         props = sorted(self.table(m.group("name")).properties().items())
         return self.spark.createDataFrame(props or [], "key string, value string")
+
+    def _drop_table(self, stmt: str):
+        m = re.match(
+            r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.]+)"
+            r"(?:\s+(?P<purge>PURGE))?$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"unsupported DROP: {stmt[:120]!r}")
+        name = m.group("name").lower()
+        root = self._tables.get(name)
+        if root is None:
+            if re.search(r"IF\s+EXISTS", stmt, re.I):
+                return None
+            raise ValueError(f"unknown table {name!r} (register() it first)")
+        del self._tables[name]
+        if m.group("purge"):
+            # Iceberg DROP TABLE PURGE: delete data + metadata; a plain
+            # DROP only forgets the catalog entry (files stay on disk)
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+        return None
 
     # -- DDL ---------------------------------------------------------------
     def _create_table(self, stmt: str):

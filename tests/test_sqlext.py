@@ -245,3 +245,25 @@ def test_ctas_insert_overwrite_describe_show(spark, cat):
     assert any(
         x.startswith("grp=") for s in sdirs for x in _os.listdir(s)
     )
+
+
+def test_show_tables_and_drop(spark, cat):
+    import os as _os
+
+    cat.sql("CREATE TABLE d1 (id BIGINT)")
+    cat.sql("CREATE TABLE d2 (id BIGINT)")
+    names = {r.table_name for r in cat.sql("SHOW TABLES").collect()}
+    assert {"d1", "d2"} <= names
+    root = cat.table("d1").root
+    cat.sql("DROP TABLE d1")  # forgets the entry, keeps the files
+    assert _os.path.isdir(root)
+    # the name no longer rewrites to the table; spark.sql resolves it
+    # as an ordinary (missing) relation
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND"):
+        cat.sql("SELECT * FROM d1").collect()
+    root2 = cat.table("d2").root
+    cat.sql("DROP TABLE d2 PURGE")  # deletes files too
+    assert not _os.path.isdir(root2)
+    cat.sql("DROP TABLE IF EXISTS d2")  # idempotent
+    with pytest.raises(ValueError, match="unknown table"):
+        cat.sql("DROP TABLE d2")
