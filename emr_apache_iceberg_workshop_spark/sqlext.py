@@ -46,7 +46,9 @@ Supported grammar (case-insensitive keywords; one statement per call):
   ``remove_orphan_files('<name>')`` /
   ``rollback_to_snapshot('<name>', <sid>)`` /
   ``cherrypick_snapshot('<name>', <sid>)`` /
-  ``fast_forward('<name>', '<branch>'[, '<to>'])`` — named
+  ``fast_forward('<name>', '<branch>'[, '<to>'])`` /
+  ``vacuum('<name>'[, <retain_last>[, <max_files_per_partition>]])``
+  (maintain → expire → orphan sweep in one call) — named
   (``arg => v``) or positional.
 - ``ALTER TABLE <name> ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
   / ``ADD PARTITION FIELD <spec>`` / ``DROP PARTITION FIELD <spec>`` /
@@ -488,6 +490,13 @@ class SqlCatalog:
             return t.expire_snapshots(keep_last=int(keep) if keep else 1)
         if proc == "remove_orphan_files":
             return t.remove_orphan_files()
+        if proc == "vacuum":
+            keep = val("retain_last", 1)
+            mx = val("max_files_per_partition", 2)
+            return t.vacuum(
+                max_files_per_partition=int(mx) if mx else 4,
+                keep_last=int(keep) if keep else 2,
+            )
         if proc == "rollback_to_snapshot":
             return t.rollback_to_snapshot(int(val("snapshot_id", 1)))
         if proc == "cherrypick_snapshot":

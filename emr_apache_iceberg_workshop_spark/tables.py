@@ -2284,6 +2284,27 @@ class SnapshotTable:
             shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
         return expired_ids
 
+    def vacuum(
+        self,
+        max_files_per_partition: int = 4,
+        keep_last: int = 2,
+    ) -> dict:
+        """One-call table service (the nightly job a catalog service
+        schedules; Delta calls the cleanup half VACUUM): policy-driven
+        small-file compaction (`maintain` — O(overfull partitions)),
+        snapshot expiration (tag/branch-protected), then orphan cleanup.
+        Ordering matters: maintain first so the rewrite's new snapshot is
+        what expiration keeps; orphans last so dirs released by expiration
+        in a PRIOR crashed run also get swept. Returns a report dict —
+        everything in it is metadata-derived except the file deletes
+        themselves."""
+        report = {
+            "compacted_snapshot_id": self.maintain(max_files_per_partition),
+            "expired_snapshot_ids": self.expire_snapshots(keep_last=keep_last),
+            "removed_orphan_dirs": self.remove_orphan_files(),
+        }
+        return report
+
     def remove_orphan_files(self) -> list[str]:
         """Delete data/delete dirs on disk that NO snapshot references
         (Iceberg `remove_orphan_files`): leftovers of crashed writes that

@@ -267,3 +267,13 @@ def test_show_tables_and_drop(spark, cat):
     cat.sql("DROP TABLE IF EXISTS d2")  # idempotent
     with pytest.raises(ValueError, match="unknown table"):
         cat.sql("DROP TABLE d2")
+
+
+def test_call_vacuum(spark, cat):
+    cat.sql("CREATE TABLE vt (id BIGINT)")
+    for i in range(4):
+        cat.sql(f"INSERT INTO vt VALUES ({i})")
+    rep = cat.sql("CALL system.vacuum(table => 'vt', retain_last => 1,"
+                  " max_files_per_partition => 2)")
+    assert rep["compacted_snapshot_id"] is not None
+    assert {r.id for r in cat.sql("SELECT * FROM vt").collect()} == {0, 1, 2, 3}

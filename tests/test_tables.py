@@ -1260,3 +1260,37 @@ def test_cherry_pick_publishes_stale_staged_append(spark, tmp_path):
     t3.merge(spark.createDataFrame([(1, "z")], ddl), keys=["k"])  # newer delete file
     with _pytest.raises(ValueError, match="delete files from later"):
         t3.cherry_pick_snapshot(staged3)
+
+
+def test_vacuum_one_call_table_service(spark, tmp_path):
+    """vacuum(): maintain (policy compaction) → expire (protected refs
+    kept) → orphan sweep, one call, report dict."""
+    import os as _os
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id long, part string, v long"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "vac"), ddl, partition_by=["part"]
+    )
+    # 5 small appends into one partition → overfull under the policy
+    for i in range(5):
+        t.write(spark.createDataFrame([(i, "x", i * 10)], ddl).coalesce(1))
+    # plant an orphan dir (crashed write that never committed)
+    orphan = _os.path.join(t.root, "data", "s99")
+    _os.makedirs(orphan)
+    open(_os.path.join(orphan, "junk.parquet"), "wb").close()
+
+    rep = t.vacuum(max_files_per_partition=2, keep_last=1)
+    assert rep["compacted_snapshot_id"] is not None
+    assert rep["expired_snapshot_ids"]  # old appends expired
+    assert "data/s99" in rep["removed_orphan_dirs"]
+    assert {r.id for r in t.scan().collect()} == {0, 1, 2, 3, 4}
+    # policy satisfied: x partition is back under the threshold
+    live = t._live_files()
+    assert len([1 for _rel, f in live if f["partition"].get("part") == "x"]) <= 2
+
+    # idempotent: a second run has nothing to do
+    rep2 = t.vacuum(max_files_per_partition=2, keep_last=1)
+    assert rep2["compacted_snapshot_id"] is None
+    assert rep2["removed_orphan_dirs"] == []
