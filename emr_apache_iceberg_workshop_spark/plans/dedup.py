@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from ..catalog import load_table, fan_out
-from ..functions import sdot, sdot_approx, odot
+from ..functions import dsum, osum, sdot, sdot_approx, odot
 from .registry import query
 from .textops import TOKS_S, TOKS_D
 
@@ -300,9 +300,8 @@ def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # MinHash + LSH banding: candidates share ≥1 band; verify with est + true sim
-@query(
-    "d_minhash_lsh",
-    oracle=f"""
+# (oracle extracted to a constant so d_minhash_accuracy can wrap it as a CTE)
+_LSH_PAIRS_ORACLE = f"""
     WITH s AS (SELECT doc_id, {SHINGLES_D} AS __sh FROM documents),
          hs AS (SELECT doc_id, __sh, {HASHED_SHINGLES_D} AS __hs FROM s),
          m AS (SELECT doc_id, __sh, {', '.join(_minhash_exprs('duck'))} FROM hs),
@@ -327,7 +326,12 @@ def d_ngram_jaccard(spark, sf_dir) -> DataFrame:
                 - len(list_distinct(list_concat(ma.__sh, mb.__sh))) AS DOUBLE)
              / len(list_distinct(list_concat(ma.__sh, mb.__sh))) AS jaccard
     FROM cand JOIN m ma ON ma.doc_id = doc_a JOIN m mb ON mb.doc_id = doc_b
-    """,
+    """
+
+
+@query(
+    "d_minhash_lsh",
+    oracle=_LSH_PAIRS_ORACLE,
     tags=("dedup:minhash-lsh", "join"),
 )
 def d_minhash_lsh(spark, sf_dir) -> DataFrame:
@@ -660,4 +664,43 @@ def d_span_dup(spark, sf_dir) -> DataFrame:
             "n_spans",
             F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch-accuracy contract for the minhash tier: over the LSH candidate
+# pairs, pin the 12-hash estimator's error against exact Jaccard — the
+# same sketch-vs-exact-in-one-statement pinning the aggregation tier
+# does for HLL/quantiles (q_sketch_*). Per-pair errors round to 6
+# decimals then sum EXACTLY in decimal (order-free), so the cross-engine
+# compare is deterministic; the mean is the single final division.
+@query(
+    "d_minhash_accuracy",
+    oracle=f"""
+    WITH pairs AS ({_LSH_PAIRS_ORACLE})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {osum('round(abs(est_sim - jaccard), 6)', 6)} AS sum_abs_err,
+           MAX(round(abs(est_sim - jaccard), 6)) AS max_abs_err,
+           CAST(SUM(CASE WHEN abs(est_sim - jaccard) <= 0.25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_quarter
+    FROM pairs
+    """,
+    tags=("dedup:minhash-lsh", "sketch-accuracy"),
+)
+def d_minhash_accuracy(spark, sf_dir) -> DataFrame:
+    """How good is the 12-minhash Jaccard estimator on the real candidate
+    set? One row: pair count, exact-decimal sum of per-pair |est − exact|,
+    the worst error, and how many pairs land within 0.25 (the bound 12
+    hashes give with ~±0.14 std). The production decision this feeds:
+    whether banding thresholds can be trusted without the exact-verify
+    pass at 100 TB."""
+    pairs = d_minhash_lsh(spark, sf_dir)
+    err6 = F.round(F.abs(F.col("est_sim") - F.col("jaccard")), 6)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        dsum(err6, 6).alias("sum_abs_err"),
+        F.max(err6).alias("max_abs_err"),
+        F.sum(
+            (F.abs(F.col("est_sim") - F.col("jaccard")) <= 0.25).cast("bigint")
+        ).alias("n_within_quarter"),
     )
