@@ -109,6 +109,7 @@ _PREFIX_ORDER = [
     # q_funnel_steps / q_retention_cohorts (ordered funnel, retention
     # triangle), q_stream_incr_agg (streaming fold of the change feed),
     # d_minhash_accuracy (sketch-error pinning for the minhash tier),
+    # q_sql_ctas (CTAS / INSERT OVERWRITE / vacuum from SQL text),
     # q_meta_hidden (hidden-partitioning transforms),
     # t_tfidf_keywords, s_topic_clusters, q_meta_as_of (timestamp time
     # travel), q_meta_maintain (partition-scoped maintenance policy),

@@ -1338,6 +1338,76 @@ def _sql_table(spark):
     return cat.table("sql_demo")
 
 
+CTAS_ROOT = os.path.join(_REPO_ROOT, "fixtures", "sql_ctas_demo")
+_CTAS_META = os.path.join(CTAS_ROOT, "_meta.json")
+
+
+def _ctas_table(spark):
+    """Deterministic fixture for the round-5 façade statements, driven
+    entirely from SQL text: CTAS (schema from the SELECT), INSERT
+    OVERWRITE, and CALL system.vacuum (maintain → expire → orphan sweep).
+    After vacuum only the overwrite snapshot survives."""
+    import json as _json
+
+    from ..sqlext import SqlCatalog
+    from ..tables import SnapshotTable
+
+    try:
+        with open(_CTAS_META) as f:
+            doc = _json.load(f)
+        if [s["operation"] for s in doc["snapshots"]] == ["overwrite"]:
+            return SnapshotTable(spark, CTAS_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(CTAS_ROOT, ignore_errors=True)
+    cat = SqlCatalog(spark, warehouse=os.path.join(_REPO_ROOT, "fixtures"))
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "id bigint, grp string, qty bigint",
+    ).createOrReplaceTempView("__ctas_src")
+    cat.sql(
+        """CREATE TABLE sql_ctas_demo USING iceberg
+           TBLPROPERTIES ('write.merge.mode'='copy-on-write')
+           AS SELECT grp, SUM(qty) AS total FROM __ctas_src GROUP BY grp"""
+    )
+    cat.sql(
+        "INSERT OVERWRITE sql_ctas_demo"
+        " SELECT grp, SUM(qty) * 10 AS total FROM __ctas_src GROUP BY grp"
+    )
+    cat.sql("CALL system.vacuum(table => 'sql_ctas_demo', retain_last => 1)")
+    return cat.table("sql_ctas_demo")
+
+
+@query(
+    "q_sql_ctas",
+    # deterministic end state: CTAS totals ×10 by the overwrite; vacuum
+    # leaves exactly one live snapshot; DESCRIBE pins the derived schema
+    oracle="""
+    SELECT * FROM (VALUES ('a', CAST(300 AS BIGINT), 1, 'grp:string,total:bigint'),
+                          ('b', 700, 1, 'grp:string,total:bigint'))
+    AS t(grp, total, n_live_snapshots, schema_str)
+    """,
+    tags=("sql-facade", "tablemeta", "ctas"),
+)
+def q_sql_ctas(spark, sf_dir) -> DataFrame:
+    """Round-5 façade statements end-to-end from SQL text: CTAS derives
+    the table from a SELECT, INSERT OVERWRITE replaces its state in a new
+    snapshot, and CALL system.vacuum expires everything but the head —
+    final state, live-snapshot count, and the DESCRIBE-derived schema are
+    the constant the oracle states."""
+    t = _ctas_table(spark)
+    n = len(t.snapshots())
+    schema_str = ",".join(
+        f"{f.name}:{f.dataType.simpleString()}" for f in t.schema().fields
+    )
+    return (
+        t.scan()
+        .select("grp", "total")
+        .withColumn("n_live_snapshots", F.lit(n).cast("int"))
+        .withColumn("schema_str", F.lit(schema_str))
+    )
+
+
 @query(
     "q_sql_surface",
     # the lifecycle lands on a deterministic constant: MERGE updated
