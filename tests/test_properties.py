@@ -151,3 +151,58 @@ def test_split_top_respects_parens_and_quotes(inner):
     assert _split_top(f"f({inner}),g") == [f"f({inner})", "g"]
     q = inner.replace("'", "")
     assert _split_top(f"'{q}',x") == [f"'{q}'", "x"]
+
+
+@settings(max_examples=500, deadline=None)
+@given(n=st.integers(-(2**63), 2**63 - 1))
+def test_zigzag_varint_roundtrip_full_int64(n):
+    import io
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import _Reader, enc_long
+
+    buf = io.BytesIO()
+    enc_long(buf, n)
+    assert _Reader(buf.getvalue()).long() == n
+
+
+def _spark_types():
+    from pyspark.sql import types as T
+
+    return st.sampled_from(
+        [T.LongType(), T.IntegerType(), T.DoubleType(), T.FloatType(),
+         T.StringType(), T.BooleanType(), T.DateType(), T.TimestampType(),
+         T.BinaryType(), T.DecimalType(12, 2),
+         T.ArrayType(T.DoubleType()), T.ArrayType(T.StringType())]
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    cols=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh_", min_size=1, max_size=8),
+            st.deferred(_spark_types),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda c: c[0],
+    )
+)
+def test_iceberg_schema_assigns_unique_ids(cols):
+    from pyspark.sql import types as T
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import iceberg_schema
+
+    schema = T.StructType([T.StructField(n, dt) for n, dt in cols])
+    js, ids = iceberg_schema(schema)
+    assert js["type"] == "struct"
+    field_ids = [f["id"] for f in js["fields"]]
+    # column ids are unique, and list element-ids never collide with them
+    elem_ids = [
+        f["type"]["element-id"] for f in js["fields"]
+        if isinstance(f["type"], dict)
+    ]
+    assert len(set(field_ids)) == len(field_ids)
+    assert not set(field_ids) & set(elem_ids)
+    assert set(ids.values()) == set(field_ids)
+    assert [f["name"] for f in js["fields"]] == [n for n, _t in cols]
