@@ -50,6 +50,7 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
 
     main: list[tuple] = []
     branch: list[tuple] | None = None  # state of branch "b" when it exists
+    branch_commits: list[tuple[int, list[tuple]]] = []  # (sid, rows) staged on b
     states: dict[int, list[tuple]] = {}  # main-lineage sid -> expected rows
 
     def commit_main(sid):
@@ -58,7 +59,8 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
     for _step in range(steps):
         op = rng.choice(
             ["append", "append", "merge", "overwrite", "delete", "compact",
-             "evolve", "branch_write", "publish", "update", "maintain"]
+             "evolve", "branch_write", "publish", "update", "maintain",
+             "cherry"]
         )
         if op == "append":
             rows = _rows(rng, rng.randrange(1, 5))
@@ -104,8 +106,9 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             rows = _rows(rng, rng.randrange(1, 4))
             if branch is None:
                 branch = list(main)  # auto-created from main
-            t.write(df(rows), branch="b")
+            bsid = t.write(df(rows), branch="b")
             branch += rows
+            branch_commits.append((bsid, rows))
         elif op == "publish":
             if branch is None:
                 continue
@@ -116,7 +119,23 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             # publish succeeded: branch state IS the new main state, and
             # the publish commit belongs to the main lineage now
             main = list(branch)
+            branch_commits = []  # everything staged is now on main
             states[t.latest_snapshot_id()] = list(main)
+        elif op == "cherry":
+            # re-apply the oldest staged append onto main; the table may
+            # refuse (already applied, or newer MOR delete files would
+            # retroactively hit the incoming rows) — refusal means no
+            # state change, which the post-op scan assert still checks
+            if not branch_commits:
+                continue
+            sid_staged, rows = branch_commits[0]
+            try:
+                picked = t.cherry_pick_snapshot(sid_staged)
+            except ValueError:
+                continue
+            main = main + rows
+            branch_commits.pop(0)
+            states[picked] = list(main)
 
         assert _scan_rows(t.scan()) == _multiset(main), f"seed={seed} after {op}"
         if branch is not None:
