@@ -31,7 +31,15 @@ def main() -> int:
     from emr_apache_iceberg_workshop_spark.plans import registry
     from emr_apache_iceberg_workshop_spark.session import build_session
 
-    spark = build_session("eiws-bench")
+    spark = build_session(
+        "eiws-bench",
+        # r05 postmortem: a StateStore maintenance thread woke after
+        # spark.stop() and printed a stacktrace AFTER the bench JSON line,
+        # making it unparseable to the harness. Push the maintenance wakeup
+        # far past the bench's lifetime (the streaming queries here are
+        # short AvailableNow runs that never need background snapshotting).
+        extra_confs={"spark.sql.streaming.stateStore.maintenanceInterval": "2h"},
+    )
     specs = {n: s for n, s in registry().items() if s.bench}
 
     # warm the JVM + parquet footers once so per-query numbers measure the
@@ -112,8 +120,21 @@ def main() -> int:
         # even a single query entry overflows — emit the always-small base
         # record (totals only); the full map is in BENCH_DETAIL.json
         line = json.dumps(dict(detail, queries={}), separators=(",", ":"))
-    print(line)
+    # Teardown ORDER matters (r05: "parsed": null): stop every streaming
+    # query, stop the session, then give straggler JVM threads (StateStore
+    # maintenance, shutdown hooks) a beat to emit any dying words — and only
+    # THEN print the JSON, flushed, as the genuinely last stdout line.
+    for q in spark.streams.active:
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except Exception:
+            pass
     spark.stop()
+    time.sleep(3.0)
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
     return 0
 
 

@@ -32,103 +32,78 @@ _MODULES = [
 # verification window each round so every query gets a fresh correctness
 # row at least every other round: r01 covered tpch/events/textops, r02
 # front-loaded the extension surface, r03 covered tablemeta + the r01-only
-# names, r04 covered event-time (post layout fix) + the r04-new operators.
-# r05 leads with (a) the 5 names last driver-checked in r02 whose module
-# (plans/tpch.py) has been code-touched since, (b) the other 40 names not
-# in r04's 50-name window, then (c) 5 queries whose RESULTS change with
-# this round's code fixes (double-rounding in the unigram-LM / sketch
-# comparisons, changelog pre-image rows, tz-independent event ts_ns,
-# shared shingle materialization). Unlisted names follow in
-# module-registration order (all green in r04).
+# names, r04 covered event-time + the r04-new operators, r05 covered the
+# 45 names outside r04's window + 5 result-touched names.
+#
+# r06 leads with (a) the 32 round-5 additions that have NEVER had a
+# driver-signed row (they landed after the r05 window was set — the r05
+# verdict's #1 ask), then (b) q_meta_snapshots / q_meta_history (slots
+# yielded in r05, last signed r03), then (c) names whose CODE this round
+# touches (shared token materialization for the unigram LM / TF-IDF;
+# quote-aware SQL-facade rewrites; cherry-pick ancestor refusal; CDC
+# run-id-scoped exactly-once; Iceberg-parity bucket transform feeding
+# q_meta_hidden — t_tfidf_keywords / q_sql_* / q_meta_cherrypick /
+# q_stream_cdc / q_meta_hidden are already in (a)), then (d) round-6-new
+# queries. Unlisted names follow in module-registration order (all green
+# in r04/r05).
 _PREFIX_ORDER = [
-    # (a) stale since r02, code-touched since
-    "q_above_avg_orders",
-    "q_cube_orders",
-    "q_string_funcs",
-    "q13_custdist",
-    "q18_large_orders",
-    # (b) the remaining 40 names outside the r04 window
-    "q_salted_engagement",
-    "q_props_stats",
-    "d_exact_dup",
-    "d_ngram_jaccard",
-    "d_minhash_lsh",
-    "d_simhash",
-    "d_embedding_neardup",
-    "s_cosine_topk",
-    "s_lsh_topk",
-    "s_ivf_topk",
-    "m_decode_metadata",
-    "q_percentiles",
-    "q_ntile_deciles",
-    "q_order_gaps",
-    "q_first_last_order",
-    "q_column_profile",
-    "c_dup_groups",
-    "c_curated_corpus",
-    # q_meta_snapshots / q_meta_history yield their slots this round to
-    # the two round-new STREAMING queries: both are r03-signed and
-    # untouched (the fixture's new tags key feeds only q_meta_refs);
-    # they lead the r06 rotation instead.
-    "q_stream_event_windows",
-    "q_stream_dedup",
-    "q_meta_files",
-    "q_meta_time_travel",
-    "q_meta_incremental",
-    "q22_global_sales_opportunity",
-    "q07_volume_shipping",
-    "q10_returned_items",
-    "q19_bracket_discounts",
-    "q_grouping_sets",
-    "q_pivot_status",
-    "q02_min_cost_supplier",
-    "q08_market_share",
-    "q09_product_profit",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
-    # (c) results touched by this round's fixes (decimal rounding for
-    # libm portability; changelog pre-image deletes) — need fresh driver
-    # rows — plus the two round-new queries (native-Iceberg-metadata
-    # chain, .refs). Value-NEUTRAL round-5 changes ride on their green
-    # r04 rows instead of re-occupying slots: the event ts_ns portability
-    # fix and the shared shingle/ngram materializations change plan
-    # shape/provenance only — locally re-verified hash-identical.
-    # r06 window should LEAD with the round-5-new names the r05 window
-    # could not hold: q_meta_incr_agg (changelog-driven incremental
-    # aggregate maintenance), q_meta_entries (.entries lifecycle
-    # statuses), q_jsonl_scan (pinned-schema JSONL source + quarantine),
-    # t_hashed_classifier (feature-hashed linear quality gate),
-    # q_meta_cherrypick (staged-append publish onto a moved main),
-    # s_quantized_topk (int8 symmetric quantization + integer-dot ANN),
-    # q_funnel_steps / q_retention_cohorts (ordered funnel, retention
-    # triangle), q_stream_incr_agg (streaming fold of the change feed),
-    # d_minhash_accuracy (sketch-error pinning for the minhash tier),
-    # q_sql_ctas (CTAS / INSERT OVERWRITE / vacuum from SQL text),
-    # q_meta_hidden (hidden-partitioning transforms),
-    # t_tfidf_keywords, s_topic_clusters, q_meta_as_of (timestamp time
-    # travel), q_meta_maintain (partition-scoped maintenance policy),
-    # q_sql_surface (SQL façade lifecycle), t_boilerplate (source-level
-    # template detection), c_chunk_documents (training-window chunker),
-    # q_avro_roundtrip, q_meta_dml, q_bloom_join,
-    # c_source_cap, d_span_dup, q_meta_wap, q_meta_evolution,
-    # q_meta_rollback (all new,
-    # driver-unchecked), q_stream_event_windows/q_stream_dedup if they
-    # miss r05, plus q_stream_sessionize / q_stream_join / q_stream_cdc
-    # (stateful, stream-stream, and end-to-end-CDC streaming under the
-    # oracle gate) and q_meta_manifests / q_meta_pos_delete,
-    # then q_meta_snapshots/q_meta_history (slots yielded this
-    # round), then the 49 names checked in r04.
+    # (a) round-5 additions, never driver-checked (32)
+    "c_chunk_documents",
+    "c_source_cap",
+    "d_minhash_accuracy",
+    "d_span_dup",
+    "q_avro_roundtrip",
+    "q_bloom_join",
+    "q_funnel_steps",
+    "q_jsonl_scan",
+    "q_meta_as_of",
+    "q_meta_cherrypick",
+    "q_meta_dml",
+    "q_meta_entries",
+    "q_meta_evolution",
+    "q_meta_hidden",
+    "q_meta_incr_agg",
+    "q_meta_maintain",
+    "q_meta_manifests",
+    "q_meta_pos_delete",
+    "q_meta_rollback",
+    "q_meta_wap",
+    "q_retention_cohorts",
+    "q_sql_ctas",
+    "q_sql_surface",
+    "q_stream_cdc",
+    "q_stream_incr_agg",
+    "q_stream_join",
+    "q_stream_sessionize",
+    "s_quantized_topk",
+    "s_topic_clusters",
+    "t_boilerplate",
+    "t_hashed_classifier",
+    "t_tfidf_keywords",
+    # (b) last signed r03, slots yielded in r05
+    "q_meta_snapshots",
+    "q_meta_history",
+    # (c) code-touched this round (r05-signed but plan changed: shared
+    # token-array checkpoint replaces double tokenization)
     "t_unigram_logprob",
-    "q_sketch_quantiles",
-    "q_meta_changes",
-    "q_meta_iceberg",
-    "q_meta_refs",
+    # (d) round-6-new queries (v2 MOR metadata emission, real-container
+    # multimodal decode, bucket-transform native metadata)
+    "q_meta_iceberg_v2",
+    "m_real_codecs",
+    "q_meta_bucket",
+    # remaining slots: oldest-signed r04 names to keep their rows fresh
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q_merge_upsert",
+    "q_latest_event_per_user",
+    "q_table_counts",
+    "q_filter_project",
+    "c_pack_sequences",
+    "c_train_split",
+    "c_hash_sample",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -376,6 +376,29 @@ NGRAM4_D = f"""
 # checks) reuses the checkpoint instead of re-tokenizing the corpus.
 _ngram4_cache: dict[tuple[str, str], DataFrame] = {}
 
+# Token ARRAYS materialized once per (session, sf_dir). Queries that consume
+# the tokenized relation more than once (t_unigram_logprob: vocab agg +
+# scoring join; t_tfidf_keywords: tf agg + df agg) would otherwise pay the
+# regexp tokenization once PER consumption — Catalyst does not CSE across
+# separate actions on the same subtree. Checkpointing the per-doc arrays
+# (not the exploded tokens) keeps the materialized state at document grain
+# (~1 row/doc); explode from the checkpoint is cheap. At 100 TB the same
+# idea is "write the tokenized corpus once, read it N times" — a standard
+# staging table, not driver state.
+_toks_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _toks_for(spark, sf_dir) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    df = _toks_cache.get(key)
+    if df is None:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        df = docs.selectExpr("doc_id", f"{TOKS_S} AS toks").localCheckpoint(eager=True)
+        _toks_cache[key] = df
+    return df
+
 
 def _ngram4_for(spark, sf_dir) -> DataFrame:
     import os
@@ -471,8 +494,7 @@ def t_decontaminate(spark, sf_dir) -> DataFrame:
 def t_unigram_logprob(spark, sf_dir) -> DataFrame:
     """Per-document mean unigram negative-log-prob under the corpus's own
     add-one-smoothed unigram LM, plus the quality-gate verdict."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    tok = docs.selectExpr("doc_id", f"explode({TOKS_S}) AS tk")
+    tok = _toks_for(spark, sf_dir).selectExpr("doc_id", "explode(toks) AS tk")
     vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
     tot = vocab.agg(
         F.sum("cnt").cast("bigint").alias("n"), F.count(F.lit(1)).alias("v")
@@ -534,9 +556,10 @@ def t_tfidf_keywords(spark, sf_dir) -> DataFrame:
     bit-identical in any engine. Scale shape: one token-grain shuffle for
     tf (map-side combined), one for df, a token-key join (AQE picks
     broadcast when the vocabulary is small), one per-doc window."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    tok = docs.selectExpr("doc_id", f"explode({TOKS_S}) AS token").filter(
-        F.length("token") >= 3
+    tok = (
+        _toks_for(spark, sf_dir)
+        .selectExpr("doc_id", "explode(toks) AS token")
+        .filter(F.length("token") >= 3)
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("token").agg(

@@ -502,7 +502,18 @@ class SqlCatalog:
         if proc == "cherrypick_snapshot":
             return t.cherry_pick_snapshot(int(val("snapshot_id", 1)))
         if proc == "fast_forward":
-            return t.fast_forward(val("branch", 1), to=val("to", 2, "main"))
+            # Iceberg's CALL shape is fast_forward(table, branch, to): move
+            # ref `branch` forward to `to`'s head. tables.fast_forward has
+            # the OPPOSITE parameter roles (branch = source head, to = ref
+            # being moved), so the façade crosses them: the Iceberg `branch`
+            # arg is the moved ref, the Iceberg `to` arg is the source.
+            moved = val("branch", 1)
+            source = val("to", 2)
+            if moved is None or source is None:
+                raise ValueError(
+                    "fast_forward requires (table, branch, to) — Iceberg CALL shape"
+                )
+            return t.fast_forward(source, to=moved)
         raise ValueError(f"unsupported procedure system.{proc}")
 
     # -- reads -------------------------------------------------------------
