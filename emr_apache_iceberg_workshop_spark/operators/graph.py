@@ -46,7 +46,19 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_cnt = e.count()
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        """(edge count, order-independent checksum) in ONE job — the
+        fixpoint probe. bit_xor of per-edge xxhash64 over a DISTINCT edge
+        set: equal (count, checksum) ⇒ equal sets up to a ~2^-64 xor
+        collision (vs. the extra exceptAll job per round this replaces)."""
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).first()
+        return int(r["n"]), (0 if r["x"] is None else int(r["x"]))
+
+    prev_cnt, prev_sum = _sig(e)
     if prev_cnt == 0:
         return e.selectExpr("u AS doc_id", "v AS label"), 0
     rounds = 0
@@ -73,9 +85,9 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        cnt = ss.count()
-        converged = cnt == prev_cnt and ss.exceptAll(e).isEmpty()
-        e, prev_cnt = ss, cnt
+        cnt, csum = _sig(ss)
+        converged = cnt == prev_cnt and csum == prev_sum
+        e, prev_cnt, prev_sum = ss, cnt, csum
         if converged:
             break
     else:

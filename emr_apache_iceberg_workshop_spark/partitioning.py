@@ -198,9 +198,14 @@ def prune_keep(
         return True  # range predicates can't prune a hash bucket
     tlo = _py_transform(field, lo)
     thi = _py_transform(field, hi)
-    v: int | str = int(dir_value) if tf in ("years",) or (
-        tf == "truncate" and not isinstance(tlo, str)
-    ) else dir_value
+    if tlo is None and thi is None:
+        return True  # unbounded predicate prunes nothing
+    # comparison domain from whichever bound exists (both transform to the
+    # same domain): years / integer-truncate bounds are ints, everything
+    # else compares as directory strings. Keying off `tlo` alone crashed
+    # one-sided truncate(string) predicates (int('abcd') on the dir value).
+    ref = tlo if tlo is not None else thi
+    v: int | str = dir_value if isinstance(ref, str) else int(dir_value)
     if tlo is not None and v < tlo:
         return False
     if thi is not None and v > thi:

@@ -35,75 +35,58 @@ _MODULES = [
 # names, r04 covered event-time + the r04-new operators, r05 covered the
 # 45 names outside r04's window + 5 result-touched names.
 #
-# r06 leads with (a) the 32 round-5 additions that have NEVER had a
-# driver-signed row (they landed after the r05 window was set — the r05
-# verdict's #1 ask), then (b) q_meta_snapshots / q_meta_history (slots
-# yielded in r05, last signed r03), then (c) names whose CODE this round
-# touches (shared token materialization for the unigram LM / TF-IDF;
-# quote-aware SQL-facade rewrites; cherry-pick ancestor refusal; CDC
-# run-id-scoped exactly-once; Iceberg-parity bucket transform feeding
-# q_meta_hidden — t_tfidf_keywords / q_sql_* / q_meta_cherrypick /
-# q_stream_cdc / q_meta_hidden are already in (a)), then (d) round-6-new
-# queries. Unlisted names follow in module-registration order (all green
-# in r04/r05).
+# r07 leads with (a) the names last driver-signed in r04 (oldest rows —
+# no name should go more than ~2 rounds unsigned), then (b) names whose
+# CODE this round changes (cherry-pick ancestor refusal; CDC run-scoped
+# exactly-once; quote-aware SQL-facade rewrites; Iceberg-parity bucket
+# hash behind every bucket() spec; cheaper connected-components fixpoint
+# probe behind the dup-cluster queries), then (c) round-7-NEW queries —
+# each added here in the same commit that registers it (a
+# test_registry_prefix test fails loudly on any name missing from the
+# registry). Unlisted names follow in module-registration order (all
+# green in r05/r06).
 _PREFIX_ORDER = [
-    # (a) round-5 additions, never driver-checked (32)
-    "c_chunk_documents",
-    "c_source_cap",
-    "d_minhash_accuracy",
-    "d_span_dup",
-    "q_avro_roundtrip",
-    "q_bloom_join",
-    "q_funnel_steps",
-    "q_jsonl_scan",
-    "q_meta_as_of",
+    # (a) last signed r04 (32 names)
+    "c_mix_corpora",
+    "c_stratified_sample",
+    "m_extract_features",
+    "m_frame_sample",
+    "m_modality_stats",
+    "m_resize_plan",
+    "q_asof_join",
+    "q_bucketed_join",
+    "q_event_windows",
+    "q_latest_event",
+    "q_meta_compaction",
+    "q_meta_expire",
+    "q_meta_partitions",
+    "q_meta_pruning",
+    "q_part_revenue_share",
+    "q_range_join",
+    "q_rollup_revenue",
+    "q_semi_anti",
+    "q_sessionization",
+    "q_set_ops",
+    "q_sketch_distinct",
+    "q_top_customers",
+    "q_trailing_window",
+    "s_dup_clusters",
+    "s_knn_graph",
+    "t_bpe_tokens",
+    "t_decontaminate",
+    "t_fingerprint",
+    "t_lang_profile",
+    "t_repetition",
+    "t_scrub_pii",
+    "t_token_freq",
+    # (b) code-touched this round (not already in (a))
     "q_meta_cherrypick",
-    "q_meta_dml",
-    "q_meta_entries",
-    "q_meta_evolution",
-    "q_meta_hidden",
-    "q_meta_incr_agg",
-    "q_meta_maintain",
-    "q_meta_manifests",
-    "q_meta_pos_delete",
-    "q_meta_rollback",
-    "q_meta_wap",
-    "q_retention_cohorts",
-    "q_sql_ctas",
-    "q_sql_surface",
     "q_stream_cdc",
-    "q_stream_incr_agg",
-    "q_stream_join",
-    "q_stream_sessionize",
-    "s_quantized_topk",
-    "s_topic_clusters",
-    "t_boilerplate",
-    "t_hashed_classifier",
-    "t_tfidf_keywords",
-    # (b) last signed r03, slots yielded in r05
-    "q_meta_snapshots",
-    "q_meta_history",
-    # (c) code-touched this round (r05-signed but plan changed: shared
-    # token-array checkpoint replaces double tokenization)
-    "t_unigram_logprob",
-    # (d) round-6-new queries (v2 MOR metadata emission, real-container
-    # multimodal decode, bucket-transform native metadata)
-    "q_meta_iceberg_v2",
-    "m_real_codecs",
-    "q_meta_bucket",
-    # remaining slots: oldest-signed r04 names to keep their rows fresh
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_region_revenue",
-    "q06_forecast_revenue",
-    "q_merge_upsert",
-    "q_latest_event_per_user",
-    "q_table_counts",
-    "q_filter_project",
-    "c_pack_sequences",
-    "c_train_split",
-    "c_hash_sample",
+    "q_sql_surface",
+    "q_sql_ctas",
+    "q_meta_hidden",
+    "c_dup_groups",
+    "c_curated_corpus",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -46,7 +46,8 @@ Supported grammar (case-insensitive keywords; one statement per call):
   ``remove_orphan_files('<name>')`` /
   ``rollback_to_snapshot('<name>', <sid>)`` /
   ``cherrypick_snapshot('<name>', <sid>)`` /
-  ``fast_forward('<name>', '<branch>'[, '<to>'])`` /
+  ``fast_forward('<table>', '<branch>', '<to>')`` (Iceberg CALL shape:
+  move ref `branch` forward to `to`'s head; both args required) /
   ``vacuum('<name>'[, <retain_last>[, <max_files_per_partition>]])``
   (maintain → expire → orphan sweep in one call) — named
   (``arg => v``) or positional.
@@ -78,6 +79,26 @@ _META_TABLES = ("history", "snapshots", "files", "partitions", "refs", "manifest
 
 def _ws(s: str) -> str:
     return re.sub(r"\s+", " ", s).strip()
+
+
+def _quoted_spans(s: str) -> list[tuple[int, int]]:
+    """[start, end) spans of quoted regions ('...' and "...") — the same
+    single-character quote scanning `_split_top` uses. Read rewriting must
+    never substitute a table name INSIDE one of these (e.g. the literal in
+    `WHERE src = 'orders'`)."""
+    spans: list[tuple[int, int]] = []
+    q: str | None = None
+    start = 0
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                spans.append((start, i + 1))
+                q = None
+        elif ch in "'\"":
+            q, start = ch, i
+    if q:
+        spans.append((start, len(s)))
+    return spans
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -521,7 +542,10 @@ class SqlCatalog:
         """Substitute registered table references (plus time-travel
         clauses and metadata suffixes) with temp views over the
         corresponding `SnapshotTable` reads; the rewritten text runs
-        through real spark.sql."""
+        through real spark.sql. Substitution is quote-aware: a registered
+        name inside a string literal (`WHERE src = 'orders'`) or a
+        double-quoted identifier is left verbatim — only bare references
+        at quote depth 0 are table reads."""
         out = text
         for name in sorted(self._tables, key=len, reverse=True):
             pat = re.compile(
@@ -534,8 +558,14 @@ class SqlCatalog:
                 rf"(?![\w.])",
                 re.I,
             )
+            # spans are positions in the string `pat.sub` scans (`out` at
+            # this iteration) — re reports match offsets against that same
+            # string, so the containment check below is exact
+            spans = _quoted_spans(out)
 
             def sub(mm: re.Match) -> str:
+                if any(a <= mm.start() < b for a, b in spans):
+                    return mm.group(0)  # inside a literal: not a table read
                 t = self.table(name)
                 meta, ver, ts = mm.group("meta"), mm.group("ver"), mm.group("ts")
                 if meta and meta.lower() == "changes":

@@ -238,12 +238,22 @@ def apply_cdc_batch(
     delete_value: str = "D",
     partition_by: list[str] | None = None,
     merge_mode: str = "merge-on-read",
+    scope: str | None = None,
 ) -> bool:
     """One exactly-once CDC microbatch: dedup latest-per-key, then MERGE
     with the foreachBatch `batch_id` stamped into the commit summary
     (atomic with the merge). A replayed batch whose id is already
     committed is skipped. Returns True when a merge was committed, False
-    when the batch was empty or a replay."""
+    when the batch was empty or a replay.
+
+    `scope` namespaces the replay guard the way Iceberg's streaming sink
+    scopes its epochId by query id: batch ids are only compared against
+    commits stamped with the SAME scope, so a stream restarted on a fresh
+    checkpoint (ids restart at 0) or a second query feeding the same table
+    applies its batches instead of having them silently dropped. Commits
+    recorded without a scope (pre-scoping writers) are conservatively
+    treated as belonging to every scope — the old behavior, never a new
+    data-loss mode."""
     from ..operators import dedup_latest
     from ..tables import SnapshotTable
 
@@ -256,6 +266,7 @@ def apply_cdc_batch(
             s.summary.get("streaming.batch-id")
             for s in table.snapshots()
             if s.summary.get("streaming.batch-id") is not None
+            and s.summary.get("streaming.query-scope") in (None, scope)
         ]
         if done and batch_id <= max(done):
             return False  # at-least-once replay of a committed batch
@@ -268,11 +279,30 @@ def apply_cdc_batch(
             partition_by=partition_by,
             properties={"write.merge.mode": merge_mode},
         )
+    summary = {"streaming.batch-id": int(batch_id)}
+    if scope is not None:
+        summary["streaming.query-scope"] = scope
     table.merge(
         src, keys, op_col=op_col, delete_value=delete_value,
-        summary_extra={"streaming.batch-id": int(batch_id)},
+        summary_extra=summary,
     )
     return True
+
+
+def _checkpoint_scope(checkpoint_dir: str) -> str:
+    """Replay-guard scope for a foreachBatch stream: the streaming query
+    id Spark persists at `<checkpoint>/metadata` — stable across restarts
+    from the SAME checkpoint, fresh for a new one (the exact lifetime of
+    the checkpoint's batch-id sequence). Falls back to the checkpoint path
+    itself before the metadata file exists."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return str(json.load(f)["id"])
+    except (OSError, ValueError, KeyError):
+        return os.path.abspath(checkpoint_dir)
 
 
 def stream_cdc_upsert(
@@ -296,10 +326,13 @@ def stream_cdc_upsert(
     microbatch runs the same dedup-then-merge the batch pipeline runs.
 
     Exactly-once: every merge commit stamps its foreachBatch `batch_id`
+    PLUS the checkpoint's streaming query id (the replay-guard scope)
     into the snapshot summary IN THE SAME atomic metadata swap (the trick
     Iceberg's streaming sink uses with `spark.sql.streaming.epochId`), and
     a replayed batch — foreachBatch is at-least-once — is SKIPPED when its
-    id is already committed: no duplicate snapshot, no duplicate work. The
+    id is already committed UNDER THE SAME scope: no duplicate snapshot,
+    no duplicate work, and a stream restarted on a fresh checkpoint (whose
+    batch ids restart at 0) still applies its batches. The
     latest-wins MERGE stays idempotent underneath as a second line of
     defense (a crash BETWEEN data write and metadata swap leaves no
     committed batch id, and the re-merge converges to the same state) —
@@ -336,6 +369,9 @@ def stream_cdc_upsert(
             spark, batch_df, batch_id, table_root, keys,
             order_col=order_col, op_col=op_col, delete_value=delete_value,
             partition_by=partition_by, merge_mode=merge_mode,
+            # read per batch: Spark writes the checkpoint's query-id file
+            # at stream start, before the first batch runs
+            scope=_checkpoint_scope(checkpoint_dir),
         )
 
     q = (

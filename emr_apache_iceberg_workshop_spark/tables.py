@@ -535,6 +535,19 @@ class SnapshotTable:
         head = self._head(meta)
         if head is None:
             raise ValueError("empty table")
+        if snapshot_id in {
+            s["snapshot_id"] for s in self._lineage(meta, head["snapshot_id"])
+        }:
+            # Iceberg refuses cherry-picking a snapshot already published in
+            # the current history: re-adding its dirs would RESURRECT rows a
+            # later COW rewrite removed from the active set (the dirs check
+            # below can't see that — COW masks/drops dirs without delete
+            # files). Cherry-pick is for STAGED (branch) snapshots only.
+            raise ValueError(
+                f"snapshot {snapshot_id} is an ancestor of the current main "
+                f"head {head['snapshot_id']} — cherry-pick re-applies staged "
+                f"snapshots, not published history (use rollback instead)"
+            )
         head_dirs = {_entry_rel(e) for e in head["active_dirs"]}
         incoming = [d for d in src["dirs"] if d not in head_dirs]
         if not incoming:

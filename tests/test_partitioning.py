@@ -99,6 +99,28 @@ def test_prune_keep_monotone_and_bucket():
     assert not prune_keep(bk, "4", 7, 7, bucket_of=lambda v: 3)
 
 
+def test_prune_keep_one_sided_bounds():
+    """One-sided predicates (lo=None or hi=None) must prune in the right
+    domain for every transform — truncate(string) with lo=None used to
+    crash on int(dir_value)."""
+    tr_s = parse_field("truncate(4, s)")
+    assert prune_keep(tr_s, "abcd", None, "abzz")
+    assert not prune_keep(tr_s, "zzzz", None, "abzz")
+    assert prune_keep(tr_s, "abcd", "abca", None)
+    assert not prune_keep(tr_s, "aaaa", "abcd", None)
+    tr_i = parse_field("truncate(10, n)")
+    assert prune_keep(tr_i, "20", None, 25)
+    assert not prune_keep(tr_i, "40", None, 25)
+    assert prune_keep(tr_i, "40", 35, None)
+    assert not prune_keep(tr_i, "20", 35, None)
+    days = parse_field("days(ts)")
+    assert prune_keep(days, "2024-03-05", None, "2024-03-05 00:00:00")
+    assert not prune_keep(days, "2024-03-06", None, "2024-03-05 23:00:00")
+    # fully unbounded predicate prunes nothing (non-null partitions)
+    assert prune_keep(tr_s, "abcd", None, None)
+    assert prune_keep(tr_i, "40", None, None)
+
+
 # -- table round-trip ------------------------------------------------------
 @pytest.fixture()
 def hidden_table(spark, tmp_path):

@@ -143,6 +143,38 @@ def test_hidden_partition_ddl(spark, cat):
     assert "months(ts)" in t._load()["partition_by"]
 
 
+def test_string_literals_survive_read_rewrite(spark, cat):
+    """A registered table name INSIDE a string literal is data, not a
+    table reference — the rewrite must leave it verbatim (this used to
+    silently substitute `'orders'` → `'__sqlext_N'`)."""
+    cat.sql("CREATE TABLE orders (id BIGINT, src STRING)")
+    cat.sql("INSERT INTO orders VALUES (1, 'orders'), (2, 'web'), (3, 'orders')")
+    got = cat.sql("SELECT COUNT(*) AS n FROM orders WHERE src = 'orders'")
+    assert got.first().n == 2
+    # literal in a SELECT projection too
+    rows = cat.sql(
+        "SELECT id, 'orders' AS tag FROM orders WHERE src <> 'orders'"
+    ).collect()
+    assert [(r.id, r.tag) for r in rows] == [(2, "orders")]
+    # the bare reference outside quotes IS still rewritten
+    assert cat.sql("SELECT COUNT(*) AS n FROM orders").first().n == 3
+
+
+def test_call_fast_forward_iceberg_shape(spark, cat):
+    """CALL system.fast_forward('t', 'main', 'audit') — the Iceberg arg
+    shape end-to-end: stage on a branch, publish by fast-forwarding main."""
+    cat.sql("CREATE TABLE ff (id BIGINT, v STRING)")
+    cat.sql("INSERT INTO ff VALUES (1, 'a')")
+    t = cat.table("ff")
+    t.write(spark.createDataFrame([(2, "b")], "id bigint, v string"), branch="audit")
+    # main still sees only the published row
+    assert cat.sql("SELECT COUNT(*) AS n FROM ff").first().n == 1
+    cat.sql("CALL system.fast_forward('ff', 'main', 'audit')")
+    assert {r.id for r in cat.sql("SELECT * FROM ff").collect()} == {1, 2}
+    with pytest.raises(ValueError, match="Iceberg CALL shape"):
+        cat.sql("CALL system.fast_forward('ff', 'main')")
+
+
 def test_unsupported_statements_raise(spark, cat):
     cat.sql("CREATE TABLE t3 (id BIGINT)")
     with pytest.raises(ValueError, match="unsupported"):

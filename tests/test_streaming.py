@@ -263,6 +263,57 @@ def test_apply_cdc_batch_replay_skipped(spark, tmp_path):
     assert apply_cdc_batch(spark, empty, 2, tbl, ["k"], order_col="ts") is False
 
 
+def test_apply_cdc_batch_scope_isolates_checkpoint_restarts(spark, tmp_path):
+    """The replay guard is scoped to the streaming query: a stream
+    restarted on a FRESH checkpoint (batch ids restart at 0) applies its
+    batch 0 instead of having it silently dropped, while a same-scope
+    replay is still skipped and legacy unscoped commits still guard
+    conservatively."""
+    from emr_apache_iceberg_workshop_spark.streaming.jobs import apply_cdc_batch
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    tbl = str(tmp_path / "tbl")
+    ddl = "k bigint, ts string, v string"
+    b0 = spark.createDataFrame([(1, "t1", "a")], ddl)
+    b1 = spark.createDataFrame([(2, "t2", "b")], ddl)
+    b2 = spark.createDataFrame([(1, "t3", "a2")], ddl)
+
+    # first run: scope A commits batches 0 and 1
+    assert apply_cdc_batch(spark, b0, 0, tbl, ["k"], order_col="ts", scope="qA")
+    assert apply_cdc_batch(spark, b1, 1, tbl, ["k"], order_col="ts", scope="qA")
+    t = SnapshotTable(spark, tbl)
+    n = len(t.snapshots())
+    # same-scope replay of batch 1: skipped
+    assert apply_cdc_batch(spark, b1, 1, tbl, ["k"], order_col="ts", scope="qA") is False
+    assert len(t.snapshots()) == n
+
+    # fresh checkpoint = new scope: its batch 0 MUST be applied
+    assert apply_cdc_batch(spark, b2, 0, tbl, ["k"], order_col="ts", scope="qB")
+    assert {r.k: r.v for r in t.scan().collect()} == {1: "a2", 2: "b"}
+    assert t.snapshots()[-1].summary["streaming.query-scope"] == "qB"
+
+    # legacy unscoped commit guards every scope (old conservative behavior)
+    tbl2 = str(tmp_path / "tbl2")
+    assert apply_cdc_batch(spark, b0, 5, tbl2, ["k"], order_col="ts")  # unscoped
+    assert apply_cdc_batch(spark, b1, 3, tbl2, ["k"], order_col="ts", scope="qC") is False
+
+
+def test_checkpoint_scope_reads_query_id(tmp_path):
+    """_checkpoint_scope: the persisted streaming query id when present,
+    else the checkpoint path (pre-start fallback)."""
+    import json as _json
+    import os as _os
+
+    from emr_apache_iceberg_workshop_spark.streaming.jobs import _checkpoint_scope
+
+    cp = str(tmp_path / "cp")
+    assert _checkpoint_scope(cp) == _os.path.abspath(cp)
+    _os.makedirs(cp)
+    with open(_os.path.join(cp, "metadata"), "w") as f:
+        _json.dump({"id": "11111111-2222-3333-4444-555555555555"}, f)
+    assert _checkpoint_scope(cp) == "11111111-2222-3333-4444-555555555555"
+
+
 def test_jsonl_stream_ingest_quarantines_and_is_exactly_once(spark, tmp_path):
     """Streaming JSONL ingest: pinned schema, malformed lines land in the
     quarantine sink (with their source file), valid rows in the data sink;

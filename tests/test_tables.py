@@ -1262,6 +1262,27 @@ def test_cherry_pick_publishes_stale_staged_append(spark, tmp_path):
         t3.cherry_pick_snapshot(staged3)
 
 
+def test_cherry_pick_refuses_published_ancestor(spark, tmp_path):
+    """Cherry-picking a snapshot already in main's history is refused
+    (Iceberg semantics): re-adding its dirs would RESURRECT rows a later
+    COW DML removed from the active set."""
+    import pytest as _pytest
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "k long, v string"
+    t = SnapshotTable.create(spark, str(tmp_path / "anc"), ddl)
+    first = t.write(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    t.write(spark.createDataFrame([(3, "c")], ddl))
+    # COW delete rewrites the state without delete files — the old
+    # newer-deletes guard cannot see it
+    t.delete_where("k <= 2")
+    assert {r.k for r in t.scan().collect()} == {3}
+    with _pytest.raises(ValueError, match="ancestor of the current main"):
+        t.cherry_pick_snapshot(first)
+    assert {r.k for r in t.scan().collect()} == {3}  # nothing resurrected
+
+
 def test_vacuum_one_call_table_service(spark, tmp_path):
     """vacuum(): maintain (policy compaction) → expire (protected refs
     kept) → orphan sweep, one call, report dict."""
