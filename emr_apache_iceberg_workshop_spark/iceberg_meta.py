@@ -376,6 +376,8 @@ def _partition_value(raw: str | None, iceberg_type: str, transform: str = "ident
         return (int(y) - 1970) * 12 + (int(m) - 1)
     if transform == "years":
         return int(raw) - 1970
+    if transform == "bucket":
+        return int(raw)
     if iceberg_type == "long" or iceberg_type == "int":
         return int(raw)
     if iceberg_type == "double":
@@ -482,20 +484,6 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
     meta = table._load()
     from .partitioning import parse_spec
 
-    if any(f.transform == "bucket" for f in parse_spec(meta["partition_by"])):
-        # bucket values are derived with Spark's seed-42 Murmur3, not
-        # Iceberg's seed-0 hash of the serialized value; declaring them
-        # under Iceberg's `bucket[N]` would invite an external engine to
-        # prune equality predicates with ICEBERG's hash over values
-        # computed differently — wrong results, silently. Refuse; the
-        # monotone transforms (day/hour/month/year/truncate) ARE
-        # semantically identical and are emitted below. export_snapshot
-        # still produces the resolved-parquet + view for bucket tables.
-        raise ValueError(
-            "bucket partition specs are not emitted as native Iceberg "
-            "metadata (hash-function mismatch) — use an identity/monotone "
-            "spec, or export_snapshot's resolved parquet view"
-        )
     head = table._head(meta)
     if head is None:
         raise ValueError("empty table: commit a snapshot before emitting metadata")
@@ -524,10 +512,12 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
     ts_ms = int(float(head["made_current_at"]) * 1000)
 
     schema_json, ids = iceberg_schema(table.schema())
-    # Iceberg spec transform names + result types; the monotone transforms
-    # are semantically identical to Iceberg's, so declaring them is truthful
+    # Iceberg spec transform names + result types; every transform here is
+    # semantically identical to Iceberg's, so declaring them is truthful
     # (day → date; hour/month/year → int offsets from 1970; truncate keeps
-    # the source type). bucket was refused above.
+    # the source type; bucket → int via the spec's seed-0 murmur3 hash,
+    # implemented in partitioning.murmur3_32 and pinned to the spec's
+    # published vectors in tests).
     _TF_JSON = {"days": "day", "hours": "hour", "months": "month", "years": "year"}
     spec_fields = []
     part_fields = []  # with resolved iceberg types + transform for encoding
@@ -540,6 +530,8 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
             tname, rtype = "identity", src_type
         elif pf.transform == "truncate":
             tname, rtype = f"truncate[{pf.param}]", src_type
+        elif pf.transform == "bucket":
+            tname, rtype = f"bucket[{pf.param}]", "int"
         elif pf.transform == "days":
             tname, rtype = "day", "date"
         else:

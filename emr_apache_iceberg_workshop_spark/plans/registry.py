@@ -87,6 +87,8 @@ _PREFIX_ORDER = [
     "q_meta_hidden",
     "c_dup_groups",
     "c_curated_corpus",
+    # (c) round-7-new queries, added as each lands
+    "q_meta_bucket",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

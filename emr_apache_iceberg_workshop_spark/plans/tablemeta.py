@@ -608,6 +608,104 @@ def q_meta_iceberg(spark, sf_dir) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Native metadata emission for a BUCKET-partitioned table: the spec is
+# declared as Iceberg's `bucket[N]` (legal now that the write-path bucket
+# hash is the spec's seed-0 murmur3 — partitioning.murmur3_32, pinned to
+# the published Appendix-B vectors in tests), and the query consumes the
+# table exclusively through the emitted chain. The oracle is the literal
+# per-bucket expectation computed from the spec-pinned hash: if the
+# engine's vectorized write-path hash, the directory layout, or the
+# manifest partition values disagree with the Iceberg bucket function,
+# the per-bucket totals break.
+
+BUCKET_ROOT = os.path.join(_REPO_ROOT, "fixtures", "bucket_demo")
+_bucket_md_path: str | None = None
+
+
+def _bucket_demo(spark) -> str:
+    """Deterministic bucket(4, id)-partitioned table, 2 append commits
+    (ids 1-6, then 7-10; qty = 10*id), native Iceberg metadata emitted;
+    returns the vN.metadata.json path."""
+    global _bucket_md_path
+    from ..iceberg_meta import write_iceberg_metadata
+    from ..tables import SnapshotTable
+
+    if _bucket_md_path and os.path.exists(_bucket_md_path):
+        return _bucket_md_path
+    hint = os.path.join(BUCKET_ROOT, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            n = f.read().strip()
+        cand = os.path.join(BUCKET_ROOT, "metadata", f"v{n}.metadata.json")
+        if os.path.exists(cand):
+            _bucket_md_path = cand
+            return cand
+    shutil.rmtree(BUCKET_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, qty bigint"
+    t = SnapshotTable.create(
+        spark,
+        BUCKET_ROOT,
+        ddl,
+        partition_by=["bucket(4, id)"],
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    t.write(
+        spark.createDataFrame([(i, 10 * i) for i in range(1, 7)], ddl)
+        .coalesce(1).sortWithinPartitions("id")
+    )
+    t.write(
+        spark.createDataFrame([(i, 10 * i) for i in range(7, 11)], ddl)
+        .coalesce(1).sortWithinPartitions("id")
+    )
+    _bucket_md_path = write_iceberg_metadata(t)
+    return _bucket_md_path
+
+
+@query(
+    "q_meta_bucket",
+    # literal expectation: iceberg_bucket(id, 4) over ids 1..10 —
+    # {0: [1,2,10], 1: [6], 2: [4], 3: [3,5,7,8,9]} per the spec's
+    # seed-0 murmur3 of the 8-byte little-endian long (Appendix B)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, CAST(3 AS BIGINT), CAST(13 AS BIGINT), CAST(130 AS BIGINT)),
+      (1, CAST(1 AS BIGINT), CAST(6  AS BIGINT), CAST(60  AS BIGINT)),
+      (2, CAST(1 AS BIGINT), CAST(4  AS BIGINT), CAST(40  AS BIGINT)),
+      (3, CAST(5 AS BIGINT), CAST(32 AS BIGINT), CAST(320 AS BIGINT))
+    ) AS t(bucket, n_rows, id_total, qty_total)
+    """,
+    tags=("meta:iceberg", "tablemeta", "interop", "bucket"),
+)
+def q_meta_bucket(spark, sf_dir) -> DataFrame:
+    """Scan the bucket-partitioned fixture exclusively through its
+    emitted Iceberg metadata chain (manifest partition values carry the
+    bucket numbers) and aggregate per bucket."""
+    from ..iceberg_meta import read_data_files
+
+    md = _bucket_demo(spark)
+    files = read_data_files(md)
+    dfs = [
+        spark.read.schema("id bigint, qty bigint")
+        .parquet(f["file_path"])
+        .select(
+            F.lit(int(f["partition"]["id_bucket"])).cast("int").alias("bucket"),
+            "id",
+            "qty",
+        )
+        for f in files
+    ]
+    u = dfs[0]
+    for d in dfs[1:]:
+        u = u.unionByName(d)
+    return u.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").cast("bigint").alias("id_total"),
+        F.sum("qty").cast("bigint").alias("qty_total"),
+    )
+
+
 @query(
     "q_meta_refs",
     # oracle: the main branch is the max committed snapshot id; tags come

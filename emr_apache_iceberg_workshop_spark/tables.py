@@ -2198,20 +2198,13 @@ class SnapshotTable:
         return kept, len(live)
 
     def _bucket_of(self, pf: PartitionField):
-        """`value -> bucket number` for one bucket partition field —
-        computed with the same Spark hash the writer used (one 1-row
-        local job per distinct literal; planning-time only)."""
+        """`value -> bucket number` for one bucket partition field — the
+        same Iceberg bucket hash (murmur3 seed 0 over the serialized
+        value) the writer used; pure driver-side arithmetic, no job."""
+        from .partitioning import iceberg_bucket
+
         dtype = dict((sf.name, sf.dataType) for sf in self.schema().fields)[pf.source]
-
-        def of(value) -> int:
-            row = (
-                self.spark.range(1)
-                .select(F.pmod(F.hash(F.lit(value).cast(dtype)), F.lit(pf.param)))
-                .first()
-            )
-            return int(row[0])
-
-        return of
+        return lambda value: iceberg_bucket(value, pf.param, dtype)
 
     def scan_pruned(self, col: str, lo, hi) -> DataFrame:
         """Current-state scan reading ONLY the files `plan_files` keeps.
