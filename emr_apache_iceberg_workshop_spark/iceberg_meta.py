@@ -23,13 +23,28 @@ readers would parse) are implemented here from the public specs:
 
 Representability: a v1 Iceberg snapshot is a plain list of data files.
 Partition-exclusion masks are resolved file-by-file (a masked file is
-simply not listed). Active MOR equality deletes CANNOT be represented in
-v1 — `write_iceberg_metadata` refuses and tells the caller to `compact()`
-first (compaction folds deletes into data files, after which emission is
-exact). This keeps the emitted metadata truthful rather than approximate.
+simply not listed). Active MOR deletes are NOT representable in v1; they
+ARE in format-version 2 (sequence numbers + delete manifests), which this
+module also emits — `write_iceberg_metadata` auto-selects v2 whenever the
+emitted history carries delete files, so a merge-on-read table is
+externally readable WITHOUT `compact()` (the reference reads its MOR
+silver exactly that way: `bronze-silver.py:184-189` +
+`read_iceberg_duckdb.py:61`). v2 mapping, per the public spec:
+- the engine's snapshot id doubles as the sequence number (commit order
+  IS id order, and the scan rule `delete.sid > row dir sid` is exactly
+  the spec's "equality deletes apply to sequence numbers strictly
+  smaller");
+- equality-delete parquet files (the merge keys) are referenced in
+  place with `content=2` + `equality_ids`;
+- positional delete files are re-emitted once, driver-side, in the
+  spec's column shape (`file_path` absolute, `pos`, sorted) with
+  `content=1` — a copy of the (small) delete file, never of data;
+- on a partitioned table, delete manifests declare an UNPARTITIONED
+  spec (spec-id 1), the spec's representation of global deletes.
 
-Scale: emission is driver-side metadata work, O(live file count) — the
-same cost class as an Iceberg commit, no Spark job and no data movement.
+Scale: emission is driver-side metadata work, O(live file count + delete
+file bytes) — the same cost class as an Iceberg commit, no Spark job and
+no data movement.
 """
 
 from __future__ import annotations
@@ -387,9 +402,11 @@ def _partition_value(raw: str | None, iceberg_type: str, transform: str = "ident
     return raw  # string (dates stay ISO strings only for string cols)
 
 
-def _manifest_entry_schema(part_fields: list[dict]) -> dict:
-    """Avro writer schema for a v1 manifest file (record `manifest_entry`,
-    Iceberg spec field-ids)."""
+def _manifest_entry_schema(part_fields: list[dict], fv: int = 1) -> dict:
+    """Avro writer schema for a manifest file (record `manifest_entry`,
+    Iceberg spec field-ids). Format-version 2 adds entry-level sequence
+    numbers and the data_file `content` / `equality_ids` fields (and
+    drops v1's block_size_in_bytes)."""
     part_rec = {
         "type": "record",
         "name": "r102",
@@ -403,36 +420,56 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
             for p in part_fields
         ],
     }
-    data_file = {
-        "type": "record",
-        "name": "r2",
-        "fields": [
-            {"name": "file_path", "type": "string", "field-id": 100},
-            {"name": "file_format", "type": "string", "field-id": 101},
-            {"name": "partition", "type": part_rec, "field-id": 102},
-            {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-            {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
-        ],
-    }
-    return {
-        "type": "record",
-        "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int", "field-id": 0},
-            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
-            {"name": "data_file", "type": data_file, "field-id": 2},
-        ],
-    }
+    df_fields = [
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": part_rec, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ]
+    if fv == 1:
+        df_fields.append(
+            {"name": "block_size_in_bytes", "type": "long", "field-id": 105}
+        )
+    else:
+        df_fields.insert(
+            0, {"name": "content", "type": "int", "field-id": 134}
+        )
+        df_fields.append(
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            }
+        )
+    data_file = {"type": "record", "name": "r2", "fields": df_fields}
+    entry_fields = [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+    ]
+    if fv == 2:
+        entry_fields += [
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+        ]
+    entry_fields.append({"name": "data_file", "type": data_file, "field-id": 2})
+    return {"type": "record", "name": "manifest_entry", "fields": entry_fields}
 
 
-_MANIFEST_LIST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_file",
-    "fields": [
+def _manifest_list_schema(fv: int = 1) -> dict:
+    fields = [
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
+    ]
+    if fv == 2:
+        fields += [
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        ]
+    fields += [
         {"name": "added_snapshot_id", "type": ["null", "long"], "default": None, "field-id": 503},
         {"name": "added_data_files_count", "type": ["null", "int"], "default": None, "field-id": 504},
         {"name": "existing_data_files_count", "type": ["null", "int"], "default": None, "field-id": 505},
@@ -440,25 +477,34 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": ["null", "long"], "default": None, "field-id": 512},
         {"name": "existing_rows_count", "type": ["null", "long"], "default": None, "field-id": 513},
         {"name": "deleted_rows_count", "type": ["null", "long"], "default": None, "field-id": 514},
-    ],
-}
+    ]
+    return {"type": "record", "name": "manifest_file", "fields": fields}
 
 
-def _snapshot_files(meta: dict, snap: dict) -> list[dict] | None:
+_MANIFEST_LIST_SCHEMA = _manifest_list_schema(1)
+
+
+def _snapshot_files(
+    meta: dict, snap: dict, allow_deletes: bool = False
+) -> list[tuple[dict, int]] | None:
     """File-level state of one committed snapshot (exclusion masks
-    resolved), or None when the state is not v1-representable (active MOR
-    equality deletes at that point in history)."""
-    if snap.get("active_deletes"):
+    resolved) as (file entry, owning-dir snapshot id) pairs — the dir id
+    is the file's SEQUENCE NUMBER in v2 emission. None when the state is
+    not representable: active MOR deletes under v1 (`allow_deletes`
+    False), or live files from an earlier partition spec (either
+    version: this emission declares a single current spec)."""
+    if snap.get("active_deletes") and not allow_deletes:
         return None
     from .partitioning import parse_spec as _parse_spec
 
     by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
     spec_cols = {pf.name for pf in _parse_spec(meta["partition_by"])}
-    out: list[dict] = []
+    out: list[tuple[dict, int]] = []
     for e in snap["active_dirs"]:
         rel = e if isinstance(e, str) else e["dir"]
         excl = [] if isinstance(e, str) else e.get("exclude", [])
-        ws = by_sid[int(rel.rsplit("/s", 1)[-1])]
+        dsid = int(rel.rsplit("/s", 1)[-1])
+        ws = by_sid[dsid]
         for f in ws.get("files", []):
             if f["partition"] in excl:
                 continue
@@ -467,20 +513,70 @@ def _snapshot_files(meta: dict, snap: dict) -> list[dict] | None:
                 # emission writes a single (current) spec, and declaring
                 # the file under it would fabricate null partition values
                 return None
-            out.append(f)
+            out.append((f, dsid))
     return out
 
 
-def write_iceberg_metadata(table, properties: dict | None = None) -> str:
-    """Emit Iceberg v1 metadata for a SnapshotTable under
-    `<root>/metadata/`, referencing the live parquet data files in place.
-    EVERY v1-representable snapshot in the table's history gets its own
-    manifest list + manifest, so external engines can time-travel
-    (`FOR VERSION AS OF`) exactly like `scan_at`; the current snapshot
-    must be representable or emission refuses. Returns the metadata.json
-    path (the argument an external `iceberg_scan` takes). Active MOR
-    equality deletes are not representable in v1 — `compact()` folds
-    them first."""
+def _pos_delete_conforming(root: str, meta_dir: str, drel: str) -> tuple[str, int, int]:
+    """Re-emit one positional delete dir in the Iceberg spec's column
+    shape — `file_path` (absolute, field-id 2147483546), `pos`
+    (2147483545), sorted — as a single parquet under metadata/.
+    Deterministic name so re-emission overwrites in place. Returns
+    (path, record_count, byte_size). Driver-side pyarrow, O(delete file
+    size) — a copy of the small delete file, never of data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_dir = os.path.join(root, drel)
+    tables = []
+    for dirpath, _dirs, files in os.walk(src_dir):
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                tables.append(pq.read_table(os.path.join(dirpath, fn)))
+    tbl = pa.concat_tables(tables)
+    rows = sorted(
+        (os.path.join(root, rel), int(p))
+        for rel, p in zip(tbl.column("file_rel").to_pylist(), tbl.column("pos").to_pylist())
+    )
+    out = pa.table(
+        {
+            "file_path": pa.array([r[0] for r in rows], pa.string()),
+            "pos": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    name = f"{uuid.uuid5(uuid.NAMESPACE_URL, root + 'pd' + drel)}-pos.parquet"
+    path = os.path.join(meta_dir, name)
+    pq.write_table(out, path, compression="snappy")
+    return path, out.num_rows, os.path.getsize(path)
+
+
+_OP_SUMMARY = {
+    "append": "append",
+    "create": "append",
+    "cherrypick": "append",
+    "merge": "overwrite",
+    "update": "overwrite",
+    "delete": "delete",
+    "compact": "replace",
+}
+
+
+def write_iceberg_metadata(
+    table, properties: dict | None = None, format_version: int | None = None
+) -> str:
+    """Emit Iceberg metadata for a SnapshotTable under `<root>/metadata/`,
+    referencing the live parquet data files in place. EVERY representable
+    snapshot in the table's history gets its own manifest list +
+    manifest(s), so external engines can time-travel (`FOR VERSION AS
+    OF`) exactly like `scan_at`. Returns the metadata.json path (the
+    argument an external `iceberg_scan` takes).
+
+    Format version: auto (None) emits v1 for delete-free histories (the
+    widest reader compatibility) and v2 — sequence numbers + delete
+    manifests — whenever the lineage carries merge-on-read delete files,
+    so a MOR-state table is externally readable WITHOUT compact().
+    Explicit `format_version=2` forces v2; `format_version=1` keeps the
+    old behavior of refusing active deletes."""
     meta = table._load()
     from .partitioning import parse_spec
 
@@ -499,14 +595,20 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
                     "live data files predate a column rename — run compact() "
                     "before emitting Iceberg metadata"
                 )
-    if head.get("active_deletes"):
-        raise ValueError(
-            "active merge-on-read equality deletes are not representable in "
-            "Iceberg v1 metadata — run compact() first to fold them into data files"
-        )
     # emit the MAIN lineage only (ascending): staged-branch snapshots are
     # not part of the published history external engines should see
     snaps = list(reversed(table._lineage(meta, head["snapshot_id"])))
+    # auto: v1 (widest reader compatibility) unless the CURRENT state
+    # carries delete files; mid-history MOR snapshots are then simply
+    # absent from the emitted v1 history, as before — force
+    # format_version=2 to time-travel through them externally
+    fv = format_version or (2 if head.get("active_deletes") else 1)
+    if fv == 1 and head.get("active_deletes"):
+        raise ValueError(
+            "active merge-on-read deletes are not representable in "
+            "Iceberg v1 metadata — emit format_version=2, or run compact() "
+            "first to fold them into data files"
+        )
     root = os.path.abspath(table.root)
     sid = head["snapshot_id"]
     ts_ms = int(float(head["made_current_at"]) * 1000)
@@ -547,12 +649,15 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
     os.makedirs(meta_dir, exist_ok=True)
     spec_json = json.dumps(spec_fields)
 
+    by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    delete_spec_id = 1 if spec_fields else 0  # global deletes: unpartitioned spec
+    wrote_delete_manifest = False
     snapshots_doc = []
     snapshot_log = []
     prev_emitted: int | None = None
     for snap in snaps:
         s_id = snap["snapshot_id"]
-        files = _snapshot_files(meta, snap)
+        files = _snapshot_files(meta, snap, allow_deletes=(fv == 2))
         if files is None:
             if snap["snapshot_id"] == sid:
                 raise ValueError(
@@ -560,82 +665,179 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
                     "emission declares a single spec; run compact() to "
                     "rewrite the live files under the current spec first"
                 )
-            continue  # mid-history MOR / mixed-spec state: no v1 representation
+            continue  # mid-history MOR (v1) / mixed-spec state: not representable
         s_ts = int(float(snap["made_current_at"]) * 1000)
         entries = []
         total_rows = 0
-        for f in files:
+        min_seq = s_id
+        for f, dsid in files:
             total_rows += f["rows"]
-            entries.append(
-                {
-                    "status": 1,  # ADDED (each snapshot ships one manifest)
-                    "snapshot_id": s_id,
-                    "data_file": {
-                        "file_path": os.path.join(root, f["path"]),
-                        "file_format": "PARQUET",
-                        "partition": {
-                            p["name"]: _partition_value(
-                                f["partition"].get(p["name"]), p["type"],
-                                p.get("transform", "identity"),
-                            )
-                            for p in part_fields
-                        },
-                        "record_count": f["rows"],
-                        "file_size_in_bytes": f["bytes"],
-                        "block_size_in_bytes": 67108864,
-                    },
-                }
-            )
+            min_seq = min(min_seq, dsid)
+            data_file = {
+                "file_path": os.path.join(root, f["path"]),
+                "file_format": "PARQUET",
+                "partition": {
+                    p["name"]: _partition_value(
+                        f["partition"].get(p["name"]), p["type"],
+                        p.get("transform", "identity"),
+                    )
+                    for p in part_fields
+                },
+                "record_count": f["rows"],
+                "file_size_in_bytes": f["bytes"],
+            }
+            if fv == 1:
+                data_file["block_size_in_bytes"] = 67108864
+                # v1 keeps the original single-manifest shape: every live
+                # file ADDED under this snapshot's manifest
+                entries.append({"status": 1, "snapshot_id": s_id, "data_file": data_file})
+            else:
+                data_file["content"] = 0
+                data_file["equality_ids"] = None
+                entries.append(
+                    {
+                        # ADDED for this snapshot's own files, EXISTING for
+                        # carried-over ones; explicit per-file sequence
+                        # numbers (= owning commit) drive delete application
+                        "status": 1 if dsid == s_id else 0,
+                        "snapshot_id": dsid,
+                        "sequence_number": dsid,
+                        "file_sequence_number": dsid,
+                        "data_file": data_file,
+                    }
+                )
         manifest_path = os.path.join(
             meta_dir, f"{uuid.uuid5(uuid.NAMESPACE_URL, root + str(s_id))}-m0.avro"
         )
         mlen = write_avro_container(
             manifest_path,
-            _manifest_entry_schema(part_fields),
+            _manifest_entry_schema(part_fields, fv),
             entries,
             meta={
                 "schema": json.dumps(schema_json),
                 "schema-id": "0",
                 "partition-spec": spec_json,
                 "partition-spec-id": "0",
-                "format-version": "1",
+                "format-version": str(fv),
                 "content": "data",
             },
         )
+        mrec = {
+            "manifest_path": manifest_path,
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            "added_snapshot_id": s_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        if fv == 2:
+            mrec.update(
+                {"content": 0, "sequence_number": s_id, "min_sequence_number": min_seq}
+            )
+        mrecs = [mrec]
+        n_del_files = 0
+        if fv == 2 and snap.get("active_deletes"):
+            dentries = []
+            dseqs = []
+            for d in snap["active_deletes"]:
+                d_sid = d["sid"]
+                dseqs.append(d_sid)
+                empty_part = {p["name"]: None for p in ([] if spec_fields else part_fields)}
+                if d.get("style") == "position":
+                    p_path, p_rows, p_bytes = _pos_delete_conforming(
+                        root, meta_dir, d["file"]
+                    )
+                    dfiles = [(p_path, p_rows, p_bytes, 1, None)]
+                else:
+                    eq_ids = [ids[k] for k in d["keys"]]
+                    stats = by_sid[d_sid].get("delete_file_stats") or []
+                    dfiles = [
+                        (os.path.join(root, st["path"]), st["rows"], st["bytes"], 2, eq_ids)
+                        for st in stats
+                    ]
+                for path_, rows_, bytes_, content_, eq in dfiles:
+                    dentries.append(
+                        {
+                            "status": 1 if d_sid == s_id else 0,
+                            "snapshot_id": d_sid,
+                            "sequence_number": d_sid,
+                            "file_sequence_number": d_sid,
+                            "data_file": {
+                                "content": content_,
+                                "file_path": path_,
+                                "file_format": "PARQUET",
+                                "partition": dict(empty_part),
+                                "record_count": rows_,
+                                "file_size_in_bytes": bytes_,
+                                "equality_ids": eq,
+                            },
+                        }
+                    )
+            n_del_files = len(dentries)
+            dmanifest_path = os.path.join(
+                meta_dir, f"{uuid.uuid5(uuid.NAMESPACE_URL, root + 'd' + str(s_id))}-m1.avro"
+            )
+            dmlen = write_avro_container(
+                dmanifest_path,
+                _manifest_entry_schema([], fv),  # unpartitioned delete spec
+                dentries,
+                meta={
+                    "schema": json.dumps(schema_json),
+                    "schema-id": "0",
+                    "partition-spec": "[]",
+                    "partition-spec-id": str(delete_spec_id),
+                    "format-version": str(fv),
+                    "content": "deletes",
+                },
+            )
+            wrote_delete_manifest = True
+            mrecs.append(
+                {
+                    "manifest_path": dmanifest_path,
+                    "manifest_length": dmlen,
+                    "partition_spec_id": delete_spec_id,
+                    "content": 1,
+                    "sequence_number": max(dseqs),
+                    "min_sequence_number": min(dseqs),
+                    "added_snapshot_id": s_id,
+                    "added_data_files_count": n_del_files,
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "added_rows_count": sum(e["data_file"]["record_count"] for e in dentries),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
         mlist_path = os.path.join(
             meta_dir,
             f"snap-{s_id}-1-{uuid.uuid5(uuid.NAMESPACE_URL, root + 'l' + str(s_id))}.avro",
         )
         write_avro_container(
             mlist_path,
-            _MANIFEST_LIST_SCHEMA,
-            [
-                {
-                    "manifest_path": manifest_path,
-                    "manifest_length": mlen,
-                    "partition_spec_id": 0,
-                    "added_snapshot_id": s_id,
-                    "added_data_files_count": len(entries),
-                    "existing_data_files_count": 0,
-                    "deleted_data_files_count": 0,
-                    "added_rows_count": total_rows,
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
-                }
-            ],
-            meta={"format-version": "1", "snapshot-id": str(s_id)},
+            _manifest_list_schema(fv),
+            mrecs,
+            meta={"format-version": str(fv), "snapshot-id": str(s_id)},
         )
+        summary = {
+            "operation": _OP_SUMMARY.get(snap.get("operation", "append"), "overwrite"),
+            "added-data-files": str(len(entries)),
+            "added-records": str(total_rows),
+        }
+        if n_del_files:
+            summary["total-delete-files"] = str(n_del_files)
         entry = {
             "snapshot-id": s_id,
             "timestamp-ms": s_ts,
-            "summary": {
-                "operation": "append",
-                "added-data-files": str(len(entries)),
-                "added-records": str(total_rows),
-            },
+            "summary": summary,
             "manifest-list": mlist_path,
             "schema-id": 0,
         }
+        if fv == 2:
+            entry["sequence-number"] = s_id
         if prev_emitted is not None:
             entry["parent-snapshot-id"] = prev_emitted
         snapshots_doc.append(entry)
@@ -643,7 +845,7 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
         prev_emitted = s_id
 
     doc = {
-        "format-version": 1,
+        "format-version": fv,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, root)),
         "location": root,
         "last-updated-ms": ts_ms,
@@ -652,15 +854,24 @@ def write_iceberg_metadata(table, properties: dict | None = None) -> str:
         "schemas": [schema_json],
         "current-schema-id": 0,
         "partition-spec": spec_fields,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}]
+        + (
+            [{"spec-id": 1, "fields": []}]
+            if wrote_delete_manifest and delete_spec_id == 1
+            else []
+        ),
         "default-spec-id": 0,
         "last-partition-id": (999 + len(spec_fields)) if spec_fields else 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
         "properties": {**meta.get("properties", {}), **(properties or {})},
         "current-snapshot-id": sid,
         "snapshots": snapshots_doc,
         "snapshot-log": snapshot_log,
         "metadata-log": [],
     }
+    if fv == 2:
+        doc["last-sequence-number"] = head["snapshot_id"]
     # version numbering like Iceberg's HadoopTableOperations: vN.metadata.json
     # + version-hint.text, so `sorted(...)[-1]` discovery (the reference's
     # read_iceberg_duckdb.py:35-37) finds the newest
@@ -739,16 +950,56 @@ def read_data_files(metadata_json_path: str, snapshot_id: int | None = None) -> 
     metadata.json → snapshot's manifest list → manifests → data file
     entries (default: the current snapshot; pass `snapshot_id` for time
     travel, the `FOR VERSION AS OF` path). Returns the data_file dicts
-    (absolute paths). Tests use this to prove the chain is
-    self-describing; it is also the file-listing a query engine without
-    an Iceberg runtime can drive a parquet scan with."""
+    (absolute paths); delete manifests (v2) are skipped — use
+    `read_table_chain` for the full data+delete state. Tests use this to
+    prove the chain is self-describing; it is also the file-listing a
+    query engine without an Iceberg runtime can drive a parquet scan
+    with."""
+    chain = read_table_chain(metadata_json_path, snapshot_id)
+    return [e["data_file"] for e in chain["data"]]
+
+
+def read_table_chain(
+    metadata_json_path: str, snapshot_id: int | None = None
+) -> dict:
+    """Full spec-walk of the emitted chain for one snapshot: metadata.json
+    → manifest list (data + delete manifests) → manifest entries. Returns
+    `{"format_version": fv, "schema": {...}, "data": [...], "deletes":
+    [...]}` where each entry dict carries `data_file`, `status`,
+    `sequence_number` (0 under v1), and for delete entries the content
+    code (1 = position, 2 = equality) plus `equality_ids`. Applying the
+    deletes per the spec — equality deletes hit data files with STRICTLY
+    smaller sequence numbers, positional deletes bind by (file_path, pos)
+    — reconstructs exactly the table state `scan()` serves; the
+    q_meta_iceberg_v2 query does that reconstruction under the driver's
+    DuckDB oracle."""
     with open(metadata_json_path) as f:
         doc = json.load(f)
     want = snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
     snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == want)
     _, _, manifests = read_avro_container(snap["manifest-list"])
-    out: list[dict] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
         _, _, entries = read_avro_container(m["manifest_path"])
-        out.extend(e["data_file"] for e in entries if e["status"] != 2)
-    return out
+        is_delete = m.get("content", 0) == 1
+        for e in entries:
+            if e["status"] == 2:  # DELETED entry: not live
+                continue
+            rec = {
+                "data_file": e["data_file"],
+                "status": e["status"],
+                "sequence_number": e.get("sequence_number") or m.get("sequence_number", 0),
+            }
+            if is_delete:
+                rec["content"] = e["data_file"].get("content")
+                rec["equality_ids"] = e["data_file"].get("equality_ids")
+                deletes.append(rec)
+            else:
+                data.append(rec)
+    return {
+        "format_version": doc["format-version"],
+        "schema": doc["schema"],
+        "data": data,
+        "deletes": deletes,
+    }

@@ -89,6 +89,7 @@ _PREFIX_ORDER = [
     "c_curated_corpus",
     # (c) round-7-new queries, added as each lands
     "q_meta_bucket",
+    "q_meta_iceberg_v2",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

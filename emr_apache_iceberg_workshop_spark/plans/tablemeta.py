@@ -10,6 +10,11 @@ injected commit clocks) rebuilt from literals on first use per process:
   time travel, changelog, refs);
 - `fixtures/iceberg_demo` — append-only partitioned table with native
   Iceberg v1 metadata emitted (the external-reader chain query);
+- `fixtures/iceberg_v2_demo` — merge-on-read state (equality +
+  positional delete files, uncompacted) with format-version-2 metadata
+  emitted (delete manifests + sequence numbers);
+- `fixtures/bucket_demo` — bucket(4, id)-partitioned table with native
+  bucket[N] metadata emitted (Iceberg-parity bucket hash);
 - `fixtures/dml_demo` — append → row-level DELETE → row-level UPDATE
   (copy-on-write partition-scoped DML);
 - `fixtures/wap_demo` — write-audit-publish frozen mid-flight (staged
@@ -606,6 +611,140 @@ def q_meta_iceberg(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("qty").cast("bigint").alias("qty_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Format-version-2 emission for a MERGE-ON-READ state (the reference's
+# silver table shape: MOR config at `bronze-silver.py:184-189`, read
+# externally in that state at `read_iceberg_duckdb.py:61`). The fixture is
+# frozen mid-MOR — an equality-delete file from a CDC-style merge AND a
+# positional delete file, neither compacted — and the QUERY reconstructs
+# the table exclusively from the emitted v2 chain: metadata.json →
+# manifest lists → data + delete manifests → parquet files, applying
+# equality deletes to strictly-smaller sequence numbers and positional
+# deletes by (file_path, pos), exactly as the Iceberg spec prescribes. The
+# oracle is the literal expected post-delete state: any error in sequence
+# numbers, delete-file references, equality_ids, partition values, or the
+# conforming positional-delete emission breaks the match.
+
+V2_ROOT = os.path.join(_REPO_ROOT, "fixtures", "iceberg_v2_demo")
+_v2_md_path: str | None = None
+
+
+def _v2_demo(spark) -> str:
+    """Deterministic MOR fixture: append 6 rows (3 category partitions) →
+    MOR merge (update id 2, insert id 7, CDC-delete id 3 → equality-delete
+    file) → positional delete of qty >= 60 (ids 6 and 7, spanning both
+    data dirs). Emits v2 metadata; returns the vN.metadata.json path."""
+    global _v2_md_path
+    from ..iceberg_meta import write_iceberg_metadata
+    from ..tables import SnapshotTable
+
+    if _v2_md_path and os.path.exists(_v2_md_path):
+        return _v2_md_path
+    hint = os.path.join(V2_ROOT, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            n = f.read().strip()
+        cand = os.path.join(V2_ROOT, "metadata", f"v{n}.metadata.json")
+        if os.path.exists(cand):
+            _v2_md_path = cand
+            return cand
+    shutil.rmtree(V2_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, category string, qty bigint"
+    t = SnapshotTable.create(
+        spark,
+        V2_ROOT,
+        ddl,
+        partition_by=["category"],
+        properties={"write.merge.mode": "merge-on-read"},
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    rows1 = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40), (5, "c", 50), (6, "c", 60)]
+    t.write(spark.createDataFrame(rows1, ddl).coalesce(1).sortWithinPartitions("id"))
+    src = spark.createDataFrame(
+        [(2, "a", 25, "U"), (7, "c", 70, "I"), (3, "b", 30, "D")],
+        ddl + ", op string",
+    ).coalesce(1).sortWithinPartitions("id")
+    t.merge(src, keys=["id"], op_col="op", delete_value="D")
+    t.set_properties(
+        {"write.delete.mode": "merge-on-read", "write.delete.style": "position"}
+    )
+    t.delete_where("qty >= 60")
+    _v2_md_path = write_iceberg_metadata(t)
+    return _v2_md_path
+
+
+@query(
+    "q_meta_iceberg_v2",
+    # literal expected state after: append 1..6 → MOR upsert(2→25, +7) +
+    # equality-delete {2,3,7} on the older files → positional delete of
+    # qty>=60 (ids 6, 7)
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'a', CAST(10 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'a', CAST(25 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'b', CAST(40 AS BIGINT)),
+      (CAST(5 AS BIGINT), 'c', CAST(50 AS BIGINT))
+    ) AS t(id, category, qty)
+    """,
+    tags=("meta:iceberg", "tablemeta", "interop", "mor", "v2"),
+)
+def q_meta_iceberg_v2(spark, sf_dir) -> DataFrame:
+    """External v2 reader simulation: reconstruct the MOR table state
+    EXCLUSIVELY from the emitted format-version-2 metadata chain — no
+    engine scan(), no _meta.json — applying delete files per the Iceberg
+    spec's sequence-number rules."""
+    from ..iceberg_meta import read_table_chain
+
+    md = _v2_demo(spark)
+    chain = read_table_chain(md)
+    name_of = {f["id"]: f["name"] for f in chain["schema"]["fields"]}
+    legs = []
+    for e in chain["data"]:
+        df_ = e["data_file"]
+        legs.append(
+            spark.read.schema("id bigint, qty bigint")
+            .parquet(df_["file_path"])
+            .select(
+                "id",
+                F.lit(df_["partition"]["category"]).alias("category"),
+                "qty",
+                F.lit(int(e["sequence_number"])).cast("long").alias("__seq"),
+                F.lit(df_["file_path"]).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+    data = legs[0]
+    for d in legs[1:]:
+        data = data.unionByName(d)
+    # positional deletes: bind by (file_path, pos)
+    for de in chain["deletes"]:
+        if de["content"] != 1:
+            continue
+        pairs = spark.read.parquet(de["data_file"]["file_path"]).select(
+            F.col("file_path").alias("__del_path"), F.col("pos").alias("__del_pos")
+        )
+        data = data.join(
+            pairs,
+            (F.col("__path") == F.col("__del_path"))
+            & (F.col("__pos") == F.col("__del_pos")),
+            "left_anti",
+        )
+    # equality deletes: key match, strictly smaller data sequence number
+    for de in chain["deletes"]:
+        if de["content"] != 2:
+            continue
+        keys = [name_of[i] for i in de["equality_ids"]]
+        dels = spark.read.parquet(de["data_file"]["file_path"]).select(
+            *[F.col(k).alias(f"__del_{k}") for k in keys]
+        )
+        cond = F.lit(int(de["sequence_number"])) > F.col("__seq")
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__del_{k}"))
+        data = data.join(dels, cond, "left_anti")
+    return data.select("id", "category", "qty")
 
 
 # --------------------------------------------------------------------------

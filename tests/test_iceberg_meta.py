@@ -151,7 +151,13 @@ def test_emitted_metadata_chain_matches_scan(spark, tmp_path):
     assert {f["partition"]["category"] for f in files} == {"a", "b", "c", "d"}
 
 
-def test_mor_deletes_refuse_then_compact_allows(spark, tmp_path):
+def test_mor_deletes_auto_v2_v1_refuses_compact_folds(spark, tmp_path):
+    """A MOR-delete state emits format-version 2 automatically (delete
+    manifests carry the equality-delete file); forcing v1 refuses; after
+    compact() the auto choice drops back to v1 and the plain data-file
+    chain serves the folded state."""
+    import json
+
     ddl = "id bigint, v string"
     t = SnapshotTable.create(
         spark, str(tmp_path / "mor"), ddl,
@@ -160,9 +166,26 @@ def test_mor_deletes_refuse_then_compact_allows(spark, tmp_path):
     t.write(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
     t.merge(spark.createDataFrame([(2, "b2")], ddl), keys=["id"])
     with pytest.raises(ValueError, match="merge-on-read"):
-        write_iceberg_metadata(t)
+        write_iceberg_metadata(t, format_version=1)
+    md2 = write_iceberg_metadata(t)
+    with open(md2) as f:
+        doc = json.load(f)
+    assert doc["format-version"] == 2
+    assert doc["last-sequence-number"] == 2
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import read_table_chain
+
+    chain = read_table_chain(md2)
+    assert chain["format_version"] == 2
+    # head snapshot: data files from both commits, one equality delete
+    assert {e["sequence_number"] for e in chain["data"]} == {1, 2}
+    assert [d["content"] for d in chain["deletes"]] == [2]
+    assert chain["deletes"][0]["equality_ids"] == [1]  # id is field 1
+    assert chain["deletes"][0]["sequence_number"] == 2
+
     t.compact(target_partitions=1)
     md = write_iceberg_metadata(t)
+    with open(md) as f:
+        assert json.load(f)["format-version"] == 1
     files = read_data_files(md)
     import duckdb as dk
 
@@ -171,6 +194,98 @@ def test_mor_deletes_refuse_then_compact_allows(spark, tmp_path):
         [sorted(f["file_path"] for f in files)],
     ).fetchall()
     assert rows == [(1, "a"), (2, "b2")]
+
+
+def test_v2_mor_chain_structure_and_reconstruction(spark, tmp_path):
+    """v2 emission of a partitioned MOR state with BOTH delete styles:
+    delete manifests declare the unpartitioned spec (global deletes), the
+    positional delete file is re-emitted in the spec's (file_path, pos)
+    shape sorted, sequence numbers equal commit ids, and replaying the
+    chain per spec reproduces scan()."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+        read_avro_container,
+        read_table_chain,
+    )
+
+    ddl = "id bigint, category string, qty bigint"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "v2"), ddl, partition_by=["category"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    rows1 = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)]
+    t.write(spark.createDataFrame(rows1, ddl).coalesce(1).sortWithinPartitions("id"))
+    t.merge(spark.createDataFrame([(2, "a", 22), (9, "b", 90)], ddl).coalesce(1), keys=["id"])
+    t.set_properties(
+        {"write.delete.mode": "merge-on-read", "write.delete.style": "position"}
+    )
+    t.delete_where("qty = 90")
+    md = write_iceberg_metadata(t)
+    with open(md) as f:
+        doc = json.load(f)
+    assert doc["format-version"] == 2
+    assert doc["last-sequence-number"] == 3
+    assert {s["spec-id"] for s in doc["partition-specs"]} == {0, 1}
+    assert doc["partition-specs"][1]["fields"] == []
+    head = next(s for s in doc["snapshots"] if s["snapshot-id"] == 3)
+    assert head["sequence-number"] == 3
+    _, _, mlist = read_avro_container(head["manifest-list"])
+    dm = [m for m in mlist if m["content"] == 1]
+    assert len(dm) == 1 and dm[0]["partition_spec_id"] == 1
+    assert dm[0]["min_sequence_number"] == 2 and dm[0]["sequence_number"] == 3
+
+    chain = read_table_chain(md)
+    by_content = {}
+    for d in chain["deletes"]:
+        by_content.setdefault(d["content"], []).append(d)
+    assert set(by_content) == {1, 2}
+    # conforming positional delete file: absolute data paths, sorted
+    pos_file = by_content[1][0]["data_file"]["file_path"]
+    tbl = pq.read_table(pos_file)
+    assert tbl.column_names == ["file_path", "pos"]
+    pairs = list(zip(tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()))
+    assert pairs == sorted(pairs)
+    data_paths = {e["data_file"]["file_path"] for e in chain["data"]}
+    assert all(p in data_paths for p, _ in pairs)
+    # equality delete: id field, seq = merge commit
+    eq = by_content[2][0]
+    assert eq["equality_ids"] == [1] and eq["sequence_number"] == 2
+
+    # spec replay == scan()
+    import duckdb as dk
+
+    con = dk.connect()
+    legs = []
+    for e in chain["data"]:
+        df_ = e["data_file"]
+        legs.append(
+            f"SELECT id, '{df_['partition']['category']}' AS category, qty, "
+            f"CAST({e['sequence_number']} AS BIGINT) AS seq, "
+            f"'{df_['file_path']}' AS path, "
+            f"(row_number() OVER () - 1) AS pos "
+            f"FROM read_parquet('{df_['file_path']}')"
+        )
+    # DuckDB row_number over a single parquet preserves file order
+    state = " UNION ALL ".join(f"({x})" for x in legs)
+    got = con.execute(
+        f"""
+        WITH d AS ({state}),
+             pd AS (SELECT * FROM read_parquet('{pos_file}')),
+             ed AS (SELECT id AS del_id FROM read_parquet(
+                        '{eq["data_file"]["file_path"]}'))
+        SELECT id, category, qty FROM d
+        WHERE NOT EXISTS (SELECT 1 FROM pd
+                          WHERE pd.file_path = d.path AND pd.pos = d.pos)
+          AND NOT (d.seq < {eq['sequence_number']}
+                   AND d.id IN (SELECT del_id FROM ed))
+        ORDER BY id
+        """
+    ).fetchall()
+    want = sorted((r.id, r.category, r.qty) for r in t.scan().collect())
+    assert got == want == [(1, "a", 10), (2, "a", 22), (3, "b", 30), (4, "b", 40)]
 
 
 def test_reemission_bumps_version(spark, tmp_path):
