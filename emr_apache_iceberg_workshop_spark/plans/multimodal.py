@@ -121,6 +121,100 @@ def m_resize_plan(spark, sf_dir) -> DataFrame:
     return resize_images(decode_metadata(attach_payload(docs)))
 
 
+# --------------------------------------------------------------------------
+# Real-container decode: GENUINE minimal PNG / GIF / JPEG / WAV payloads
+# (hand-built from the public container specs, byte-deterministic — the
+# PNG is a complete valid file with a stored-deflate IDAT and correct
+# CRCs/adler32) driven through the SAME mapInPandas decode the fake-path
+# queries use. This is the branch the m_* queries could not reach with
+# the text-bytes fixtures; the oracle pins every byte length and true
+# header dimension as literals.
+
+
+def _real_payloads() -> list[tuple[int, str, bytes]]:
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    # complete 3×2 grayscale PNG: IHDR + stored-deflate IDAT + IEND
+    w, h = 3, 2
+    raw = b"".join(b"\x00" + bytes(range(i, i + w)) for i in range(h))
+    idat = (
+        b"\x78\x01" + b"\x01" + struct.pack("<HH", len(raw), 0xFFFF ^ len(raw))
+        + raw + struct.pack(">I", zlib.adler32(raw))
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+    # 4×3 GIF89a: screen descriptor + 2-entry GCT + image block + trailer
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 4, 3) + bytes([0x80, 0, 0])
+        + b"\x00\x00\x00\xff\xff\xff"
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 3) + b"\x00"
+        + b"\x02" + bytes([2, 0x44, 0x01]) + b"\x00" + b"\x3b"
+    )
+    # 128×96 JPEG: SOI + APP0/JFIF + SOF0 (baseline, 3 components) + EOI
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 96, 128)
+        + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xd9"
+    )
+    # 8 kHz mono 16-bit WAV with a real 4-byte data chunk
+    wav = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    )
+    txt = b"real-codec fixture text payload"  # deterministic-fake branch
+    return [
+        (1, "image", png),
+        (2, "image", gif),
+        (3, "image", jpeg),
+        (4, "audio", wav),
+        (5, "text", txt),
+    ]
+
+
+@query(
+    "m_real_codecs",
+    # every value is a spec fact about the hand-built containers: byte
+    # lengths, true header dimensions (PNG IHDR 3×2, GIF screen 4×3,
+    # JPEG SOF0 128×96, WAV 8000 Hz), and the fake-branch arithmetic for
+    # the text payload (31 bytes → 31, 217, 2)
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'image', CAST(76 AS BIGINT), CAST(3   AS BIGINT), CAST(2   AS BIGINT), CAST(1    AS BIGINT)),
+      (CAST(2 AS BIGINT), 'image', CAST(35 AS BIGINT), CAST(4   AS BIGINT), CAST(3   AS BIGINT), CAST(1    AS BIGINT)),
+      (CAST(3 AS BIGINT), 'image', CAST(41 AS BIGINT), CAST(128 AS BIGINT), CAST(96  AS BIGINT), CAST(1    AS BIGINT)),
+      (CAST(4 AS BIGINT), 'audio', CAST(48 AS BIGINT), CAST(0   AS BIGINT), CAST(0   AS BIGINT), CAST(8000 AS BIGINT)),
+      (CAST(5 AS BIGINT), 'text',  CAST(31 AS BIGINT), CAST(31  AS BIGINT), CAST(217 AS BIGINT), CAST(2    AS BIGINT))
+    ) AS t(doc_id, modality, byte_len, width, height, n_frames)
+    """,
+    tags=("multimodal", "pandas-udf", "real-codecs"),
+)
+def m_real_codecs(spark, sf_dir) -> DataFrame:
+    """Genuine container bytes through the Arrow-batched decode: the
+    real header-parse branch (PNG IHDR / GIF screen descriptor / JPEG
+    SOF marker scan / WAV fmt chunk) and the deterministic fake in the
+    same binary column."""
+    df = spark.createDataFrame(
+        [(i, m, bytearray(p)) for i, m, p in _real_payloads()],
+        "doc_id long, modality string, payload binary",
+    )
+    return decode_metadata(df)
+
+
 _JSONL_BUILT: dict[str, str] = {}  # sf_dir -> fixture path (process-local)
 
 

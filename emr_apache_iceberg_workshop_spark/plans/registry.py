@@ -90,6 +90,7 @@ _PREFIX_ORDER = [
     # (c) round-7-new queries, added as each lands
     "q_meta_bucket",
     "q_meta_iceberg_v2",
+    "m_real_codecs",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
