@@ -18,12 +18,20 @@ a JSON metadata file providing the same observable semantics:
 - MERGE INTO                        (`bronze-silver.py:249-285`) via
   operators.relational.merge_upsert + a new snapshot commit
 
-Commit protocol: data files land under `data/s<id>/` first, then
-`_meta.json` is replaced atomically (tmp + rename). A crash before the
-rename leaves the table at the previous snapshot — same commit-then-visible
-contract as Iceberg's metadata swap. Single-writer by design (the
-reference's jobs are, too; optimistic multi-writer locking is an Iceberg
-runtime feature out of scope here).
+Commit protocol: data files land under `data/s<id>/` first (written to a
+unique staging dir and atomically renamed into place, so two writers can
+never interleave files), then `_meta.json` is replaced atomically
+(tmp + rename). A crash before the rename leaves the table at the
+previous snapshot — same commit-then-visible contract as Iceberg's
+metadata swap. Multi-writer safety is OPTIMISTIC, like the Glue/Iceberg
+locking the reference inherits (`raw-bronze.py:104-107`): every commit
+is a compare-and-swap on the metadata's `commit_seq` under a short
+root-level lock file; a stale commit raises `CommitConflict` instead of
+silently dropping the other writer's snapshot. `write()` retries
+non-conflicting appends/overwrites by REBASING onto the fresh head
+(renaming its already-written data dir to the new snapshot id — data is
+written once); DML/merge/maintenance commits computed against a stale
+state refuse, exactly Iceberg's validation behavior.
 
 Scale: the table state is a list of parquet directories; Spark scans them
 as a multi-path parquet read with `basePath`, so partition pruning, column
@@ -49,6 +57,16 @@ from .operators.relational import merge_upsert
 from .partitioning import PartitionField, field_expr, parse_spec, prune_keep
 
 _META = "_meta.json"
+_LOCK = ".commit.lock"
+_LOCK_STALE_S = 60.0  # a lock older than this is a crashed writer's orphan
+_LOCK_WAIT_S = 10.0
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed since this operation loaded the table
+    state (optimistic-concurrency CAS failure). Appends auto-retry by
+    rebasing; other operations surface this — re-run them against the
+    fresh state."""
 
 
 @dataclass
@@ -116,11 +134,62 @@ class SnapshotTable:
         with open(self._meta_path) as f:
             return json.load(f)
 
+    def _acquire_lock(self):
+        """Root-level commit lock (O_EXCL create): held only around the
+        CAS-check + metadata swap, never around data writes. A lock file
+        older than _LOCK_STALE_S is a crashed writer's orphan and is
+        broken."""
+        path = os.path.join(self.root, _LOCK)
+        deadline = time.time() + _LOCK_WAIT_S
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return path
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(path) > _LOCK_STALE_S:
+                        os.unlink(path)
+                        continue
+                except OSError:
+                    continue  # raced with the holder's release
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {path} held for >{_LOCK_WAIT_S}s"
+                    ) from None
+                time.sleep(0.02)
+
     def _commit(self, meta: dict) -> None:
-        tmp = self._meta_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
-        os.replace(tmp, self._meta_path)  # atomic snapshot swap
+        """Optimistic commit: compare-and-swap on `commit_seq`. `meta`
+        carries the sequence it was LOADED at; if the on-disk sequence
+        moved (another writer committed in between), raise CommitConflict
+        instead of silently overwriting their snapshot — the caller
+        re-loads and either rebases (appends) or refuses (DML computed
+        against a stale state). The critical section is the seq check +
+        atomic rename only."""
+        base = int(meta.get("commit_seq", 0))
+        lock = self._acquire_lock()
+        try:
+            if os.path.exists(self._meta_path):
+                with open(self._meta_path) as f:
+                    cur = int(json.load(f).get("commit_seq", 0))
+            else:
+                cur = 0
+            if cur != base:
+                raise CommitConflict(
+                    f"table {self.root} advanced (commit_seq {base} -> {cur}) "
+                    f"since this operation loaded it"
+                )
+            meta["commit_seq"] = base + 1
+            tmp = self._meta_path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f, indent=1)
+            os.replace(tmp, self._meta_path)  # atomic snapshot swap
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     def snapshots(self) -> list[Snapshot]:
         return [Snapshot(**s) for s in self._load()["snapshots"]]
@@ -317,9 +386,19 @@ class SnapshotTable:
         tuples, per-file manifest entries). Partition listing is a
         driver-side walk of the fresh dir — O(partition count), the same
         scale as Iceberg manifest entries."""
+        stage, part_names = self._stage_data_dir(df, meta)
         rel = f"data/s{sid}"
         out = os.path.join(self.root, rel)
+        self._publish_dir(stage, out, cleanup_on_conflict=True)
+        return rel, self._list_partitions(out, part_names), self._file_stats(rel)
+
+    def _stage_data_dir(self, df: DataFrame, meta: dict) -> tuple[str, list[str]]:
+        """Write df to a UNIQUE staging dir under data/ (the heavy Spark
+        job, done outside any lock or snapshot-id claim); returns (stage
+        path, partition column names). `_publish_dir` renames it to its
+        committed data/s{sid} name atomically."""
         fields = self._part_fields(meta)
+        stage = os.path.join(self.root, f"data/.stage-{uuid.uuid4().hex[:12]}")
         schema = T.StructType.fromDDL(meta["schema"])
         # hidden partitioning: derive the transformed partition columns
         # (days/bucket/truncate/... of a source column) before the write;
@@ -369,8 +448,40 @@ class SnapshotTable:
         writer = df.write.mode("overwrite")
         if part_names:
             writer = writer.partitionBy(*part_names)
-        writer.parquet(out)
-        return rel, self._list_partitions(out, part_names), self._file_stats(rel)
+        # unique staging dir: concurrent writers can never interleave
+        # files in a snapshot dir; publish is one atomic rename
+        writer.parquet(stage)
+        return stage, part_names
+
+    def _publish_dir(self, stage: str, out: str, cleanup_on_conflict: bool = False) -> None:
+        """Atomically move a staged dir into its committed-name location;
+        an existing target means another (possibly crashed) writer took
+        this snapshot id — surface it as a CommitConflict, never
+        interleave. With `cleanup_on_conflict` the stage is discarded on
+        failure (callers that retry keep it and republish under a new
+        snapshot id)."""
+        import shutil as _shutil
+
+        try:
+            os.rename(stage, out)
+        except OSError as e:
+            if cleanup_on_conflict:
+                _shutil.rmtree(stage, ignore_errors=True)
+            raise CommitConflict(
+                f"{out} already exists — concurrent writer took this "
+                f"snapshot id (or a crashed writer left an orphan; "
+                f"remove_orphan_files cleans those)"
+            ) from e
+
+    def _move_dir(self, old_rel: str, new_rel: str, files: list) -> list:
+        """Rebase an already-written (uncommitted) dir to a new snapshot
+        id: one atomic rename + path fix-up of its manifest entries."""
+        self._publish_dir(
+            os.path.join(self.root, old_rel), os.path.join(self.root, new_rel)
+        )
+        return [
+            {**f, "path": new_rel + f["path"][len(old_rel):]} for f in files
+        ]
 
     @staticmethod
     def _part_fields(meta: dict) -> list[PartitionField]:
@@ -413,11 +524,92 @@ class SnapshotTable:
         stages the commit on a named ref instead of `main` (Iceberg WAP:
         `spark.wap.branch` writes land on the branch; `main` readers are
         unaffected until `fast_forward` publishes it). Writing to a branch
-        that doesn't exist creates it from the current `main` head."""
+        that doesn't exist creates it from the current `main` head.
+
+        Concurrency: the data is written ONCE (to a staged dir renamed
+        into place); if another writer commits first, an APPEND is
+        retried REBASED on the fresh head — the staged dir is renamed to
+        the new snapshot id, the snapshot entry rebuilt (an append's
+        whole contribution is its own dir, the Iceberg retry rule).
+        Overwrites (including the COW DML rewrites routed through here)
+        REFUSE a stale base with CommitConflict: their content was
+        computed against a state another writer just changed."""
+        import shutil as _shutil
+
         meta = self._load()
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-        rel, parts, files = self._write_data_dir(df, meta, sid)
+        stage, part_names = self._stage_data_dir(df, meta)
+        published = False
+        rel = parts = files = None
+        for _attempt in range(8):
+            rel = f"data/s{sid}"
+            out = os.path.join(self.root, rel)
+            try:
+                if not published:
+                    self._publish_dir(stage, out)
+                    published = True
+                    parts = self._list_partitions(out, part_names)
+                    files = self._file_stats(rel)
+                return self._commit_write(
+                    meta, sid, rel, parts, files, mode, operation, branch,
+                    summary_extra,
+                )
+            except CommitConflict:
+                if published and mode != "append":
+                    # non-append content computed against a stale state:
+                    # refuse; withdraw the uncommitted dir
+                    _shutil.rmtree(out, ignore_errors=True)
+                    raise
+                meta = self._load()
+                snaps = meta["snapshots"]
+                new_sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+                if not published:
+                    if new_sid != sid:
+                        if mode != "append":
+                            _shutil.rmtree(stage, ignore_errors=True)
+                            raise  # metadata advanced since this op loaded it
+                        sid = new_sid  # publish under the fresh id next pass
+                        continue
+                    # data/s{sid} exists yet metadata hasn't advanced: either
+                    # a crashed writer's orphan (stale → remove) or a LIVE
+                    # writer between its publish and commit (fresh → let it
+                    # finish and rebase on the next pass)
+                    try:
+                        stale = time.time() - os.path.getmtime(out) > _LOCK_STALE_S
+                    except OSError:
+                        continue  # vanished: their commit landed or aborted
+                    if stale:
+                        _shutil.rmtree(out, ignore_errors=True)
+                    else:
+                        time.sleep(0.05)
+                    continue
+                if new_sid != sid:
+                    try:
+                        files = self._move_dir(rel, f"data/s{new_sid}", files)
+                    except CommitConflict:
+                        time.sleep(0.05)  # in-flight writer on that id too
+                        continue
+                    sid = new_sid
+                # else: commit_seq moved without a new snapshot (property /
+                # ref change): plain retry against the fresh metadata
+        if not published:
+            _shutil.rmtree(stage, ignore_errors=True)
+        raise CommitConflict(f"append to {self.root} lost the commit race 8 times")
+
+    def _commit_write(
+        self,
+        meta: dict,
+        sid: int,
+        rel: str,
+        parts: list,
+        files: list,
+        mode: str,
+        operation: str | None,
+        branch: str,
+        summary_extra: dict | None,
+    ) -> int:
+        snaps = meta["snapshots"]
         main_head = self._head(meta)
         prev_main = main_head["snapshot_id"] if main_head else None
         try:
@@ -1575,9 +1767,9 @@ class SnapshotTable:
         rel, parts, files = self._write_data_dir(upserts_local, meta, sid)
         drel = f"deletes/s{sid}"
         # every source key (incl. deletes) suppresses older rows of that key
-        src.select(*keys).distinct().write.mode("overwrite").parquet(
-            os.path.join(self.root, drel)
-        )
+        dstage = os.path.join(self.root, f"deletes/.stage-{uuid.uuid4().hex[:12]}")
+        src.select(*keys).distinct().write.mode("overwrite").parquet(dstage)
+        self._publish_dir(dstage, os.path.join(self.root, drel), cleanup_on_conflict=True)
         dfiles = self._file_stats(drel)
         prev = self._head(meta)
         active = (prev["active_dirs"] if prev else []) + [rel]
@@ -1735,14 +1927,16 @@ class SnapshotTable:
             snaps = meta["snapshots"]
             sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
             drel = f"deletes/s{sid}"
+            dstage = os.path.join(self.root, f"deletes/.stage-{uuid.uuid4().hex[:12]}")
             if style == "position":
-                matched.write.mode("overwrite").parquet(os.path.join(self.root, drel))
+                matched.write.mode("overwrite").parquet(dstage)
                 entry = {"file": drel, "sid": sid, "style": "position"}
             else:
                 target.filter(pred).select(*keys).distinct().write.mode(
                     "overwrite"
-                ).parquet(os.path.join(self.root, drel))
+                ).parquet(dstage)
                 entry = {"file": drel, "sid": sid, "keys": list(keys)}
+            self._publish_dir(dstage, os.path.join(self.root, drel), cleanup_on_conflict=True)
             prev = self._head(meta)
             snaps.append(
                 {
@@ -1828,16 +2022,14 @@ class SnapshotTable:
             sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
             rel, parts, files = self._write_data_dir(new_rows, meta, sid)
             drel = f"deletes/s{sid}"
+            dstage = os.path.join(self.root, f"deletes/.stage-{uuid.uuid4().hex[:12]}")
             if style == "position":
-                matched_pos.write.mode("overwrite").parquet(
-                    os.path.join(self.root, drel)
-                )
+                matched_pos.write.mode("overwrite").parquet(dstage)
                 entry = {"file": drel, "sid": sid, "style": "position"}
             else:
-                new_rows.select(*keys).distinct().write.mode("overwrite").parquet(
-                    os.path.join(self.root, drel)
-                )
+                new_rows.select(*keys).distinct().write.mode("overwrite").parquet(dstage)
                 entry = {"file": drel, "sid": sid, "keys": list(keys)}
+            self._publish_dir(dstage, os.path.join(self.root, drel), cleanup_on_conflict=True)
             prev = self._head(meta)
             snaps.append(
                 {
@@ -2294,6 +2486,7 @@ class SnapshotTable:
         self,
         max_files_per_partition: int = 4,
         keep_last: int = 2,
+        orphan_older_than_s: float = _LOCK_STALE_S,
     ) -> dict:
         """One-call table service (the nightly job a catalog service
         schedules; Delta calls the cleanup half VACUUM): policy-driven
@@ -2307,16 +2500,19 @@ class SnapshotTable:
         report = {
             "compacted_snapshot_id": self.maintain(max_files_per_partition),
             "expired_snapshot_ids": self.expire_snapshots(keep_last=keep_last),
-            "removed_orphan_dirs": self.remove_orphan_files(),
+            "removed_orphan_dirs": self.remove_orphan_files(orphan_older_than_s),
         }
         return report
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(self, older_than_s: float = _LOCK_STALE_S) -> list[str]:
         """Delete data/delete dirs on disk that NO snapshot references
         (Iceberg `remove_orphan_files`): leftovers of crashed writes that
         landed files before the metadata swap, or of an expire interrupted
         mid-delete. Reads only metadata + a two-level dir listing — never
-        data. Returns the removed dir rel-paths."""
+        data. Dirs younger than `older_than_s` are kept (an in-flight
+        writer's staging dir is not an orphan — Iceberg's `older_than`
+        retention, here defaulting to the commit-lock staleness bound).
+        Returns the removed dir rel-paths."""
         import shutil
 
         live: set[str] = set()
@@ -2334,6 +2530,12 @@ class SnapshotTable:
             for name in sorted(os.listdir(base)):
                 rel = f"{kind}/{name}"
                 if rel not in live:
-                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+                    full = os.path.join(base, name)
+                    try:
+                        if time.time() - os.path.getmtime(full) <= older_than_s:
+                            continue
+                    except OSError:
+                        continue
+                    shutil.rmtree(full, ignore_errors=True)
                     removed.append(rel)
         return removed
