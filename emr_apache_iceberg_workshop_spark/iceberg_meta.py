@@ -402,6 +402,69 @@ def _partition_value(raw: str | None, iceberg_type: str, transform: str = "ident
     return raw  # string (dates stay ISO strings only for string cols)
 
 
+def _bound_bytes(value, iceberg_type: str) -> bytes | None:
+    """Iceberg single-value binary serialization for manifest BOUNDS
+    (spec Appendix D: little-endian numerics, UTF-8 strings, date as
+    int days, timestamps as long micros). None → bound not emitted for
+    that column (unsupported/unknown type)."""
+    import datetime as _dt
+
+    try:
+        if iceberg_type == "long":
+            return struct.pack("<q", int(value))
+        if iceberg_type == "int":
+            return struct.pack("<i", int(value))
+        if iceberg_type == "double":
+            return struct.pack("<d", float(value))
+        if iceberg_type == "float":
+            return struct.pack("<f", float(value))
+        if iceberg_type == "string":
+            return str(value).encode("utf-8")
+        if iceberg_type == "boolean":
+            return b"\x01" if value in (True, "true", "True") else b"\x00"
+        if iceberg_type == "date":
+            d = _dt.date.fromisoformat(str(value)[:10])
+            return struct.pack("<i", (d - _dt.date(1970, 1, 1)).days)
+        if iceberg_type in ("timestamp", "timestamptz"):
+            ts = _dt.datetime.fromisoformat(str(value))
+            delta = ts - _dt.datetime(1970, 1, 1, tzinfo=ts.tzinfo)
+            micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            return struct.pack("<q", micros)
+    except (ValueError, OverflowError):
+        return None
+    return None
+
+
+_BOUNDS_MAP_SCHEMA = {  # Avro shape of Iceberg's map<int, binary> bounds
+    "lower_bounds": (125, 126, 127),
+    "upper_bounds": (128, 129, 130),
+}
+
+
+def _bounds_field(name: str) -> dict:
+    fid, kid, vid = _BOUNDS_MAP_SCHEMA[name]
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": "bytes", "field-id": vid},
+                    ],
+                },
+            },
+        ],
+        "default": None,
+        "field-id": fid,
+    }
+
+
 def _manifest_entry_schema(part_fields: list[dict], fv: int = 1) -> dict:
     """Avro writer schema for a manifest file (record `manifest_entry`,
     Iceberg spec field-ids). Format-version 2 adds entry-level sequence
@@ -426,6 +489,8 @@ def _manifest_entry_schema(part_fields: list[dict], fv: int = 1) -> dict:
         {"name": "partition", "type": part_rec, "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        _bounds_field("lower_bounds"),
+        _bounds_field("upper_bounds"),
     ]
     if fv == 1:
         df_fields.append(
@@ -649,6 +714,33 @@ def write_iceberg_metadata(
     os.makedirs(meta_dir, exist_ok=True)
     spec_json = json.dumps(spec_fields)
 
+    # name → (field-id, iceberg type) for manifest bound serialization
+    # (scalar columns only; arrays have no single-value bound encoding)
+    col_meta = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema_json["fields"]
+        if isinstance(f["type"], str)
+    }
+
+    def bounds_maps(bounds: dict | None):
+        """Recorded per-column [min,max] → Iceberg lower/upper bounds
+        maps (field-id → serialized value), or (None, None)."""
+        if not bounds:
+            return None, None
+        lo_out, hi_out = [], []
+        for name in sorted(bounds):
+            cm = col_meta.get(name)
+            if cm is None:
+                continue
+            fid, ityp = cm
+            lo, hi = bounds[name]
+            lb, hb = _bound_bytes(lo, ityp), _bound_bytes(hi, ityp)
+            if lb is None or hb is None:
+                continue
+            lo_out.append({"key": fid, "value": lb})
+            hi_out.append({"key": fid, "value": hb})
+        return (lo_out or None), (hi_out or None)
+
     by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
     delete_spec_id = 1 if spec_fields else 0  # global deletes: unpartitioned spec
     wrote_delete_manifest = False
@@ -673,6 +765,7 @@ def write_iceberg_metadata(
         for f, dsid in files:
             total_rows += f["rows"]
             min_seq = min(min_seq, dsid)
+            lbs, ubs = bounds_maps(f.get("bounds"))
             data_file = {
                 "file_path": os.path.join(root, f["path"]),
                 "file_format": "PARQUET",
@@ -685,6 +778,8 @@ def write_iceberg_metadata(
                 },
                 "record_count": f["rows"],
                 "file_size_in_bytes": f["bytes"],
+                "lower_bounds": lbs,
+                "upper_bounds": ubs,
             }
             if fv == 1:
                 data_file["block_size_in_bytes"] = 67108864

@@ -91,6 +91,16 @@ _PREFIX_ORDER = [
     "q_meta_bucket",
     "q_meta_iceberg_v2",
     "m_real_codecs",
+    # (d) r05-signed names whose fixtures/emission path this round's
+    # commit-protocol and metadata changes touch (fills the 50 slots)
+    "q_meta_iceberg",
+    "q_meta_files",
+    "q_meta_refs",
+    "q_meta_changes",
+    "q_meta_time_travel",
+    "q_meta_incremental",
+    "q_props_stats",
+    "m_decode_metadata",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

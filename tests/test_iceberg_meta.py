@@ -196,6 +196,45 @@ def test_mor_deletes_auto_v2_v1_refuses_compact_folds(spark, tmp_path):
     assert rows == [(1, "a"), (2, "b2")]
 
 
+def test_manifest_entries_carry_column_bounds(spark, tmp_path):
+    """Emitted manifests carry Iceberg lower/upper bounds maps (field-id
+    → single-value serialization, spec Appendix D) for every stats-backed
+    column — including timestamps, written as int64 micros so parquet
+    stats exist at all — enabling external file pruning."""
+    import datetime as dt
+    import struct
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import read_avro_container
+
+    ddl = "id bigint, name string, ts timestamp, price double"
+    t = SnapshotTable.create(spark, str(tmp_path / "bounds"), ddl)
+    rows = [
+        (1, "alpha", dt.datetime(2024, 1, 2, 3, 4, 5), 1.5),
+        (9, "zeta", dt.datetime(2024, 2, 2), 9.75),
+    ]
+    t.write(spark.createDataFrame(rows, ddl).coalesce(1))
+    md = write_iceberg_metadata(t)
+    import json
+
+    with open(md) as f:
+        doc = json.load(f)
+    _, _, mlist = read_avro_container(doc["snapshots"][-1]["manifest-list"])
+    _, _, entries = read_avro_container(mlist[0]["manifest_path"])
+    df_ = entries[0]["data_file"]
+    lb = {e["key"]: e["value"] for e in df_["lower_bounds"]}
+    ub = {e["key"]: e["value"] for e in df_["upper_bounds"]}
+    assert sorted(lb) == [1, 2, 3, 4]  # every column has bounds
+    assert struct.unpack("<q", lb[1])[0] == 1 and struct.unpack("<q", ub[1])[0] == 9
+    assert lb[2] == b"alpha" and ub[2] == b"zeta"
+    epoch = dt.datetime(1970, 1, 1)
+    want_lo = int((dt.datetime(2024, 1, 2, 3, 4, 5) - epoch).total_seconds() * 1_000_000)
+    want_hi = int((dt.datetime(2024, 2, 2) - epoch).total_seconds() * 1_000_000)
+    assert struct.unpack("<q", lb[3])[0] == want_lo
+    assert struct.unpack("<q", ub[3])[0] == want_hi
+    assert struct.unpack("<d", lb[4])[0] == 1.5
+    assert struct.unpack("<d", ub[4])[0] == 9.75
+
+
 def test_v2_mor_chain_structure_and_reconstruction(spark, tmp_path):
     """v2 emission of a partitioned MOR state with BOTH delete styles:
     delete manifests declare the unpartitioned spec (global deletes), the
