@@ -974,6 +974,21 @@ def write_iceberg_metadata(
     while os.path.exists(os.path.join(meta_dir, f"v{n}.metadata.json")):
         n += 1
     md_path = os.path.join(meta_dir, f"v{n}.metadata.json")
+    if n > 1:
+        # metadata-log: the prior metadata files, newest last (Iceberg's
+        # re-point history; external readers use it for metadata rollback)
+        prev = os.path.join(meta_dir, f"v{n - 1}.metadata.json")
+        try:
+            with open(prev) as f:
+                prev_doc = json.load(f)
+            doc["metadata-log"] = (prev_doc.get("metadata-log") or []) + [
+                {
+                    "timestamp-ms": prev_doc.get("last-updated-ms", ts_ms),
+                    "metadata-file": prev,
+                }
+            ]
+        except (OSError, ValueError):
+            pass
     with open(md_path, "w") as f:
         json.dump(doc, f, indent=1)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:

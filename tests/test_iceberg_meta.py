@@ -339,6 +339,66 @@ def test_reemission_bumps_version(spark, tmp_path):
     assert hint == "2"
     # new metadata sees both rows through the chain
     assert sum(f["record_count"] for f in read_data_files(p2)) == 2
+    # metadata-log records the superseded metadata file (Iceberg shape)
+    import json
+
+    with open(p2) as f:
+        log = json.load(f)["metadata-log"]
+    assert [e["metadata-file"] for e in log] == [p1]
+
+
+def test_forced_v2_time_travels_through_mor_history(spark, tmp_path):
+    """format_version=2 forced on a compacted table emits the FULL
+    history including the mid-history MOR snapshot (v1 must skip it),
+    and replaying the v2 chain at that snapshot reproduces scan_at."""
+    import json
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import read_table_chain
+
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "fv2"), ddl,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ddl).coalesce(1))
+    mor_sid = t.merge(spark.createDataFrame([(2, "b2"), (3, "c")], ddl).coalesce(1), keys=["id"])
+    t.compact(target_partitions=1)
+    md1 = write_iceberg_metadata(t)  # auto: v1, MOR snapshot skipped
+    with open(md1) as f:
+        doc1 = json.load(f)
+    assert doc1["format-version"] == 1
+    assert mor_sid not in {s["snapshot-id"] for s in doc1["snapshots"]}
+
+    md2 = write_iceberg_metadata(t, format_version=2)
+    with open(md2) as f:
+        doc2 = json.load(f)
+    assert doc2["format-version"] == 2
+    assert mor_sid in {s["snapshot-id"] for s in doc2["snapshots"]}
+    chain = read_table_chain(md2, snapshot_id=mor_sid)
+    assert [d["content"] for d in chain["deletes"]] == [2]
+    # replay the MOR point: data rows minus equality-delete on older seqs
+    import duckdb as dk
+
+    con = dk.connect()
+    legs = " UNION ALL ".join(
+        f"(SELECT id, v, CAST({e['sequence_number']} AS BIGINT) AS seq "
+        f"FROM read_parquet('{e['data_file']['file_path']}'))"
+        for e in chain["data"]
+    )
+    eq = chain["deletes"][0]
+    got = con.execute(
+        f"""
+        WITH d AS ({legs}),
+             ed AS (SELECT id AS del_id
+                    FROM read_parquet('{eq["data_file"]["file_path"]}'))
+        SELECT id, v FROM d
+        WHERE NOT (d.seq < {eq['sequence_number']}
+                   AND d.id IN (SELECT del_id FROM ed))
+        ORDER BY id
+        """
+    ).fetchall()
+    want = sorted((r.id, r.v) for r in t.scan_at(mor_sid).collect())
+    assert got == want == [(1, "a"), (2, "b2"), (3, "c")]
 
 
 def test_external_ddl_golden():
