@@ -747,6 +747,65 @@ def q_meta_iceberg_v2(spark, sf_dir) -> DataFrame:
     return data.select("id", "category", "qty")
 
 
+@query(
+    "q_meta_v2_travel",
+    # literal state at the MOR-merge snapshot (sequence 2): append 1..6,
+    # upsert 2→25, insert 7, equality-delete {2,3,7} over seq-1 files —
+    # the positional delete (sequence 3) must NOT apply yet
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'a', CAST(10 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'a', CAST(25 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'b', CAST(40 AS BIGINT)),
+      (CAST(5 AS BIGINT), 'c', CAST(50 AS BIGINT)),
+      (CAST(6 AS BIGINT), 'c', CAST(60 AS BIGINT)),
+      (CAST(7 AS BIGINT), 'c', CAST(70 AS BIGINT))
+    ) AS t(id, category, qty)
+    """,
+    tags=("meta:iceberg", "tablemeta", "interop", "mor", "v2", "time-travel"),
+)
+def q_meta_v2_travel(spark, sf_dir) -> DataFrame:
+    """External FOR VERSION AS OF through the v2 chain: reconstruct the
+    MID-HISTORY MOR snapshot (the merge commit) from its own manifest
+    list — its equality delete applies, the LATER positional delete does
+    not exist there. Proves per-snapshot v2 chains are independently
+    correct, not just the head's."""
+    from ..iceberg_meta import read_table_chain
+
+    md = _v2_demo(spark)
+    chain = read_table_chain(md, snapshot_id=2)
+    name_of = {f["id"]: f["name"] for f in chain["schema"]["fields"]}
+    legs = []
+    for e in chain["data"]:
+        df_ = e["data_file"]
+        legs.append(
+            spark.read.schema("id bigint, qty bigint")
+            .parquet(df_["file_path"])
+            .select(
+                "id",
+                F.lit(df_["partition"]["category"]).alias("category"),
+                "qty",
+                F.lit(int(e["sequence_number"])).cast("long").alias("__seq"),
+            )
+        )
+    data = legs[0]
+    for d in legs[1:]:
+        data = data.unionByName(d)
+    assert all(de["content"] == 2 for de in chain["deletes"]), (
+        "the positional delete belongs to snapshot 3, not 2"
+    )
+    for de in chain["deletes"]:
+        keys = [name_of[i] for i in de["equality_ids"]]
+        dels = spark.read.parquet(de["data_file"]["file_path"]).select(
+            *[F.col(k).alias(f"__del_{k}") for k in keys]
+        )
+        cond = F.lit(int(de["sequence_number"])) > F.col("__seq")
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__del_{k}"))
+        data = data.join(dels, cond, "left_anti")
+    return data.select("id", "category", "qty")
+
+
 # --------------------------------------------------------------------------
 # Native metadata emission for a BUCKET-partitioned table: the spec is
 # declared as Iceberg's `bucket[N]` (legal now that the write-path bucket

@@ -93,6 +93,65 @@ def test_bucket_pruning_is_equality_only_and_exact(v, nb):
     assert prune_keep(field, str(b), v, v + 1, bucket_of=bucket_of)
 
 
+@settings(max_examples=200, deadline=None)
+@given(vs=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=64))
+def test_vectorized_bucket_hash_matches_scalar(vs):
+    """The numpy write-path murmur3 agrees with the scalar spec-pinned
+    implementation for the FULL int64 domain (the id-bucket case)."""
+    import struct
+
+    import numpy as np
+
+    from emr_apache_iceberg_workshop_spark.partitioning import (
+        _np_murmur3_long, murmur3_32,
+    )
+
+    arr = np.array(vs, dtype="int64")
+    hashes = _np_murmur3_long(arr)
+    for v, h in zip(vs, hashes):
+        assert int(h) == murmur3_32(struct.pack("<q", v)) & 0xFFFFFFFF
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    v=st.integers(-(2**40), 2**40),
+    bound=st.integers(-(2**40), 2**40),
+    w=st.integers(1, 1000),
+    side=st.sampled_from(["lo", "hi"]),
+)
+def test_one_sided_truncate_pruning_never_false_excludes(v, bound, w, side):
+    """One-sided predicates (the prune_keep crash class fixed in round 7)
+    stay SOUND: a file covering v is never pruned by a one-sided
+    predicate v satisfies."""
+    field = parse_field(f"truncate({w}, n)")
+    dirv = str(_py_transform(field, v))
+    if side == "lo" and v >= bound:
+        assert prune_keep(field, dirv, bound, None)
+    if side == "hi" and v <= bound:
+        assert prune_keep(field, dirv, None, bound)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    v=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), min_size=1,
+        max_size=24,
+    ),
+    bound=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=24
+    ),
+    w=st.integers(1, 8),
+    side=st.sampled_from(["lo", "hi"]),
+)
+def test_one_sided_truncate_string_pruning_never_false_excludes(v, bound, w, side):
+    field = parse_field(f"truncate({w}, s)")
+    dirv = _py_transform(field, v)
+    if side == "lo" and v >= bound:
+        assert prune_keep(field, dirv, bound, None)
+    if side == "hi" and v <= bound:
+        assert prune_keep(field, dirv, None, bound)
+
+
 _REC = st.fixed_dictionaries(
     {
         "k": st.integers(-(2**62), 2**62),

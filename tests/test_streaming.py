@@ -298,6 +298,52 @@ def test_apply_cdc_batch_scope_isolates_checkpoint_restarts(spark, tmp_path):
     assert apply_cdc_batch(spark, b1, 3, tbl2, ["k"], order_col="ts", scope="qC") is False
 
 
+def test_two_streams_one_table_no_lost_batches(spark, tmp_path):
+    """Two independent CDC streams (distinct scopes, overlapping batch
+    ids) feed ONE table: the scoped replay guard keeps both streams'
+    batches (ids overlap but scopes differ) and the optimistic commit
+    protocol serializes the merges — no lost updates, latest-wins state."""
+    from emr_apache_iceberg_workshop_spark.streaming.jobs import apply_cdc_batch
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    tbl = str(tmp_path / "tbl")
+    ddl = "k bigint, ts string, v string"
+    # stream A batches 0,1 and stream B batches 0,1 — interleaved
+    assert apply_cdc_batch(
+        spark, spark.createDataFrame([(1, "t1", "a")], ddl), 0, tbl, ["k"],
+        order_col="ts", scope="sA",
+    )
+    assert apply_cdc_batch(
+        spark, spark.createDataFrame([(2, "t1", "b")], ddl), 0, tbl, ["k"],
+        order_col="ts", scope="sB",
+    )
+    assert apply_cdc_batch(
+        spark, spark.createDataFrame([(1, "t2", "a2")], ddl), 1, tbl, ["k"],
+        order_col="ts", scope="sA",
+    )
+    assert apply_cdc_batch(
+        spark, spark.createDataFrame([(3, "t2", "c")], ddl), 1, tbl, ["k"],
+        order_col="ts", scope="sB",
+    )
+    # replays within each scope are skipped
+    assert apply_cdc_batch(
+        spark, spark.createDataFrame([(1, "t2", "a2")], ddl), 1, tbl, ["k"],
+        order_col="ts", scope="sA",
+    ) is False
+    assert apply_cdc_batch(
+        spark, spark.createDataFrame([(3, "t2", "c")], ddl), 1, tbl, ["k"],
+        order_col="ts", scope="sB",
+    ) is False
+    t = SnapshotTable(spark, tbl)
+    assert {r.k: r.v for r in t.scan().collect()} == {1: "a2", 2: "b", 3: "c"}
+    scopes = [
+        s.summary.get("streaming.query-scope")
+        for s in t.snapshots()
+        if s.summary.get("streaming.batch-id") is not None
+    ]
+    assert sorted(scopes) == ["sA", "sA", "sB", "sB"]
+
+
 def test_checkpoint_scope_reads_query_id(tmp_path):
     """_checkpoint_scope: the persisted streaming query id when present,
     else the checkpoint path (pre-start fallback)."""
