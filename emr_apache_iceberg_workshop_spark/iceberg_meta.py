@@ -435,14 +435,16 @@ def _bound_bytes(value, iceberg_type: str) -> bytes | None:
     return None
 
 
-_BOUNDS_MAP_SCHEMA = {  # Avro shape of Iceberg's map<int, binary> bounds
+_STATS_MAP_IDS = {  # Iceberg data_file stats maps: name → (field, key, value id)
+    "value_counts": (109, 119, 120),
+    "null_value_counts": (110, 121, 122),
     "lower_bounds": (125, 126, 127),
     "upper_bounds": (128, 129, 130),
 }
 
 
-def _bounds_field(name: str) -> dict:
-    fid, kid, vid = _BOUNDS_MAP_SCHEMA[name]
+def _stats_map_field(name: str, value_type: str) -> dict:
+    fid, kid, vid = _STATS_MAP_IDS[name]
     return {
         "name": name,
         "type": [
@@ -455,7 +457,7 @@ def _bounds_field(name: str) -> dict:
                     "name": f"k{kid}_v{vid}",
                     "fields": [
                         {"name": "key", "type": "int", "field-id": kid},
-                        {"name": "value", "type": "bytes", "field-id": vid},
+                        {"name": "value", "type": value_type, "field-id": vid},
                     ],
                 },
             },
@@ -489,8 +491,16 @@ def _manifest_entry_schema(part_fields: list[dict], fv: int = 1) -> dict:
         {"name": "partition", "type": part_rec, "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-        _bounds_field("lower_bounds"),
-        _bounds_field("upper_bounds"),
+        _stats_map_field("value_counts", "long"),
+        _stats_map_field("null_value_counts", "long"),
+        _stats_map_field("lower_bounds", "bytes"),
+        _stats_map_field("upper_bounds", "bytes"),
+        {
+            "name": "split_offsets",
+            "type": ["null", {"type": "array", "items": "long", "element-id": 133}],
+            "default": None,
+            "field-id": 132,
+        },
     ]
     if fv == 1:
         df_fields.append(
@@ -766,6 +776,18 @@ def write_iceberg_metadata(
             total_rows += f["rows"]
             min_seq = min(min_seq, dsid)
             lbs, ubs = bounds_maps(f.get("bounds"))
+            nulls = f.get("nulls") or {}
+            nvc = [
+                {"key": col_meta[n][0], "value": int(c)}
+                for n, c in sorted(nulls.items())
+                if n in col_meta
+            ] or None
+            # flat schema: every column holds record_count values
+            # (nulls included), the Iceberg value_counts definition
+            vc = [
+                {"key": fid, "value": f["rows"]}
+                for fid, _t in sorted(col_meta.values())
+            ] or None
             data_file = {
                 "file_path": os.path.join(root, f["path"]),
                 "file_format": "PARQUET",
@@ -778,8 +800,11 @@ def write_iceberg_metadata(
                 },
                 "record_count": f["rows"],
                 "file_size_in_bytes": f["bytes"],
+                "value_counts": vc,
+                "null_value_counts": nvc,
                 "lower_bounds": lbs,
                 "upper_bounds": ubs,
+                "split_offsets": [int(o) for o in f.get("split_offsets") or []] or None,
             }
             if fv == 1:
                 data_file["block_size_in_bytes"] = 67108864

@@ -91,6 +91,7 @@ _PREFIX_ORDER = [
     "q_meta_bucket",
     "q_meta_iceberg_v2",
     "q_meta_v2_travel",
+    "q_meta_bounds",
     "m_real_codecs",
     # (d) r05-signed names whose fixtures/emission path this round's
     # commit-protocol and metadata changes touch (fills the 50 slots)
@@ -100,7 +101,6 @@ _PREFIX_ORDER = [
     "q_meta_changes",
     "q_meta_time_travel",
     "q_meta_incremental",
-    "q_props_stats",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -905,6 +905,66 @@ def q_meta_bucket(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "q_meta_bounds",
+    # literal expectation over the bucket_demo layout (coalesce(1) per
+    # bucket per commit → 6 files with id bounds [1,2],[6],[4],[3,5],
+    # [10],[7,9]): predicate 3<=id<=5 overlaps exactly 2 files; ids
+    # 3,4,5 sum to qty 120. A too-narrow emitted bound would drop a
+    # matching file and break n/qty; a too-wide one breaks files_kept.
+    oracle="""
+    SELECT CAST(6 AS INT) AS files_total, CAST(2 AS INT) AS files_kept,
+           CAST(3 AS BIGINT) AS n, CAST(120 AS BIGINT) AS qty_total
+    """,
+    tags=("meta:iceberg", "tablemeta", "interop", "bounds"),
+)
+def q_meta_bounds(spark, sf_dir) -> DataFrame:
+    """External file pruning off the EMITTED manifest bounds: decode each
+    data file's lower/upper bound for the `id` field (Iceberg
+    single-value serialization), skip files the predicate cannot match,
+    and aggregate only the kept files — the manifest-only planning an
+    external engine does before opening any file."""
+    import struct as _struct
+
+    from ..iceberg_meta import read_table_chain
+
+    md = _bucket_demo(spark)
+    chain = read_table_chain(md)
+    id_fid = next(
+        f["id"] for f in chain["schema"]["fields"] if f["name"] == "id"
+    )
+    lo, hi = 3, 5
+    kept = []
+    for e in chain["data"]:
+        df_ = e["data_file"]
+        lb = {m["key"]: m["value"] for m in df_["lower_bounds"] or []}
+        ub = {m["key"]: m["value"] for m in df_["upper_bounds"] or []}
+        flo = _struct.unpack("<q", lb[id_fid])[0]
+        fhi = _struct.unpack("<q", ub[id_fid])[0]
+        if fhi < lo or flo > hi:
+            continue
+        kept.append(df_["file_path"])
+    dfs = [
+        spark.read.schema("id bigint, qty bigint").parquet(p) for p in kept
+    ]
+    u = dfs[0]
+    for d in dfs[1:]:
+        u = u.unionByName(d)
+    return (
+        u.filter(F.col("id").between(lo, hi))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("qty").cast("bigint").alias("qty_total"),
+        )
+        .select(
+            F.lit(len(chain["data"])).cast("int").alias("files_total"),
+            F.lit(len(kept)).cast("int").alias("files_kept"),
+            "n",
+            "qty_total",
+        )
+    )
+
+
+@query(
     "q_meta_refs",
     # oracle: the main branch is the max committed snapshot id; tags come
     # straight from the committed _meta.json

@@ -344,12 +344,41 @@ class SnapshotTable:
                     bounds[name] = [mn, mx]
         return {k: v for k, v in bounds.items() if k not in incomplete}
 
+    @staticmethod
+    def _col_nulls(md) -> dict:
+        """Per-column null counts from the footer, merged across row
+        groups; a column missing stats in ANY row group is omitted (a
+        partial count is not a count)."""
+        nulls: dict = {}
+        incomplete: set = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    incomplete.add(col.path_in_schema)
+                    continue
+                nulls[col.path_in_schema] = nulls.get(col.path_in_schema, 0) + st.null_count
+        return {k: v for k, v in nulls.items() if k not in incomplete}
+
+    @staticmethod
+    def _split_offsets(md) -> list[int]:
+        """Row-group start offsets (Iceberg split_offsets): where an
+        engine may split the file for parallel reads."""
+        offs = []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            off = col.dictionary_page_offset
+            offs.append(int(off if off is not None else col.data_page_offset))
+        return offs
+
     def _file_stats(self, rel_dir: str) -> list[dict]:
         """Manifest entries for every parquet file under `rel_dir`: path,
         partition tuple, row count (parquet footer), bytes, per-column
-        min/max bounds. Driver-side walk + footer reads — O(file count),
-        exactly the bookkeeping an Iceberg writer does when it builds a
-        manifest."""
+        min/max bounds + null counts, row-group split offsets. Driver-side
+        walk + footer reads — O(file count), exactly the bookkeeping an
+        Iceberg writer does when it builds a manifest."""
         import pyarrow.parquet as pq
 
         base = os.path.join(self.root, rel_dir)
@@ -374,6 +403,8 @@ class SnapshotTable:
                         "rows": md.num_rows,
                         "bytes": os.path.getsize(fp),
                         "bounds": self._col_bounds(md),
+                        "nulls": self._col_nulls(md),
+                        "split_offsets": self._split_offsets(md),
                     }
                 )
         out.sort(key=lambda f: f["path"])

@@ -233,6 +233,12 @@ def test_manifest_entries_carry_column_bounds(spark, tmp_path):
     assert struct.unpack("<q", ub[3])[0] == want_hi
     assert struct.unpack("<d", lb[4])[0] == 1.5
     assert struct.unpack("<d", ub[4])[0] == 9.75
+    # value/null counts + split offsets (Iceberg field-ids 109/110/132)
+    vc = {e["key"]: e["value"] for e in df_["value_counts"]}
+    assert vc == {1: 2, 2: 2, 3: 2, 4: 2}
+    nvc = {e["key"]: e["value"] for e in df_["null_value_counts"]}
+    assert nvc == {1: 0, 2: 0, 3: 0, 4: 0}
+    assert df_["split_offsets"] and df_["split_offsets"][0] >= 4
 
 
 def test_v2_mor_chain_structure_and_reconstruction(spark, tmp_path):
