@@ -441,6 +441,28 @@ def test_export_tool_emits_iceberg_and_ddl(spark, tmp_path):
     assert sum(f["record_count"] for f in read_data_files(md)) == 2
 
 
+def test_export_tool_emits_v2_for_mor_state(spark, tmp_path):
+    """export_snapshot on an UNCOMPACTED merge-on-read table now emits
+    native metadata too (format-version 2) — the reference's silver
+    shape, externally attachable without compact()."""
+    import json
+
+    from tools.export_snapshot import export_snapshot
+
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "mor"), ddl,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    t.merge(spark.createDataFrame([(2, "b2")], ddl), keys=["id"])
+    manifest = export_snapshot(t, str(tmp_path / "exp"), view_name="silver")
+    md = manifest["iceberg_metadata"]
+    assert md and os.path.exists(md)
+    with open(md) as f:
+        assert json.load(f)["format-version"] == 2
+
+
 def test_iceberg_schema_types(spark):
     from pyspark.sql import types as T
 

@@ -96,11 +96,12 @@ def export_snapshot(
     with open(os.path.join(out_dir, "view.sql"), "w") as f:
         f.write(view_sql)
 
-    # Native Iceberg metadata over the table's own files (no copy) when the
-    # state is v1-representable (current snapshot, no active MOR deletes) —
-    # plus the per-engine attach DDL the reference ships by hand. MOR
-    # tables still get the resolved-parquet export above; compact() first
-    # to make them metadata-emittable.
+    # Native Iceberg metadata over the table's own files (no copy) — the
+    # emitter auto-selects format-version 2 for MOR-delete states, so
+    # uncompacted merge-on-read tables are externally readable too — plus
+    # the per-engine attach DDL the reference ships by hand. Emission can
+    # still refuse (mixed partition-spec layouts, pre-rename live files);
+    # those states keep the resolved-parquet export above.
     iceberg_md = None
     if snapshot_id is None:
         from emr_apache_iceberg_workshop_spark.iceberg_meta import (
