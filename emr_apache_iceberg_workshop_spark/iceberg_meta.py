@@ -659,17 +659,21 @@ def write_iceberg_metadata(
     if head is None:
         raise ValueError("empty table: commit a snapshot before emitting metadata")
     renames = table._renames(meta)
+    name_mapping: list[dict] | None = None
     if renames:
-        last_rename = max(r[0] for r in renames)
-        for e in head["active_dirs"]:
-            rel = e if isinstance(e, str) else e["dir"]
-            if int(rel.rsplit("/s", 1)[-1]) < last_rename:
-                # those parquet files carry pre-rename column names; this
-                # emission has no field-id mapping to redeclare them
-                raise ValueError(
-                    "live data files predate a column rename — run compact() "
-                    "before emitting Iceberg metadata"
-                )
+        # live files written before a rename carry the OLD column names;
+        # Iceberg's answer for files without field ids is the
+        # `schema.name-mapping.default` table property — every field
+        # lists its historical names, and readers resolve either form.
+        # Collected by walking the rename log backward from each current
+        # name (a name can be renamed repeatedly).
+        hist: dict[str, list[str]] = {
+            f.name: [f.name] for f in table.schema().fields
+        }
+        for _sid, old, new in reversed(renames):
+            for names in hist.values():
+                if new in names and old not in names:
+                    names.append(old)
     # emit the MAIN lineage only (ascending): staged-branch snapshots are
     # not part of the published history external engines should see
     snaps = list(reversed(table._lineage(meta, head["snapshot_id"])))
@@ -689,6 +693,10 @@ def write_iceberg_metadata(
     ts_ms = int(float(head["made_current_at"]) * 1000)
 
     schema_json, ids = iceberg_schema(table.schema())
+    if renames:
+        name_mapping = [
+            {"field-id": ids[n], "names": names} for n, names in hist.items()
+        ]
     # Iceberg spec transform names + result types; every transform here is
     # semantically identical to Iceberg's, so declaring them is truthful
     # (day → date; hour/month/year → int offsets from 1970; truncate keeps
@@ -731,6 +739,18 @@ def write_iceberg_metadata(
         for f in schema_json["fields"]
         if isinstance(f["type"], str)
     }
+    if renames:
+        # bounds recorded under historical column names resolve to the
+        # same field id — unless the old name now belongs to a DIFFERENT
+        # current field (rename + re-add), which stays unmapped (a wrong
+        # bound is worse than none)
+        current = set(col_meta)
+        for cur, names in hist.items():
+            if cur not in col_meta:
+                continue
+            for n in names:
+                if n not in current and n not in col_meta:
+                    col_meta[n] = col_meta[cur]
 
     def bounds_maps(bounds: dict | None):
         """Recorded per-column [min,max] → Iceberg lower/upper bounds
@@ -984,7 +1004,15 @@ def write_iceberg_metadata(
         "last-partition-id": (999 + len(spec_fields)) if spec_fields else 999,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
-        "properties": {**meta.get("properties", {}), **(properties or {})},
+        "properties": {
+            **meta.get("properties", {}),
+            **(
+                {"schema.name-mapping.default": json.dumps(name_mapping)}
+                if name_mapping
+                else {}
+            ),
+            **(properties or {}),
+        },
         "current-snapshot-id": sid,
         "snapshots": snapshots_doc,
         "snapshot-log": snapshot_log,

@@ -42,7 +42,8 @@ Supported grammar (case-insensitive keywords; one statement per call):
   each reference is materialized as a temp view and the rewritten text
   runs through `spark.sql`.
 - ``CALL [catalog.]system.rewrite_data_files('<name>')`` /
-  ``expire_snapshots('<name>'[, <retain_last>])`` /
+  ``expire_snapshots('<name>'[, <retain_last>]
+  [, older_than => TIMESTAMP '<ts>' | <epoch-seconds>])`` /
   ``remove_orphan_files('<name>')`` /
   ``rollback_to_snapshot('<name>', <sid>)`` /
   ``cherrypick_snapshot('<name>', <sid>)`` /
@@ -508,7 +509,23 @@ class SqlCatalog:
             return t.compact()
         if proc == "expire_snapshots":
             keep = val("retain_last", 1)
-            return t.expire_snapshots(keep_last=int(keep) if keep else 1)
+            older = named.get("older_than")
+            older_s = None
+            if older is not None:
+                raw = re.sub(r"^\s*TIMESTAMP\s*", "", older.strip(), flags=re.I)
+                raw = raw.strip().strip("'\"")
+                try:
+                    older_s = float(raw)  # epoch seconds
+                except ValueError:
+                    import datetime as _dt
+
+                    ts = _dt.datetime.fromisoformat(raw)
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=_dt.timezone.utc)
+                    older_s = ts.timestamp()
+            return t.expire_snapshots(
+                keep_last=int(keep) if keep else 1, older_than=older_s
+            )
         if proc == "remove_orphan_files":
             return t.remove_orphan_files()
         if proc == "vacuum":

@@ -2476,9 +2476,14 @@ class SnapshotTable:
             out = self._apply_deletes(out, deletes)
         return out
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
-        """Drop all but the newest `keep_last` snapshots and delete data
-        dirs no surviving snapshot references (Iceberg `expire_snapshots`).
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than: float | None = None
+    ) -> list[int]:
+        """Drop old snapshots and delete data dirs no surviving snapshot
+        references (Iceberg `expire_snapshots`). Retention is Iceberg's:
+        the newest `keep_last` snapshots always survive (`retain_last`),
+        and with `older_than` (epoch seconds — Iceberg's primary knob)
+        only snapshots made current BEFORE that instant are candidates.
         Returns the expired snapshot ids. Incremental reads over expired
         ranges raise, matching Iceberg. Metadata commits first: a crash
         mid-delete leaves orphan files (harmless), never a broken table."""
@@ -2488,13 +2493,17 @@ class SnapshotTable:
         snaps = meta["snapshots"]
         if len(snaps) <= keep_last:
             return []
-        # tagged snapshots are protected refs (Iceberg: expire retains
-        # snapshots reachable from any branch/tag)
         # tags AND branch heads are protected refs (Iceberg: expire
         # retains snapshots reachable from any branch/tag)
         protected = set(meta.get("tags", {}).values())
         protected |= set(meta.get("branches", {}).values())
         tail = {s["snapshot_id"] for s in snaps[-keep_last:]}
+        if older_than is not None:
+            tail |= {
+                s["snapshot_id"]
+                for s in snaps
+                if float(s["made_current_at"]) >= float(older_than)
+            }
         keep = [s for s in snaps if s["snapshot_id"] in tail | protected]
         drop = [s for s in snaps if s["snapshot_id"] not in tail | protected]
         if not drop:

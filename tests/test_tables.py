@@ -1207,11 +1207,24 @@ def test_rename_column_guards(spark, tmp_path):
     t.compact()
     assert t.rename_column("id", "pk")
     assert {r.pk for r in t.scan().collect()} == {1}
-    # native metadata emission refuses pre-rename live files
+    # native metadata emission handles pre-rename live files through the
+    # Iceberg name-mapping property: every field lists its historical
+    # names so external readers resolve old-named parquet columns
+    import json as _json
+
     from emr_apache_iceberg_workshop_spark.iceberg_meta import write_iceberg_metadata
 
-    with pytest.raises(ValueError, match="predate a column rename"):
-        write_iceberg_metadata(t)
+    md = write_iceberg_metadata(t)
+    with open(md) as f:
+        doc = _json.load(f)
+    nm = {
+        e["field-id"]: sorted(e["names"])
+        for e in _json.loads(doc["properties"]["schema.name-mapping.default"])
+    }
+    pk_id = next(f["id"] for f in doc["schema"]["fields"] if f["name"] == "pk")
+    assert nm[pk_id] == ["id", "pk"]
+    # post-compact the live files carry current names; emission still
+    # publishes the mapping (historical names remain resolvable)
     t.compact()
     assert write_iceberg_metadata(t)
 
@@ -1263,6 +1276,66 @@ def test_cherry_pick_publishes_stale_staged_append(spark, tmp_path):
     t3.merge(spark.createDataFrame([(1, "z")], ddl), keys=["k"])  # newer delete file
     with _pytest.raises(ValueError, match="delete files from later"):
         t3.cherry_pick_snapshot(staged3)
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """Timestamp-based retention (Iceberg's primary expire knob): only
+    snapshots made current before `older_than` are candidates, and
+    `keep_last` still floors the survivors."""
+    import itertools as _it
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "k long, v string"
+    counter = _it.count()
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "exp_age"), ddl,
+        clock=lambda: 1_700_000_000.0 + 3600.0 * next(counter),
+    )
+    for i in range(4):  # commits at t0, t0+1h, t0+2h, t0+3h
+        t.write(spark.createDataFrame([(i, f"v{i}")], ddl))
+    # cutoff between commits 2 and 3 (t0+1.5h): snapshots 1 (t0) and
+    # 2 (t0+1h) are older; 3 (t0+2h) and 4 survive the age test
+    expired = t.expire_snapshots(keep_last=1, older_than=1_700_000_000.0 + 1.5 * 3600)
+    assert expired == [1, 2]
+    assert [s.snapshot_id for s in t.snapshots()] == [3, 4]
+    assert {r.k for r in t.scan().collect()} == {0, 1, 2, 3}
+    # cutoff in the future: everything but keep_last expires
+    expired = t.expire_snapshots(keep_last=1, older_than=1_700_000_000.0 + 100 * 3600)
+    assert expired == [3]
+    assert [s.snapshot_id for s in t.snapshots()] == [4]
+    assert {r.k for r in t.scan().collect()} == {0, 1, 2, 3}
+
+
+def test_call_expire_snapshots_older_than_sql(spark, tmp_path):
+    """The facade's Iceberg CALL shape with older_than => TIMESTAMP."""
+    import itertools as _it
+
+    from emr_apache_iceberg_workshop_spark.sqlext import SqlCatalog
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "exp_sql")
+    counter = _it.count()
+    t = SnapshotTable.create(
+        spark, root, "k long",
+        clock=lambda: 1_700_000_000.0 + 3600.0 * next(counter),
+    )
+    for i in range(3):
+        t.write(spark.createDataFrame([(i,)], "k long"))
+    cat = SqlCatalog(spark)
+    cat.register("t", root)
+    # 1700000000 = 2023-11-14T22:13:20Z; cutoff at +0.5h expires only
+    # snapshot 1 (t0) — snapshots 2 (+1h) and 3 (+2h) are newer
+    cat.sql(
+        "CALL system.expire_snapshots(table => 't', retain_last => 1, "
+        "older_than => TIMESTAMP '2023-11-14 22:43:20+00:00')"
+    )
+    assert [s.snapshot_id for s in t.snapshots()] == [2, 3]
+    # epoch-seconds form
+    cat.sql(
+        f"CALL system.expire_snapshots('t', 1, older_than => {1_700_000_000.0 + 100 * 3600})"
+    )
+    assert [s.snapshot_id for s in t.snapshots()] == [3]
 
 
 def test_optimistic_concurrency_two_writers(spark, tmp_path):
