@@ -347,6 +347,69 @@ def q_meta_expire(spark, sf_dir) -> DataFrame:
     )
 
 
+AGE_ROOT = os.path.join(_REPO_ROOT, "fixtures", "expire_age_demo")
+_AGE_META = os.path.join(AGE_ROOT, "_meta.json")
+
+
+def _age_table(spark):
+    """Deterministic age-based-expiry fixture: 4 hourly appends (injected
+    clock), then expire_snapshots(older_than = t0+1.5h, keep_last=1) —
+    snapshots 1 (t0) and 2 (t0+1h) expire, 3 and 4 survive. The final
+    metadata is a constant; the oracle reads it straight off disk."""
+    import json as _json
+
+    from ..tables import SnapshotTable
+
+    try:
+        with open(_AGE_META) as f:
+            doc = _json.load(f)
+        if [s["snapshot_id"] for s in doc["snapshots"]] == [3, 4]:
+            return SnapshotTable(spark, AGE_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(AGE_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, qty bigint"
+    t = SnapshotTable.create(
+        spark, AGE_ROOT, ddl,
+        clock=lambda: 1_700_000_000.0 + 3600.0 * next(counter),
+    )
+    for i in range(1, 5):
+        t.write(spark.createDataFrame([(i, 10 * i)], ddl).coalesce(1))
+    t.expire_snapshots(keep_last=1, older_than=1_700_000_000.0 + 1.5 * 3600)
+    return t
+
+
+@query(
+    "q_meta_expire_age",
+    # the oracle reads the COMMITTED metadata: exactly snapshots 3 and 4
+    # survive the timestamp cutoff (1,2 older than t0+1.5h; keep_last
+    # floors 4) and the current state still holds all 4 rows
+    oracle=f"""
+    WITH m AS (SELECT snapshots FROM read_json_auto('{_AGE_META}')),
+         s AS (SELECT unnest(snapshots) AS snap FROM m)
+    SELECT snap.snapshot_id AS snapshot_id,
+           CAST(snap.made_current_at AS DOUBLE) AS committed_at_sec,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM read_parquet('{AGE_ROOT}/data/*/*.parquet')) AS live_rows
+    FROM s
+    """,
+    tags=("meta:expire", "tablemeta", "age-retention"),
+)
+def q_meta_expire_age(spark, sf_dir) -> DataFrame:
+    """Timestamp-based snapshot retention (Iceberg `expire_snapshots
+    older_than`): after the age cutoff only the post-cutoff snapshots
+    remain in `.snapshots`, and the live data files on disk are exactly
+    the surviving state's."""
+    t = _age_table(spark)
+    live = t.scan().count()
+    return t.snapshots_table().select(
+        "snapshot_id",
+        F.col("committed_at").cast("double").alias("committed_at_sec"),
+        F.lit(live).cast("bigint").alias("live_rows"),
+    )
+
+
 @query(
     "q_meta_pruning",
     # correctness contract: manifest pruning must be INVISIBLE in results —
