@@ -23,7 +23,12 @@ readers would parse) are implemented here from the public specs:
 
 Representability: a v1 Iceberg snapshot is a plain list of data files.
 Partition-exclusion masks are resolved file-by-file (a masked file is
-simply not listed). Active MOR deletes are NOT representable in v1; they
+simply not listed). Partition-spec evolution emits MULTI-SPEC metadata:
+each data dir's files go into a manifest of the spec current at their
+commit (reconstructed from the evolve-partition log), partition field
+ids are allocated from one shared registry across specs, and
+`partition-specs` declares every layout — no compact() needed to read a
+mixed-layout table externally. Active MOR deletes are NOT representable in v1; they
 ARE in format-version 2 (sequence numbers + delete manifests), which this
 module also emits — `write_iceberg_metadata` auto-selects v2 whenever the
 emitted history carries delete files, so a merge-on-read table is
@@ -564,16 +569,14 @@ def _snapshot_files(
 ) -> list[tuple[dict, int]] | None:
     """File-level state of one committed snapshot (exclusion masks
     resolved) as (file entry, owning-dir snapshot id) pairs — the dir id
-    is the file's SEQUENCE NUMBER in v2 emission. None when the state is
-    not representable: active MOR deletes under v1 (`allow_deletes`
-    False), or live files from an earlier partition spec (either
-    version: this emission declares a single current spec)."""
+    is the file's SEQUENCE NUMBER in v2 emission, and the key the
+    emitter resolves the file's PARTITION SPEC from (files written under
+    an earlier spec go into that spec's own manifest). None when the
+    state is not representable: active MOR deletes under v1
+    (`allow_deletes` False)."""
     if snap.get("active_deletes") and not allow_deletes:
         return None
-    from .partitioning import parse_spec as _parse_spec
-
     by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
-    spec_cols = {pf.name for pf in _parse_spec(meta["partition_by"])}
     out: list[tuple[dict, int]] = []
     for e in snap["active_dirs"]:
         rel = e if isinstance(e, str) else e["dir"]
@@ -583,11 +586,6 @@ def _snapshot_files(
         for f in ws.get("files", []):
             if f["partition"] in excl:
                 continue
-            if set(f["partition"]) != spec_cols:
-                # file written under an earlier partition spec: this
-                # emission writes a single (current) spec, and declaring
-                # the file under it would fabricate null partition values
-                return None
             out.append((f, dsid))
     return out
 
@@ -704,33 +702,78 @@ def write_iceberg_metadata(
     # implemented in partitioning.murmur3_32 and pinned to the spec's
     # published vectors in tests).
     _TF_JSON = {"days": "day", "hours": "hour", "months": "month", "years": "year"}
-    spec_fields = []
-    part_fields = []  # with resolved iceberg types + transform for encoding
-    for i, pf in enumerate(parse_spec(meta["partition_by"])):
-        fid = 1000 + i
-        src_type = next(
-            f["type"] for f in schema_json["fields"] if f["name"] == pf.source
+    # Partition-spec evolution: each data dir was written under the spec
+    # current AT ITS COMMIT, reconstructed from the evolve-partition log.
+    # Every distinct spec gets its own spec-id and manifests; partition
+    # field ids are allocated from ONE shared registry so a field reused
+    # across specs keeps its id (the Iceberg assignment rule).
+    fid_of: dict[tuple, int] = {}
+
+    def build_spec(partition_by: list[str]) -> tuple[list, list]:
+        sf_, pf_ = [], []
+        for pf in parse_spec(partition_by):
+            src_type = next(
+                f["type"] for f in schema_json["fields"] if f["name"] == pf.source
+            )
+            if pf.transform == "identity":
+                tname, rtype = "identity", src_type
+            elif pf.transform == "truncate":
+                tname, rtype = f"truncate[{pf.param}]", src_type
+            elif pf.transform == "bucket":
+                tname, rtype = f"bucket[{pf.param}]", "int"
+            elif pf.transform == "days":
+                tname, rtype = "day", "date"
+            else:
+                tname, rtype = _TF_JSON[pf.transform], "int"
+            key = (pf.transform, pf.source, pf.param, pf.name)
+            fid = fid_of.setdefault(key, 1000 + len(fid_of))
+            sf_.append(
+                {"name": pf.name, "transform": tname, "source-id": ids[pf.source], "field-id": fid}
+            )
+            pf_.append(
+                {"name": pf.name, "type": rtype, "field-id": fid, "transform": pf.transform}
+            )
+        return sf_, pf_
+
+    evolves = sorted(
+        (s["snapshot_id"], s["summary"]["partition_by"])
+        for s in meta["snapshots"]
+        if s.get("operation") == "evolve-partition"
+    )
+    initial_spec = (
+        next(
+            s["summary"]["prev_partition_by"]
+            for s in meta["snapshots"]
+            if s.get("operation") == "evolve-partition"
         )
-        if pf.transform == "identity":
-            tname, rtype = "identity", src_type
-        elif pf.transform == "truncate":
-            tname, rtype = f"truncate[{pf.param}]", src_type
-        elif pf.transform == "bucket":
-            tname, rtype = f"bucket[{pf.param}]", "int"
-        elif pf.transform == "days":
-            tname, rtype = "day", "date"
-        else:
-            tname, rtype = _TF_JSON[pf.transform], "int"
-        spec_fields.append(
-            {"name": pf.name, "transform": tname, "source-id": ids[pf.source], "field-id": fid}
-        )
-        part_fields.append(
-            {"name": pf.name, "type": rtype, "field-id": fid, "transform": pf.transform}
-        )
+        if evolves
+        else meta["partition_by"]
+    )
+
+    def spec_at(dsid: int) -> tuple:
+        cur = initial_spec
+        for esid, pby in evolves:
+            if esid <= dsid:
+                cur = pby
+            else:
+                break
+        return tuple(cur)
+
+    spec_ids: dict[tuple, int] = {}
+    specs_built: dict[int, tuple[list, list]] = {}
+
+    def spec_id_for(pby: tuple) -> int:
+        if pby not in spec_ids:
+            new_id = len(spec_ids)
+            spec_ids[pby] = new_id
+            specs_built[new_id] = build_spec(list(pby))
+        return spec_ids[pby]
+
+    cur_spec_id = spec_id_for(tuple(meta["partition_by"]))  # always 0
+    spec_fields, part_fields = specs_built[cur_spec_id]
 
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
-    spec_json = json.dumps(spec_fields)
 
     # name → (field-id, iceberg type) for manifest bound serialization
     # (scalar columns only; arrays have no single-value bound encoding)
@@ -772,8 +815,6 @@ def write_iceberg_metadata(
         return (lo_out or None), (hi_out or None)
 
     by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
-    delete_spec_id = 1 if spec_fields else 0  # global deletes: unpartitioned spec
-    wrote_delete_manifest = False
     snapshots_doc = []
     snapshot_log = []
     prev_emitted: int | None = None
@@ -781,112 +822,130 @@ def write_iceberg_metadata(
         s_id = snap["snapshot_id"]
         files = _snapshot_files(meta, snap, allow_deletes=(fv == 2))
         if files is None:
-            if snap["snapshot_id"] == sid:
-                raise ValueError(
-                    "current snapshot mixes partition-spec layouts — this "
-                    "emission declares a single spec; run compact() to "
-                    "rewrite the live files under the current spec first"
-                )
-            continue  # mid-history MOR (v1) / mixed-spec state: not representable
+            continue  # mid-history MOR state under v1: not representable
         s_ts = int(float(snap["made_current_at"]) * 1000)
-        entries = []
-        total_rows = 0
-        min_seq = s_id
+        # one manifest per partition spec present in this snapshot's
+        # state (Iceberg: a manifest holds files of a single spec)
+        groups: dict[int, list[tuple[dict, int]]] = {}
         for f, dsid in files:
-            total_rows += f["rows"]
-            min_seq = min(min_seq, dsid)
-            lbs, ubs = bounds_maps(f.get("bounds"))
-            nulls = f.get("nulls") or {}
-            nvc = [
-                {"key": col_meta[n][0], "value": int(c)}
-                for n, c in sorted(nulls.items())
-                if n in col_meta
-            ] or None
-            # flat schema: every column holds record_count values
-            # (nulls included), the Iceberg value_counts definition
-            vc = [
-                {"key": fid, "value": f["rows"]}
-                for fid, _t in sorted(col_meta.values())
-            ] or None
-            data_file = {
-                "file_path": os.path.join(root, f["path"]),
-                "file_format": "PARQUET",
-                "partition": {
-                    p["name"]: _partition_value(
-                        f["partition"].get(p["name"]), p["type"],
-                        p.get("transform", "identity"),
+            groups.setdefault(spec_id_for(spec_at(dsid)), []).append((f, dsid))
+        mrecs = []
+        total_rows = 0
+        n_entries = 0
+        for g_idx, (g_spec_id, g_files) in enumerate(sorted(groups.items())):
+            g_spec_fields, g_part_fields = specs_built[g_spec_id]
+            g_cols = {p["name"] for p in g_part_fields}
+            entries = []
+            g_rows = 0
+            min_seq = s_id
+            for f, dsid in g_files:
+                if set(f["partition"]) != g_cols:
+                    raise ValueError(
+                        f"data file {f['path']} partition keys "
+                        f"{sorted(f['partition'])} do not match the spec "
+                        f"current at its commit {dsid} ({sorted(g_cols)})"
                     )
-                    for p in part_fields
-                },
-                "record_count": f["rows"],
-                "file_size_in_bytes": f["bytes"],
-                "value_counts": vc,
-                "null_value_counts": nvc,
-                "lower_bounds": lbs,
-                "upper_bounds": ubs,
-                "split_offsets": [int(o) for o in f.get("split_offsets") or []] or None,
-            }
-            if fv == 1:
-                data_file["block_size_in_bytes"] = 67108864
-                # v1 keeps the original single-manifest shape: every live
-                # file ADDED under this snapshot's manifest
-                entries.append({"status": 1, "snapshot_id": s_id, "data_file": data_file})
-            else:
-                data_file["content"] = 0
-                data_file["equality_ids"] = None
-                entries.append(
-                    {
-                        # ADDED for this snapshot's own files, EXISTING for
-                        # carried-over ones; explicit per-file sequence
-                        # numbers (= owning commit) drive delete application
-                        "status": 1 if dsid == s_id else 0,
-                        "snapshot_id": dsid,
-                        "sequence_number": dsid,
-                        "file_sequence_number": dsid,
-                        "data_file": data_file,
-                    }
-                )
-        manifest_path = os.path.join(
-            meta_dir, f"{uuid.uuid5(uuid.NAMESPACE_URL, root + str(s_id))}-m0.avro"
-        )
-        mlen = write_avro_container(
-            manifest_path,
-            _manifest_entry_schema(part_fields, fv),
-            entries,
-            meta={
-                "schema": json.dumps(schema_json),
-                "schema-id": "0",
-                "partition-spec": spec_json,
-                "partition-spec-id": "0",
-                "format-version": str(fv),
-                "content": "data",
-            },
-        )
-        mrec = {
-            "manifest_path": manifest_path,
-            "manifest_length": mlen,
-            "partition_spec_id": 0,
-            "added_snapshot_id": s_id,
-            "added_data_files_count": len(entries),
-            "existing_data_files_count": 0,
-            "deleted_data_files_count": 0,
-            "added_rows_count": total_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
-        if fv == 2:
-            mrec.update(
-                {"content": 0, "sequence_number": s_id, "min_sequence_number": min_seq}
+                g_rows += f["rows"]
+                min_seq = min(min_seq, dsid)
+                lbs, ubs = bounds_maps(f.get("bounds"))
+                nulls = f.get("nulls") or {}
+                nvc = [
+                    {"key": col_meta[n][0], "value": int(c)}
+                    for n, c in sorted(nulls.items())
+                    if n in col_meta
+                ] or None
+                # flat schema: every column holds record_count values
+                # (nulls included), the Iceberg value_counts definition
+                vc = [
+                    {"key": fid, "value": f["rows"]}
+                    for fid, _t in sorted(col_meta.values())
+                ] or None
+                data_file = {
+                    "file_path": os.path.join(root, f["path"]),
+                    "file_format": "PARQUET",
+                    "partition": {
+                        p["name"]: _partition_value(
+                            f["partition"].get(p["name"]), p["type"],
+                            p.get("transform", "identity"),
+                        )
+                        for p in g_part_fields
+                    },
+                    "record_count": f["rows"],
+                    "file_size_in_bytes": f["bytes"],
+                    "value_counts": vc,
+                    "null_value_counts": nvc,
+                    "lower_bounds": lbs,
+                    "upper_bounds": ubs,
+                    "split_offsets": [int(o) for o in f.get("split_offsets") or []] or None,
+                }
+                if fv == 1:
+                    data_file["block_size_in_bytes"] = 67108864
+                    # v1 keeps the original single-manifest shape: every live
+                    # file ADDED under this snapshot's manifest
+                    entries.append({"status": 1, "snapshot_id": s_id, "data_file": data_file})
+                else:
+                    data_file["content"] = 0
+                    data_file["equality_ids"] = None
+                    entries.append(
+                        {
+                            # ADDED for this snapshot's own files, EXISTING for
+                            # carried-over ones; explicit per-file sequence
+                            # numbers (= owning commit) drive delete application
+                            "status": 1 if dsid == s_id else 0,
+                            "snapshot_id": dsid,
+                            "sequence_number": dsid,
+                            "file_sequence_number": dsid,
+                            "data_file": data_file,
+                        }
+                    )
+            total_rows += g_rows
+            n_entries += len(entries)
+            manifest_path = os.path.join(
+                meta_dir,
+                f"{uuid.uuid5(uuid.NAMESPACE_URL, root + str(s_id) + 'sp' + str(g_spec_id))}"
+                f"-m{g_idx}.avro",
             )
-        mrecs = [mrec]
+            mlen = write_avro_container(
+                manifest_path,
+                _manifest_entry_schema(g_part_fields, fv),
+                entries,
+                meta={
+                    "schema": json.dumps(schema_json),
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(g_spec_fields),
+                    "partition-spec-id": str(g_spec_id),
+                    "format-version": str(fv),
+                    "content": "data",
+                },
+            )
+            mrec = {
+                "manifest_path": manifest_path,
+                "manifest_length": mlen,
+                "partition_spec_id": g_spec_id,
+                "added_snapshot_id": s_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": g_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+            if fv == 2:
+                mrec.update(
+                    {"content": 0, "sequence_number": s_id, "min_sequence_number": min_seq}
+                )
+            mrecs.append(mrec)
         n_del_files = 0
         if fv == 2 and snap.get("active_deletes"):
+            # global deletes live under an UNPARTITIONED spec (reuses an
+            # existing empty spec when the table has one in its history)
+            delete_spec_id = spec_id_for(())
             dentries = []
             dseqs = []
             for d in snap["active_deletes"]:
                 d_sid = d["sid"]
                 dseqs.append(d_sid)
-                empty_part = {p["name"]: None for p in ([] if spec_fields else part_fields)}
+                empty_part: dict = {}
                 if d.get("style") == "position":
                     p_path, p_rows, p_bytes = _pos_delete_conforming(
                         root, meta_dir, d["file"]
@@ -934,7 +993,6 @@ def write_iceberg_metadata(
                     "content": "deletes",
                 },
             )
-            wrote_delete_manifest = True
             mrecs.append(
                 {
                     "manifest_path": dmanifest_path,
@@ -964,7 +1022,7 @@ def write_iceberg_metadata(
         )
         summary = {
             "operation": _OP_SUMMARY.get(snap.get("operation", "append"), "overwrite"),
-            "added-data-files": str(len(entries)),
+            "added-data-files": str(n_entries),
             "added-records": str(total_rows),
         }
         if n_del_files:
@@ -994,14 +1052,12 @@ def write_iceberg_metadata(
         "schemas": [schema_json],
         "current-schema-id": 0,
         "partition-spec": spec_fields,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}]
-        + (
-            [{"spec-id": 1, "fields": []}]
-            if wrote_delete_manifest and delete_spec_id == 1
-            else []
-        ),
-        "default-spec-id": 0,
-        "last-partition-id": (999 + len(spec_fields)) if spec_fields else 999,
+        "partition-specs": [
+            {"spec-id": i, "fields": specs_built[i][0]}
+            for i in sorted(specs_built)
+        ],
+        "default-spec-id": cur_spec_id,
+        "last-partition-id": (999 + len(fid_of)) if fid_of else 999,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {

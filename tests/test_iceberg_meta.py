@@ -527,10 +527,14 @@ def test_multi_snapshot_metadata_time_travel(spark, tmp_path):
     assert rows == [(1, "a"), (2, "b2")]
 
 
-def test_emission_covers_main_lineage_only_and_refuses_mixed_spec(spark, tmp_path):
+def test_emission_covers_main_lineage_only_and_multi_spec(spark, tmp_path):
     from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
-    from emr_apache_iceberg_workshop_spark.iceberg_meta import write_iceberg_metadata
-    import json, pytest
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+        read_avro_container,
+        read_table_chain,
+        write_iceberg_metadata,
+    )
+    import json
 
     ddl = "id bigint, category string"
     mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
@@ -544,7 +548,10 @@ def test_emission_covers_main_lineage_only_and_refuses_mixed_spec(spark, tmp_pat
     assert [s["snapshot-id"] for s in doc["snapshots"]] == [1]
     assert doc["current-snapshot-id"] == 1
 
-    # a mixed-spec live state refuses; compact() makes it representable
+    # a mixed-spec live state emits MULTI-SPEC metadata (Iceberg
+    # partition-spec evolution): each dir's files go into a manifest of
+    # the spec current at their commit, partition-specs declares both,
+    # default-spec-id is the current spec
     t2 = SnapshotTable.create(
         spark, str(tmp_path / "s"), ddl + ", part string", partition_by=["part"]
     )
@@ -552,9 +559,36 @@ def test_emission_covers_main_lineage_only_and_refuses_mixed_spec(spark, tmp_pat
     t2.write(mk2([(1, "a", "x")]))
     t2.evolve_partition_spec(["category"])
     t2.write(mk2([(2, "b", "y")]))
-    with pytest.raises(ValueError, match="mixes partition-spec"):
-        write_iceberg_metadata(t2)
-    t2.compact(target_partitions=1)
     p2 = write_iceberg_metadata(t2)
     doc2 = json.load(open(p2))
     assert doc2["current-snapshot-id"] == t2.latest_snapshot_id()
+    specs = {s["spec-id"]: [f["name"] for f in s["fields"]] for s in doc2["partition-specs"]}
+    assert specs == {0: ["category"], 1: ["part"]}
+    assert doc2["default-spec-id"] == 0
+    # distinct partition field ids across specs (shared registry)
+    fids = [f["field-id"] for s in doc2["partition-specs"] for f in s["fields"]]
+    assert sorted(fids) == [1000, 1001]
+    head = next(
+        s for s in doc2["snapshots"]
+        if s["snapshot-id"] == doc2["current-snapshot-id"]
+    )
+    _, _, mlist = read_avro_container(head["manifest-list"])
+    by_spec = {m["partition_spec_id"]: m for m in mlist}
+    assert set(by_spec) == {0, 1}
+    # chain read resolves every live file with its own spec's partition
+    chain = read_table_chain(p2)
+    parts = sorted(
+        tuple(sorted(e["data_file"]["partition"].items())) for e in chain["data"]
+    )
+    assert parts == [(("category", "b"),), (("part", "x"),)]
+    # compaction folds to a single-spec state; emission keeps both specs
+    # declared but the live manifests are current-spec only
+    t2.compact(target_partitions=1)
+    p3 = write_iceberg_metadata(t2)
+    doc3 = json.load(open(p3))
+    head3 = next(
+        s for s in doc3["snapshots"]
+        if s["snapshot-id"] == doc3["current-snapshot-id"]
+    )
+    _, _, mlist3 = read_avro_container(head3["manifest-list"])
+    assert {m["partition_spec_id"] for m in mlist3} == {0}
