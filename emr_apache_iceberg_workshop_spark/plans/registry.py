@@ -93,6 +93,7 @@ _PREFIX_ORDER = [
     "q_meta_v2_travel",
     "q_meta_bounds",
     "q_meta_expire_age",
+    "q_meta_multispec",
     "m_real_codecs",
     # (d) r05-signed names whose fixtures/emission path this round's
     # commit-protocol and metadata changes touch (fills the 50 slots)
@@ -100,7 +101,6 @@ _PREFIX_ORDER = [
     "q_meta_files",
     "q_meta_refs",
     "q_meta_changes",
-    "q_meta_time_travel",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

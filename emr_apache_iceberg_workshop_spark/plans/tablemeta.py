@@ -1295,6 +1295,70 @@ def q_meta_evolution(spark, sf_dir) -> DataFrame:
     return t.partitions_table().select("part", "record_count")
 
 
+_spec_md_path: str | None = None
+
+
+def _spec_md(spark) -> str:
+    """Native metadata for the spec-evolution fixture (multi-spec
+    manifests), emitted once per fixture build and reused by hint."""
+    global _spec_md_path
+    from ..iceberg_meta import write_iceberg_metadata
+
+    t = _spec_table(spark)
+    if _spec_md_path and os.path.exists(_spec_md_path):
+        return _spec_md_path
+    hint = os.path.join(SPEC_ROOT, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            n = f.read().strip()
+        cand = os.path.join(SPEC_ROOT, "metadata", f"v{n}.metadata.json")
+        if os.path.exists(cand):
+            _spec_md_path = cand
+            return cand
+    _spec_md_path = write_iceberg_metadata(t)
+    return _spec_md_path
+
+
+@query(
+    "q_meta_multispec",
+    # the fixture's 8 literal rows: any error in the per-spec manifests
+    # (wrong spec for a dir, wrong partition value, missing file) loses
+    # or mislabels rows
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'a', 'x'), (CAST(2 AS BIGINT), 'a', 'y'),
+      (CAST(3 AS BIGINT), 'b', 'x'), (CAST(4 AS BIGINT), 'b', 'y'),
+      (CAST(5 AS BIGINT), 'a', 'x'), (CAST(6 AS BIGINT), 'b', 'y'),
+      (CAST(7 AS BIGINT), 'b', 'x'), (CAST(8 AS BIGINT), 'b', 'y')
+    ) AS t(id, category, part)
+    """,
+    tags=("meta:iceberg", "tablemeta", "interop", "spec"),
+)
+def q_meta_multispec(spark, sf_dir) -> DataFrame:
+    """Multi-spec external read: reconstruct the spec-evolved table
+    EXCLUSIVELY from the emitted metadata — every live file resolves its
+    partition column through ITS OWN spec's manifest (first commit keyed
+    by `part`, post-evolution commit by `category`)."""
+    from ..iceberg_meta import read_table_chain
+
+    md = _spec_md(spark)
+    chain = read_table_chain(md)
+    legs = []
+    for e in chain["data"]:
+        df_ = e["data_file"]
+        ((pcol, pval),) = df_["partition"].items()
+        other = {"part": "category", "category": "part"}[pcol]
+        legs.append(
+            spark.read.schema(f"id bigint, {other} string")
+            .parquet(df_["file_path"])
+            .select("id", F.lit(pval).alias(pcol), F.col(other))
+        )
+    u = legs[0]
+    for d in legs[1:]:
+        u = u.unionByName(d)
+    return u.select("id", "category", "part")
+
+
 # --------------------------------------------------------------------------
 RB_ROOT = os.path.join(_REPO_ROOT, "fixtures", "rollback_demo")
 _RB_META = os.path.join(RB_ROOT, "_meta.json")
