@@ -506,3 +506,90 @@ def q_stream_incr_agg(spark, sf_dir) -> DataFrame:
     )
     out = _run_to_memory(agg, spark, "complete", "incragg")
     return out.filter(F.col("cnt") > 0)
+
+
+# --------------------------------------------------------------------------
+# Streaming APPEND sink into a SnapshotTable (the insert-only landing
+# shape): drain a bounded event feed through stream_append_table's
+# exactly-once foreachBatch commits, then aggregate the COMMITTED TABLE.
+# The oracle recomputes from the raw source rows — any dropped,
+# duplicated, or replayed batch breaks the totals.
+
+_append_sink_cache: dict[str, str] = {}
+
+
+def _append_sink_table(spark, sf_dir: str) -> str:
+    import os
+    import shutil as _shutil
+
+    from ..catalog import load_table
+    from ..streaming.jobs import stream_append_table
+    from ..tables import SnapshotTable
+
+    key = os.path.abspath(sf_dir)
+    root = _append_sink_cache.get(key)
+    if root and SnapshotTable.exists(root):
+        return root
+    base = tempfile.mkdtemp(prefix="eiws_append_sink_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    # deterministic bounded feed: the first 2000 events in two shards
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    ev.filter(F.col("event_id") < 1000).coalesce(1).sortWithinPartitions(
+        "event_id"
+    ).write.parquet(os.path.join(src, "p0"))
+    ev.filter(F.col("event_id") >= 1000).coalesce(1).sortWithinPartitions(
+        "event_id"
+    ).write.parquet(os.path.join(src, "p1"))
+    # flatten: file source wants one directory of files
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    n = 0
+    for sub in ("p0", "p1"):
+        for fn in sorted(os.listdir(os.path.join(src, sub))):
+            if fn.endswith(".parquet"):
+                _shutil.copy(os.path.join(src, sub, fn), os.path.join(flat, f"f{n}.parquet"))
+                n += 1
+    root = os.path.join(base, "tbl")
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).parquet(flat)
+    stream_append_table(spark, stream, root, os.path.join(base, "cp"))
+    _append_sink_cache[key] = root
+    return root
+
+
+@query(
+    "q_stream_append",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {osum('value')} AS total_value
+    FROM events WHERE event_id < 2000
+    GROUP BY event_type
+    """,
+    tags=("streaming:append-sink", "tablemeta"),
+)
+def q_stream_append(spark, sf_dir) -> DataFrame:
+    """Insert-only streaming landing: a bounded event feed drained into a
+    SnapshotTable via exactly-once append commits (scope-stamped batch
+    ids), then aggregated FROM THE TABLE — equality with the batch
+    recompute over the raw source is the exactly-once proof."""
+    from ..tables import SnapshotTable
+
+    root = _append_sink_table(spark, sf_dir)
+    t = SnapshotTable(spark, root)
+    return (
+        t.scan()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )

@@ -23,8 +23,11 @@ Supported grammar (case-insensitive keywords; one statement per call):
 - ``INSERT INTO <name> <SELECT ...>`` / ``INSERT INTO <name> VALUES ...``
   / ``INSERT OVERWRITE [TABLE] <name> ...`` (snapshot-isolated overwrite)
 - ``DESCRIBE [TABLE] <name>`` / ``SHOW TBLPROPERTIES <name>`` /
-  ``SHOW TABLES`` / ``DROP TABLE [IF EXISTS] <name> [PURGE]`` (plain DROP
-  forgets the catalog entry; PURGE also deletes the files, like Iceberg)
+  ``SHOW TABLES`` / ``SHOW CREATE TABLE <name>`` (regenerates the
+  Iceberg DDL — columns, partition spec, properties — and the output
+  re-runs through this façade) / ``DROP TABLE [IF EXISTS] <name>
+  [PURGE]`` (plain DROP forgets the catalog entry; PURGE also deletes
+  the files, like Iceberg)
 - ``DELETE FROM <name> WHERE <pred>``
 - ``UPDATE <name> SET c = expr[, ...] [WHERE <pred>]``
 - ``MERGE INTO <name> [AS] t USING (<subquery>)|<view> [AS] s
@@ -200,6 +203,26 @@ class SqlCatalog:
             return self.spark.createDataFrame(
                 rows or [], "table_name string, root string"
             )
+        m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)$", stmt, re.I)
+        if m:
+            name = m.group("name")
+            t = self.table(name)
+            cols = ",\n".join(
+                f"    {f.name} {f.dataType.simpleString().upper()}"
+                + ("" if f.nullable else " NOT NULL")
+                for f in t.schema().fields
+            )
+            ddl = f"CREATE TABLE {name} (\n{cols}\n) USING iceberg"
+            spec = t._load().get("partition_by") or []
+            if spec:
+                ddl += f"\nPARTITIONED BY ({', '.join(spec)})"
+            props = t.properties()
+            if props:
+                kv = ",\n".join(
+                    f"    '{k}' = '{v}'" for k, v in sorted(props.items())
+                )
+                ddl += f"\nTBLPROPERTIES (\n{kv}\n)"
+            return self.spark.createDataFrame([(ddl,)], "createtab_stmt string")
         m = re.match(r"SHOW\s+TBLPROPERTIES\s+(?P<name>[\w.]+)$", stmt, re.I)
         if not m:
             raise ValueError(f"unsupported SHOW: {stmt[:120]!r}")

@@ -289,6 +289,80 @@ def apply_cdc_batch(
     return True
 
 
+def append_stream_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    table_root: str,
+    partition_by: list[str] | None = None,
+    scope: str | None = None,
+) -> bool:
+    """One exactly-once streaming APPEND microbatch (the plain-sink twin
+    of `apply_cdc_batch`, for feeds that are inserts-only — logs, events,
+    telemetry): the (query scope, batch id) pair is stamped into the
+    append commit atomically and same-scope replays are skipped. The
+    table is created from the first batch's schema. Returns True when a
+    snapshot was committed."""
+    from ..tables import SnapshotTable
+
+    if batch_df.isEmpty():
+        return False
+    if SnapshotTable.exists(table_root):
+        table = SnapshotTable(spark, table_root)
+        done = [
+            s.summary.get("streaming.batch-id")
+            for s in table.snapshots()
+            if s.summary.get("streaming.batch-id") is not None
+            and s.summary.get("streaming.query-scope") in (None, scope)
+        ]
+        if done and batch_id <= max(done):
+            return False
+    else:
+        table = SnapshotTable.create(
+            spark, table_root, batch_df.schema, partition_by=partition_by
+        )
+    summary = {"streaming.batch-id": int(batch_id)}
+    if scope is not None:
+        summary["streaming.query-scope"] = scope
+    table.write(batch_df, mode="append", summary_extra=summary)
+    return True
+
+
+def stream_append_table(
+    spark: SparkSession,
+    stream: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+):
+    """Streaming append sink INTO a SnapshotTable: every microbatch is an
+    exactly-once append commit (scope-stamped batch ids, like the CDC
+    sink but without merge semantics). `Trigger.AvailableNow` drains the
+    source and returns the table; re-running with the same checkpoint is
+    a no-op, a fresh checkpoint re-applies nothing already committed
+    under ITS scope but never drops new data. At scale this is the
+    landing sink for insert-only feeds: commit cost is O(batch), readers
+    see snapshot-isolated appends, and downstream incremental consumers
+    use scan_incremental/changes over the committed snapshot ids."""
+    from ..tables import SnapshotTable
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        append_stream_batch(
+            spark, batch_df, batch_id, table_root,
+            partition_by=partition_by,
+            scope=_checkpoint_scope(checkpoint_dir),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return SnapshotTable(spark, table_root) if SnapshotTable.exists(table_root) else None
+
+
 def _checkpoint_scope(checkpoint_dir: str) -> str:
     """Replay-guard scope for a foreachBatch stream: the streaming query
     id Spark persists at `<checkpoint>/metadata` — stable across restarts

@@ -143,6 +143,25 @@ def test_hidden_partition_ddl(spark, cat):
     assert "months(ts)" in t._load()["partition_by"]
 
 
+def test_show_create_table_roundtrip(spark, cat):
+    """SHOW CREATE TABLE regenerates runnable Iceberg DDL: re-executing
+    it (under a new name) reproduces schema, partition spec, and
+    properties."""
+    cat.sql(
+        """CREATE TABLE src (id BIGINT, ts TIMESTAMP, v STRING)
+           USING iceberg PARTITIONED BY (days(ts), bucket(4, id))
+           TBLPROPERTIES ('write.merge.mode'='merge-on-read')"""
+    )
+    ddl = cat.sql("SHOW CREATE TABLE src").first().createtab_stmt
+    assert "PARTITIONED BY (days(ts), bucket(4, id))" in ddl
+    assert "'write.merge.mode' = 'merge-on-read'" in ddl
+    cat.sql(ddl.replace("CREATE TABLE src", "CREATE TABLE dst", 1))
+    t_src, t_dst = cat.table("src"), cat.table("dst")
+    assert t_src.schema() == t_dst.schema()
+    assert t_src._load()["partition_by"] == t_dst._load()["partition_by"]
+    assert t_dst.properties()["write.merge.mode"] == "merge-on-read"
+
+
 def test_string_literals_survive_read_rewrite(spark, cat):
     """A registered table name INSIDE a string literal is data, not a
     table reference — the rewrite must leave it verbatim (this used to

@@ -298,6 +298,48 @@ def test_apply_cdc_batch_scope_isolates_checkpoint_restarts(spark, tmp_path):
     assert apply_cdc_batch(spark, b1, 3, tbl2, ["k"], order_col="ts", scope="qC") is False
 
 
+def test_stream_append_table_exactly_once(spark, tmp_path):
+    """Generic insert-only streaming sink into a SnapshotTable: drain,
+    re-run same checkpoint (no-op), land more files and drain again —
+    no duplicates, no losses, snapshot history is per-batch appends."""
+    import json as _json
+    import os as _os
+
+    from emr_apache_iceberg_workshop_spark.streaming.jobs import stream_append_table
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    cp = str(tmp_path / "cp")
+    ddl = "k bigint, v string"
+    _os.makedirs(src)
+
+    def land(name, rows):
+        with open(_os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    land("a.json", [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+
+    def run():
+        stream = spark.readStream.schema(ddl).json(src)
+        return stream_append_table(spark, stream, tbl, cp)
+
+    t = run()
+    assert {r.k for r in t.scan().collect()} == {1, 2}
+    n = len(t.snapshots())
+    # same checkpoint, no new data: no-op
+    t = run()
+    assert len(t.snapshots()) == n
+    # more files: appended exactly once
+    land("b.json", [{"k": 3, "v": "c"}])
+    t = run()
+    assert {r.k for r in t.scan().collect()} == {1, 2, 3}
+    assert t.snapshots()[-1].summary["streaming.batch-id"] >= 1
+    assert "streaming.query-scope" in t.snapshots()[-1].summary
+    # every commit is an append (no merges, no rewrites)
+    assert {s.operation for s in t.snapshots()} == {"append"}
+
+
 def test_two_streams_one_table_no_lost_batches(spark, tmp_path):
     """Two independent CDC streams (distinct scopes, overlapping batch
     ids) feed ONE table: the scoped replay guard keeps both streams'
