@@ -95,12 +95,12 @@ _PREFIX_ORDER = [
     "q_meta_expire_age",
     "q_meta_multispec",
     "q_stream_append",
+    "q_meta_name_mapping",
     "m_real_codecs",
     # (d) r05-signed names whose fixtures/emission path this round's
     # commit-protocol and metadata changes touch (fills the 50 slots)
     "q_meta_iceberg",
     "q_meta_files",
-    "q_meta_refs",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -1359,6 +1359,99 @@ def q_meta_multispec(spark, sf_dir) -> DataFrame:
     return u.select("id", "category", "part")
 
 
+RENAME_ROOT = os.path.join(_REPO_ROOT, "fixtures", "rename_demo")
+_rename_md_path: str | None = None
+
+
+def _rename_md(spark) -> str:
+    """Rename fixture + native metadata: append 4 rows under columns
+    (id, amount), rename amount→qty (metadata-only), append 4 more —
+    live files MIX column names; emission publishes the Iceberg
+    name-mapping property instead of refusing."""
+    global _rename_md_path
+    from ..iceberg_meta import write_iceberg_metadata
+    from ..tables import SnapshotTable
+
+    if _rename_md_path and os.path.exists(_rename_md_path):
+        return _rename_md_path
+    hint = os.path.join(RENAME_ROOT, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            n = f.read().strip()
+        cand = os.path.join(RENAME_ROOT, "metadata", f"v{n}.metadata.json")
+        if os.path.exists(cand):
+            _rename_md_path = cand
+            return cand
+    shutil.rmtree(RENAME_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    t = SnapshotTable.create(
+        spark, RENAME_ROOT, "id bigint, amount bigint",
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    t.write(
+        spark.createDataFrame([(i, 10 * i) for i in range(1, 5)], "id bigint, amount bigint")
+        .coalesce(1).sortWithinPartitions("id")
+    )
+    t.rename_column("amount", "qty")
+    t.write(
+        spark.createDataFrame([(i, 10 * i) for i in range(5, 9)], "id bigint, qty bigint")
+        .coalesce(1).sortWithinPartitions("id")
+    )
+    _rename_md_path = write_iceberg_metadata(t)
+    return _rename_md_path
+
+
+@query(
+    "q_meta_name_mapping",
+    # literal expectation: ids 1..8, qty = 10*id — recoverable ONLY by
+    # resolving each file's physical column through the published
+    # name-mapping (pre-rename files store the data under 'amount')
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(20 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(30 AS BIGINT)), (CAST(4 AS BIGINT), CAST(40 AS BIGINT)),
+      (CAST(5 AS BIGINT), CAST(50 AS BIGINT)), (CAST(6 AS BIGINT), CAST(60 AS BIGINT)),
+      (CAST(7 AS BIGINT), CAST(70 AS BIGINT)), (CAST(8 AS BIGINT), CAST(80 AS BIGINT))
+    ) AS t(id, qty)
+    """,
+    tags=("meta:iceberg", "tablemeta", "interop", "rename", "name-mapping"),
+)
+def q_meta_name_mapping(spark, sf_dir) -> DataFrame:
+    """External read of a renamed table through the emitted metadata:
+    the `schema.name-mapping.default` property maps every field id to
+    its historical names, so a reader probes each data file's parquet
+    schema and selects whichever mapped name the file actually carries
+    — exactly how an Iceberg reader resolves files without field ids."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from ..iceberg_meta import read_table_chain
+
+    md = _rename_md(spark)
+    with open(md) as f:
+        doc = _json.load(f)
+    mapping = {
+        e["field-id"]: e["names"]
+        for e in _json.loads(doc["properties"]["schema.name-mapping.default"])
+    }
+    current = {f["id"]: f["name"] for f in doc["schema"]["fields"]}
+    chain = read_table_chain(md)
+    legs = []
+    for e in chain["data"]:
+        path = e["data_file"]["file_path"]
+        physical = set(_pq.ParquetFile(path).schema_arrow.names)
+        sel = []
+        for fid, cur in current.items():
+            name = next(n for n in mapping[fid] if n in physical)
+            sel.append(F.col(name).alias(cur))
+        legs.append(spark.read.parquet(path).select(*sel))
+    u = legs[0]
+    for d in legs[1:]:
+        u = u.unionByName(d)
+    return u.select("id", "qty")
+
+
 # --------------------------------------------------------------------------
 RB_ROOT = os.path.join(_REPO_ROOT, "fixtures", "rollback_demo")
 _RB_META = os.path.join(RB_ROOT, "_meta.json")
