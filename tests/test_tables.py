@@ -1466,6 +1466,60 @@ def test_concurrent_appends_threaded(spark, tmp_path):
     assert len(sids) == len(set(sids)) == 4
 
 
+def test_concurrent_appends_and_merge_consistent(spark, tmp_path):
+    """Appends racing a MOR merge: every append lands (rebase retry),
+    the merge either commits or refuses with CommitConflict — never a
+    lost update, never a corrupt state. Final state check: all appended
+    keys present; if the merge committed, its upsert applied."""
+    import threading
+
+    from emr_apache_iceberg_workshop_spark.tables import CommitConflict, SnapshotTable
+
+    ddl = "k long, v string"
+    root = str(tmp_path / "occ_mix")
+    t0 = SnapshotTable.create(
+        spark, root, ddl, properties={"write.merge.mode": "merge-on-read"},
+    )
+    t0.write(spark.createDataFrame([(0, "base")], ddl))
+    merge_result: dict = {}
+    errs: list = []
+
+    def appender(i: int) -> None:
+        try:
+            SnapshotTable(spark, root).write(
+                spark.createDataFrame([(100 + i, f"a{i}")], ddl)
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def merger() -> None:
+        try:
+            merge_result["sid"] = SnapshotTable(spark, root).merge(
+                spark.createDataFrame([(0, "merged")], ddl), keys=["k"]
+            )
+        except CommitConflict:
+            merge_result["conflict"] = True
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(3)]
+    threads.append(threading.Thread(target=merger))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    t = SnapshotTable(spark, root)
+    got = {r.k: r.v for r in t.scan().collect()}
+    assert {100, 101, 102} <= set(got)  # no append lost
+    if "sid" in merge_result:
+        assert got[0] == "merged"
+    else:
+        assert merge_result.get("conflict") and got[0] == "base"
+    sids = [s.snapshot_id for s in t.snapshots()]
+    assert len(sids) == len(set(sids))
+
+
 def test_cherry_pick_refuses_published_ancestor(spark, tmp_path):
     """Cherry-picking a snapshot already in main's history is refused
     (Iceberg semantics): re-adding its dirs would RESURRECT rows a later
