@@ -20,7 +20,11 @@ injected commit clocks) rebuilt from literals on first use per process:
 - `fixtures/wap_demo` — write-audit-publish frozen mid-flight (staged
   `audit` branch, unpublished);
 - `fixtures/spec_demo` — partition-spec evolution with live mixed
-  layouts;
+  layouts (+ multi-spec native metadata emission);
+- `fixtures/rename_demo` — column rename mid-history with native
+  metadata + the Iceberg name-mapping property;
+- `fixtures/expire_age_demo` — timestamp-based snapshot expiry;
+- `fixtures/bucket_demo` / `fixtures/iceberg_v2_demo` — see above;
 - `fixtures/rollback_demo` — rollback past a retained snapshot + fork.
 The DuckDB oracle reads the SAME `_meta.json` the engine commits — the
 cross-engine-agreement idea the reference applies to table data
