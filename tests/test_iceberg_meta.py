@@ -441,6 +441,65 @@ def test_export_tool_emits_iceberg_and_ddl(spark, tmp_path):
     assert sum(f["record_count"] for f in read_data_files(md)) == 2
 
 
+def test_v2_emission_with_rename_and_deletes_combined(spark, tmp_path):
+    """The hard combination: a RENAMED column AND an active MOR equality
+    delete keyed on it. Emission produces v2 (delete manifests) PLUS the
+    name-mapping property, and resolving both reconstructs scan()."""
+    import json
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import read_table_chain
+
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "combo"), ddl,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ddl).coalesce(1))
+    t.compact(target_partitions=1)  # fold nothing; keeps rename legal
+    t.rename_column("v", "val")
+    t.write(spark.createDataFrame([(3, "c")], "id bigint, val string").coalesce(1))
+    t.merge(spark.createDataFrame([(2, "b2")], "id bigint, val string"), keys=["id"])
+    md = write_iceberg_metadata(t)
+    with open(md) as f:
+        doc = json.load(f)
+    assert doc["format-version"] == 2
+    nm = {e["field-id"]: sorted(e["names"]) for e in json.loads(
+        doc["properties"]["schema.name-mapping.default"])}
+    val_id = next(f["id"] for f in doc["schema"]["fields"] if f["name"] == "val")
+    assert nm[val_id] == ["v", "val"]
+    chain = read_table_chain(md)
+    assert [d["content"] for d in chain["deletes"]] == [2]
+    assert chain["deletes"][0]["equality_ids"] == [1]
+    # replay with name resolution: every data file read under whichever
+    # mapped name it physically carries, deletes applied per seq rule
+    import duckdb as dk
+    import pyarrow.parquet as pq
+
+    legs = []
+    for e in chain["data"]:
+        path = e["data_file"]["file_path"]
+        phys = set(pq.ParquetFile(path).schema_arrow.names)
+        vcol = "val" if "val" in phys else "v"
+        legs.append(
+            f"(SELECT id, {vcol} AS val, CAST({e['sequence_number']} AS BIGINT) AS seq "
+            f"FROM read_parquet('{path}'))"
+        )
+    eq = chain["deletes"][0]
+    got = dk.connect().execute(
+        f"""
+        WITH d AS ({' UNION ALL '.join(legs)}),
+             ed AS (SELECT id AS del_id
+                    FROM read_parquet('{eq["data_file"]["file_path"]}'))
+        SELECT id, val FROM d
+        WHERE NOT (d.seq < {eq['sequence_number']}
+                   AND d.id IN (SELECT del_id FROM ed))
+        ORDER BY id
+        """
+    ).fetchall()
+    want = sorted((r.id, r.val) for r in t.scan().collect())
+    assert got == want == [(1, "a"), (2, "b2"), (3, "c")]
+
+
 def test_export_tool_emits_v2_for_mor_state(spark, tmp_path):
     """export_snapshot on an UNCOMPACTED merge-on-read table now emits
     native metadata too (format-version 2) — the reference's silver

@@ -1466,6 +1466,29 @@ def test_concurrent_appends_threaded(spark, tmp_path):
     assert len(sids) == len(set(sids)) == 4
 
 
+def test_append_recovers_from_stale_orphan_dir(spark, tmp_path):
+    """A crashed writer's published-but-uncommitted dir (older than the
+    staleness bound) is removed by the next append claiming that
+    snapshot id — the crash-recovery path of the commit protocol."""
+    import os as _os
+    import time as _time
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "k long, v string"
+    root = str(tmp_path / "orph")
+    t = SnapshotTable.create(spark, root, ddl)
+    t.write(spark.createDataFrame([(1, "a")], ddl))
+    # crashed writer: data/s2 exists, metadata never advanced
+    orphan = _os.path.join(root, "data", "s2")
+    spark.createDataFrame([(99, "ghost")], ddl).write.parquet(orphan)
+    old = _time.time() - 120  # past the 60s staleness bound
+    _os.utime(orphan, (old, old))
+    sid = t.write(spark.createDataFrame([(2, "b")], ddl))
+    assert sid == 2
+    assert {r.k: r.v for r in t.scan().collect()} == {1: "a", 2: "b"}  # no ghost
+
+
 def test_concurrent_appends_and_merge_consistent(spark, tmp_path):
     """Appends racing a MOR merge: every append lands (rebase retry),
     the merge either commits or refuses with CommitConflict — never a
