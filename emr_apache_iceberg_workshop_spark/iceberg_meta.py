@@ -582,7 +582,9 @@ def _snapshot_files(
         rel = e if isinstance(e, str) else e["dir"]
         excl = [] if isinstance(e, str) else e.get("exclude", [])
         dsid = int(rel.rsplit("/s", 1)[-1])
-        ws = by_sid[dsid]
+        # owning snapshot entry, or the relocated stub expire saved for
+        # dirs that outlived their snapshot
+        ws = by_sid.get(dsid) or meta.get("dir_manifests", {}).get(rel, {})
         for f in ws.get("files", []):
             if f["partition"] in excl:
                 continue
@@ -953,7 +955,10 @@ def write_iceberg_metadata(
                     dfiles = [(p_path, p_rows, p_bytes, 1, None)]
                 else:
                     eq_ids = [ids[k] for k in d["keys"]]
-                    stats = by_sid[d_sid].get("delete_file_stats") or []
+                    src = by_sid.get(d_sid) or meta.get(
+                        "dir_manifests", {}
+                    ).get(d["file"], {})
+                    stats = src.get("delete_file_stats") or []
                     dfiles = [
                         (os.path.join(root, st["path"]), st["rows"], st["bytes"], 2, eq_ids)
                         for st in stats

@@ -258,6 +258,19 @@ class SnapshotTable:
         refs[branch] = sid
 
     @staticmethod
+    def _dir_manifest(meta: dict, by_sid: dict, rel: str) -> dict:
+        """Manifest source for a data/delete dir: its owning snapshot
+        entry, or the relocated stub `expire_snapshots` saves when the
+        owning snapshot is dropped while the dir stays referenced by a
+        kept snapshot (Iceberg keeps manifests independent of the
+        snapshot log; this layer stores them in the owning entry, so
+        expiry must move them aside instead of losing them)."""
+        s = by_sid.get(_dir_sid(rel))
+        if s is not None:
+            return s
+        return meta.get("dir_manifests", {}).get(rel, {})
+
+    @staticmethod
     def _parent_id(s: dict) -> int | None:
         sid = s["snapshot_id"]
         return s.get("parent_id", sid - 1 if sid > 1 else None)
@@ -1561,7 +1574,7 @@ class SnapshotTable:
         rows = []
         for e in last["active_dirs"]:
             rel, excl = _entry_rel(e), _entry_excl(e)
-            ws = by_sid[_dir_sid(rel)]
+            ws = self._dir_manifest(meta, by_sid, rel)
             for f in ws.get("files", []):
                 if f["partition"] in excl:
                     continue  # masked by a later partition-scoped rewrite
@@ -1570,7 +1583,7 @@ class SnapshotTable:
                      ws["snapshot_id"])
                 )
         for d in last.get("active_deletes", []):
-            ws = by_sid[d["sid"]]
+            ws = self._dir_manifest(meta, by_sid, d["file"])
             for f in ws.get("delete_file_stats", []):
                 rows.append((2, f["path"], "", f["rows"], f["bytes"], d["sid"]))
         return self.spark.createDataFrame(rows, schema)
@@ -1648,7 +1661,7 @@ class SnapshotTable:
             out = {}
             for e in snap["active_dirs"]:
                 rel, excl = _entry_rel(e), _entry_excl(e)
-                ws = by_sid[_dir_sid(rel)]
+                ws = self._dir_manifest(meta, by_sid, rel)
                 for f in ws.get("files", []):
                     if f["partition"] in excl:
                         continue
@@ -1678,7 +1691,7 @@ class SnapshotTable:
                      f["rows"], f["bytes"])
                 )
         for d in head.get("active_deletes", []):
-            ws = by_sid[d["sid"]]
+            ws = self._dir_manifest(meta, by_sid, d["file"])
             for f in ws.get("delete_file_stats", []):
                 rows.append(
                     (1 if d["sid"] == head_sid else 0, d["sid"], 2,
@@ -2379,7 +2392,7 @@ class SnapshotTable:
         out = []
         for e in self._head(meta)["active_dirs"]:
             rel, excl = _entry_rel(e), _entry_excl(e)
-            ws = by_sid[_dir_sid(rel)]
+            ws = self._dir_manifest(meta, by_sid, rel)
             for f in ws.get("files", []):
                 if f["partition"] in excl:
                     continue
@@ -2516,6 +2529,31 @@ class SnapshotTable:
         dead |= {
             s["delete_file"] for s in drop if s.get("delete_file")
         } - live
+        # relocate the manifests of dirs that STAY referenced by kept
+        # snapshots but whose owning snapshot entry is being dropped —
+        # manifest-backed reads (.files/.entries/plan_files, native
+        # emission) resolve them through meta["dir_manifests"]
+        dm = dict(meta.get("dir_manifests", {}))
+        for s in drop:
+            for d_rel in s.get("dirs", []):
+                if d_rel in live and d_rel not in dm:
+                    dm[d_rel] = {
+                        "snapshot_id": s["snapshot_id"],
+                        "files": [
+                            f for f in s.get("files", [])
+                            if f["path"].startswith(d_rel + "/")
+                        ],
+                    }
+            drel = s.get("delete_file")
+            if drel and drel in live and drel not in dm:
+                dm[drel] = {
+                    "snapshot_id": s["snapshot_id"],
+                    "delete_file_stats": s.get("delete_file_stats", []),
+                }
+        # prune stubs whose dirs finally died
+        meta["dir_manifests"] = {k: v for k, v in dm.items() if k in live}
+        if not meta["dir_manifests"]:
+            del meta["dir_manifests"]
         meta["snapshots"] = keep
         self._commit(meta)
         for rel in dead:

@@ -16,6 +16,7 @@ write after spec evolution ...) no hand-written test enumerates.
 from __future__ import annotations
 
 import random
+import time
 
 from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
 
@@ -60,7 +61,7 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         op = rng.choice(
             ["append", "append", "merge", "overwrite", "delete", "compact",
              "evolve", "branch_write", "publish", "update", "maintain",
-             "cherry"]
+             "cherry", "posdelete", "expire_age"]
         )
         if op == "append":
             rows = _rows(rng, rng.randrange(1, 5))
@@ -100,6 +101,27 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             sid = t.maintain(max_files_per_partition=2)
             if sid is not None:
                 commit_main(sid)
+        elif op == "posdelete":
+            # positional MOR delete (v2 style): flip the write properties
+            # for one statement, restore after — property changes are
+            # metadata-only versioning, no snapshot
+            lo = rng.randrange(0, 30)
+            t.set_properties(
+                {"write.delete.mode": "merge-on-read",
+                 "write.delete.style": "position"}
+            )
+            main = [r for r in main if not (lo <= r[0] < lo + 4)]
+            commit_main(t.delete_where(f"id >= {lo} AND id < {lo + 4}"))
+            t.set_properties(
+                {"write.delete.mode": "copy-on-write",
+                 "write.delete.style": "equality"}
+            )
+        elif op == "expire_age":
+            # timestamp retention mid-sequence: a cutoff in the past is a
+            # no-op, one in the future expires all but keep_last +
+            # protected refs; the CURRENT state must never change
+            cutoff = time.time() + (1.0 if rng.random() < 0.5 else -3600.0)
+            t.expire_snapshots(keep_last=3, older_than=cutoff)
         elif op == "evolve":
             commit_main(t.evolve_partition_spec(rng.choice([["part"], ["v"]])))
         elif op == "branch_write":
@@ -163,7 +185,9 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             f"seed={seed} time travel to {sid}"
         )
         checked += 1
-    assert checked >= 2  # the walk actually exercised history
+    # a mid-sequence aggressive expire_age may have trimmed history to
+    # keep_last; at least the head must still replay
+    assert checked >= 1  # the walk actually exercised history
 
     # expiration keeps the current state intact
     t.expire_snapshots(keep_last=2)

@@ -1466,6 +1466,46 @@ def test_concurrent_appends_threaded(spark, tmp_path):
     assert len(sids) == len(set(sids)) == 4
 
 
+def test_expire_relocates_manifests_of_referenced_dirs(spark, tmp_path):
+    """Expiring a snapshot whose data dirs are STILL referenced by kept
+    snapshots must not lose their manifests: .files/.entries, manifest
+    pruning, and native metadata emission keep answering (this used to
+    KeyError — found by the state-machine fuzz)."""
+    import json
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+        read_data_files,
+        write_iceberg_metadata,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(spark, str(tmp_path / "reloc"), ddl)
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ddl).coalesce(1))
+    t.write(spark.createDataFrame([(3, "c")], ddl).coalesce(1))
+    # keep only the head; its active_dirs still reference data/s1
+    assert t.expire_snapshots(keep_last=1) == [1]
+    meta = t._load()
+    assert "data/s1" in meta["dir_manifests"]
+    # manifest-backed reads keep working and stay consistent
+    files = {r.file_path for r in t.files_table().collect()}
+    assert len(files) == 2 and any("data/s1/" in p for p in files)
+    ent = {r.file_path for r in t.entries_table().collect() if r.status != 2}
+    assert ent == files
+    kept, total = t.plan_files("id", 1, 1)
+    assert total == 2 and len(kept) == 1  # bounds survived relocation
+    # native emission still lists both dirs' files
+    md = write_iceberg_metadata(t)
+    assert sum(f["record_count"] for f in read_data_files(md)) == 3
+    with open(md) as f:
+        assert json.load(f)["format-version"] == 1
+    # a later COW rewrite drops the dir for real → stub pruned
+    t.write(spark.createDataFrame([(9, "z")], ddl), mode="overwrite")
+    t.expire_snapshots(keep_last=1)
+    assert "dir_manifests" not in t._load()
+    assert {r.k if hasattr(r, "k") else r.id for r in t.scan().collect()} == {9}
+
+
 def test_append_recovers_from_stale_orphan_dir(spark, tmp_path):
     """A crashed writer's published-but-uncommitted dir (older than the
     staleness bound) is removed by the next append claiming that
