@@ -195,5 +195,5 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
 
 
 def test_random_op_sequences_match_model(spark, tmp_path):
-    for seed in (7, 23, 41):
+    for seed in (7, 23, 41, 104):
         _run_model(spark, tmp_path, seed)
