@@ -138,16 +138,48 @@ class SqlCatalog:
 
     `warehouse` is where `CREATE TABLE` puts new table roots
     (`<warehouse>/<name with dots as dirs>`); pre-existing tables attach
-    with `register(name, root)`."""
+    with `register(name, root)`.
+
+    Registrations are PERSISTENT when the catalog has a warehouse: the
+    name→root map lives in `<warehouse>/_catalog.json` (atomic tmp +
+    rename per update), so a new session's `SqlCatalog(spark, warehouse)`
+    sees every table the last one created — the durable-catalog behavior
+    the reference gets from Glue (`raw-bronze.py:104-107`). A catalog
+    without a warehouse is session-local, as before."""
 
     def __init__(self, spark: SparkSession, warehouse: str | None = None):
         self.spark = spark
         self.warehouse = warehouse
         self._tables: dict[str, str] = {}  # lower-name -> root
         self._viewn = 0
+        if warehouse is not None:
+            try:
+                with open(os.path.join(warehouse, "_catalog.json")) as f:
+                    import json as _json
+
+                    saved = _json.load(f)
+                self._tables.update(
+                    {k: v for k, v in saved.items() if os.path.isdir(v)}
+                )
+            except (OSError, ValueError):
+                pass
+
+    def _persist(self) -> None:
+        if self.warehouse is None:
+            return
+        import json as _json
+        import uuid as _uuid
+
+        os.makedirs(self.warehouse, exist_ok=True)
+        path = os.path.join(self.warehouse, "_catalog.json")
+        tmp = f"{path}.tmp.{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            _json.dump(self._tables, f, indent=1)
+        os.replace(tmp, path)
 
     def register(self, name: str, root: str) -> None:
         self._tables[name.lower()] = root
+        self._persist()
 
     def table(self, name: str) -> SnapshotTable:
         root = self._tables.get(name.lower())
@@ -245,6 +277,7 @@ class SqlCatalog:
                 return None
             raise ValueError(f"unknown table {name!r} (register() it first)")
         del self._tables[name]
+        self._persist()
         if m.group("purge"):
             # Iceberg DROP TABLE PURGE: delete data + metadata; a plain
             # DROP only forgets the catalog entry (files stay on disk)

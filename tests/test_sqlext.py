@@ -143,6 +143,30 @@ def test_hidden_partition_ddl(spark, cat):
     assert "months(ts)" in t._load()["partition_by"]
 
 
+def test_catalog_registrations_persist_across_sessions(spark, tmp_path):
+    """A warehouse-backed catalog is DURABLE (the Glue behavior the
+    reference inherits): a fresh SqlCatalog over the same warehouse sees
+    every table the previous one created; DROP persists too."""
+    wh = str(tmp_path / "wh")
+    cat1 = SqlCatalog(spark, warehouse=wh)
+    cat1.sql("CREATE TABLE db.t1 (id BIGINT)")
+    cat1.sql("INSERT INTO db.t1 VALUES (1), (2)")
+    cat1.sql("CREATE TABLE t2 (id BIGINT)")
+
+    cat2 = SqlCatalog(spark, warehouse=wh)
+    assert cat2.sql("SELECT COUNT(*) AS n FROM db.t1").first().n == 2
+    names = {r.table_name for r in cat2.sql("SHOW TABLES").collect()}
+    assert names == {"db.t1", "t2"}
+    cat2.sql("DROP TABLE t2")
+
+    cat3 = SqlCatalog(spark, warehouse=wh)
+    assert {r.table_name for r in cat3.sql("SHOW TABLES").collect()} == {"db.t1"}
+    # a catalog without a warehouse stays session-local
+    cat4 = SqlCatalog(spark)
+    cat4.register("x", str(tmp_path / "nope"))  # no crash, nothing persisted
+    assert SqlCatalog(spark).sql("SHOW TABLES").count() == 0
+
+
 def test_show_create_table_roundtrip(spark, cat):
     """SHOW CREATE TABLE regenerates runnable Iceberg DDL: re-executing
     it (under a new name) reproduces schema, partition spec, and
