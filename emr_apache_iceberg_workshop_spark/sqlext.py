@@ -55,7 +55,8 @@ Supported grammar (case-insensitive keywords; one statement per call):
   ``vacuum('<name>'[, <retain_last>[, <max_files_per_partition>]])``
   (maintain → expire → orphan sweep in one call) — named
   (``arg => v``) or positional.
-- ``ALTER TABLE <name> ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
+- ``ALTER TABLE <name> RENAME TO <new>`` (catalog re-key, data in place)
+  / ``ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
   / ``ADD PARTITION FIELD <spec>`` / ``DROP PARTITION FIELD <spec>`` /
   ``CREATE TAG <tag> [AS OF VERSION <sid>]`` /
   ``CREATE BRANCH <branch> [AS OF VERSION <sid>]`` /
@@ -366,6 +367,16 @@ class SqlCatalog:
         if not m:
             raise ValueError(f"unsupported ALTER TABLE: {stmt[:120]!r}")
         t, rest = self.table(m.group("name")), m.group("rest").strip()
+        tm = re.match(r"RENAME\s+TO\s+(?P<new>[\w.]+)$", rest, re.I)
+        if tm:
+            # catalog-level table rename (Iceberg `ALTER TABLE ... RENAME
+            # TO`): re-key the registry; the root and data never move
+            old_name, new_name = m.group("name").lower(), tm.group("new").lower()
+            if new_name in self._tables:
+                raise ValueError(f"table {new_name!r} already exists")
+            self._tables[new_name] = self._tables.pop(old_name)
+            self._persist()
+            return None
         am = re.match(r"ADD\s+COLUMNS?\s*\((?P<cols>.*)\)$", rest, re.I) or re.match(
             r"ADD\s+COLUMNS?\s+(?P<cols>.+)$", rest, re.I
         )

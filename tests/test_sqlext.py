@@ -161,6 +161,13 @@ def test_catalog_registrations_persist_across_sessions(spark, tmp_path):
 
     cat3 = SqlCatalog(spark, warehouse=wh)
     assert {r.table_name for r in cat3.sql("SHOW TABLES").collect()} == {"db.t1"}
+    # ALTER TABLE ... RENAME TO re-keys the catalog (persistently)
+    cat3.sql("ALTER TABLE db.t1 RENAME TO db.orders_v2")
+    assert cat3.sql("SELECT COUNT(*) AS n FROM db.orders_v2").first().n == 2
+    with pytest.raises(Exception, match="t1"):
+        cat3.sql("SELECT * FROM db.t1")  # old name unresolvable
+    cat3b = SqlCatalog(spark, warehouse=wh)
+    assert {r.table_name for r in cat3b.sql("SHOW TABLES").collect()} == {"db.orders_v2"}
     # a catalog without a warehouse stays session-local
     cat4 = SqlCatalog(spark)
     cat4.register("x", str(tmp_path / "nope"))  # no crash, nothing persisted
