@@ -283,36 +283,34 @@ def t_scrub_pii(spark, sf_dir) -> DataFrame:
 # --------------------------------------------------------------------------
 # Repetition metrics (Gopher-style quality rules, token-level since the
 # fixture corpus has no line structure): duplicate-token / duplicate-bigram
-# fractions and the mass of the single most-frequent token / bigram. All
-# per-row array lambdas — embarrassingly parallel, zero shuffle, codegen'd;
-# at 100 TB this is a pure linear scan. The per-row top-count is
-# O(distinct * len) but documents are bounded (truncate upstream if not).
+# fractions and the mass of the single most-frequent token / bigram.
+#
+# The duplicate-fractions are per-row linear (size - size(distinct),
+# codegen'd, zero shuffle). The TOP-element counts were once per-row
+# array lambdas — O(distinct * len) interpreted evals per document, a
+# scale-killer on 100k-token docs. Rewritten (same pattern as d_simhash's
+# explode→groupBy rewrite in plans/dedup.py) to the linear distributed
+# form: explode the elements, count per (doc_id, kind, element) with
+# map-side partial aggregation, take the max per doc — every step
+# codegen'd and O(len) per document. Tokens and bigrams ride ONE shuffle
+# via a union with a kind tag; docs with no tokens rejoin via left join +
+# COALESCE(0). The DuckDB oracle is restructured identically (its lambda
+# form measured 105s at sf0.01; this form is sub-second).
+#
 # Spark guard: sequence(1, n) with n <= 0 DESCENDS ([1, 0]) instead of
-# returning empty like DuckDB's generate_series — hence the CASE guards.
-BIGRAMS_S = f"""
-  CASE WHEN size({TOKS_S}) >= 2 THEN
-    transform(sequence(1, size({TOKS_S}) - 1),
-      i -> concat_ws(' ', element_at({TOKS_S}, i), element_at({TOKS_S}, i + 1)))
+# returning empty like DuckDB's generate_series — hence the CASE guard.
+# Bigrams derive from the checkpointed `toks` column (not re-tokenized).
+_BIGS_FROM_TOKS_S = """
+  CASE WHEN size(toks) >= 2 THEN
+    transform(sequence(1, size(toks) - 1),
+      i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
   ELSE array() END
 """.strip()
 
-BIGRAMS_D = f"""
-  list_transform(generate_series(1, len({TOKS_D}) - 1),
-    i -> {TOKS_D}[i] || ' ' || {TOKS_D}[i + 1])
+_BIGS_FROM_TOKS_D = """
+  list_transform(generate_series(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i + 1])
 """.strip()
-
-
-def _top_count(dialect: str, arr: str) -> str:
-    """Count of the most frequent element in an array expression (0 if empty)."""
-    if dialect == "spark":
-        return (
-            f"COALESCE(array_max(transform(array_distinct({arr}),"
-            f" x -> size(filter({arr}, y -> y = x)))), 0)"
-        )
-    return (
-        f"COALESCE(list_max(list_transform(list_distinct({arr}),"
-        f" x -> len(list_filter({arr}, y -> y = x)))), 0)"
-    )
 
 
 def _ratio(num: str, den: str) -> str:
@@ -322,25 +320,69 @@ def _ratio(num: str, den: str) -> str:
 @query(
     "t_repetition",
     oracle=f"""
-    SELECT doc_id,
-           len({TOKS_D}) AS n_tokens,
-           {_ratio(f"len({TOKS_D}) - len(list_distinct({TOKS_D}))", f"len({TOKS_D})")} AS dup_token_ratio,
-           {_ratio(_top_count('duck', TOKS_D), f"len({TOKS_D})")} AS top_token_ratio,
-           {_ratio(f"len({BIGRAMS_D}) - len(list_distinct({BIGRAMS_D}))", f"len({BIGRAMS_D})")} AS dup_bigram_ratio,
-           {_ratio(_top_count('duck', BIGRAMS_D), f"len({BIGRAMS_D})")} AS top_bigram_ratio
-    FROM documents
+    WITH tok AS (
+      SELECT doc_id, {TOKS_D} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, toks, {_BIGS_FROM_TOKS_D} AS bigs FROM tok
+    ), per_doc AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_dist_tok,
+             len(bigs) AS n_bigrams,
+             len(list_distinct(bigs)) AS n_dist_big
+      FROM base
+    ), pairs AS (
+      SELECT doc_id, 0 AS kind, unnest(toks) AS v FROM base
+      UNION ALL
+      SELECT doc_id, 1 AS kind, unnest(bigs) AS v FROM base
+    ), counts AS (
+      SELECT doc_id, kind, v, COUNT(*) AS c FROM pairs GROUP BY 1, 2, 3
+    ), tops AS (
+      SELECT doc_id,
+             MAX(CASE WHEN kind = 0 THEN c END) AS top_tok,
+             MAX(CASE WHEN kind = 1 THEN c END) AS top_big
+      FROM counts GROUP BY 1
+    )
+    SELECT p.doc_id,
+           p.n_tokens,
+           {_ratio("p.n_tokens - p.n_dist_tok", "p.n_tokens")} AS dup_token_ratio,
+           {_ratio("COALESCE(t.top_tok, 0)", "p.n_tokens")} AS top_token_ratio,
+           {_ratio("p.n_bigrams - p.n_dist_big", "p.n_bigrams")} AS dup_bigram_ratio,
+           {_ratio("COALESCE(t.top_big, 0)", "p.n_bigrams")} AS top_bigram_ratio
+    FROM per_doc p LEFT JOIN tops t ON p.doc_id = t.doc_id
     """,
     tags=("textops:repetition", "quality"),
 )
 def t_repetition(spark, sf_dir) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return docs.selectExpr(
+    base = _toks_for(spark, sf_dir).selectExpr(
+        "doc_id", "toks", f"{_BIGS_FROM_TOKS_S} AS bigs"
+    )
+    per_doc = base.selectExpr(
         "doc_id",
-        f"CAST(size({TOKS_S}) AS BIGINT) AS n_tokens",
-        f"{_ratio(f'size({TOKS_S}) - size(array_distinct({TOKS_S}))', f'size({TOKS_S})')} AS dup_token_ratio",
-        f"{_ratio(_top_count('spark', TOKS_S), f'size({TOKS_S})')} AS top_token_ratio",
-        f"{_ratio(f'size({BIGRAMS_S}) - size(array_distinct({BIGRAMS_S}))', f'size({BIGRAMS_S})')} AS dup_bigram_ratio",
-        f"{_ratio(_top_count('spark', BIGRAMS_S), f'size({BIGRAMS_S})')} AS top_bigram_ratio",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_dist_tok",
+        "CAST(size(bigs) AS BIGINT) AS n_bigrams",
+        "CAST(size(array_distinct(bigs)) AS BIGINT) AS n_dist_big",
+    )
+    pairs = base.selectExpr("doc_id", "0 AS kind", "explode(toks) AS v").unionAll(
+        base.selectExpr("doc_id", "1 AS kind", "explode(bigs) AS v")
+    )
+    tops = (
+        pairs.groupBy("doc_id", "kind", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("kind") == 0, F.col("c"))).alias("top_tok"),
+            F.max(F.when(F.col("kind") == 1, F.col("c"))).alias("top_big"),
+        )
+    )
+    return per_doc.join(tops, "doc_id", "left").selectExpr(
+        "doc_id",
+        "n_tokens",
+        f"{_ratio('n_tokens - n_dist_tok', 'n_tokens')} AS dup_token_ratio",
+        f"{_ratio('COALESCE(top_tok, 0)', 'n_tokens')} AS top_token_ratio",
+        f"{_ratio('n_bigrams - n_dist_big', 'n_bigrams')} AS dup_bigram_ratio",
+        f"{_ratio('COALESCE(top_big, 0)', 'n_bigrams')} AS top_bigram_ratio",
     )
 
 
