@@ -35,72 +35,70 @@ _MODULES = [
 # names, r04 covered event-time + the r04-new operators, r05 covered the
 # 45 names outside r04's window + 5 result-touched names.
 #
-# r07 leads with (a) the names last driver-signed in r04 (oldest rows —
-# no name should go more than ~2 rounds unsigned), then (b) names whose
-# CODE this round changes (cherry-pick ancestor refusal; CDC run-scoped
-# exactly-once; quote-aware SQL-facade rewrites; Iceberg-parity bucket
-# hash behind every bucket() spec; cheaper connected-components fixpoint
-# probe behind the dup-cluster queries), then (c) round-7-NEW queries —
-# each added here in the same commit that registers it (a
+# r08 leads with (a) the 45 names last driver-signed in r05 (oldest rows —
+# no name should go more than ~2 rounds unsigned; r06 covered 45, r07 the
+# other 50, so the r05 cohort is the only stale one), then (b) the 5
+# names whose CODE this round changes (t_repetition's linear top-count
+# rewrite; v2 metadata count fixes behind q_meta_iceberg_v2; the GIF
+# frame-walk behind m_real_codecs; computed-assignment MERGE in the SQL
+# facade behind q_sql_surface; cardinality-capped COW planning behind
+# q_meta_dml) — exactly filling the 50-slot window. A
 # test_registry_prefix test fails loudly on any name missing from the
-# registry). Unlisted names follow in module-registration order (all
-# green in r05/r06).
+# registry. Unlisted names follow in module-registration order (all
+# green in r06/r07).
 _PREFIX_ORDER = [
-    # (a) last signed r04 (32 names)
-    "c_mix_corpora",
-    "c_stratified_sample",
-    "m_extract_features",
-    "m_frame_sample",
-    "m_modality_stats",
-    "m_resize_plan",
-    "q_asof_join",
-    "q_bucketed_join",
-    "q_event_windows",
-    "q_latest_event",
-    "q_meta_compaction",
-    "q_meta_expire",
-    "q_meta_partitions",
-    "q_meta_pruning",
-    "q_part_revenue_share",
-    "q_range_join",
-    "q_rollup_revenue",
-    "q_semi_anti",
-    "q_sessionization",
-    "q_set_ops",
-    "q_sketch_distinct",
-    "q_top_customers",
-    "q_trailing_window",
-    "s_dup_clusters",
-    "s_knn_graph",
-    "t_bpe_tokens",
-    "t_decontaminate",
-    "t_fingerprint",
-    "t_lang_profile",
+    # (a) last signed r05 (45 names)
+    "d_embedding_neardup",
+    "d_exact_dup",
+    "d_minhash_lsh",
+    "d_ngram_jaccard",
+    "d_simhash",
+    "m_decode_metadata",
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_bracket_discounts",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q_above_avg_orders",
+    "q_column_profile",
+    "q_cube_orders",
+    "q_first_last_order",
+    "q_grouping_sets",
+    "q_meta_changes",
+    "q_meta_incremental",
+    "q_meta_refs",
+    "q_meta_time_travel",
+    "q_ntile_deciles",
+    "q_order_gaps",
+    "q_percentiles",
+    "q_pivot_status",
+    "q_props_stats",
+    "q_salted_engagement",
+    "q_sketch_quantiles",
+    "q_stream_dedup",
+    "q_stream_event_windows",
+    "q_string_funcs",
+    "s_cosine_topk",
+    "s_ivf_topk",
+    "s_lsh_topk",
+    # (b) code-touched this round (fills the 50 slots)
     "t_repetition",
-    "t_scrub_pii",
-    "t_token_freq",
-    # (b) code-touched this round (not already in (a))
-    "q_meta_cherrypick",
-    "q_stream_cdc",
-    "q_sql_surface",
-    "q_sql_ctas",
-    "q_meta_hidden",
-    "c_dup_groups",
-    "c_curated_corpus",
-    # (c) round-7-new queries, added as each lands
-    "q_meta_bucket",
     "q_meta_iceberg_v2",
-    "q_meta_v2_travel",
-    "q_meta_bounds",
-    "q_meta_expire_age",
-    "q_meta_multispec",
-    "q_stream_append",
-    "q_meta_name_mapping",
     "m_real_codecs",
-    # (d) r05-signed names whose fixtures/emission path this round's
-    # commit-protocol and metadata changes touch (fills the 50 slots)
-    "q_meta_iceberg",
-    "q_meta_files",
+    "q_sql_surface",
+    "q_meta_dml",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
