@@ -857,10 +857,14 @@ def write_iceberg_metadata(
                     if n in col_meta
                 ] or None
                 # flat schema: every column holds record_count values
-                # (nulls included), the Iceberg value_counts definition
+                # (nulls included), the Iceberg value_counts definition.
+                # col_meta carries historical-name ALIASES mapping to the
+                # same field id after a rename — dedupe to field ids so
+                # the Avro map never emits duplicate keys (a strict
+                # reader may reject them; a summing reader double-counts)
                 vc = [
                     {"key": fid, "value": f["rows"]}
-                    for fid, _t in sorted(col_meta.values())
+                    for fid in sorted({fid for fid, _t in col_meta.values()})
                 ] or None
                 data_file = {
                     "file_path": os.path.join(root, f["path"]),
@@ -920,16 +924,24 @@ def write_iceberg_metadata(
                     "content": "data",
                 },
             )
+            # manifest-list counts split by entry status (v1 entries are
+            # all ADDED by construction; v2 carries EXISTING carry-overs
+            # whose counts must not inflate the added_* stats external
+            # planners trust for scan estimation)
+            n_added = sum(1 for e in entries if e["status"] == 1)
+            added_rows = sum(
+                e["data_file"]["record_count"] for e in entries if e["status"] == 1
+            )
             mrec = {
                 "manifest_path": manifest_path,
                 "manifest_length": mlen,
                 "partition_spec_id": g_spec_id,
                 "added_snapshot_id": s_id,
-                "added_data_files_count": len(entries),
-                "existing_data_files_count": 0,
+                "added_data_files_count": n_added,
+                "existing_data_files_count": len(entries) - n_added,
                 "deleted_data_files_count": 0,
-                "added_rows_count": g_rows,
-                "existing_rows_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": g_rows - added_rows,
                 "deleted_rows_count": 0,
             }
             if fv == 2:
@@ -1007,11 +1019,23 @@ def write_iceberg_metadata(
                     "sequence_number": max(dseqs),
                     "min_sequence_number": min(dseqs),
                     "added_snapshot_id": s_id,
-                    "added_data_files_count": n_del_files,
-                    "existing_data_files_count": 0,
+                    "added_data_files_count": sum(
+                        1 for e in dentries if e["status"] == 1
+                    ),
+                    "existing_data_files_count": sum(
+                        1 for e in dentries if e["status"] == 0
+                    ),
                     "deleted_data_files_count": 0,
-                    "added_rows_count": sum(e["data_file"]["record_count"] for e in dentries),
-                    "existing_rows_count": 0,
+                    "added_rows_count": sum(
+                        e["data_file"]["record_count"]
+                        for e in dentries
+                        if e["status"] == 1
+                    ),
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"]
+                        for e in dentries
+                        if e["status"] == 0
+                    ),
                     "deleted_rows_count": 0,
                 }
             )

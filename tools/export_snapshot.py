@@ -100,8 +100,9 @@ def export_snapshot(
     # emitter auto-selects format-version 2 for MOR-delete states, so
     # uncompacted merge-on-read tables are externally readable too — plus
     # the per-engine attach DDL the reference ships by hand. Emission can
-    # still refuse (mixed partition-spec layouts, pre-rename live files);
-    # those states keep the resolved-parquet export above.
+    # still refuse (empty table, or active MOR deletes when
+    # format_version=1 is forced); those states keep the resolved-parquet
+    # export above.
     iceberg_md = None
     if snapshot_id is None:
         from emr_apache_iceberg_workshop_spark.iceberg_meta import (
