@@ -565,7 +565,7 @@ _MANIFEST_LIST_SCHEMA = _manifest_list_schema(1)
 
 
 def _snapshot_files(
-    meta: dict, snap: dict, allow_deletes: bool = False
+    meta: dict, snap: dict, allow_deletes: bool = False, root: str | None = None
 ) -> list[tuple[dict, int]] | None:
     """File-level state of one committed snapshot (exclusion masks
     resolved) as (file entry, owning-dir snapshot id) pairs — the dir id
@@ -576,11 +576,17 @@ def _snapshot_files(
     (`allow_deletes` False)."""
     if snap.get("active_deletes") and not allow_deletes:
         return None
+    from .tables import _entry_excl_full
+
     by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
     out: list[tuple[dict, int]] = []
     for e in snap["active_dirs"]:
         rel = e if isinstance(e, str) else e["dir"]
-        excl = [] if isinstance(e, str) else e.get("exclude", [])
+        # inline + mask-file exclusion tuples (capped-COW states carry
+        # the touched-partition set as a parquet mask, not inline)
+        excl = _entry_excl_full(root, e) if root else (
+            [] if isinstance(e, str) else e.get("exclude", [])
+        )
         dsid = int(rel.rsplit("/s", 1)[-1])
         # owning snapshot entry, or the relocated stub expire saved for
         # dirs that outlived their snapshot
@@ -822,7 +828,7 @@ def write_iceberg_metadata(
     prev_emitted: int | None = None
     for snap in snaps:
         s_id = snap["snapshot_id"]
-        files = _snapshot_files(meta, snap, allow_deletes=(fv == 2))
+        files = _snapshot_files(meta, snap, allow_deletes=(fv == 2), root=root)
         if files is None:
             continue  # mid-history MOR state under v1: not representable
         s_ts = int(float(snap["made_current_at"]) * 1000)

@@ -87,12 +87,41 @@ class Snapshot:
 
 def _entry_rel(e) -> str:
     """active_dirs entry → data dir rel path (entries are either a plain
-    rel string or {"dir": rel, "exclude": [partition tuples]})."""
+    rel string or {"dir": rel, "exclude": [partition tuples],
+    "exclude_masks": [mask-file rels]})."""
     return e if isinstance(e, str) else e["dir"]
 
 
 def _entry_excl(e) -> list:
     return [] if isinstance(e, str) else e.get("exclude", [])
+
+
+def _entry_masks(e) -> list:
+    """Mask-FILE exclusion rels: above the COW scope cap the touched-
+    partition set is written as a parquet file (`masks/s{sid}`) instead
+    of being inlined in metadata — bounding both driver memory and the
+    per-dir exclusion predicate at any partition cardinality."""
+    return [] if isinstance(e, str) else e.get("exclude_masks", [])
+
+
+def _load_mask_tuples(root: str, rels: list) -> list[dict]:
+    """Mask-file partition tuples in canonical string form. Driver-side
+    — used only by metadata-table / emission paths, where O(masked
+    partitions) is the same cost class as Iceberg's manifest planning."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for rel in rels:
+        for row in pq.read_table(os.path.join(root, rel)).to_pylist():
+            out.append({k: _part_str(v) for k, v in row.items()})
+    return out
+
+
+def _entry_excl_full(root: str, e) -> list:
+    """Inline + mask-file exclusion tuples of an active_dirs entry."""
+    masks = _entry_masks(e)
+    excl = _entry_excl(e)
+    return excl + _load_mask_tuples(root, masks) if masks else excl
 
 
 def _dir_sid(rel: str) -> int:
@@ -1022,6 +1051,24 @@ class SnapshotTable:
             ors = ands if ors is None else (ors | ands)
         return ors
 
+    @staticmethod
+    def _mask_join(df: DataFrame, mdf: DataFrame, fields, schema, how: str) -> DataFrame:
+        """Join-based partition mask: keep rows of `df` whose DERIVED
+        partition tuple appears in `mdf` (`left_semi`) or does not
+        (`left_anti`). The scale-safe replacement for the OR-predicate
+        form above the COW scope cap — a 65k-partition mask becomes one
+        equi-ish join AQE can broadcast, not a 65k-disjunct Catalyst
+        expression. Null-safe like `_partition_match_expr`."""
+        by_name = {f.name: f for f in fields}
+        m = mdf.select(*[F.col(c).alias(f"__mask_{c}") for c in mdf.columns])
+        cond = None
+        for c in mdf.columns:
+            f = by_name.get(c)
+            lhs = field_expr(f, schema) if f is not None else F.col(c)
+            e = lhs.eqNullSafe(F.col(f"__mask_{c}"))
+            cond = e if cond is None else (cond & e)
+        return df.join(m, cond, how)
+
     def _all_part_fields(self, meta: dict) -> list[PartitionField]:
         """Partition fields of the CURRENT spec plus every spec this table
         has ever had (evolve-partition commits record both sides), deduped
@@ -1132,6 +1179,12 @@ class SnapshotTable:
                 # masked subtrees at planning time; transformed: the
                 # transform expression, row-filtered)
                 df = df.filter(~self._partition_match_expr(excl, all_fields, schema))
+            for mrel in _entry_masks(e):
+                # mask-FILE exclusion (capped COW): anti-join the dir's
+                # rows against the touched-partition parquet — no inline
+                # list, no giant predicate, any cardinality
+                mdf = self.spark.read.parquet(os.path.join(self.root, mrel))
+                df = self._mask_join(df, mdf, all_fields, schema, "left_anti")
             if with_sid:
                 df = df.withColumn("__sid", F.lit(dsid).cast("long"))
             dfs.append(df)
@@ -1573,7 +1626,7 @@ class SnapshotTable:
 
         rows = []
         for e in last["active_dirs"]:
-            rel, excl = _entry_rel(e), _entry_excl(e)
+            rel, excl = _entry_rel(e), _entry_excl_full(self.root, e)
             ws = self._dir_manifest(meta, by_sid, rel)
             for f in ws.get("files", []):
                 if f["partition"] in excl:
@@ -1660,7 +1713,7 @@ class SnapshotTable:
         def live(snap: dict) -> dict:
             out = {}
             for e in snap["active_dirs"]:
-                rel, excl = _entry_rel(e), _entry_excl(e)
+                rel, excl = _entry_rel(e), _entry_excl_full(self.root, e)
                 ws = self._dir_manifest(meta, by_sid, rel)
                 for f in ws.get("files", []):
                     if f["partition"] in excl:
@@ -1866,14 +1919,28 @@ class SnapshotTable:
         tgt_parts = (
             target.join(src_keys, list(keys), "left_semi").select(*part_sel).distinct()
         )
-        parts = [
-            {c: _part_str(v) for c, v in r.asDict().items()}
-            for r in src_parts.unionByName(tgt_parts).distinct().collect()
-        ]
+        # touched-partition planning is CAPPED: up to `write.cow.scope-cap`
+        # tuples are collected and inlined as exclusion lists + an OR
+        # predicate (the Iceberg driver-side-planning cost class). Above
+        # the cap — e.g. a wide batch on a bucket(65536) spec — the set
+        # stays distributed: row selection and masking switch to joins
+        # against a parquet mask file, bounding driver memory and
+        # predicate size at any cardinality.
+        cap = int(meta.get("properties", {}).get("write.cow.scope-cap", 10000))
+        parts_df = (
+            src_parts.unionByName(tgt_parts).distinct().localCheckpoint(eager=True)
+        )
+        head_rows = parts_df.limit(cap + 1).collect()
+        capped = len(head_rows) > cap
+        parts = (
+            []
+            if capped
+            else [{c: _part_str(v) for c, v in r.asDict().items()} for r in head_rows]
+        )
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         prev = self._head(meta)
-        if not parts:  # empty batch: metadata-only no-op merge commit
+        if not parts and not capped:  # empty batch: metadata-only no-op merge commit
             snaps.append(
                 {
                     "snapshot_id": sid,
@@ -1893,47 +1960,79 @@ class SnapshotTable:
             self._advance(meta, "main", sid, None)
             self._commit(meta)
             return sid
-        match = self._partition_match_expr(parts, fields, schema)
-        tgt_sub = target.filter(match)
+        if capped:
+            tgt_sub = self._mask_join(target, parts_df, fields, schema, "left_semi")
+        else:
+            tgt_sub = target.filter(self._partition_match_expr(parts, fields, schema))
         merged = merge_upsert(tgt_sub, src_local, keys, op_col=op_col, delete_value=delete_value)
         merged = merged.select(*target.columns).localCheckpoint(eager=True)
         rel, written_parts, files = self._write_data_dir(merged, meta, sid)
-        # mask the rewritten partitions out of every older dir; drop dirs
-        # whose partitions are now fully masked
+        mask_rel = self._write_mask_file(parts_df, sid) if capped else None
+        new_active = self._mask_active_dirs(
+            prev, snaps, parts, mask_rel
+        )
+        new_active.append(rel)
+        n_scoped = parts_df.count() if capped else len(parts)
+        snap_rec = {
+            "snapshot_id": sid,
+            "parent_id": prev["snapshot_id"] if prev else None,
+            "made_current_at": self._clock(),
+            "operation": "merge",
+            "dirs": [rel],
+            "active_dirs": new_active,
+            "partitions": written_parts,
+            "files": files,
+            "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
+            "summary": dict(
+                {"mode": "copy-on-write", "scoped_partitions": n_scoped},
+                **(summary_extra or {}),
+            ),
+        }
+        if mask_rel:
+            snap_rec["mask_file"] = mask_rel
+            snap_rec["summary"]["scope"] = "mask-join"
+        snaps.append(snap_rec)
+        self._advance(meta, "main", sid, None)
+        self._commit(meta)
+        return sid
+
+    def _write_mask_file(self, parts_df: DataFrame, sid: int) -> str:
+        """Persist the touched-partition set as `masks/s{sid}` parquet
+        (distributed write — the capped path never collects it)."""
+        mask_rel = f"masks/s{sid}"
+        stage = os.path.join(self.root, f"masks/.stage-{uuid.uuid4().hex[:12]}")
+        parts_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        self._publish_dir(stage, os.path.join(self.root, mask_rel), cleanup_on_conflict=True)
+        return mask_rel
+
+    def _mask_active_dirs(
+        self, prev, snaps: list, parts: list, mask_rel: str | None
+    ) -> list:
+        """Mask the rewritten partitions out of every older dir — inline
+        tuples below the cap (dropping dirs whose partitions are then
+        fully masked), a mask-file reference above it (no drop check:
+        that would need the full tuple set driver-side)."""
         dir_parts = {
-            s["dirs"][0]: s.get("partitions")
-            for s in snaps
-            if s.get("dirs")
+            s["dirs"][0]: s.get("partitions") for s in snaps if s.get("dirs")
         }
         new_active: list = []
         for e in prev["active_dirs"] if prev else []:
             erel, excl = _entry_rel(e), _entry_excl(e)
-            new_excl = list(excl) + [p for p in parts if p not in excl]
-            known = dir_parts.get(erel)
-            if known is not None and all(p in new_excl for p in known):
-                continue  # every partition in this dir is masked → drop it
-            new_active.append({"dir": erel, "exclude": new_excl})
-        new_active.append(rel)
-        snaps.append(
-            {
-                "snapshot_id": sid,
-                "parent_id": prev["snapshot_id"] if prev else None,
-                "made_current_at": self._clock(),
-                "operation": "merge",
-                "dirs": [rel],
-                "active_dirs": new_active,
-                "partitions": written_parts,
-                "files": files,
-                "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
-                "summary": dict(
-                    {"mode": "copy-on-write", "scoped_partitions": len(parts)},
-                    **(summary_extra or {}),
-                ),
-            }
-        )
-        self._advance(meta, "main", sid, None)
-        self._commit(meta)
-        return sid
+            masks = _entry_masks(e)
+            if mask_rel is None:
+                new_excl = list(excl) + [p for p in parts if p not in excl]
+                known = dir_parts.get(erel)
+                if not masks and known is not None and all(p in new_excl for p in known):
+                    continue  # every partition in this dir is masked → drop it
+                entry = {"dir": erel, "exclude": new_excl}
+                if masks:
+                    entry["exclude_masks"] = masks
+            else:
+                entry = {"dir": erel, "exclude_masks": masks + [mask_rel]}
+                if excl:
+                    entry["exclude"] = excl
+            new_active.append(entry)
+        return new_active
 
     # -- row-level DELETE / UPDATE (Iceberg `DELETE FROM` / `UPDATE`,
     # executing the write.delete.mode / write.update.mode the reference
@@ -2120,14 +2219,22 @@ class SnapshotTable:
             return self.write(out, mode="overwrite", operation=operation)
         schema = T.StructType.fromDDL(meta["schema"])
         part_sel = [field_expr(f, schema).alias(f.name) for f in fields]
-        parts = [
-            {c: _part_str(v) for c, v in r.asDict().items()}
-            for r in target.filter(pred).select(*part_sel).distinct().collect()
-        ]
+        # capped touched-partition planning — see _merge_cow_scoped
+        cap = int(meta.get("properties", {}).get("write.cow.scope-cap", 10000))
+        parts_df = (
+            target.filter(pred).select(*part_sel).distinct().localCheckpoint(eager=True)
+        )
+        head_rows = parts_df.limit(cap + 1).collect()
+        capped = len(head_rows) > cap
+        parts = (
+            []
+            if capped
+            else [{c: _part_str(v) for c, v in r.asDict().items()} for r in head_rows]
+        )
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         prev = self._head(meta)
-        if not parts:  # nothing matches: metadata-only no-op commit
+        if not parts and not capped:  # nothing matches: metadata-only no-op commit
             snaps.append(
                 {
                     "snapshot_id": sid,
@@ -2144,33 +2251,32 @@ class SnapshotTable:
             self._advance(meta, "main", sid, None)
             self._commit(meta)
             return sid
-        sub = target.filter(self._partition_match_expr(parts, fields, schema))
+        if capped:
+            sub = self._mask_join(target, parts_df, fields, schema, "left_semi")
+        else:
+            sub = target.filter(self._partition_match_expr(parts, fields, schema))
         out = transform(sub).select(*target.columns).localCheckpoint(eager=True)
         rel, written_parts, files = self._write_data_dir(out, meta, sid)
-        dir_parts = {s["dirs"][0]: s.get("partitions") for s in snaps if s.get("dirs")}
-        new_active: list = []
-        for e in prev["active_dirs"] if prev else []:
-            erel, excl = _entry_rel(e), _entry_excl(e)
-            new_excl = list(excl) + [p for p in parts if p not in excl]
-            known = dir_parts.get(erel)
-            if known is not None and all(p in new_excl for p in known):
-                continue
-            new_active.append({"dir": erel, "exclude": new_excl})
+        mask_rel = self._write_mask_file(parts_df, sid) if capped else None
+        new_active = self._mask_active_dirs(prev, snaps, parts, mask_rel)
         new_active.append(rel)
-        snaps.append(
-            {
-                "snapshot_id": sid,
-                "parent_id": prev["snapshot_id"] if prev else None,
-                "made_current_at": self._clock(),
-                "operation": operation,
-                "dirs": [rel],
-                "active_dirs": new_active,
-                "partitions": written_parts,
-                "files": files,
-                "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
-                "summary": dict(summary, scoped_partitions=len(parts)),
-            }
-        )
+        n_scoped = parts_df.count() if capped else len(parts)
+        snap_rec = {
+            "snapshot_id": sid,
+            "parent_id": prev["snapshot_id"] if prev else None,
+            "made_current_at": self._clock(),
+            "operation": operation,
+            "dirs": [rel],
+            "active_dirs": new_active,
+            "partitions": written_parts,
+            "files": files,
+            "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
+            "summary": dict(summary, scoped_partitions=n_scoped),
+        }
+        if mask_rel:
+            snap_rec["mask_file"] = mask_rel
+            snap_rec["summary"]["scope"] = "mask-join"
+        snaps.append(snap_rec)
         self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid
@@ -2391,7 +2497,7 @@ class SnapshotTable:
         by_sid = {s["snapshot_id"]: s for s in snaps}
         out = []
         for e in self._head(meta)["active_dirs"]:
-            rel, excl = _entry_rel(e), _entry_excl(e)
+            rel, excl = _entry_rel(e), _entry_excl_full(self.root, e)
             ws = self._dir_manifest(meta, by_sid, rel)
             for f in ws.get("files", []):
                 if f["partition"] in excl:
@@ -2524,11 +2630,14 @@ class SnapshotTable:
         live = {_entry_rel(e) for s in keep for e in s["active_dirs"]}
         live |= {d for s in keep for d in s["dirs"]}
         live |= {d["file"] for s in keep for d in s.get("active_deletes", [])}
+        # mask files stay live while ANY kept snapshot's entries cite them
+        live |= {m for s in keep for e in s["active_dirs"] for m in _entry_masks(e)}
         expired_ids = [s["snapshot_id"] for s in drop]
         dead = {d for s in drop for d in s["dirs"]} - live
         dead |= {
             s["delete_file"] for s in drop if s.get("delete_file")
         } - live
+        dead |= {s["mask_file"] for s in drop if s.get("mask_file")} - live
         # relocate the manifests of dirs that STAY referenced by kept
         # snapshots but whose owning snapshot entry is being dropped —
         # manifest-backed reads (.files/.entries/plan_files, native
