@@ -33,11 +33,13 @@ Supported grammar (case-insensitive keywords; one statement per call):
 - ``MERGE INTO <name> [AS] t USING (<subquery>)|<view> [AS] s
   ON t.k = s.k [AND ...]
   [WHEN MATCHED AND s.<op> = '<v>' THEN DELETE]
-  WHEN MATCHED THEN UPDATE SET * | SET t.c = s.c, ...
+  WHEN MATCHED THEN UPDATE SET * | SET t.c = <expr>, ...
   WHEN NOT MATCHED THEN INSERT * | INSERT (...) VALUES (s...)``
-  — the reference's statement shape verbatim; assignments must be the
-  identity mapping `t.c = s.c` (Iceberg MERGE with computed assignments
-  is out of scope, like the reference's usage).
+  — the reference's statement shape verbatim, plus COMPUTED and
+  PARTIAL assignments beyond it: `SET t.qty = s.qty + t.qty` resolves
+  the expression against both aliases, and columns missing from a
+  partial SET keep the target value (ANSI MERGE). Identity `SET *` /
+  full `t.c = s.c` lists run the reference's whole-row path.
 - ``SELECT ...`` over registered tables, with
   ``<name> [FOR] VERSION AS OF <sid|'tag'>``,
   ``<name> [FOR] TIMESTAMP AS OF '<ts>'``, and metadata suffixes
@@ -76,6 +78,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .tables import SnapshotTable
 
@@ -527,13 +530,26 @@ class SqlCatalog:
         if not um:
             raise ValueError("MERGE needs WHEN MATCHED THEN UPDATE SET")
         sets = um.group("sets").strip()
+        assignments: dict[str, str] = {}
+        computed = False
         if sets != "*":
             for a in _split_top(sets):
-                am = re.match(
-                    rf"\s*(?:{ta}\.)?(\w+)\s*=\s*(?:{sa}\.)?(\w+)\s*$", a, re.I
-                )
-                if not am or am.group(1).lower() != am.group(2).lower():
+                col, eq, rhs = a.partition("=")
+                cm = re.match(rf"\s*(?:{ta}\.)?(\w+)\s*$", col, re.I)
+                if not eq or not cm:
                     raise ValueError(f"unsupported MERGE assignment: {a!r}")
+                c, rhs = cm.group(1), rhs.strip()
+                assignments[c] = rhs
+                idm = re.match(rf"\s*(?:{sa}\.)?(\w+)\s*$", rhs, re.I)
+                if not (idm and idm.group(1).lower() == c.lower()):
+                    computed = True  # expression RHS, e.g. s.qty + t.qty
+            # a PARTIAL identity list must also resolve through the
+            # computed path: unlisted columns keep the TARGET value
+            # (ANSI MERGE), which the whole-row identity path can't do
+            tcols = {f.name.lower() for f in t.schema().fields}
+            listed = {c.lower() for c in assignments} | {k.lower() for k in keys}
+            if tcols - listed:
+                computed = True
         if not re.search(
             r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", whens, re.I
         ):
@@ -545,7 +561,52 @@ class SqlCatalog:
             src = self.table(src_text).scan()
         else:
             src = self.spark.table(src_text)
+        if computed:
+            src = self._resolve_merge_assignments(
+                t, src, keys, assignments, ta, sa, op_col
+            )
         return t.merge(src, keys, op_col=op_col, delete_value=delete_value)
+
+    @staticmethod
+    def _resolve_merge_assignments(
+        t, src, keys: list[str], assignments: dict[str, str],
+        ta: str, sa: str, op_col: str | None,
+    ):
+        """Computed / partial MERGE assignments (`SET t.qty = s.qty +
+        t.qty`): resolve each matched row's NEW values by joining the
+        batch to the current table state and projecting the assignment
+        expressions (the statement's own aliases resolve via DataFrame
+        aliases), then hand the RESOLVED rows to the identity merge
+        path — partition scoping, MOR, and CDC deletes all compose
+        unchanged. Scale shape: the table side is key-semi-joined first,
+        so the resolve join touches O(batch) rows, and AQE broadcasts
+        the batch; unmatched source rows pass through as INSERT rows."""
+        tgt = t.scan()
+        cols = tgt.columns
+        assign = {c.lower(): e for c, e in assignments.items()}
+        unknown = set(assign) - {c.lower() for c in cols}
+        if unknown:
+            raise ValueError(f"MERGE SET on unknown column(s): {sorted(unknown)}")
+        matched_tgt = tgt.join(src.select(*keys).distinct(), list(keys), "left_semi")
+        cond = None
+        for k in keys:
+            e = F.col(f"{ta}.{k}").eqNullSafe(F.col(f"{sa}.{k}"))
+            cond = e if cond is None else (cond & e)
+        j = matched_tgt.alias(ta).join(src.alias(sa), cond, "inner")
+        proj = []
+        for c in cols:
+            if c in keys:
+                proj.append(F.col(f"{sa}.{c}").alias(c))
+            elif c.lower() in assign:
+                proj.append(F.expr(assign[c.lower()]).alias(c))
+            else:
+                proj.append(F.col(f"{ta}.{c}").alias(c))  # keep target value
+        extra = [op_col] if op_col and op_col not in cols else []
+        for c in extra:
+            proj.append(F.col(f"{sa}.{c}").alias(c))
+        matched_new = j.select(*proj)
+        unmatched = src.join(tgt.select(*keys).distinct(), list(keys), "left_anti")
+        return matched_new.unionByName(unmatched.select(*(cols + extra)))
 
     # -- procedures --------------------------------------------------------
     def _call(self, stmt: str):

@@ -359,3 +359,70 @@ def test_call_vacuum(spark, cat):
                   " max_files_per_partition => 2)")
     assert rep["compacted_snapshot_id"] is not None
     assert {r.id for r in cat.sql("SELECT * FROM vt").collect()} == {0, 1, 2, 3}
+
+
+def test_merge_computed_assignments(spark, cat):
+    """Extension beyond the reference's identity-only MERGE: expression
+    RHS over both aliases (`SET t.qty = t.qty + s.qty`)."""
+    cat.sql("CREATE TABLE inv (id BIGINT, qty BIGINT, note STRING)")
+    cat.sql("INSERT INTO inv VALUES (1, 10, 'x'), (2, 20, 'y')")
+    spark.createDataFrame(
+        [(1, 5, "ignored"), (3, 7, "new")], "id bigint, qty bigint, note string"
+    ).createOrReplaceTempView("inv_batch")
+    cat.sql(
+        """MERGE INTO inv AS t USING inv_batch AS s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET
+               t.qty = t.qty + s.qty,
+               t.note = concat(t.note, '+', s.note)
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    got = {r.id: (r.qty, r.note) for r in cat.sql("SELECT * FROM inv").collect()}
+    assert got == {1: (15, "x+ignored"), 2: (20, "y"), 3: (7, "new")}
+
+
+def test_merge_partial_set_keeps_target_columns(spark, cat):
+    """A partial identity SET keeps UNLISTED columns at their target
+    value (ANSI MERGE), instead of replacing the whole row."""
+    cat.sql("CREATE TABLE pp (id BIGINT, a STRING, b STRING)")
+    cat.sql("INSERT INTO pp VALUES (1, 'a1', 'b1')")
+    spark.createDataFrame(
+        [(1, "A1", "CLOBBER"), (2, "a2", "b2")], "id bigint, a string, b string"
+    ).createOrReplaceTempView("pp_batch")
+    cat.sql(
+        """MERGE INTO pp AS t USING pp_batch AS s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET t.a = s.a
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    got = {r.id: (r.a, r.b) for r in cat.sql("SELECT * FROM pp").collect()}
+    assert got == {1: ("A1", "b1"), 2: ("a2", "b2")}
+
+
+def test_merge_computed_with_delete_clause(spark, cat):
+    """Computed assignments compose with the CDC delete branch."""
+    cat.sql("CREATE TABLE cw (k BIGINT, n BIGINT)")
+    cat.sql("INSERT INTO cw VALUES (1, 100), (2, 200)")
+    spark.createDataFrame(
+        [(1, 1, "U"), (2, 2, "D"), (3, 3, "I")], "k bigint, n bigint, Op string"
+    ).createOrReplaceTempView("cw_batch")
+    cat.sql(
+        """MERGE INTO cw AS t USING cw_batch AS s ON t.k = s.k
+           WHEN MATCHED AND s.Op = 'D' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET t.n = t.n + s.n
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    got = {r.k: r.n for r in cat.sql("SELECT * FROM cw").collect()}
+    assert got == {1: 101, 3: 3}
+
+
+def test_merge_unknown_set_column_raises(spark, cat):
+    cat.sql("CREATE TABLE uk (id BIGINT, v STRING)")
+    cat.sql("INSERT INTO uk VALUES (1, 'a')")
+    spark.createDataFrame([(1, "b")], "id bigint, v string").createOrReplaceTempView(
+        "uk_batch"
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.sql(
+            """MERGE INTO uk AS t USING uk_batch AS s ON t.id = s.id
+               WHEN MATCHED THEN UPDATE SET t.nope = s.v || 'x'
+               WHEN NOT MATCHED THEN INSERT *"""
+        )
