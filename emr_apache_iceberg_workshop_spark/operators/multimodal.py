@@ -36,6 +36,44 @@ except ImportError:
     _PIL_Image = None
 
 
+def _gif_frame_count(payload: bytes) -> int:
+    """Frame count by a real block-level walk (GIF89a spec): skip the
+    global color table, then step extension blocks (0x21: label +
+    length-prefixed sub-blocks) and image descriptors (0x2C: 9-byte
+    descriptor, optional local color table, LZW min-code byte,
+    sub-blocks), counting the image descriptors. Sub-block stepping
+    never inspects LZW payload bytes, so in-data 0x2C bytes can't
+    over-count. Stops at the 0x3B trailer or any corrupt block."""
+    n = len(payload)
+    packed = payload[10]
+    i = 13
+    if packed & 0x80:  # global color table: 3 * 2^(size+1) bytes
+        i += 3 * (2 << (packed & 0x07))
+    frames = 0
+    while i < n:
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: introducer + label, then sub-blocks
+            i += 2
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            frames += 1
+            lpacked = payload[i + 9] if i + 9 < n else 0
+            i += 10
+            if lpacked & 0x80:
+                i += 3 * (2 << (lpacked & 0x07))
+            i += 1  # LZW minimum code size
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        else:  # corrupt stream: stop, report what was seen
+            break
+    return max(frames, 1)
+
+
 def _header_decode(payload: bytes) -> dict | None:
     """REAL metadata decode for recognized container formats, by direct
     header parsing (no codec library needed — the dimension fields sit at
@@ -56,12 +94,12 @@ def _header_decode(payload: bytes) -> dict | None:
         # IHDR is always the first chunk: width/height at bytes 16..24
         w, h = struct.unpack(">II", payload[16:24])
         return {"byte_len": n, "width": w, "height": h, "n_frames": 1}
-    if payload[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+    if payload[:6] in (b"GIF87a", b"GIF89a") and n >= 13:
         w, h = struct.unpack("<HH", payload[6:10])
-        # frame count = number of image descriptors (0x2C introducers at
-        # block level; counting raw bytes over-counts inside LZW data, so
-        # report 1 without a full block walk — honest lower bound)
-        return {"byte_len": n, "width": w, "height": h, "n_frames": 1}
+        return {
+            "byte_len": n, "width": w, "height": h,
+            "n_frames": _gif_frame_count(payload),
+        }
     if payload[:3] == b"\xff\xd8\xff":
         # scan marker segments for a start-of-frame (SOF0-SOF15, not
         # DHT/DAC/RST); dimensions are big-endian at offset +5

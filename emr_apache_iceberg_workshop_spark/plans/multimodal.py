@@ -177,12 +177,28 @@ def _real_payloads() -> list[tuple[int, str, bytes]]:
         + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
     )
     txt = b"real-codec fixture text payload"  # deterministic-fake branch
+    # 2×2 two-frame animated GIF89a: NETSCAPE loop extension + per-frame
+    # graphic-control extensions — exercises the real block walk
+    # (_gif_frame_count): multi-sub-block extension stepping, two image
+    # descriptors, LZW sub-blocks skipped by length (never inspected)
+    gce = b"\x21\xf9" + bytes([4, 0, 0, 0, 0]) + b"\x00"
+    netscape = b"\x21\xff" + bytes([11]) + b"NETSCAPE2.0" + bytes([3, 1, 0, 0]) + b"\x00"
+    frame = (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + b"\x02" + bytes([2, 0x44, 0x01]) + b"\x00"
+    )
+    gif2 = (
+        b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0])
+        + b"\x00\x00\x00\xff\xff\xff"
+        + netscape + gce + frame + gce + frame + b"\x3b"
+    )
     return [
         (1, "image", png),
         (2, "image", gif),
         (3, "image", jpeg),
         (4, "audio", wav),
         (5, "text", txt),
+        (6, "image", gif2),
     ]
 
 
@@ -190,15 +206,17 @@ def _real_payloads() -> list[tuple[int, str, bytes]]:
     "m_real_codecs",
     # every value is a spec fact about the hand-built containers: byte
     # lengths, true header dimensions (PNG IHDR 3×2, GIF screen 4×3,
-    # JPEG SOF0 128×96, WAV 8000 Hz), and the fake-branch arithmetic for
-    # the text payload (31 bytes → 31, 217, 2)
+    # JPEG SOF0 128×96, WAV 8000 Hz), the fake-branch arithmetic for
+    # the text payload (31 bytes → 31, 217, 2), and the block-walked
+    # frame count of the 2-frame animated GIF (doc 6)
     oracle="""
     SELECT * FROM (VALUES
       (CAST(1 AS BIGINT), 'image', CAST(76 AS BIGINT), CAST(3   AS BIGINT), CAST(2   AS BIGINT), CAST(1    AS BIGINT)),
       (CAST(2 AS BIGINT), 'image', CAST(35 AS BIGINT), CAST(4   AS BIGINT), CAST(3   AS BIGINT), CAST(1    AS BIGINT)),
       (CAST(3 AS BIGINT), 'image', CAST(41 AS BIGINT), CAST(128 AS BIGINT), CAST(96  AS BIGINT), CAST(1    AS BIGINT)),
       (CAST(4 AS BIGINT), 'audio', CAST(48 AS BIGINT), CAST(0   AS BIGINT), CAST(0   AS BIGINT), CAST(8000 AS BIGINT)),
-      (CAST(5 AS BIGINT), 'text',  CAST(31 AS BIGINT), CAST(31  AS BIGINT), CAST(217 AS BIGINT), CAST(2    AS BIGINT))
+      (CAST(5 AS BIGINT), 'text',  CAST(31 AS BIGINT), CAST(31  AS BIGINT), CAST(217 AS BIGINT), CAST(2    AS BIGINT)),
+      (CAST(6 AS BIGINT), 'image', CAST(85 AS BIGINT), CAST(2   AS BIGINT), CAST(2   AS BIGINT), CAST(2    AS BIGINT))
     ) AS t(doc_id, modality, byte_len, width, height, n_frames)
     """,
     tags=("multimodal", "pandas-udf", "real-codecs"),
