@@ -168,25 +168,96 @@ class SqlCatalog:
             except (OSError, ValueError):
                 pass
 
-    def _persist(self) -> None:
+    def _persist(self, updates: dict[str, str | None]) -> None:
+        """Apply a registration DELTA (name → root; None = deregister) to
+        `_catalog.json` as read-merge-write under a commit lock — NOT a
+        whole-map overwrite, so two sessions on the same warehouse never
+        last-write-wins away each other's registrations (the same
+        optimistic-concurrency contract the table layer enforces). The
+        in-memory view also refreshes from disk, picking up peers'
+        tables."""
         if self.warehouse is None:
             return
         import json as _json
+        import time as _time
         import uuid as _uuid
 
         os.makedirs(self.warehouse, exist_ok=True)
         path = os.path.join(self.warehouse, "_catalog.json")
-        tmp = f"{path}.tmp.{_uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            _json.dump(self._tables, f, indent=1)
-        os.replace(tmp, path)
+        lock = f"{path}.lock"
+        deadline = _time.time() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if _time.time() - os.path.getmtime(lock) > 60.0:
+                        # atomic-rename stale break (one breaker wins)
+                        os.rename(lock, f"{lock}.broken-{_uuid.uuid4().hex}")
+                        continue
+                except OSError:
+                    continue
+                if _time.time() > deadline:
+                    raise TimeoutError(f"catalog lock {lock} held too long")
+                _time.sleep(0.01)
+        try:
+            try:
+                with open(path) as f:
+                    on_disk: dict = _json.load(f)
+            except (OSError, ValueError):
+                on_disk = {}
+            for k, v in updates.items():
+                if v is None:
+                    on_disk.pop(k, None)
+                else:
+                    on_disk[k] = v
+            tmp = f"{path}.tmp.{_uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                _json.dump(on_disk, f, indent=1)
+            os.replace(tmp, path)
+            # refresh the in-memory view with peers' registrations
+            self._tables = {k: v for k, v in on_disk.items() if os.path.isdir(v)}
+            self._tables.update(
+                {k: v for k, v in updates.items() if v is not None}
+            )
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     def register(self, name: str, root: str) -> None:
         self._tables[name.lower()] = root
-        self._persist()
+        self._persist({name.lower(): root})
+
+    def _refresh(self) -> None:
+        """Re-read peers' registrations from `_catalog.json` (durable-
+        catalog visibility: a name another session registered resolves
+        here without restarting)."""
+        if self.warehouse is None:
+            return
+        import json as _json
+
+        try:
+            with open(os.path.join(self.warehouse, "_catalog.json")) as f:
+                saved = _json.load(f)
+        except (OSError, ValueError):
+            return
+        for k, v in saved.items():
+            if k not in self._tables and os.path.isdir(v):
+                self._tables[k] = v
+
+    def _lookup(self, name: str) -> str | None:
+        root = self._tables.get(name.lower())
+        if root is None:
+            self._refresh()  # maybe a peer session registered it
+            root = self._tables.get(name.lower())
+        return root
 
     def table(self, name: str) -> SnapshotTable:
-        root = self._tables.get(name.lower())
+        root = self._lookup(name)
         if root is None:
             raise ValueError(f"unknown table {name!r} (register() it first)")
         return SnapshotTable(self.spark, root)
@@ -275,13 +346,13 @@ class SqlCatalog:
         if not m:
             raise ValueError(f"unsupported DROP: {stmt[:120]!r}")
         name = m.group("name").lower()
-        root = self._tables.get(name)
+        root = self._lookup(name)
         if root is None:
             if re.search(r"IF\s+EXISTS", stmt, re.I):
                 return None
             raise ValueError(f"unknown table {name!r} (register() it first)")
         del self._tables[name]
-        self._persist()
+        self._persist({name: None})
         if m.group("purge"):
             # Iceberg DROP TABLE PURGE: delete data + metadata; a plain
             # DROP only forgets the catalog entry (files stay on disk)
@@ -378,7 +449,7 @@ class SqlCatalog:
             if new_name in self._tables:
                 raise ValueError(f"table {new_name!r} already exists")
             self._tables[new_name] = self._tables.pop(old_name)
-            self._persist()
+            self._persist({old_name: None, new_name: self._tables[new_name]})
             return None
         am = re.match(r"ADD\s+COLUMNS?\s*\((?P<cols>.*)\)$", rest, re.I) or re.match(
             r"ADD\s+COLUMNS?\s+(?P<cols>.+)$", rest, re.I

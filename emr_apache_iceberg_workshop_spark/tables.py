@@ -167,7 +167,14 @@ class SnapshotTable:
         """Root-level commit lock (O_EXCL create): held only around the
         CAS-check + metadata swap, never around data writes. A lock file
         older than _LOCK_STALE_S is a crashed writer's orphan and is
-        broken."""
+        broken — via an ATOMIC RENAME to a per-breaker name, so of N
+        waiters that judge the same lock stale exactly one wins the
+        rename (the rest see FileNotFoundError and loop); unlink-then-
+        recreate would let a second breaker unlink the first breaker's
+        FRESH lock and admit two writers to the CAS section. The rename
+        winner verifies by inode that it moved the file it judged stale
+        (not a fresh lock that slipped into the µs check→rename window)
+        and restores it otherwise."""
         path = os.path.join(self.root, _LOCK)
         deadline = time.time() + _LOCK_WAIT_S
         while True:
@@ -177,11 +184,19 @@ class SnapshotTable:
                 return path
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(path) > _LOCK_STALE_S:
-                        os.unlink(path)
+                    st = os.stat(path)
+                    if time.time() - st.st_mtime > _LOCK_STALE_S:
+                        broken = f"{path}.broken-{uuid.uuid4().hex}"
+                        os.rename(path, broken)  # atomic: one breaker wins
+                        if os.stat(broken).st_ino == st.st_ino:
+                            os.unlink(broken)  # the stale orphan, confirmed
+                        else:
+                            # a fresh lock replaced the orphan between the
+                            # stat and the rename — hand it back
+                            os.rename(broken, path)
                         continue
                 except OSError:
-                    continue  # raced with the holder's release
+                    continue  # raced with the holder's release / a breaker
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"commit lock {path} held for >{_LOCK_WAIT_S}s"

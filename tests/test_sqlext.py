@@ -426,3 +426,23 @@ def test_merge_unknown_set_column_raises(spark, cat):
                WHEN MATCHED THEN UPDATE SET t.nope = s.v || 'x'
                WHEN NOT MATCHED THEN INSERT *"""
         )
+
+
+def test_concurrent_catalog_persist_merges(spark, tmp_path):
+    """Two sessions on one warehouse: each registration is a merged
+    DELTA into _catalog.json, not a whole-map overwrite — neither
+    session's tables are lost, and a DROP in one is not resurrected by
+    a later persist in the other."""
+    wh = str(tmp_path / "wh2")
+    a = SqlCatalog(spark, warehouse=wh)
+    b = SqlCatalog(spark, warehouse=wh)  # opened BEFORE a registers
+    a.sql("CREATE TABLE ta (id BIGINT)")
+    b.sql("CREATE TABLE tb (id BIGINT)")  # b never saw ta in memory
+    fresh = SqlCatalog(spark, warehouse=wh)
+    assert {"ta", "tb"} <= set(fresh._tables)
+    # drop in one session; a later persist from the other must not
+    # resurrect the dropped entry
+    a.sql("DROP TABLE tb")
+    b.sql("CREATE TABLE tc (id BIGINT)")
+    fresh2 = SqlCatalog(spark, warehouse=wh)
+    assert "tb" not in fresh2._tables and {"ta", "tc"} <= set(fresh2._tables)
