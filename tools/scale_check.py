@@ -1,0 +1,125 @@
+"""One-decade scaling spot-check for the heavy query families (VERDICT
+r07 task 8): generate an sf1-equivalent documents/embeddings fixture
+(10x sf0.1) and measure seconds-per-input-row for the five heaviest
+corpus queries at sf0.1 vs sf1. Results are recorded in SCALE.md — the
+100 TB claims in the docstrings get one measured decade of evidence
+instead of pure extrapolation.
+
+Fixture construction (deterministic, seed-pinned):
+- documents: every sf0.1 doc replicated 10x with distinct doc_ids; copy
+  k > 0 interleaves a copy-specific marker token every 4 words, which
+  breaks most w-shingles, so copies are NOT near-duplicates of each
+  other and the corpus's RELATIVE duplicate density stays at sf0.1's
+  level (exact-dup pairs replicate linearly; no artificial quadratic
+  candidate blowup).
+- embeddings: 10x fresh numpy-random vectors (seed 42), same dim/label
+  distribution as sf0.1 — matches the synthetic source distribution.
+
+Usage: python tools/scale_check.py [out_dir]   (default .scale/sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = ("d_simhash", "d_minhash_lsh", "c_dup_groups", "c_source_cap", "s_ivf_topk")
+FACTOR = 10
+
+
+def build_fixture(out_dir: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+
+    docs = pq.read_table(os.path.join(src, "documents.parquet")).to_pylist()
+    n0 = len(docs)
+    rows = []
+    for k in range(FACTOR):
+        for d in docs:
+            if k == 0:
+                text = d["text"]
+            else:
+                words = d["text"].split(" ")
+                out = []
+                for i, w in enumerate(words):
+                    out.append(w)
+                    if i % 4 == 3:
+                        out.append(f"cpy{k}x{d['doc_id'] % 97}")
+                text = " ".join(out)
+            rows.append(
+                {
+                    "doc_id": d["doc_id"] + k * n0,
+                    "text": text,
+                    "lang": d["lang"],
+                    "source": d["source"],
+                    "n_chars": len(text),
+                }
+            )
+    pq.write_table(
+        pa.Table.from_pylist(rows), os.path.join(out_dir, "documents.parquet")
+    )
+
+    emb = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    dim = len(emb.column("embedding")[0].as_py())
+    n_lab = max(x.as_py() for x in emb.column("label")) + 1
+    rng = np.random.default_rng(42)
+    n1 = emb.num_rows * FACTOR
+    vecs = rng.standard_normal((n1, dim)).astype("float32")
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(n1), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+            "label": pa.array((rng.integers(0, n_lab, n1)).astype("int32")),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
+    from emr_apache_iceberg_workshop_spark.plans.registry import registry
+
+    reg = registry()
+    out = {}
+    for name in QUERIES:
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            reg[name].fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".scale", "sf1")
+    if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+        build_fixture(out_dir)
+    from emr_apache_iceberg_workshop_spark.session import build_session
+
+    spark = build_session(app_name="scale-check")
+    t01 = time_queries(spark, "/root/testdata/sf0.1")
+    t1 = time_queries(spark, out_dir)
+    report = {}
+    for q in QUERIES:
+        # seconds-per-input-row ratio: >1 means super-linear growth
+        report[q] = {
+            "sf0.1_s": t01[q],
+            "sf1_s": t1[q],
+            "time_ratio": round(t1[q] / t01[q], 2),
+            "per_row_ratio": round(t1[q] / t01[q] / FACTOR, 2),
+        }
+    print("SCALE " + json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
