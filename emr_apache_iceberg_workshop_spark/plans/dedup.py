@@ -477,6 +477,19 @@ def d_simhash(spark, sf_dir) -> DataFrame:
     # shuffle on a ≤ 4·n-row key table instead of an O(n²) nested-loop —
     # the shape that survives 100 TB (same banding argument as
     # d_minhash_lsh). VERIFY recomputes exact hamming per candidate.
+    #
+    # Measured scaling (SCALE.md, sf0.1→sf1 probe): runtime here is
+    # OUTPUT-bound, not candidate-bound — on a duplicate-dense corpus the
+    # TRUE hamming≤3 pair set grows quadratically (hamming-0 groups alone
+    # give 41× the pairs at 10× the docs), so any exact pair enumeration
+    # is lower-bounded by its own result size. Widening the band keys
+    # (Manku-style 3-of-6 block combinations) was tried and REJECTED: it
+    # raises the per-true-pair candidate multiplicity (≤20 shared combo
+    # keys vs ≤4 shared bands) and measured ~2× slower at sf0.1. The
+    # scale path for dup-dense corpora is a wider fingerprint (64-bit
+    # simhash shrinks the hamming ball relative to the space) or
+    # cluster-representative output (c_dup_groups), not a different
+    # candidate scheme.
     band_pairs = ", ".join(
         f"{b}, CAST(shiftright(simhash, {8 * b}) & 255 AS INT)" for b in range(4)
     )
