@@ -621,10 +621,44 @@ class SqlCatalog:
             listed = {c.lower() for c in assignments} | {k.lower() for k in keys}
             if tcols - listed:
                 computed = True
-        if not re.search(
-            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", whens, re.I
-        ):
+        im = re.search(
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+            r"(?:(?P<star>\*)|\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*?)\))"
+            r"\s*(?=WHEN\s+|$)",
+            whens,
+            re.I | re.S,
+        )
+        if not im:
             raise ValueError("MERGE needs WHEN NOT MATCHED THEN INSERT")
+        # INSERT (cols) VALUES (exprs): a full-identity list is the
+        # reference's INSERT * shape; anything else (computed values,
+        # partial column list → NULLs) resolves through the computed path
+        # instead of being silently treated as INSERT *
+        inserts: dict[str, str] | None = None
+        if not im.group("star"):
+            icols = [c.strip() for c in _split_top(im.group("cols"))]
+            ivals = [v.strip() for v in _split_top(im.group("vals"))]
+            if len(icols) != len(ivals) or not icols:
+                raise ValueError("MERGE INSERT column/value count mismatch")
+            inserts = {}
+            ins_identity = True
+            for c, v in zip(icols, ivals):
+                cm = re.match(rf"(?:{ta}\.)?(\w+)$", c, re.I)
+                if not cm:
+                    raise ValueError(f"unsupported MERGE INSERT column: {c!r}")
+                cn = cm.group(1)
+                inserts[cn] = v
+                vm = re.match(rf"(?:{sa}\.)?(\w+)$", v, re.I)
+                if not (vm and vm.group(1).lower() == cn.lower()):
+                    ins_identity = False
+            tcols = {f.name.lower() for f in t.schema().fields}
+            unknown = {c.lower() for c in inserts} - tcols
+            if unknown:
+                raise ValueError(f"MERGE INSERT on unknown column(s): {sorted(unknown)}")
+            if ins_identity and not (tcols - {c.lower() for c in inserts}):
+                inserts = None  # full identity ≡ INSERT *
+            else:
+                computed = True
         src_text = m.group("src")
         if src_text.startswith("("):
             src = self.spark.sql(self._rewrite_reads(src_text[1:-1]))
@@ -633,8 +667,13 @@ class SqlCatalog:
         else:
             src = self.spark.table(src_text)
         if computed:
+            if sets == "*":  # SET * alongside a computed INSERT clause
+                tcols = {f.name for f in t.schema().fields}
+                assignments = {
+                    c: f"{sa}.{c}" for c in src.columns if c in tcols
+                }
             src = self._resolve_merge_assignments(
-                t, src, keys, assignments, ta, sa, op_col
+                t, src, keys, assignments, ta, sa, op_col, inserts
             )
         return t.merge(src, keys, op_col=op_col, delete_value=delete_value)
 
@@ -642,6 +681,7 @@ class SqlCatalog:
     def _resolve_merge_assignments(
         t, src, keys: list[str], assignments: dict[str, str],
         ta: str, sa: str, op_col: str | None,
+        inserts: dict[str, str] | None = None,
     ):
         """Computed / partial MERGE assignments (`SET t.qty = s.qty +
         t.qty`): resolve each matched row's NEW values by joining the
@@ -677,7 +717,19 @@ class SqlCatalog:
             proj.append(F.col(f"{sa}.{c}").alias(c))
         matched_new = j.select(*proj)
         unmatched = src.join(tgt.select(*keys).distinct(), list(keys), "left_anti")
-        return matched_new.unionByName(unmatched.select(*(cols + extra)))
+        if inserts is None:  # INSERT * — source rows pass through
+            return matched_new.unionByName(unmatched.select(*(cols + extra)))
+        # INSERT (cols) VALUES (exprs): expressions resolve against the
+        # source alias; columns missing from the list insert NULL (ANSI)
+        ins = {c.lower(): e for c, e in inserts.items()}
+        dtypes = {f.name: f.dataType for f in tgt.schema.fields}
+        un_proj = [
+            F.expr(ins[c.lower()]).cast(dtypes[c]).alias(c)
+            if c.lower() in ins
+            else F.lit(None).cast(dtypes[c]).alias(c)
+            for c in cols
+        ] + [F.col(f"{sa}.{c}").alias(c) for c in extra]
+        return matched_new.unionByName(unmatched.alias(sa).select(*un_proj))
 
     # -- procedures --------------------------------------------------------
     def _call(self, stmt: str):

@@ -446,3 +446,38 @@ def test_concurrent_catalog_persist_merges(spark, tmp_path):
     b.sql("CREATE TABLE tc (id BIGINT)")
     fresh2 = SqlCatalog(spark, warehouse=wh)
     assert "tb" not in fresh2._tables and {"ta", "tc"} <= set(fresh2._tables)
+
+
+def test_merge_computed_insert_values(spark, cat):
+    """INSERT (cols) VALUES (exprs) with computed values and a partial
+    column list: expressions evaluate against the source alias, unlisted
+    columns insert NULL (ANSI) — never silently treated as INSERT *."""
+    cat.sql("CREATE TABLE iv (id BIGINT, qty BIGINT, tag STRING)")
+    cat.sql("INSERT INTO iv VALUES (1, 10, 'old')")
+    spark.createDataFrame(
+        [(1, 5), (2, 7)], "id bigint, qty bigint"
+    ).createOrReplaceTempView("iv_batch")
+    cat.sql(
+        """MERGE INTO iv AS t USING iv_batch AS s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET t.qty = t.qty + s.qty
+           WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty * 100)"""
+    )
+    got = {r.id: (r.qty, r.tag) for r in cat.sql("SELECT * FROM iv").collect()}
+    assert got == {1: (15, "old"), 2: (700, None)}
+
+
+def test_merge_set_star_with_computed_insert(spark, cat):
+    """UPDATE SET * composes with a computed INSERT clause (matched rows
+    take the whole source row; unmatched rows take the VALUES exprs)."""
+    cat.sql("CREATE TABLE sv (id BIGINT, v STRING)")
+    cat.sql("INSERT INTO sv VALUES (1, 'a')")
+    spark.createDataFrame(
+        [(1, "a2"), (2, "b")], "id bigint, v string"
+    ).createOrReplaceTempView("sv_batch")
+    cat.sql(
+        """MERGE INTO sv AS t USING sv_batch AS s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, upper(s.v))"""
+    )
+    got = {r.id: r.v for r in cat.sql("SELECT * FROM sv").collect()}
+    assert got == {1: "a2", 2: "B"}
