@@ -324,6 +324,113 @@ def c_mix_corpora(spark, sf_dir) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temperature-scaled corpus mixing — the multilingual sampling scheme of
+# mT5/XLM-R (and GPT-3's corpus weighting): sample stratum l with
+# probability ∝ n_l^α, α = 0.5, flattening the raw distribution so
+# low-resource languages are upweighted relative to their share. With a
+# token budget T = 60% of the corpus, stratum l's sampling rate is
+# r_l = T · w_l / n_l (w_l the temperature weight), capped at 1; membership
+# is the usual deterministic hash gate, so the "sampler" is a scan-side
+# predicate like c_hash_sample's.
+#
+# Cross-engine determinism: α = 0.5 makes the power a sqrt — IEEE-exact
+# correctly-rounded in both engines (general pow() is libm-dependent) —
+# then round(·1000) pins the weight to integer per-mille before ALL
+# downstream arithmetic, which is pure BIGINT (multiply/DIV), so the
+# per-stratum threshold is bit-identical across engines. Operand order in
+# the DIV chain is part of the spec: both sides compute
+# ((sq_kilo·P) DIV S)·T DIV n_l.
+#
+# Scale shape: stratum stats are one tiny agg (rows = distinct langs,
+# broadcast back at any corpus size); the gate is a pure function of
+# (doc_id, stratum stats) evaluated scan-side — one linear pass, no
+# quadratic term, same as c_stratified_sample.
+_TMIX_HASH = _hash_expr("(d.doc_id * 31 + 7)")  # decorrelated from the
+# c_hash_sample/_hash2 streams: distinct affine pre-mix of the key
+_TMIX_BUDGET_NUM, _TMIX_BUDGET_DEN = 6, 10  # T = 60% of corpus
+
+
+@query(
+    "c_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CAST(round(sqrt(n) * 1000) AS BIGINT)) AS BIGINT) AS s
+      FROM counts
+    ), rates AS (
+      SELECT c.lang, c.n, tot.nn,
+             CAST(round(sqrt(c.n) * 1000) AS BIGINT) AS sq_kilo, tot.s,
+             ((CAST(round(sqrt(c.n) * 1000) AS BIGINT) * {_P}) // tot.s)
+               * ((tot.nn * {_TMIX_BUDGET_NUM}) // {_TMIX_BUDGET_DEN}) // c.n
+               AS r_scaled
+      FROM counts c CROSS JOIN tot
+    )
+    SELECT r.lang,
+           CAST(r.n AS BIGINT) AS n_docs,
+           ROUND(CAST(r.n AS DOUBLE) / r.nn, 9) AS raw_share,
+           ROUND(CAST(r.sq_kilo AS DOUBLE) / r.s, 9) AS temp_weight,
+           ROUND(CAST(r.r_scaled AS DOUBLE) / {_P}, 9) AS effective_epochs,
+           ROUND(CAST(LEAST(r.r_scaled, {_P}) AS DOUBLE) / {_P}, 9) AS sample_rate,
+           COUNT(CASE WHEN {_TMIX_HASH} < LEAST(r.r_scaled, {_P}) THEN 1 END)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN {_TMIX_HASH} < LEAST(r.r_scaled, {_P})
+                         THEN len({TOKS_D.replace('text', 'd.text')}) END) AS BIGINT)
+             AS sampled_tokens
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    GROUP BY r.lang, r.n, r.nn, r.sq_kilo, r.s, r.r_scaled
+    """,
+    tags=("curation:mix", "agg"),
+)
+def c_temperature_mix(spark, sf_dir) -> DataFrame:
+    """Per-language temperature-sampling report: raw share, α=0.5 weight,
+    effective epochs at a 60% token budget, realized sample via the
+    deterministic hash gate."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).alias("d")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.expr("CAST(round(sqrt(n) * 1000) AS BIGINT)")).cast("bigint").alias("s"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))  # 1-row scalar: corpus totals
+        .selectExpr(
+            "lang",
+            "n",
+            "nn",
+            "CAST(round(sqrt(n) * 1000) AS BIGINT) AS sq_kilo",
+            "s",
+            f"""((CAST(round(sqrt(n) * 1000) AS BIGINT) * {_P}) DIV s)
+                * ((nn * {_TMIX_BUDGET_NUM}) DIV {_TMIX_BUDGET_DEN}) DIV n
+                AS r_scaled""",
+        )
+    )
+    keep = F.expr(_TMIX_HASH) < F.expr(f"LEAST(r_scaled, CAST({_P} AS BIGINT))")
+    return (
+        docs.join(rates, "lang")
+        .groupBy("lang", "n", "nn", "sq_kilo", "s", "r_scaled")
+        .agg(
+            F.count(F.when(keep, 1)).alias("n_sampled"),
+            F.sum(F.when(keep, F.expr(f"size({TOKS_S})"))).cast("bigint").alias(
+                "sampled_tokens"
+            ),
+        )
+        .selectExpr(
+            "lang",
+            "CAST(n AS BIGINT) AS n_docs",
+            "ROUND(CAST(n AS DOUBLE) / nn, 9) AS raw_share",
+            "ROUND(CAST(sq_kilo AS DOUBLE) / s, 9) AS temp_weight",
+            f"ROUND(CAST(r_scaled AS DOUBLE) / {_P}, 9) AS effective_epochs",
+            f"ROUND(CAST(LEAST(r_scaled, CAST({_P} AS BIGINT)) AS DOUBLE) / {_P}, 9)"
+            " AS sample_rate",
+            "n_sampled",
+            "sampled_tokens",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Stratified rebalancing: cap every language stratum at STRATUM_CAP docs
 # via a per-stratum deterministic sampling rate (cap / stratum size).
 # Two-pass shape: a tiny per-stratum count agg (5 rows here; bounded by

@@ -520,6 +520,129 @@ def d_simhash(spark, sf_dir) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SimHash-64: the wider-fingerprint scale path d_simhash's docstring (and
+# the SCALE.md sf0.1→sf1 probe) names for duplicate-dense corpora. Bit b
+# (0..63) of the fingerprint is the majority vote of bit (b % 4) of hex
+# nibble (b // 4) of md5(token) — 4 bits per nibble over the first 16
+# nibbles, so the whole 64-bit key still costs ONE md5 per token. Doubling
+# the fingerprint width shrinks the hamming-≤3 ball relative to the space
+# (C(64,3)/2⁶⁴ vs C(32,3)/2³²), so random-token collisions vanish and the
+# output approaches the true near-dup set; candidates come from 8-byte
+# pigeonhole banding (hamming ≤ 3 ⇒ ≥ 5 of 8 bytes equal ⇒ some byte
+# matches exactly), the same equi-join shape that survives 100 TB.
+def _simhash64_terms() -> list[str]:
+    """Per-bit vote terms over precomputed nibble columns v0..v15.
+
+    Bit 63's weight is BIGINT min (two's complement: setting the sign bit
+    adds -2⁶³); written as `-9223372036854775807 - 1` because the bare
+    positive literal overflows the parser in both engines.
+    """
+    terms = []
+    for b in range(64):
+        w = str(1 << b) if b < 63 else "(-9223372036854775807 - 1)"
+        terms.append(f"(CASE WHEN 2 * c{b} > n THEN {w} ELSE 0 END)")
+    return terms
+
+
+def _simhash64_oracle_expr() -> str:
+    """DuckDB lambda twin: same votes from the md5 hex array __md."""
+    terms = []
+    for b in range(64):
+        nb, sh = b // 4 + 1, b % 4
+        cnt = (
+            f"len(list_filter(__md, h -> "
+            f"(CAST('0x' || substr(h, {nb}, 1) AS INT) >> {sh}) & 1 = 1))"
+        )
+        w = str(1 << b) if b < 63 else "(-9223372036854775807 - 1)"
+        terms.append(f"(CASE WHEN 2 * {cnt} > len(__md) THEN {w} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_simhash64_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash64_table(spark, sf_dir) -> DataFrame:
+    """(doc_id, simhash64) signature table, cached per (session, corpus) —
+    same shared-signature-table doctrine as _simhash_table: explode →
+    one md5 per distinct token → 16 nibble-value scalars → a single hash
+    aggregate with 64 conditional majority counts (codegen'd, map-side
+    combined before the doc_id shuffle). explode_outer keeps token-less
+    docs at fingerprint 0, matching the oracle's empty-list votes."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    df = _simhash64_cache.get(key)
+    if df is not None:
+        return df
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    nibbles = [
+        f"CAST(conv(substr(hh, {i + 1}, 1), 16, 10) AS INT) AS v{i}" for i in range(16)
+    ]
+    e = (
+        docs.selectExpr("doc_id", f"explode_outer(array_distinct({TOKS_S})) AS x")
+        .selectExpr("doc_id", "md5(x) AS hh")
+        .selectExpr("doc_id", "hh", *nibbles)
+    )
+    bit_counts = [
+        F.expr(f"count(CASE WHEN (v{b // 4} >> {b % 4}) & 1 = 1 THEN 1 END)").alias(f"c{b}")
+        for b in range(64)
+    ]
+    g = e.groupBy("doc_id").agg(F.count("hh").alias("n"), *bit_counts)
+    vote = " + ".join(_simhash64_terms())
+    df = g.selectExpr("doc_id", f"CAST({vote} AS BIGINT) AS simhash64").localCheckpoint(
+        eager=True
+    )
+    _simhash64_cache[key] = df
+    return df
+
+
+@query(
+    "d_simhash64",
+    oracle=f"""
+    WITH md AS (SELECT doc_id, {_simhash_md5s('duck')} AS __md FROM documents),
+         h AS (SELECT doc_id, {_simhash64_oracle_expr()} AS simhash64 FROM md)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash64 AS simhash_a, b.simhash64 AS simhash_b,
+           CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+    """,
+    tags=("dedup:simhash", "join"),
+)
+def d_simhash64(spark, sf_dir) -> DataFrame:
+    h = _simhash64_table(spark, sf_dir)
+    # 8-byte pigeonhole banding: hamming ≤ 3 flips bits in ≤ 3 of the 8
+    # bytes, so ≥ 5 bytes (hence at least one band key) match exactly.
+    # shiftright is arithmetic on the signed fingerprint, but & 255 masks
+    # back to the raw byte, so band values are stable for negative keys.
+    band_pairs = ", ".join(
+        f"{b}, CAST(shiftright(simhash64, {8 * b}) & 255 AS INT)" for b in range(8)
+    )
+    bands = h.selectExpr(
+        "doc_id", "simhash64", f"stack(8, {band_pairs}) AS (band_idx, band_val)"
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash64").alias("simhash_a"),
+            F.col("y.simhash64").alias("simhash_b"),
+        )
+        .distinct()  # a pair can share several bands
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(simhash_a ^ simhash_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "simhash_a", "simhash_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup: exact decimal dot products, pairs > 0.4
 @query(
     "d_embedding_neardup",

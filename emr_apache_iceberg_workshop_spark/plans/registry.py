@@ -35,19 +35,27 @@ _MODULES = [
 # names, r04 covered event-time + the r04-new operators, r05 covered the
 # 45 names outside r04's window + 5 result-touched names.
 #
-# r08 leads with (a) the 45 names last driver-signed in r05 (oldest rows —
-# no name should go more than ~2 rounds unsigned; r06 covered 45, r07 the
-# other 50, so the r05 cohort is the only stale one), then (b) the 5
-# names whose CODE this round changes (t_repetition's linear top-count
-# rewrite; v2 metadata count fixes behind q_meta_iceberg_v2; the GIF
-# frame-walk behind m_real_codecs; computed-assignment MERGE in the SQL
-# facade behind q_sql_surface; cardinality-capped COW planning behind
-# q_meta_dml) — exactly filling the 50-slot window. A
-# test_registry_prefix test fails loudly on any name missing from the
-# registry. Unlisted names follow in module-registration order (all
-# green in r06/r07).
+# r08 leads with (a) the 3 queries NEW this round (never driver-signed —
+# a new query outside the window would reach the judge with no signature
+# at all, strictly worse than an aged one), then (b) the 45 names last
+# driver-signed in r05 (oldest rows — no name should go more than ~2
+# rounds unsigned; r06 covered 45, r07 the other 50, so the r05 cohort is
+# the only stale one), then (c) the 5 names whose CODE this round changes
+# (t_repetition's linear top-count rewrite; v2 metadata count fixes behind
+# q_meta_iceberg_v2; the GIF frame-walk behind m_real_codecs;
+# computed-assignment MERGE in the SQL facade behind q_sql_surface;
+# cardinality-capped COW planning behind q_meta_dml). 3 + 45 + 5 = 53
+# overfills the 50-slot window by 3: the last three (c) names
+# (m_real_codecs, q_sql_surface, q_meta_dml) fall out and MUST lead the
+# r09 prefix. A test_registry_prefix test fails loudly on any name
+# missing from the registry. Unlisted names follow in module-registration
+# order (all green in r06/r07).
 _PREFIX_ORDER = [
-    # (a) last signed r05 (45 names)
+    # (a) new in r08, never signed
+    "d_simhash64",
+    "t_bigram_logprob",
+    "c_temperature_mix",
+    # (b) last signed r05 (45 names)
     "d_embedding_neardup",
     "d_exact_dup",
     "d_minhash_lsh",
@@ -93,7 +101,7 @@ _PREFIX_ORDER = [
     "s_cosine_topk",
     "s_ivf_topk",
     "s_lsh_topk",
-    # (b) code-touched this round (fills the 50 slots)
+    # (c) code-touched this round (last 3 overflow the window → lead r09)
     "t_repetition",
     "q_meta_iceberg_v2",
     "m_real_codecs",

@@ -564,6 +564,81 @@ def t_unigram_logprob(spark, sf_dir) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bigram language-model quality score — one Markov order up from
+# t_unigram_logprob, the closest in-sandbox analogue of the KenLM n-gram
+# perplexity filters real pipelines run (CCNet-style): fit a bigram LM on
+# the corpus itself with add-one smoothing over the unigram vocabulary,
+# P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V), then score
+# each document by its mean bigram negative-log-probability. Fluent docs
+# (common continuations) score low; token soup scores near ln(V).
+#
+# Scale shape: LM "training" is TWO frequency aggregations (bigram counts
+# + unigram context counts, both map-side combined); scoring is two plain
+# equi-joins of the exploded corpus against those tables (AQE broadcasts
+# small vocabs, flips to sort-merge at web scale — same as unigram). The
+# bigram table is the big one (O(distinct bigrams)) but it is the SAME
+# table a KenLM build would materialize; nothing here is quadratic.
+# Determinism follows t_unigram_logprob's doctrine: exact-decimal SUM
+# (order-free), per-token ln() rounded away at 9 decimals.
+@query(
+    "t_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {TOKS_D} AS toks FROM documents),
+         uni AS (SELECT unnest(toks) AS tk FROM tok),
+         vocab AS (SELECT tk, COUNT(*) AS cu FROM uni GROUP BY tk),
+         vsz AS (SELECT COUNT(*) AS v FROM vocab),
+         big AS (SELECT doc_id, unnest({_BIGS_FROM_TOKS_D}) AS bg FROM tok),
+         bgc AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+         scored AS (
+           SELECT b.doc_id,
+                  -ln((bgc.cb + 1.0) / (vocab.cu + vsz.v)) AS nlp
+           FROM big b
+           JOIN bgc ON b.bg = bgc.bg
+           JOIN vocab ON split_part(b.bg, ' ', 1) = vocab.tk
+           CROSS JOIN vsz),
+         per_doc AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+                  ROUND(CAST(CAST(SUM(CAST(nlp AS DECIMAL(38,12))) AS DOUBLE)
+                             / COUNT(*) AS DOUBLE), 9) AS mean_nlp
+           FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, mean_nlp,
+           mean_nlp <= 3.4 AS passes_lm_gate
+    FROM per_doc
+    """,
+    tags=("textops:lm-quality", "join", "agg"),
+)
+def t_bigram_logprob(spark, sf_dir) -> DataFrame:
+    """Per-document mean bigram negative-log-prob under the corpus's own
+    add-one-smoothed bigram LM (unigram-context denominator), plus the
+    quality-gate verdict. Documents with fewer than two tokens have no
+    bigrams and are excluded (inner-join semantics), matching the oracle."""
+    toks = _toks_for(spark, sf_dir)
+    uni = toks.selectExpr("explode(toks) AS tk")
+    vocab = uni.groupBy("tk").agg(F.count(F.lit(1)).alias("cu"))
+    vsz = vocab.agg(F.count(F.lit(1)).alias("v"))
+    big = toks.selectExpr("doc_id", f"explode({_BIGS_FROM_TOKS_S}) AS bg")
+    bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        big.join(bgc, "bg")
+        .withColumn("tk", F.expr("split_part(bg, ' ', 1)"))
+        .join(vocab, "tk")
+        .crossJoin(F.broadcast(vsz))  # 1-row scalar: vocabulary size
+        .withColumn("nlp", -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v"))))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            (
+                F.sum(F.col("nlp").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("double"),
+            9,
+        ).alias("mean_nlp"),
+    )
+    return per_doc.withColumn("passes_lm_gate", F.col("mean_nlp") <= 3.4)
+
+
+# --------------------------------------------------------------------------
 @query(
     "t_tfidf_keywords",
     # ranking key is INTEGER arithmetic (tf·10⁶ ÷ (df+1), floor division)

@@ -1,0 +1,96 @@
+"""Properties of the round-8 operators beyond what the value-hash oracle
+checks: simhash64 precision vs the 32-bit fingerprint, bigram-LM score
+bounds, and temperature-mix flattening."""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_SMOKE
+
+
+def test_simhash64_tighter_than_32bit(spark):
+    """Doubling the fingerprint width shrinks the hamming-<=3 ball relative
+    to the space, so the 64-bit near-dup set must be a (strict, on this
+    dup-dense fixture) subset-in-size of the 32-bit one, and exact
+    duplicates (identical distinct-token sets) must still collide at
+    hamming 0."""
+    from emr_apache_iceberg_workshop_spark.catalog import load_table
+    from emr_apache_iceberg_workshop_spark.plans.dedup import d_simhash, d_simhash64
+    from emr_apache_iceberg_workshop_spark.plans.textops import TOKS_S
+
+    n32 = d_simhash(spark, SF_SMOKE).count()
+    p64 = d_simhash64(spark, SF_SMOKE).collect()
+    assert 0 < len(p64) < n32
+    for r in p64:
+        assert 0 <= r.hamming <= 3
+        assert r.doc_a < r.doc_b
+    # the fingerprint is a pure function of the distinct-token SET, so any
+    # two docs with identical token sets must appear at hamming 0
+    zero_pairs = {(r.doc_a, r.doc_b) for r in p64 if r.hamming == 0}
+    sets = (
+        load_table(spark, SF_SMOKE, "documents")
+        .selectExpr(
+            "doc_id",
+            f"md5(concat_ws(' ', array_sort(array_distinct({TOKS_S})))) AS h",
+        )
+        .collect()
+    )
+    by_hash: dict = {}
+    for r in sets:
+        by_hash.setdefault(r.h, []).append(r.doc_id)
+    groups = [sorted(ids) for ids in by_hash.values() if len(ids) > 1]
+    assert groups, "fixture has no identical-token-set docs"
+    for ids in groups[:20]:
+        assert (ids[0], ids[1]) in zero_pairs
+
+
+def test_simhash64_rerun_deterministic(spark):
+    from emr_apache_iceberg_workshop_spark.plans.dedup import _simhash64_cache, d_simhash64
+
+    a = sorted(map(tuple, d_simhash64(spark, SF_SMOKE).collect()))
+    _simhash64_cache.clear()  # force signature recompute, not cache replay
+    b = sorted(map(tuple, d_simhash64(spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_bigram_logprob_bounds(spark):
+    """Add-one smoothing bounds every per-bigram nlp in (0, ln(c_max + V)),
+    so the per-doc mean must lie inside those bounds; docs with < 2 tokens
+    have no bigrams and are excluded."""
+    from emr_apache_iceberg_workshop_spark.catalog import load_table
+    from emr_apache_iceberg_workshop_spark.plans.textops import TOKS_S, t_bigram_logprob
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_tokens_total = docs.selectExpr(f"sum(size({TOKS_S})) AS n").collect()[0].n
+    n_multi = docs.selectExpr(f"size({TOKS_S}) AS n").filter("n >= 2").count()
+    rows = t_bigram_logprob(spark, SF_SMOKE).collect()
+    assert len(rows) == n_multi
+    ub = math.log(n_tokens_total + n_tokens_total)  # c_u + V <= N + V <= 2N
+    for r in rows:
+        assert 0.0 < r.mean_nlp < ub
+        assert r.n_bigrams >= 1
+        assert r.passes_lm_gate == (r.mean_nlp <= 3.4)
+
+
+def test_temperature_mix_flattens(spark):
+    """alpha = 0.5 temperature weights must (a) sum to ~1, (b) be strictly
+    flatter than the raw shares (smaller max/min spread), (c) upweight the
+    lowest-resource stratum's sampling rate above the highest-resource
+    one's, with every realized sample within its stratum."""
+    from emr_apache_iceberg_workshop_spark.plans.curation import c_temperature_mix
+
+    rows = {r.lang: r for r in c_temperature_mix(spark, SF_SMOKE).collect()}
+    assert len(rows) >= 2
+    assert abs(sum(r.temp_weight for r in rows.values()) - 1.0) < 1e-6
+    assert abs(sum(r.raw_share for r in rows.values()) - 1.0) < 1e-6
+    raw = [r.raw_share for r in rows.values()]
+    tw = [r.temp_weight for r in rows.values()]
+    assert max(tw) / min(tw) < max(raw) / min(raw)
+    lo = min(rows.values(), key=lambda r: r.n_docs)
+    hi = max(rows.values(), key=lambda r: r.n_docs)
+    assert lo.sample_rate > hi.sample_rate
+    assert lo.effective_epochs > hi.effective_epochs
+    for r in rows.values():
+        assert 0 <= r.n_sampled <= r.n_docs
+        assert r.sample_rate <= 1.0

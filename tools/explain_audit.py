@@ -82,6 +82,10 @@ BROADCAST_HINT_ALLOWED = {
     },
     "plans/textops.py": {
         "tot",  # 1-row scalar aggregate (total token count + vocab size)
+        "vsz",  # 1-row scalar aggregate (bigram-LM vocabulary size)
+    },
+    "plans/curation.py": {
+        "tot",  # 1-row scalar aggregate (corpus doc count + sqrt-weight sum)
     },
     "plans/bucketed.py": {
         "bf_row",  # 1-row bloom bit-array (O(BLOOM_BITS/64) words, corpus-size-free)
