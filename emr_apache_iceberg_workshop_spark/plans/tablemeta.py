@@ -66,6 +66,15 @@ def _fixture_valid() -> bool:
             [s["snapshot_id"] for s in snaps] == [1, 2, 3]
             and any(s.get("delete_file") for s in snaps)
             and doc.get("tags") == {"audit": 2}
+            # manifest paths must exist on disk: a drifted fixture (meta
+            # from one build, data dirs from another) reads fine through
+            # the dir-level Spark scan but breaks every manifest consumer
+            # (.files, iceberg emission, the dsv2 file-level reader)
+            and all(
+                os.path.exists(os.path.join(DEMO_ROOT, f["path"]))
+                for s in snaps
+                for f in s.get("files", [])
+            )
         )
     except Exception:
         return False
@@ -367,7 +376,12 @@ def _age_table(spark):
     try:
         with open(_AGE_META) as f:
             doc = _json.load(f)
-        if [s["snapshot_id"] for s in doc["snapshots"]] == [3, 4]:
+        if [s["snapshot_id"] for s in doc["snapshots"]] == [3, 4] and set(
+            doc.get("dir_manifests", {})
+        ) == {"data/s1", "data/s2"}:
+            # the dir_manifests check rejects fixtures built before the
+            # expiry manifest-relocation fix (a stale one read fine via
+            # the dir-level Spark scan but lost .files/dsv2 manifests)
             return SnapshotTable(spark, AGE_ROOT)
     except Exception:
         pass
