@@ -36,7 +36,7 @@ _MODULES = [
 # names, r04 covered event-time + the r04-new operators, r05 covered the
 # 45 names outside r04's window + 5 result-touched names.
 #
-# r08 leads with (a) the 6 queries NEW this round (never driver-signed —
+# r08 leads with (a) the 8 queries NEW this round (never driver-signed —
 # a new query outside the window would reach the judge with no signature
 # at all, strictly worse than an aged one), then (b) the 45 names last
 # driver-signed in r05 (oldest rows — no name should go more than ~2
@@ -45,10 +45,11 @@ _MODULES = [
 # (t_repetition's linear top-count rewrite; v2 metadata count fixes behind
 # q_meta_iceberg_v2; the GIF frame-walk behind m_real_codecs;
 # computed-assignment MERGE in the SQL facade behind q_sql_surface;
-# cardinality-capped COW planning behind q_meta_dml). 6 + 45 + 5 = 56
-# overfills the 50-slot window by 6: the last (b) name (s_lsh_topk) and
-# all five (c) names fall out and MUST lead the r09 prefix
-# (s_lsh_topk, t_repetition, q_meta_iceberg_v2, m_real_codecs,
+# cardinality-capped COW planning behind q_meta_dml). 8 + 45 + 5 = 58
+# overfills the 50-slot window by 8: the last three (b) names
+# (s_cosine_topk, s_ivf_topk, s_lsh_topk) and all five (c) names
+# fall out and MUST lead the r09 prefix (s_cosine_topk, s_ivf_topk,
+# s_lsh_topk, t_repetition, q_meta_iceberg_v2, m_real_codecs,
 # q_sql_surface, q_meta_dml). A test_registry_prefix test fails loudly on
 # any name missing from the registry. Unlisted names follow in
 # module-registration order (all green in r06/r07).
@@ -60,6 +61,8 @@ _PREFIX_ORDER = [
     "q_dsv2_scan",
     "q_dsv2_incremental",
     "q_dsv2_pushdown",
+    "q_dsv2_write",
+    "q_dsv2_stream",
     # (b) last signed r05 (45 names)
     "d_embedding_neardup",
     "d_exact_dup",

@@ -53,7 +53,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -61,9 +63,16 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
+
+try:  # streaming Arrow writer (SPARK-48961 line); row-based fallback below
+    from pyspark.sql.datasource import DataSourceStreamArrowWriter
+except ImportError:  # pragma: no cover
+    DataSourceStreamArrowWriter = None
 
 FORMAT_NAME = "eiws"
 
@@ -192,6 +201,31 @@ def _schema_ddl_at(meta: dict, snapshot_id: int | None) -> str:
     return ", ".join(out)
 
 
+def _ddl_fields(ddl: str) -> list[tuple[str, str]]:
+    """Space-form DDL -> [(name, simpleString)], splitting on top-level
+    commas only (decimal(10, 2) commas survive) and stripping the space
+    inside parameterized types so the strings compare equal to
+    DataType.simpleString()."""
+    fields, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        fields.append("".join(cur))
+    out = []
+    for f in fields:
+        name, typ = f.strip().split(" ", 1)
+        out.append((name, typ.strip().replace(" ", "").lower()))
+    return out
+
+
 def _load_mask_tuples(root: str, rels: list) -> list[dict]:
     import pyarrow.parquet as pq
 
@@ -250,6 +284,154 @@ def _parse_part_value(raw: str | None, simple: str):
     return raw  # string
 
 
+def _append_rels(meta: dict, lo: int, hi: int) -> list[str]:
+    """(lo, hi] append dirs — tables.py:scan_incremental semantics,
+    including the raise on non-append commits and expired ranges. Shared
+    by the batch incremental read and the streaming reader's batches."""
+    chain = _lineage(meta, hi)
+    if not chain or chain[0]["snapshot_id"] != hi:
+        raise ValueError(f"unknown snapshot {hi}")
+    rels: list[str] = []
+    reached_lo = lo == 0 and _parent_id(chain[-1]) is None
+    for s in chain:
+        if s["snapshot_id"] <= lo:
+            reached_lo = True
+            break
+        if not s["dirs"] and s["operation"] in ("evolve-schema", "evolve-partition"):
+            continue
+        if s["operation"] not in ("append", "create"):
+            raise ValueError(
+                f"incremental read over non-append snapshot "
+                f"{s['snapshot_id']} ({s['operation']})"
+            )
+        rels += s["dirs"]
+    if not reached_lo and not (lo == 0 and _parent_id(chain[-1]) is None):
+        raise ValueError(f"incremental range ({lo}, {hi}] spans expired snapshots")
+    return rels
+
+
+def _plan_entries(
+    root: str,
+    meta: dict,
+    entries: list,
+    deletes: list,
+    as_of: int | None,
+    fields: list,
+    file_keep=None,
+) -> list:
+    """FileSlices for the given active-dir entries: per-file partition
+    exclusion, delete-file assignment by sequence number, rename mapping.
+    `file_keep(manifest_entry)` filters files (pushed-filter pruning);
+    None keeps everything. Shared by the batch reader and the streaming
+    reader (whose append-only batches pass deletes=[])."""
+    by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    renames = _renames(meta)
+    out: list[FileSlice] = []
+    for e in entries:
+        rel, excl = _entry_rel(e), _entry_excl(e)
+        excl = excl + _load_mask_tuples(root, _entry_masks(e))
+        dsid = _dir_sid(rel)
+        ws = _dir_manifest(meta, by_sid, rel)
+        # deletes committed after this dir apply to its rows
+        eq, pos = [], []
+        for d in deletes:
+            if d["sid"] <= dsid:
+                continue
+            if d.get("style") == "position":
+                pos.append(os.path.join(root, d["file"]))
+            else:
+                eq.append(
+                    {"dir": os.path.join(root, d["file"]), "keys": list(d["keys"])}
+                )
+        for f in ws.get("files", []):
+            if not f["path"].startswith(rel + "/") and f["path"] != rel:
+                continue
+            part = {k: _part_str(v) for k, v in f["partition"].items()}
+            if part in excl:
+                continue  # rewritten by a later partition-scoped commit
+            if file_keep is not None and not file_keep(f):
+                continue  # pushed-filter file pruning
+            cols = []
+            for name, simple in fields:
+                if name in f["partition"]:
+                    cols.append((name, None, simple))  # injected constant
+                else:
+                    cols.append((name, _name_at(renames, dsid, name, as_of), simple))
+            out.append(
+                FileSlice(
+                    path=os.path.join(root, f["path"]),
+                    rel=f["path"],
+                    columns=cols,
+                    part_values={
+                        name: part.get(name)
+                        for name, _h, _t in cols
+                        if name in f["partition"]
+                    },
+                    eq_deletes=eq,
+                    pos_delete_dirs=pos,
+                )
+            )
+    return out
+
+
+def _read_slice(partition):
+    """Executor-side read of one FileSlice: pyarrow parquet read + MOR
+    delete resolution + schema projection. Shared by the batch and
+    streaming readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not partition.path:  # empty-table sentinel
+        return
+    file_cols = [h for _n, h, _t in partition.columns if h is not None]
+    t = pq.read_table(partition.path, columns=file_cols)
+    n = t.num_rows
+    keep = None  # None = all rows; else a python list[bool]
+
+    if partition.pos_delete_dirs:
+        dead: set[int] = set()
+        for d in partition.pos_delete_dirs:
+            pt = pq.read_table(d)
+            rels = pt.column("file_rel").to_pylist()
+            poss = pt.column("pos").to_pylist()
+            dead.update(p for r, p in zip(rels, poss) if r == partition.rel)
+        if dead:
+            keep = [i not in dead for i in range(n)]
+
+    for d in partition.eq_deletes:
+        dt_ = pq.read_table(d["dir"], columns=d["keys"])
+        dset = set(zip(*[dt_.column(k).to_pylist() for k in d["keys"]]))
+        if not dset:
+            continue
+        # key columns under their IN-FILE (historical) names
+        by_out = {name: h for name, h, _t in partition.columns}
+        kcols = []
+        for k in d["keys"]:
+            h = by_out.get(k, k)
+            if h is None:  # key is an injected partition column
+                simple = next(t_ for nm, _h, t_ in partition.columns if nm == k)
+                v = _parse_part_value(partition.part_values.get(k), simple)
+                kcols.append([v] * n)
+            else:
+                kcols.append(t.column(h).to_pylist())
+        mask = [tup not in dset for tup in zip(*kcols)]
+        keep = mask if keep is None else [a and b for a, b in zip(keep, mask)]
+
+    if keep is not None:
+        t = t.filter(pa.array(keep))
+
+    arrays, names = [], []
+    for name, hist, simple in partition.columns:
+        typ = _pa_type(simple)
+        if hist is None:
+            v = _parse_part_value(partition.part_values.get(name), simple)
+            arrays.append(pa.array([v] * t.num_rows, type=typ))
+        else:
+            arrays.append(t.column(hist).cast(typ))
+        names.append(name)
+    yield from pa.table(arrays, names=names).to_batches()
+
+
 # ---------------------------------------------------------------------------
 @dataclass
 class FileSlice(InputPartition):
@@ -285,7 +467,9 @@ class SnapshotTableReader(DataSourceReader):
         matching rows, Spark still applies each predicate row-level."""
         for f in filters:
             if isinstance(
-                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In)
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                 LessThanOrEqual, In, IsNull, IsNotNull),
             ) and len(f.attribute) == 1:
                 self.pushed.append(f)
         return filters
@@ -294,8 +478,29 @@ class SnapshotTableReader(DataSourceReader):
         """Manifest-level pruning: False only when NO row of the file can
         satisfy every pushed filter (partition value or min/max bounds)."""
         bounds = f.get("bounds") or {}
+        nulls = f.get("nulls") or {}
         for flt in self.pushed:
             col = flt.attribute[0]
+            if isinstance(flt, IsNull):
+                # prunable when the file provably has NO null in col:
+                # a non-null partition value, or a footer null count of 0
+                if col in part and part[col] is not None:
+                    return False
+                if col not in part and nulls.get(col) == 0:
+                    return False
+                continue
+            if isinstance(flt, IsNotNull):
+                # prunable when EVERY row is null in col
+                if col in part and part[col] is None:
+                    return False
+                if (
+                    col not in part
+                    and col in nulls
+                    and f.get("rows")
+                    and nulls[col] >= f["rows"]
+                ):
+                    return False
+                continue
             if col in part:
                 v = part[col]
                 if v is None:
@@ -366,41 +571,16 @@ class SnapshotTableReader(DataSourceReader):
         head = _head(meta, self.options.get("branch", "main"))
         return head, None
 
-    def _incremental_dirs(self, meta: dict) -> list[str]:
-        """(start, end] append dirs — tables.py:scan_incremental semantics,
-        including the raise on non-append commits and expired ranges."""
-        lo = int(self.options.get("start-snapshot-id") or 0)
-        end = int(self.options["end-snapshot-id"])
-        chain = _lineage(meta, end)
-        if not chain or chain[0]["snapshot_id"] != end:
-            raise ValueError(f"unknown snapshot {end}")
-        rels: list[str] = []
-        reached_lo = lo == 0 and _parent_id(chain[-1]) is None
-        for s in chain:
-            if s["snapshot_id"] <= lo:
-                reached_lo = True
-                break
-            if not s["dirs"] and s["operation"] in ("evolve-schema", "evolve-partition"):
-                continue
-            if s["operation"] not in ("append", "create"):
-                raise ValueError(
-                    f"incremental read over non-append snapshot "
-                    f"{s['snapshot_id']} ({s['operation']})"
-                )
-            rels += s["dirs"]
-        if not reached_lo and not (lo == 0 and _parent_id(chain[-1]) is None):
-            raise ValueError(f"incremental range ({lo}, {end}] spans expired snapshots")
-        return rels
-
     def partitions(self):
         with open(os.path.join(self.root, "_meta.json")) as fh:
             meta = json.load(fh)
-        by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
-        renames = _renames(meta)
 
         incremental = self.options.get("end-snapshot-id") is not None
         if incremental:
-            entries: list = list(self._incremental_dirs(meta))
+            lo = int(self.options.get("start-snapshot-id") or 0)
+            entries: list = list(
+                _append_rels(meta, lo, int(self.options["end-snapshot-id"]))
+            )
             deletes: list = []
             as_of = None
         else:
@@ -412,110 +592,340 @@ class SnapshotTableReader(DataSourceReader):
             entries = snap["active_dirs"]
             deletes = snap.get("active_deletes", [])
 
-        out: list[FileSlice] = []
-        for e in entries:
-            rel, excl = _entry_rel(e), _entry_excl(e)
-            excl = excl + _load_mask_tuples(self.root, _entry_masks(e))
-            dsid = _dir_sid(rel)
-            ws = _dir_manifest(meta, by_sid, rel)
-            # deletes committed after this dir apply to its rows
-            eq, pos = [], []
-            for d in deletes:
-                if d["sid"] <= dsid:
-                    continue
-                if d.get("style") == "position":
-                    pos.append(os.path.join(self.root, d["file"]))
-                else:
-                    eq.append(
-                        {
-                            "dir": os.path.join(self.root, d["file"]),
-                            "keys": list(d["keys"]),
-                        }
-                    )
-            for f in ws.get("files", []):
-                if not f["path"].startswith(rel + "/") and f["path"] != rel:
-                    continue
-                part = {k: _part_str(v) for k, v in f["partition"].items()}
-                if part in excl:
-                    continue  # rewritten by a later partition-scoped commit
-                if not self._file_may_match(f, f["partition"]):
-                    continue  # pushed-filter file pruning
-                cols = []
-                for name, simple in self.fields:
-                    if name in f["partition"]:
-                        cols.append((name, None, simple))  # injected constant
-                    else:
-                        cols.append((name, _name_at(renames, dsid, name, as_of), simple))
-                out.append(
-                    FileSlice(
-                        path=os.path.join(self.root, f["path"]),
-                        rel=f["path"],
-                        columns=cols,
-                        part_values={
-                            name: part.get(name)
-                            for name, _h, _t in cols
-                            if name in f["partition"]
-                        },
-                        eq_deletes=eq,
-                        pos_delete_dirs=pos,
-                    )
-                )
-        return out
+        return _plan_entries(
+            self.root, meta, entries, deletes, as_of, self.fields,
+            file_keep=lambda f: self._file_may_match(f, f["partition"]),
+        )
 
     # -- executor side -----------------------------------------------------
     def read(self, partition: FileSlice):
+        return _read_slice(partition)
+
+
+# ---------------------------------------------------------------------------
+# Write path: `df.write.format("eiws")` / `df.writeStream.format("eiws")`.
+# Executors stage hive-layout parquet with pyarrow into a unique
+# `data/.stage-*` dir (the same layout SnapshotTable._stage_data_dir gets
+# from Spark's partitionBy); the driver-side commit() publishes it through
+# SnapshotTable.commit_staged — the SAME CAS/rebase commit protocol as
+# every native writer, so DSv2 and library writers can race each other
+# safely. The reference writes through `writeTo(...).append()` /
+# format-level saves on its Iceberg tables (`raw-bronze.py:104-107`,
+# `bronze-silver.py:194`); this is that call shape.
+
+# Hive path escaping (Spark ExternalCatalogUtils.escapePathName parity):
+# these chars are %XX-escaped in partition directory names.
+_PATH_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _escape_path(v: str) -> str:
+    return "".join(f"%{ord(c):02X}" if c in _PATH_ESCAPE else c for c in v)
+
+
+def _spark_type(simple: str):
+    """simpleString -> pyspark DataType, session-free (for the bucket
+    transform's value serialization in the data-source worker)."""
+    from pyspark.sql import types as T
+
+    if simple.startswith("decimal("):
+        p, s = simple[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    m = {
+        "bigint": T.LongType(), "long": T.LongType(),
+        "int": T.IntegerType(), "integer": T.IntegerType(),
+        "smallint": T.ShortType(), "tinyint": T.ByteType(),
+        "string": T.StringType(), "boolean": T.BooleanType(),
+        "date": T.DateType(), "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(), "binary": T.BinaryType(),
+        "double": T.DoubleType(), "float": T.FloatType(),
+    }
+    if simple not in m:
+        raise ValueError(f"eiws writer: unsupported column type {simple!r}")
+    return m[simple]
+
+
+@dataclass
+class _WriteMsg(WriterCommitMessage):
+    files: int = 0
+    rows: int = 0
+    # stage-root-relative paths this task wrote (incl. partition subdirs).
+    # The streaming commit publishes EXACTLY these — the standard Spark
+    # commit-protocol shape — because its writer object is re-instantiated
+    # per worker (no shared uuid rendezvous like the batch path).
+    paths: list = field(default_factory=list)
+
+
+class _StageWriter:
+    """Shared batch/stream writer core. Instances are created driver-side
+    (in the data-source worker), pickled to executors for write(), and the
+    SAME instance commits driver-side — the stage dir name minted at
+    construction is the rendezvous."""
+
+    def __init__(self, options, schema_fields: list[tuple[str, str]], overwrite: bool):
+        import uuid
+
+        self.root = os.path.abspath(options.get("table") or options.get("path") or "")
+        if not self.root or not os.path.exists(os.path.join(self.root, "_meta.json")):
+            raise ValueError(
+                "eiws writer needs .option('table', <root>) or .save(<root>) "
+                f"pointing at an existing snapshot table (got {self.root!r}); "
+                "create tables with SnapshotTable.create or the SQL facade"
+            )
+        with open(os.path.join(self.root, "_meta.json")) as fh:
+            meta = json.load(fh)
+        table_cols = _ddl_fields(_schema_ddl_at(meta, None))
+        if sorted(schema_fields) != sorted(table_cols):
+            raise ValueError(
+                f"eiws writer: dataframe schema {schema_fields} does not match "
+                f"table schema {table_cols}"
+            )
+        from ..partitioning import parse_spec
+
+        self.columns = table_cols  # table order
+        self.part_fields = parse_spec(meta.get("partition_by") or [])
+        self.part_names = [f.name for f in self.part_fields]
+        # Spark's partitionBy strips the partition COLUMN from data files:
+        # identity fields strip the source column itself (the reader
+        # injects it back from the dir name); transform fields strip only
+        # the derived column, which never existed in the dataframe.
+        ident = {f.name for f in self.part_fields if f.transform == "identity"}
+        self.file_cols = [(n, t) for n, t in table_cols if n not in ident]
+        types = dict(table_cols)
+        self.src_types = {f.source: types[f.source] for f in self.part_fields}
+        self.mode = "overwrite" if overwrite else "append"
+        self.branch = options.get("branch", "main")
+        self.stage_rel = f"data/.stage-{uuid.uuid4().hex[:12]}"
+
+    # -- executor side -----------------------------------------------------
+    def _dir_value(self, f, v) -> str | None:
+        from ..partitioning import _py_transform, iceberg_bucket
+
+        if v is None:
+            return None
+        if f.transform == "bucket":
+            return str(iceberg_bucket(v, f.param, _spark_type(self.src_types[f.source])))
+        if isinstance(v, bool):
+            v = "true" if v else "false"  # Spark dir form, not str(True)
+        return str(_py_transform(f, v))
+
+    def _write_batches(self, iterator) -> _WriteMsg:
+        import uuid
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if not partition.path:  # empty-table sentinel
-            return
-        file_cols = [h for _n, h, _t in partition.columns if h is not None]
-        t = pq.read_table(partition.path, columns=file_cols)
-        n = t.num_rows
-        keep = None  # None = all rows; else a python list[bool]
-
-        if partition.pos_delete_dirs:
-            dead: set[int] = set()
-            for d in partition.pos_delete_dirs:
-                pt = pq.read_table(d)
-                rels = pt.column("file_rel").to_pylist()
-                poss = pt.column("pos").to_pylist()
-                dead.update(p for r, p in zip(rels, poss) if r == partition.rel)
-            if dead:
-                keep = [i not in dead for i in range(n)]
-
-        for d in partition.eq_deletes:
-            dt_ = pq.read_table(d["dir"], columns=d["keys"])
-            dset = set(zip(*[dt_.column(k).to_pylist() for k in d["keys"]]))
-            if not dset:
+        stage = os.path.join(self.root, self.stage_rel)
+        out_schema = pa.schema(
+            [pa.field(n, _pa_type(t)) for n, t in self.file_cols]
+        )
+        task = uuid.uuid4().hex[:12]
+        writers: dict[tuple, object] = {}
+        paths: list[str] = []
+        files = rows = 0
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            if tbl.num_rows == 0:
                 continue
-            # key columns under their IN-FILE (historical) names
-            by_out = {name: h for name, h, _t in partition.columns}
-            kcols = []
-            for k in d["keys"]:
-                h = by_out.get(k, k)
-                if h is None:  # key is an injected partition column
-                    simple = next(t_ for nm, _h, t_ in partition.columns if nm == k)
-                    v = _parse_part_value(partition.part_values.get(k), simple)
-                    kcols.append([v] * n)
-                else:
-                    kcols.append(t.column(h).to_pylist())
-            mask = [tup not in dset for tup in zip(*kcols)]
-            keep = mask if keep is None else [a and b for a, b in zip(keep, mask)]
-
-        if keep is not None:
-            t = t.filter(pa.array(keep))
-
-        arrays, names = [], []
-        for name, hist, simple in partition.columns:
-            typ = _pa_type(simple)
-            if hist is None:
-                v = _parse_part_value(partition.part_values.get(name), simple)
-                arrays.append(pa.array([v] * t.num_rows, type=typ))
+            rows += tbl.num_rows
+            if self.part_fields:
+                cols = [
+                    [
+                        self._dir_value(f, v)
+                        for v in tbl.column(f.source).to_pylist()
+                    ]
+                    for f in self.part_fields
+                ]
+                groups: dict[tuple, list[int]] = {}
+                for i, key in enumerate(zip(*cols)):
+                    groups.setdefault(key, []).append(i)
             else:
-                arrays.append(t.column(hist).cast(typ))
-            names.append(name)
-        yield from pa.table(arrays, names=names).to_batches()
+                groups = {(): None}
+            data = tbl.select([n for n, _t in self.file_cols]).cast(out_schema)
+            for key, idxs in groups.items():
+                part = data if idxs is None else data.take(pa.array(idxs, type=pa.int64()))
+                w = writers.get(key)
+                if w is None:
+                    segs = [
+                        f"{f.name}="
+                        + ("__HIVE_DEFAULT_PARTITION__" if v is None else _escape_path(v))
+                        for f, v in zip(self.part_fields, key)
+                    ]
+                    rel = os.path.join(
+                        *segs, f"part-{task}-{files:04d}.snappy.parquet"
+                    ) if segs else f"part-{task}-{files:04d}.snappy.parquet"
+                    os.makedirs(os.path.join(stage, *segs), exist_ok=True)
+                    w = pq.ParquetWriter(
+                        os.path.join(stage, rel), out_schema, compression="snappy"
+                    )
+                    writers[key] = w
+                    paths.append(rel)
+                    files += 1
+                w.write_table(part)
+        for w in writers.values():
+            w.close()
+        return _WriteMsg(files=files, rows=rows, paths=paths)
+
+    # -- driver side -------------------------------------------------------
+    def _commit_stage(self, mode: str | None = None, summary_extra: dict | None = None) -> int:
+        from ..tables import SnapshotTable
+
+        stage = os.path.join(self.root, self.stage_rel)
+        os.makedirs(stage, exist_ok=True)  # zero-row write: empty snapshot
+        t = SnapshotTable(None, self.root)  # commit path is Spark-free
+        return t.commit_staged(
+            stage,
+            self.part_names,
+            mode=mode or self.mode,
+            branch=self.branch,
+            summary_extra=summary_extra,
+        )
+
+    def _abort_stage(self) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, self.stage_rel), ignore_errors=True)
+
+
+class SnapshotTableArrowWriter(_StageWriter, DataSourceArrowWriter):
+    def write(self, iterator):
+        return self._write_batches(iterator)
+
+    def commit(self, messages):
+        self._commit_stage()
+
+    def abort(self, messages):
+        self._abort_stage()
+
+
+_STREAM_WRITER_BASE = DataSourceStreamArrowWriter
+if _STREAM_WRITER_BASE is None:  # pragma: no cover
+    from pyspark.sql.datasource import DataSourceStreamWriter as _STREAM_WRITER_BASE
+
+
+class SnapshotTableStreamWriter(_StageWriter, _STREAM_WRITER_BASE):
+    """Exactly-once streaming append sink: each microbatch commits one
+    append snapshot with (query scope, batch id) stamped into the summary
+    — the same replay guard as streaming/jobs.py:append_stream_batch, so
+    an at-least-once replay of a committed batch is dropped instead of
+    duplicated.
+
+    Unlike the batch writer, the streaming writer object is RE-CREATED in
+    every python worker (executor tasks and the driver-side commit each
+    call streamWriter() afresh — verified empirically), so a
+    construction-time uuid can't be the task/commit rendezvous. Instead:
+    tasks write into a stage root derived deterministically from the
+    options (same in every worker of this query) and report their exact
+    file paths in WriterCommitMessages; commit() moves ONLY the reported
+    files into a fresh publish dir — the standard Spark commit-protocol
+    shape, which also makes crash-replay leftovers in the stage root
+    harmless (they are never in the replayed batch's messages and are
+    swept after publish). Two concurrent streaming queries appending to
+    the SAME table need distinct `query-scope` (or checkpointLocation)
+    options to keep their stage roots apart."""
+
+    def __init__(self, options, schema_fields, overwrite):
+        import hashlib
+
+        super().__init__(options, schema_fields, overwrite)
+        if self.mode != "append":
+            raise ValueError(
+                "eiws stream sink supports append output mode only "
+                "(complete-mode overwrite would rewrite the table each batch)"
+            )
+        self.scope = options.get("query-scope")
+        key = self.scope or options.get("checkpointlocation") or options.get(
+            "checkpointLocation"
+        ) or ""
+        h = hashlib.sha1(key.encode()).hexdigest()[:12]
+        self.stage_rel = f"data/.stage-stream-{h}"
+
+    def write(self, iterator):
+        return self._write_batches(iterator)
+
+    def commit(self, messages, batchId):
+        import shutil
+        import uuid
+
+        from ..tables import SnapshotTable
+
+        t = SnapshotTable(None, self.root)
+        done = [
+            s.summary.get("streaming.batch-id")
+            for s in t.snapshots()
+            if s.summary.get("streaming.batch-id") is not None
+            and s.summary.get("streaming.query-scope") in (None, self.scope)
+        ]
+        if done and batchId <= max(done):
+            self._abort_stage()  # at-least-once replay of a committed batch
+            return
+        # publish exactly the files this batch's tasks reported
+        stage = os.path.join(self.root, self.stage_rel)
+        publish = os.path.join(self.root, f"data/.stage-{uuid.uuid4().hex[:12]}")
+        os.makedirs(publish, exist_ok=True)
+        for m in messages:
+            for rel in getattr(m, "paths", None) or []:
+                dst = os.path.join(publish, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(stage, rel), dst)
+        shutil.rmtree(stage, ignore_errors=True)  # sweep stale-attempt leftovers
+        summary = {"streaming.batch-id": int(batchId)}
+        if self.scope is not None:
+            summary["streaming.query-scope"] = self.scope
+        self.stage_rel = os.path.relpath(publish, self.root)
+        self._commit_stage(summary_extra=summary)
+
+    def abort(self, messages, batchId):
+        self._abort_stage()
+
+
+# ---------------------------------------------------------------------------
+class SnapshotTableStreamReader(DataSourceStreamReader):
+    """`spark.readStream.format("eiws")`: tail a table's append snapshots.
+    Offsets are snapshot ids ({"snapshot_id": N} = everything through N
+    has been consumed), so each microbatch is an (lo, hi] incremental
+    append-range scan — the reference's start/end-snapshot-id option pair
+    (`bronze-silver.py:146-149`) driven by the engine's own offset log,
+    and exactly-once across restarts because the checkpoint replays the
+    same snapshot ranges. Non-append commits in range raise, like every
+    incremental path here (CDC wants scan_changes). `start-snapshot-id`
+    (default 0 = full history) positions a FRESH checkpoint only."""
+
+    def __init__(self, options, schema_fields: list[tuple[str, str]]):
+        self.root = os.path.abspath(options.get("table") or options.get("path") or "")
+        if not self.root or not os.path.exists(os.path.join(self.root, "_meta.json")):
+            raise ValueError(
+                "eiws stream reader needs .option('table', <root>) or "
+                f".load(<root>) pointing at a snapshot table (got {self.root!r})"
+            )
+        self.fields = schema_fields
+        self.branch = options.get("branch", "main")
+        self.start = int(options.get("start-snapshot-id") or 0)
+
+    def _meta(self) -> dict:
+        with open(os.path.join(self.root, "_meta.json")) as fh:
+            return json.load(fh)
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self.start}
+
+    def latestOffset(self) -> dict:
+        head = _head(self._meta(), self.branch)
+        sid = head["snapshot_id"] if head else 0
+        return {"snapshot_id": max(sid, self.start)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if hi <= lo:
+            return []
+        meta = self._meta()
+        rels = _append_rels(meta, lo, hi)
+        return _plan_entries(self.root, meta, rels, [], None, self.fields)
+
+    def read(self, partition: FileSlice):
+        return _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the query checkpoint
 
 
 class SnapshotTableDataSource(DataSource):
@@ -543,6 +953,18 @@ class SnapshotTableDataSource(DataSource):
     def reader(self, schema) -> SnapshotTableReader:
         fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         return SnapshotTableReader(self.options, fields)
+
+    def writer(self, schema, overwrite: bool) -> SnapshotTableArrowWriter:
+        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        return SnapshotTableArrowWriter(self.options, fields, overwrite)
+
+    def streamReader(self, schema) -> SnapshotTableStreamReader:
+        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        return SnapshotTableStreamReader(self.options, fields)
+
+    def streamWriter(self, schema, overwrite: bool) -> SnapshotTableStreamWriter:
+        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        return SnapshotTableStreamWriter(self.options, fields, overwrite)
 
 
 def register(spark) -> None:

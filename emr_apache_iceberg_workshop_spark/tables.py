@@ -622,12 +622,34 @@ class SnapshotTable:
         Overwrites (including the COW DML rewrites routed through here)
         REFUSE a stale base with CommitConflict: their content was
         computed against a state another writer just changed."""
+        meta = self._load()
+        stage, part_names = self._stage_data_dir(df, meta)
+        return self.commit_staged(
+            stage, part_names, mode, operation, branch, summary_extra, meta=meta
+        )
+
+    def commit_staged(
+        self,
+        stage: str,
+        part_names: list[str],
+        mode: str = "append",
+        operation: str | None = None,
+        branch: str = "main",
+        summary_extra: dict | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Publish an already-staged data dir (hive-layout parquet under a
+        unique `data/.stage-*` path) and commit it — the write() retry/
+        rebase loop, with the heavy Spark write factored out so non-Spark
+        writers (the DSv2 format's pyarrow executors, `sources/dsv2.py`)
+        share the exact commit protocol. Spark-free: safe to call from the
+        data-source driver worker, which has no SparkSession."""
         import shutil as _shutil
 
-        meta = self._load()
+        if meta is None:
+            meta = self._load()
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-        stage, part_names = self._stage_data_dir(df, meta)
         published = False
         rel = parts = files = None
         for _attempt in range(8):
