@@ -226,6 +226,19 @@ def _ddl_fields(ddl: str) -> list[tuple[str, str]]:
     return out
 
 
+def _table_root(options) -> str:
+    """Resolve the table root from `table`/`path` options. SQL DDL
+    (`CREATE TABLE ... USING eiws LOCATION '<root>'`) delivers the
+    location as a `file:` URI — strip the scheme so every entry form
+    (option, .load(path), DDL LOCATION) lands on the same POSIX path."""
+    raw = options.get("table") or options.get("path") or ""
+    if raw.startswith("file://"):
+        raw = raw[len("file://") :]
+    elif raw.startswith("file:"):
+        raw = raw[len("file:") :]
+    return os.path.abspath(raw) if raw else ""
+
+
 def _load_mask_tuples(root: str, rels: list) -> list[dict]:
     import pyarrow.parquet as pq
 
@@ -450,11 +463,12 @@ class FileSlice(InputPartition):
 
 class SnapshotTableReader(DataSourceReader):
     def __init__(self, options, schema_fields: list[tuple[str, str]]):
-        self.root = os.path.abspath(options.get("table") or options.get("path") or "")
+        self.root = _table_root(options)
         if not self.root or not os.path.exists(os.path.join(self.root, "_meta.json")):
             raise ValueError(
                 "eiws reader needs .option('table', <root>) or .load(<root>) "
-                f"pointing at a snapshot table (got {self.root!r})"
+                f"pointing at a snapshot table (got {self.root!r}; "
+                f"options seen: {sorted(options.keys())})"
             )
         self.options = options
         self.fields = schema_fields  # [(name, simpleString)] in output order
@@ -664,7 +678,7 @@ class _StageWriter:
     def __init__(self, options, schema_fields: list[tuple[str, str]], overwrite: bool):
         import uuid
 
-        self.root = os.path.abspath(options.get("table") or options.get("path") or "")
+        self.root = _table_root(options)
         if not self.root or not os.path.exists(os.path.join(self.root, "_meta.json")):
             raise ValueError(
                 "eiws writer needs .option('table', <root>) or .save(<root>) "
@@ -719,7 +733,18 @@ class _StageWriter:
             [pa.field(n, _pa_type(t)) for n, t in self.file_cols]
         )
         task = uuid.uuid4().hex[:12]
-        writers: dict[tuple, object] = {}
+        # Bound open parquet writers per task: a task streaming many
+        # distinct partition values would otherwise hold one file handle
+        # per value for its whole lifetime (the classic dynamic-partition
+        # write hazard; Spark's own writer sort-spills for the same
+        # reason). Above the cap the least-recently-written file is
+        # closed; a key seen again opens a NEW file (names stay unique
+        # via the file counter). Callers who want one-file-per-partition
+        # output should cluster first (df.repartition(partition cols)) —
+        # same guidance as write.distribution-mode=hash on the native
+        # path.
+        max_open = 64
+        writers: dict[tuple, object] = {}  # insertion order = LRU order
         paths: list[str] = []
         files = rows = 0
         for batch in iterator:
@@ -743,8 +768,11 @@ class _StageWriter:
             data = tbl.select([n for n, _t in self.file_cols]).cast(out_schema)
             for key, idxs in groups.items():
                 part = data if idxs is None else data.take(pa.array(idxs, type=pa.int64()))
-                w = writers.get(key)
+                w = writers.pop(key, None)  # pop+reinsert = move to MRU end
                 if w is None:
+                    if len(writers) >= max_open:
+                        lru_key = next(iter(writers))
+                        writers.pop(lru_key).close()
                     segs = [
                         f"{f.name}="
                         + ("__HIVE_DEFAULT_PARTITION__" if v is None else _escape_path(v))
@@ -757,9 +785,9 @@ class _StageWriter:
                     w = pq.ParquetWriter(
                         os.path.join(stage, rel), out_schema, compression="snappy"
                     )
-                    writers[key] = w
                     paths.append(rel)
                     files += 1
+                writers[key] = w
                 w.write_table(part)
         for w in writers.values():
             w.close()
@@ -891,7 +919,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
     (default 0 = full history) positions a FRESH checkpoint only."""
 
     def __init__(self, options, schema_fields: list[tuple[str, str]]):
-        self.root = os.path.abspath(options.get("table") or options.get("path") or "")
+        self.root = _table_root(options)
         if not self.root or not os.path.exists(os.path.join(self.root, "_meta.json")):
             raise ValueError(
                 "eiws stream reader needs .option('table', <root>) or "
@@ -936,9 +964,7 @@ class SnapshotTableDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self):
-        root = os.path.abspath(
-            self.options.get("table") or self.options.get("path") or ""
-        )
+        root = _table_root(self.options)
         if not root or not os.path.exists(os.path.join(root, "_meta.json")):
             raise ValueError(
                 "eiws reader needs .option('table', <root>) or .load(<root>) "

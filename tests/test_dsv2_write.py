@@ -357,3 +357,71 @@ def test_null_filter_file_pruning(wspark, tmp_path):
         t.scan().filter("category IS NOT NULL")
     )
     assert _rows(fmt.filter("qty IS NULL")) == _rows(t.scan().filter("qty IS NULL"))
+
+
+def test_format_written_table_emits_iceberg(wspark, tmp_path):
+    """Cross-layer closure: a table whose only data came through the DSv2
+    Arrow writer emits valid Iceberg metadata, and the external-reader
+    manifest walk plus a DuckDB parquet replay reconstruct exactly the
+    engine's scan — the format writer's manifests feed the interop path
+    untouched."""
+    import duckdb as dk
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+        read_data_files,
+        write_iceberg_metadata,
+    )
+
+    t = _table(wspark, tmp_path, partition_by=["category"])
+    wspark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (4, "a", 40)], SCHEMA
+    ).write.format("eiws").mode("append").option("table", t.root).save()
+    wspark.createDataFrame([(9, "c", 90)], SCHEMA).write.format("eiws").mode(
+        "append"
+    ).option("table", t.root).save()
+
+    md = write_iceberg_metadata(t)
+    files = read_data_files(md)
+    assert {f["partition"]["category"] for f in files} == {"a", "b", "c"}
+    rows = dk.connect().execute(
+        "SELECT id, qty FROM read_parquet(?) ORDER BY id",
+        [sorted(f["file_path"] for f in files)],
+    ).fetchall()
+    assert rows == [(1, 10), (2, 20), (4, 40), (9, 90)]
+
+
+def test_many_partitions_lru_bounded_writers(wspark, tmp_path):
+    """A task streaming more distinct partition values than the open-file
+    cap (64) closes least-recently-written files and reopens new ones on
+    key reappearance — rows survive exactly and reopened keys simply
+    produce extra files. Driven through _write_batches directly so the
+    keys genuinely arrive across multiple Arrow batches."""
+    import pyarrow as pa
+
+    from emr_apache_iceberg_workshop_spark.sources.dsv2 import (
+        SnapshotTableArrowWriter,
+    )
+
+    t = _table(wspark, tmp_path, partition_by=["category"])
+    fields = [(f.name, f.dataType.simpleString()) for f in t.schema().fields]
+    w = SnapshotTableArrowWriter({"table": t.root}, fields, overwrite=False)
+    # 100 keys per batch, two batches: every key reappears after the LRU
+    # (cap 64) evicted it during the first batch's tail
+    batches = [
+        pa.record_batch(
+            {
+                "id": pa.array([b * 100 + i for i in range(100)], pa.int64()),
+                "category": pa.array([f"k{i:03d}" for i in range(100)]),
+                "qty": pa.array([b * 100 + i for i in range(100)], pa.int64()),
+            }
+        )
+        for b in range(2)
+    ]
+    msg = w._write_batches(iter(batches))
+    w.commit([msg])
+    snap = t.snapshots()[-1]
+    assert len(snap.partitions) == 100
+    assert len(snap.files) > 100  # evicted keys reopened as new files
+    assert _rows(t.scan()) == sorted(
+        (b * 100 + i, f"k{i:03d}", b * 100 + i) for b in range(2) for i in range(100)
+    )

@@ -50,6 +50,13 @@ SCALAR_BROADCAST_OK = {
     # round-4: unigram-LM scorer joins every token row against the 1-row
     # (total tokens, vocab size) aggregate — same scalar-broadcast shape
     "t_unigram_logprob",
+    # round-8: the bigram scorer's add-k smoothing crossJoins the 1-row
+    # vocabulary-size aggregate (textops.py `vsz`) — same scalar shape
+    "t_bigram_logprob",
+    # round-8: temperature mixing crossJoins the 1-row corpus-totals
+    # aggregate (curation.py `tot`) to turn per-source counts into
+    # sampling probabilities — same scalar shape
+    "c_temperature_mix",
     # round-5: the bloom bit-array is a 1-row O(m/64)-word aggregate
     # crossJoin-broadcast into the big side's scan stage — the runtime-
     # filter shape; the membership predicate itself is scan-side codegen

@@ -84,12 +84,12 @@ def build_fixture(out_dir: str) -> None:
     pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
 
 
-def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
+def _time_named(spark, sf_dir: str, names, runs: int = 2) -> dict[str, float]:
     from emr_apache_iceberg_workshop_spark.plans.registry import registry
 
     reg = registry()
     out = {}
-    for name in QUERIES:
+    for name in names:
         best = None
         for _ in range(runs):
             t0 = time.time()
@@ -100,23 +100,72 @@ def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
     return out
 
 
+def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
+    return _time_named(spark, sf_dir, QUERIES, runs)
+
+
+def time_dsv2_write(spark, sf_dir: str, runs: int = 2) -> float:
+    """Decade probe for the DSv2 format WRITE path: stage + commit the
+    documents table through `df.write.format("eiws")` into a
+    lang-partitioned table (pyarrow executors build the hive layout and
+    hidden-partition values; the driver commit walks O(files) footers).
+    Linear-or-better per-row cost across the decade is the claim."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from emr_apache_iceberg_workshop_spark.sources import dsv2
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    dsv2.register(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    best = None
+    for _ in range(runs):
+        base = tempfile.mkdtemp(prefix="eiws_scale_write_")
+        root = os.path.join(base, "t")
+        SnapshotTable.create(spark, root, df.schema, partition_by=["lang"])
+        t0 = _time.time()
+        df.write.format("eiws").mode("append").option("table", root).save()
+        dt = _time.time() - t0
+        best = dt if best is None else min(best, dt)
+        shutil.rmtree(base, ignore_errors=True)
+    return round(best, 3)
+
+
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".scale", "sf1")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")), None
+    )
+    out_dir = args[0] if args else os.path.join(REPO, ".scale", "sf1")
     if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
         build_fixture(out_dir)
     from emr_apache_iceberg_workshop_spark.session import build_session
 
     spark = build_session(app_name="scale-check")
-    t01 = time_queries(spark, "/root/testdata/sf0.1")
-    t1 = time_queries(spark, out_dir)
     report = {}
-    for q in QUERIES:
-        # seconds-per-input-row ratio: >1 means super-linear growth
-        report[q] = {
-            "sf0.1_s": t01[q],
-            "sf1_s": t1[q],
-            "time_ratio": round(t1[q] / t01[q], 2),
-            "per_row_ratio": round(t1[q] / t01[q] / FACTOR, 2),
+    names = [n for n in QUERIES if only is None or n == only]
+    if names:
+        t01 = _time_named(spark, "/root/testdata/sf0.1", names)
+        t1 = _time_named(spark, out_dir, names)
+        for q in names:
+            # seconds-per-input-row ratio: >1 means super-linear growth
+            report[q] = {
+                "sf0.1_s": t01[q],
+                "sf1_s": t1[q],
+                "time_ratio": round(t1[q] / t01[q], 2),
+                "per_row_ratio": round(t1[q] / t01[q] / FACTOR, 2),
+            }
+    if only in (None, "dsv2_write"):
+        w01 = time_dsv2_write(spark, "/root/testdata/sf0.1")
+        w1 = time_dsv2_write(spark, out_dir)
+        report["dsv2_write"] = {
+            "sf0.1_s": w01,
+            "sf1_s": w1,
+            "time_ratio": round(w1 / w01, 2),
+            "per_row_ratio": round(w1 / w01 / FACTOR, 2),
         }
     print("SCALE " + json.dumps(report))
 
