@@ -394,7 +394,9 @@ def _read_slice(partition):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if not partition.path:  # empty-table sentinel
+    if partition is None or not partition.path:
+        # empty-table / empty-plan sentinel (Spark calls read(None) when
+        # a batch reader plans zero partitions)
         return
     file_cols = [h for _n, h, _t in partition.columns if h is not None]
     t = pq.read_table(partition.path, columns=file_cols)
@@ -606,10 +608,13 @@ class SnapshotTableReader(DataSourceReader):
             entries = snap["active_dirs"]
             deletes = snap.get("active_deletes", [])
 
-        return _plan_entries(
+        out = _plan_entries(
             self.root, meta, entries, deletes, as_of, self.fields,
             file_keep=lambda f: self._file_may_match(f, f["partition"]),
         )
+        # zero live/matching files: the batch API still needs >= 1
+        # partition (Spark otherwise calls read(None))
+        return out or [FileSlice(path="", rel="", columns=[])]
 
     # -- executor side -----------------------------------------------------
     def read(self, partition: FileSlice):

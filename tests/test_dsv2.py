@@ -142,7 +142,9 @@ def test_filtered_read_matches_and_prunes_files(dsv2_spark):
 
     rd3 = SnapshotTableReader({"table": root}, fields)
     rd3.pushFilters([GreaterThan(("qty",), 10_000)])
-    assert len(rd3.partitions()) == 0
+    # every data file pruned: the plan is the single read-nothing
+    # sentinel (the batch API requires >= 1 partition)
+    assert [s.path for s in rd3.partitions()] == [""]
 
 
 def test_unknown_ref_raises(dsv2_spark):

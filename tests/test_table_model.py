@@ -38,6 +38,16 @@ def _scan_rows(df):
     return _multiset((r["id"], r["v"], r["part"]) for r in df.collect())
 
 
+def _dsv2_rows(spark, root, **options):
+    from emr_apache_iceberg_workshop_spark.sources import dsv2
+
+    dsv2.register(spark)
+    r = spark.read.format(dsv2.FORMAT_NAME).option("table", root)
+    for k, v in options.items():
+        r = r.option(k.replace("_", "-"), str(v))
+    return _scan_rows(r.load())
+
+
 def _run_model(spark, tmp_path, seed: int, steps: int = 18):
     rng = random.Random(seed)
     t = SnapshotTable.create(
@@ -162,6 +172,16 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         assert _scan_rows(t.scan()) == _multiset(main), f"seed={seed} after {op}"
         if branch is not None:
             assert _scan_rows(t.scan(branch="b")) == _multiset(branch)
+        if _step % 3 == 0:
+            # the INDEPENDENT pyarrow read path must agree with the model
+            # at arbitrary interleaved states (MOR deletes, exclusions,
+            # spec evolution, branch forks) — cross-implementation fuzz
+            # of the format itself, not just of one reader
+            assert _dsv2_rows(spark, t.root) == _multiset(main), (
+                f"seed={seed} dsv2 after {op}"
+            )
+            if branch is not None:
+                assert _dsv2_rows(spark, t.root, branch="b") == _multiset(branch)
         if _step % 5 == 0:
             # manifest-consistency invariant: the non-tombstone entries of
             # `.entries` are exactly the live data files of `.files`
@@ -184,6 +204,10 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         assert _scan_rows(t.scan_at(sid)) == _multiset(states[sid]), (
             f"seed={seed} time travel to {sid}"
         )
+        # the format reader's VERSION AS OF must replay the same history
+        assert _dsv2_rows(spark, t.root, snapshot_id=sid) == _multiset(
+            states[sid]
+        ), f"seed={seed} dsv2 time travel to {sid}"
         checked += 1
     # a mid-sequence aggressive expire_age may have trimmed history to
     # keep_last; at least the head must still replay
