@@ -76,7 +76,20 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         if op == "append":
             rows = _rows(rng, rng.randrange(1, 5))
             main = main + rows
-            commit_main(t.write(df(rows)))
+            if rng.random() < 0.4:
+                # route through the DSv2 format writer: pyarrow staging +
+                # the shared commit_staged protocol, interleaved with
+                # native ops — the two write paths must be committed-state
+                # indistinguishable
+                from emr_apache_iceberg_workshop_spark.sources import dsv2
+
+                dsv2.register(spark)
+                df(rows).write.format(dsv2.FORMAT_NAME).mode("append").option(
+                    "table", t.root
+                ).save()
+                commit_main(t.latest_snapshot_id())
+            else:
+                commit_main(t.write(df(rows)))
         elif op == "overwrite":
             rows = _rows(rng, rng.randrange(1, 4))
             main = list(rows)
