@@ -829,3 +829,84 @@ def t_hashed_classifier(spark, sf_dir) -> DataFrame:
         f"""size({TOKS_S}) > 0
             AND aggregate({TOKS_S}, 0L, (acc, x) -> acc + ({_W_S})) > 0 AS keep""",
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval: the canonical lexical ranking function (Robertson/
+# Sparck Jones probabilistic relevance, the Okapi BM25 form with k1=1.2,
+# b=0.75) over the documents corpus for a fixed query-term set. This is
+# the retrieval half of a RAG data pipeline — the lexical complement to
+# the s_*_topk embedding searches.
+_BM25_TERMS = ("vector", "hash", "stream", "window")
+_BM25_K = 10
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+# Scoring expression shared verbatim by both dialects (columns: tf, df,
+# dl; scalars: n_docs, avgdl). Per-term values are cast to DECIMAL(38,12)
+# before SUM so the doc-level total is addition-order independent, then
+# rounded to 9 dp — the same float-portability pattern as
+# t_unigram_logprob (ln() libm last-ulp differences stay far below 1e-9).
+_BM25_EXPR = (
+    "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+)
+
+
+@query(
+    "t_bm25_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {TOKS_D} AS toks FROM documents),
+         stats AS (SELECT COUNT(*) AS n_docs,
+                          CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+                   FROM tok),
+         q AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tk FROM tok),
+         qt AS (SELECT * FROM q WHERE tk IN ({_BM25_IN})),
+         tf AS (SELECT doc_id, dl, tk, COUNT(*) AS tf FROM qt GROUP BY 1, 2, 3),
+         idf AS (SELECT tk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM qt GROUP BY 1),
+         scored AS (
+           SELECT tf.doc_id,
+                  CAST({_BM25_EXPR} AS DECIMAL(38,12)) AS s
+           FROM tf JOIN idf USING (tk) CROSS JOIN stats),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms_hit,
+                        ROUND(CAST(SUM(s) AS DOUBLE), 9) AS bm25
+                 FROM scored GROUP BY 1)
+    SELECT doc_id, n_terms_hit, bm25
+    FROM agg ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
+    """,
+    tags=("textops:bm25", "retrieval", "topk", "join", "agg"),
+)
+def t_bm25_topk(spark, sf_dir) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-10 documents for a fixed query.
+
+    Scale shape (the one you'd run on a 100 TB corpus): the query-term
+    filter lands ON the explode, so only |Q|-matching tokens survive into
+    any shuffle — selectivity |Q|/vocabulary; tf is one map-side-combined
+    shuffle at (doc, term) grain; df and the corpus stats are tiny
+    aggregates broadcast back (explicit `broadcast()` on both); the final
+    top-k is `ORDER BY .. LIMIT k` which Spark executes as
+    TakeOrderedAndProject — per-partition heaps, no global sort. No
+    driver-side loop, no all-pairs term."""
+    toks = _toks_for(spark, sf_dir)
+    stats = toks.selectExpr(
+        "COUNT(*) AS n_docs",
+        "CAST(SUM(size(toks)) AS DOUBLE) / COUNT(*) AS avgdl",
+    )
+    qt = toks.selectExpr(
+        "doc_id", "size(toks) AS dl", "explode(toks) AS tk"
+    ).filter(f"tk IN ({_BM25_IN})")
+    tf = qt.groupBy("doc_id", "dl", "tk").agg(F.count(F.lit(1)).alias("tf"))
+    idf = qt.groupBy("tk").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(idf), "tk")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", f"CAST({_BM25_EXPR} AS DECIMAL(38,12)) AS s")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        F.round(F.sum("s").cast("double"), 9).alias("bm25"),
+    )
+    return (
+        agg.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_K)
+        .select("doc_id", "n_terms_hit", "bm25")
+    )

@@ -94,3 +94,47 @@ def test_temperature_mix_flattens(spark):
     for r in rows.values():
         assert 0 <= r.n_sampled <= r.n_docs
         assert r.sample_rate <= 1.0
+
+
+def test_bm25_topk_matches_pure_python(spark):
+    """Independent re-derivation: recompute Okapi BM25 in plain Python
+    (re.findall tokenizer, collections.Counter) from the raw parquet and
+    assert the engine's top-10 is the same ranked set with scores equal
+    to 1e-9 (the query's own rounding grain)."""
+    import re as _re
+    from collections import Counter
+
+    import duckdb
+
+    from emr_apache_iceberg_workshop_spark.plans.textops import (
+        _BM25_K,
+        _BM25_TERMS,
+        t_bm25_topk,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    toks = {d: _re.findall(r"[a-z0-9]+", t or "") for d, t in rows}
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df = Counter()
+    for tk in _BM25_TERMS:
+        df[tk] = sum(1 for v in toks.values() if tk in v)
+    scores = {}
+    for d, v in toks.items():
+        tf = Counter(t for t in v if t in _BM25_TERMS)
+        s = 0.0
+        for tk, f in tf.items():
+            idf = math.log(1.0 + (n_docs - df[tk] + 0.5) / (df[tk] + 0.5))
+            s += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+        if tf:
+            scores[d] = (len(tf), s)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:_BM25_K]
+
+    got = t_bm25_topk(spark, SF_SMOKE).collect()
+    assert len(got) == _BM25_K
+    assert [r.doc_id for r in got] == [d for d, _ in expect]
+    for r, (d, (hit, s)) in zip(got, expect):
+        assert r.n_terms_hit == hit
+        assert abs(r.bm25 - s) < 1e-9
