@@ -536,6 +536,14 @@ def t_decontaminate(spark, sf_dir) -> DataFrame:
 def t_unigram_logprob(spark, sf_dir) -> DataFrame:
     """Per-document mean unigram negative-log-prob under the corpus's own
     add-one-smoothed unigram LM, plus the quality-gate verdict."""
+    return _unigram_perdoc(spark, sf_dir).withColumn(
+        "passes_lm_gate", F.col("mean_nlp") <= 8.0
+    )
+
+
+def _unigram_perdoc(spark, sf_dir) -> DataFrame:
+    """(doc_id, n_tokens, mean_nlp): the unigram-LM scoring core shared by
+    t_unigram_logprob and t_ccnet_buckets."""
     tok = _toks_for(spark, sf_dir).selectExpr("doc_id", "explode(toks) AS tk")
     vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
     tot = vocab.agg(
@@ -546,7 +554,7 @@ def t_unigram_logprob(spark, sf_dir) -> DataFrame:
         .crossJoin(F.broadcast(tot))  # 1-row scalar: total count + vocab size
         .withColumn("nlp", -F.log((F.col("cnt") + F.lit(1.0)) / (F.col("n") + F.col("v"))))
     )
-    per_doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         # rounded to 9 decimals in BOTH engines: the decimal accumulator
         # makes the SUM order-independent, but the per-token ln() doubles
@@ -560,7 +568,6 @@ def t_unigram_logprob(spark, sf_dir) -> DataFrame:
             9,
         ).alias("mean_nlp"),
     )
-    return per_doc.withColumn("passes_lm_gate", F.col("mean_nlp") <= 8.0)
 
 
 # --------------------------------------------------------------------------
@@ -909,4 +916,87 @@ def t_bm25_topk(spark, sf_dir) -> DataFrame:
         agg.orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_K)
         .select("doc_id", "n_terms_hit", "bm25")
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing: split the corpus into head / middle /
+# tail terciles by language-model score (Wenzek et al., "CCNet: Extracting
+# High Quality Monolingual Datasets from Web Crawl Data" — their pipeline
+# keeps/weights buckets differently downstream). Score = the same
+# add-one-smoothed unigram mean-NLP as t_unigram_logprob (rounded 9 dp,
+# so the bucketing key is bit-identical cross-engine).
+#
+# Cutoffs are ORDER STATISTICS computed without any global sort of the
+# corpus: aggregate a histogram at score grain (the 9-dp rounding IS the
+# grain), run the cumulative count over DISTINCT SCORES ONLY, and pick the
+# smallest score whose cumulative count reaches ceil(n/3) / ceil(2n/3) —
+# pure integer arithmetic (cum * 3 >= n ⟺ cum >= ceil(n/3)), no float
+# quantile interpolation to disagree across engines. Ties on the cutoff
+# score land in the lower bucket by definition, so bucket membership is a
+# function of the score alone. The single-partition window runs over
+# O(distinct scores) rows — the distributed-selection shape (score the
+# corpus in parallel, select cutoffs on the tiny histogram, broadcast them
+# back), which is how you'd bucket 100 TB; CCNet itself fits cutoffs on a
+# sample for the same reason.
+_UNI_PERDOC_D = f"""
+    tok AS (SELECT doc_id, unnest({TOKS_D}) AS tk FROM documents),
+         vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM vocab),
+         scored AS (
+           SELECT t.doc_id,
+                  -ln((vocab.cnt + 1.0) / (tot.n + tot.v)) AS nlp
+           FROM tok t JOIN vocab ON t.tk = vocab.tk CROSS JOIN tot),
+         per_doc AS (
+           SELECT doc_id, COUNT(*) AS n_tokens,
+                  ROUND(CAST(CAST(SUM(CAST(nlp AS DECIMAL(38,12))) AS DOUBLE)
+                             / COUNT(*) AS DOUBLE), 9) AS mean_nlp
+           FROM scored GROUP BY doc_id)
+""".strip()
+
+
+@query(
+    "t_ccnet_buckets",
+    oracle=f"""
+    WITH {_UNI_PERDOC_D},
+         hist AS (SELECT mean_nlp, COUNT(*) AS c FROM per_doc GROUP BY 1),
+         cum AS (SELECT mean_nlp,
+                        SUM(c) OVER (ORDER BY mean_nlp) AS cum,
+                        (SELECT SUM(c) FROM hist) AS n
+                 FROM hist),
+         cuts AS (SELECT
+                    MIN(CASE WHEN cum * 3 >= n THEN mean_nlp END) AS c1,
+                    MIN(CASE WHEN cum * 3 >= 2 * n THEN mean_nlp END) AS c2
+                  FROM cum)
+    SELECT doc_id, n_tokens, mean_nlp,
+           CASE WHEN mean_nlp <= c1 THEN 'head'
+                WHEN mean_nlp <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM per_doc CROSS JOIN cuts
+    """,
+    tags=("textops:ccnet", "quality", "window", "agg"),
+)
+def t_ccnet_buckets(spark, sf_dir) -> DataFrame:
+    """Head/middle/tail perplexity terciles over the unigram-LM score."""
+    from pyspark.sql import Window
+
+    per_doc = _unigram_perdoc(spark, sf_dir)
+    hist = per_doc.groupBy("mean_nlp").agg(F.count(F.lit(1)).alias("c"))
+    # cumulative over distinct scores only (tiny relation) + the scalar n
+    w = Window.orderBy("mean_nlp").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w))
+        .crossJoin(F.broadcast(hist.agg(F.sum("c").alias("n"))))
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("mean_nlp"))).alias("c1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("mean_nlp"))).alias("c2"),
+    )
+    return per_doc.crossJoin(F.broadcast(cuts)).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "mean_nlp",
+        """CASE WHEN mean_nlp <= c1 THEN 'head'
+                WHEN mean_nlp <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket""",
     )

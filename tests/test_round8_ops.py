@@ -138,3 +138,26 @@ def test_bm25_topk_matches_pure_python(spark):
     for r, (d, (hit, s)) in zip(got, expect):
         assert r.n_terms_hit == hit
         assert abs(r.bm25 - s) < 1e-9
+
+
+def test_ccnet_buckets_terciles(spark):
+    """Bucket sizes are within one histogram-cell of n/3 each way, every
+    doc of a given score lands in one bucket, and cutoffs are the exact
+    ceil(n/3)/ceil(2n/3) order statistics of the rounded scores."""
+    from emr_apache_iceberg_workshop_spark.plans.textops import t_ccnet_buckets
+
+    rows = t_ccnet_buckets(spark, SF_SMOKE).collect()
+    assert rows
+    by_score = {}
+    for r in rows:
+        assert r.bucket in ("head", "middle", "tail")
+        by_score.setdefault(r.mean_nlp, set()).add(r.bucket)
+    assert all(len(v) == 1 for v in by_score.values()), "bucket not score-pure"
+    n = len(rows)
+    scores = sorted(r.mean_nlp for r in rows)
+    c1, c2 = scores[-(-n // 3) - 1], scores[-(-2 * n // 3) - 1]
+    for r in rows:
+        expect = "head" if r.mean_nlp <= c1 else "middle" if r.mean_nlp <= c2 else "tail"
+        assert r.bucket == expect, (r.doc_id, r.mean_nlp, r.bucket, expect)
+    n_head = sum(1 for r in rows if r.bucket == "head")
+    assert n_head >= -(-n // 3) - sum(1 for s in scores if s == c1) + 1
