@@ -581,3 +581,103 @@ def s_quantized_topk(spark, sf_dir) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss sign random projection (Achlioptas 2001: entries
+# drawn from {±1} preserve pairwise inner products in expectation) —
+# 64 → 16 dims, the dimensionality-reduction step a 100 TB ANN pipeline
+# runs BEFORE indexing so every downstream distance costs 4× less. The
+# ±1 matrix is derived at plan-build time from md5("i:j") parity and
+# inlined as array literals in BOTH dialects — zero runtime hashing, no
+# broadcast needed (a learned matrix would ride a broadcast instead).
+#
+# The query doesn't just project: it GRADES the projection, joining the
+# fixed broadcast query set against the corpus and reporting, per query,
+# the mean/max absolute error between the exact 64-d cosine and the 16-d
+# projected cosine. Determinism: projections are exact-decimal ±sums
+# (sdot against the ±1 literal vector), cosines divide exact-decimal dots
+# by sqrt norms exactly as s_cosine_topk does, and the per-pair |error|
+# doubles are summed through DECIMAL(38,12) then rounded to 9 dp.
+_RP_IN, _RP_OUT = 64, 16
+
+
+def _rp_signs(j: int) -> list[int]:
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest(), 16) & 1 else -1
+        for i in range(1, _RP_IN + 1)
+    ]
+
+
+def _rp_proj(dialect: str) -> str:
+    """Array expression of the 16 projected components of column `e`."""
+    dims = []
+    for j in range(1, _RP_OUT + 1):
+        signs = ", ".join(str(s) for s in _rp_signs(j))
+        if dialect == "spark":
+            dims.append(sdot("e", f"array({signs})"))
+        else:
+            dims.append(odot("e", f"[{signs}]"))
+    if dialect == "spark":
+        return "array(" + ", ".join(dims) + ")"
+    return "[" + ", ".join(dims) + "]"
+
+
+@query(
+    "s_rp_quality",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding AS e FROM embeddings),
+         p AS (SELECT vec_id, e, {_rp_proj('duck')} AS pe FROM n),
+         m AS (SELECT vec_id, e, pe,
+                      sqrt({odot('e', 'e')}) AS nrm,
+                      sqrt({odot('pe', 'pe')}) AS pnrm
+               FROM p),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  {odot('q.e', 'c.e')} / (q.nrm * c.nrm) AS cos64,
+                  CASE WHEN q.pnrm * c.pnrm > 0
+                       THEN {odot('q.pe', 'c.pe')} / (q.pnrm * c.pnrm)
+                       ELSE 0.0 END AS cos16
+           FROM m q JOIN m c
+             ON q.vec_id % 100 = 0 AND q.vec_id < 500 AND q.vec_id <> c.vec_id)
+    SELECT q_id, COUNT(*) AS n_pairs,
+           ROUND(CAST(CAST(SUM(CAST(abs(cos64 - cos16) AS DECIMAL(38,12)))
+                           AS DOUBLE) / COUNT(*) AS DOUBLE), 9) AS mean_abs_err,
+           ROUND(MAX(abs(cos64 - cos16)), 9) AS max_abs_err
+    FROM pairs GROUP BY q_id
+    """,
+    tags=("similarity:random-projection", "agg"),
+)
+def s_rp_quality(spark, sf_dir) -> DataFrame:
+    """JL ±1 projection 64→16 graded by cosine-preservation error."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    m = emb.selectExpr("vec_id", "embedding AS e").selectExpr(
+        "vec_id", "e", f"{_rp_proj('spark')} AS pe"
+    ).selectExpr(
+        "vec_id", "e", "pe",
+        f"sqrt({sdot('e', 'e')}) AS nrm",
+        f"sqrt({sdot('pe', 'pe')}) AS pnrm",
+    )
+    q = m.filter(F.expr(QUERY_FILTER)).selectExpr(
+        "vec_id AS q_id", "e AS qe", "pe AS qpe", "nrm AS q_nrm", "pnrm AS q_pnrm"
+    )
+    pairs = m.join(F.broadcast(q), F.expr("q_id <> vec_id")).selectExpr(
+        "q_id",
+        f"{sdot('qe', 'e')} / (q_nrm * nrm) AS cos64",
+        f"""CASE WHEN q_pnrm * pnrm > 0
+             THEN {sdot('qpe', 'pe')} / (q_pnrm * pnrm)
+             ELSE 0.0D END AS cos16""",
+    )
+    return pairs.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            (
+                F.sum(F.expr("CAST(abs(cos64 - cos16) AS DECIMAL(38,12))")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("double"),
+            9,
+        ).alias("mean_abs_err"),
+        F.round(F.max(F.expr("abs(cos64 - cos16)")), 9).alias("max_abs_err"),
+    )

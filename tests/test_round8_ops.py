@@ -161,3 +161,19 @@ def test_ccnet_buckets_terciles(spark):
         assert r.bucket == expect, (r.doc_id, r.mean_nlp, r.bucket, expect)
     n_head = sum(1 for r in rows if r.bucket == "head")
     assert n_head >= -(-n // 3) - sum(1 for s in scores if s == c1) + 1
+
+
+def test_rp_quality_error_bounded(spark):
+    """The JL bound: a 16-dim ±1 projection of 64-dim vectors should keep
+    cosine error well under 0.5 on average (ε ~ sqrt(ln n / k)); and the
+    projection must be deterministic across plan rebuilds."""
+    from emr_apache_iceberg_workshop_spark.plans.similarity import s_rp_quality
+
+    rows = s_rp_quality(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_pairs > 0
+        assert 0.0 <= r.mean_abs_err < 0.5, r
+        assert r.mean_abs_err <= r.max_abs_err <= 2.0
+    again = s_rp_quality(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
