@@ -1000,3 +1000,56 @@ def t_ccnet_buckets(spark, sf_dir) -> DataFrame:
                 WHEN mean_nlp <= c2 THEN 'middle'
                 ELSE 'tail' END AS bucket""",
     )
+
+
+# --------------------------------------------------------------------------
+# Token-distribution Shannon entropy per document: H = ln(n) − Σ c·ln(c)/n
+# over the per-document token histogram — near 0 for one-token spam, near
+# ln(n_tokens) for all-distinct text. A low-entropy gate is the
+# information-theoretic twin of t_repetition's duplicate-fraction rules
+# (Gopher-style repetitive-doc filtering). Same linear shape as
+# t_repetition's fixed form: explode → count per (doc, token) with
+# map-side combine → one per-doc aggregate; O(len) per document, no
+# interpreted array lambdas. Determinism: each c·ln(c) double is rounded
+# into DECIMAL(38,12) before the order-free exact SUM, the final entropy
+# rounded to 9 dp (the t_unigram_logprob doctrine).
+@query(
+    "t_entropy",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS_D}) AS tk FROM documents),
+         cnt AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         per_doc AS (
+           SELECT doc_id,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  COUNT(*) AS n_distinct,
+                  ROUND(CAST(ln(SUM(c))
+                             - CAST(SUM(CAST(c * ln(c) AS DECIMAL(38,12)))
+                                    AS DOUBLE) / SUM(c) AS DOUBLE), 9) AS entropy
+           FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, entropy,
+           entropy < 1.0 AS low_entropy
+    FROM per_doc
+    """,
+    tags=("textops:entropy", "quality", "agg"),
+)
+def t_entropy(spark, sf_dir) -> DataFrame:
+    """Per-document token Shannon entropy + the low-entropy spam gate."""
+    cnt = (
+        _toks_for(spark, sf_dir)
+        .selectExpr("doc_id", "explode(toks) AS tk")
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            (
+                F.log(F.sum("c"))
+                - F.sum(F.expr("CAST(c * ln(c) AS DECIMAL(38,12))")).cast("double")
+                / F.sum("c")
+            ).cast("double"),
+            9,
+        ).alias("entropy"),
+    )
+    return per_doc.withColumn("low_entropy", F.col("entropy") < 1.0)

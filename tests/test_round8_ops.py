@@ -177,3 +177,34 @@ def test_rp_quality_error_bounded(spark):
         assert r.mean_abs_err <= r.max_abs_err <= 2.0
     again = s_rp_quality(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_entropy_matches_pure_python(spark):
+    """Independent re-derivation of per-doc token entropy in plain Python;
+    also pins the analytic bounds 0 <= H <= ln(n_tokens)."""
+    import re as _re
+    from collections import Counter
+
+    import duckdb
+
+    from emr_apache_iceberg_workshop_spark.plans.textops import t_entropy
+
+    rows = {r.doc_id: r for r in t_entropy(spark, SF_SMOKE).collect()}
+    raw = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    n_checked = 0
+    for doc_id, text in raw:
+        toks = _re.findall(r"[a-z0-9]+", text or "")
+        if not toks:
+            assert doc_id not in rows
+            continue
+        c = Counter(toks)
+        n = len(toks)
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        r = rows[doc_id]
+        assert r.n_tokens == n and r.n_distinct == len(c)
+        assert abs(r.entropy - h) < 1e-8, (doc_id, r.entropy, h)
+        assert -1e-9 <= r.entropy <= math.log(n) + 1e-9
+        n_checked += 1
+    assert n_checked == len(rows)
