@@ -980,14 +980,15 @@ def t_ccnet_buckets(spark, sf_dir) -> DataFrame:
     """Head/middle/tail perplexity terciles over the unigram-LM score."""
     from pyspark.sql import Window
 
-    per_doc = _unigram_perdoc(spark, sf_dir)
+    # scored twice (histogram branch + the bucketed output) — materialize
+    # once at doc grain, the same write-once/read-N staging the 100 TB
+    # version would use for the scored table
+    per_doc = _unigram_perdoc(spark, sf_dir).localCheckpoint(eager=True)
     hist = per_doc.groupBy("mean_nlp").agg(F.count(F.lit(1)).alias("c"))
     # cumulative over distinct scores only (tiny relation) + the scalar n
     w = Window.orderBy("mean_nlp").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        hist.withColumn("cum", F.sum("c").over(w))
-        .crossJoin(F.broadcast(hist.agg(F.sum("c").alias("n"))))
-    )
+    n_row = hist.agg(F.sum("c").alias("n"))  # 1-row scalar: corpus doc count
+    cum = hist.withColumn("cum", F.sum("c").over(w)).crossJoin(F.broadcast(n_row))
     cuts = cum.agg(
         F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("mean_nlp"))).alias("c1"),
         F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("mean_nlp"))).alias("c2"),

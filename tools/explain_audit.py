@@ -35,6 +35,9 @@ PAIR_JOIN_OK = {
     # same fixed 5-id query set (q_id <> vec_id non-equi) — the bounded
     # pair-join shape, broadcast side constant at any corpus scale
     "s_quantized_topk",
+    # round-8: the JL projection grader joins the corpus stream against
+    # the fixed 5-id query set (q_id <> vec_id) — same bounded shape
+    "s_rp_quality",
 }
 
 # Queries whose BNLJ is a 1-row scalar-aggregate broadcast (HAVING > scalar
@@ -57,6 +60,12 @@ SCALAR_BROADCAST_OK = {
     # aggregate (curation.py `tot`) to turn per-source counts into
     # sampling probabilities — same scalar shape
     "c_temperature_mix",
+    # round-8: BM25 crossJoins the 1-row (n_docs, avgdl) corpus-stats
+    # aggregate (textops.py `stats`) — same scalar shape
+    "t_bm25_topk",
+    # round-8: ccnet bucketing crossJoins two 1-row scalars (the doc
+    # count `n_row` and the tercile-cutoff pair `cuts`) — same shape
+    "t_ccnet_buckets",
     # round-5: the bloom bit-array is a 1-row O(m/64)-word aggregate
     # crossJoin-broadcast into the big side's scan stage — the runtime-
     # filter shape; the membership predicate itself is scan-side codegen
@@ -90,6 +99,10 @@ BROADCAST_HINT_ALLOWED = {
     "plans/textops.py": {
         "tot",  # 1-row scalar aggregate (total token count + vocab size)
         "vsz",  # 1-row scalar aggregate (bigram-LM vocabulary size)
+        "idf",  # <=|Q| rows: grouped by the FIXED BM25 query-term set
+        "stats",  # 1-row scalar aggregate (BM25 corpus n_docs + avgdl)
+        "cuts",  # 1-row cutoff pair (ccnet tercile order statistics)
+        "n_row",  # 1-row scalar aggregate (ccnet corpus doc count)
     },
     "plans/curation.py": {
         "tot",  # 1-row scalar aggregate (corpus doc count + sqrt-weight sum)
