@@ -8,6 +8,13 @@ payloads are text bytes). The Spark-side plumbing is real and tested
 either way: binary columns through Arrow batches, `mapInPandas` schema
 contracts, row-expanding frame sampling.
 
+One deep decode IS real with no codec library: uncompressed PCM16 audio.
+`pcm_features` chunk-walks the RIFF container and decodes the actual
+samples (numpy frombuffer), producing signal features the DuckDB oracle
+verifies sample-exactly (`m_pcm_features`). The stub caveat therefore
+narrows to LOSSY formats (image pixel decode, video frames, model
+embeddings), which genuinely need PIL/ffmpeg/a model.
+
 At 100 TB the payloads dominate: `decode_metadata` streams Arrow batches
 (no row-at-a-time pickling); frame sampling expands rows JVM-side via
 `explode(sequence(...))` — the UDF never materializes frames it doesn't
@@ -160,6 +167,88 @@ def decode_metadata(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+PCM_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, peak_abs long, "
+    "zero_crossings long, sum_sq long, rms double"
+)
+
+
+def _wav_pcm(payload: bytes):
+    """REAL WAV decode — not a stub: a proper RIFF chunk walk (not fixed
+    offsets: fmt and data may be separated by LIST/fact chunks, chunks are
+    word-aligned) to the `fmt ` and `data` chunks, then the PCM16 samples
+    via zero-copy numpy frombuffer. Returns (sample_rate, int16 ndarray)
+    or None for non-WAV / non-PCM16 payloads. No codec library involved —
+    PCM is uncompressed, which is exactly why this decode CAN be real in
+    a container that ships none."""
+    import struct
+
+    import numpy as np
+
+    n = len(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    rate = None
+    samples = None
+    i = 12
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            fmt_code, channels, rate_, _bps, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                return None  # only uncompressed mono PCM16 is decodable here
+            rate = rate_
+        elif cid == b"data":
+            samples = np.frombuffer(body[: clen - clen % 2], dtype="<i2")
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        return None
+    return rate, samples
+
+
+def pcm_features(df: DataFrame) -> DataFrame:
+    """mapInPandas over Arrow batches: WAV payload → REAL signal features
+    (peak, zero-crossing count, exact int64 energy, RMS) from genuinely
+    decoded PCM samples. Non-decodable rows are dropped (a pipeline would
+    quarantine them). The numpy math is vectorized per payload; at 100 TB
+    this is map-only — no shuffle, Arrow both ways."""
+    import math
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "peak_abs",
+                "zero_crossings", "sum_sq", "rms",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _wav_pcm(bytes(payload))
+                if dec is None:
+                    continue
+                rate, s = dec
+                if s.size == 0:
+                    continue
+                s64 = s.astype(np.int64)
+                sum_sq = int(np.dot(s64, s64))
+                neg = s < 0
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(s.size))
+                out["peak_abs"].append(int(np.abs(s64).max()))
+                out["zero_crossings"].append(int(np.count_nonzero(neg[:-1] != neg[1:])))
+                out["sum_sq"].append(sum_sq)
+                out["rms"].append(round(math.sqrt(sum_sq / s.size), 9))
+            if out["doc_id"]:  # all-object empty frames break Arrow typing
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=PCM_SCHEMA)
 
 
 def sample_frames(meta: DataFrame, every: int = 10) -> DataFrame:

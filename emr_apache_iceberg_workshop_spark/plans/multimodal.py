@@ -329,3 +329,80 @@ def q_avro_roundtrip(spark, sf_dir) -> DataFrame:
         "doc_id", "text", "lang", "source", "n_chars"
     )
     return from_avro(to_avro(docs), docs.schema)
+
+
+# --------------------------------------------------------------------------
+# REAL PCM decode, oracle-checked on the sample VALUES: each fixture doc is
+# a genuine RIFF/WAVE container (chunk-walked fmt + data, a LIST chunk
+# in between so fixed-offset parsers would fail) whose int16 samples come
+# from a pure-integer formula, s_i = ((d·7919 + i·2654435761) mod 2¹⁶) −
+# 2¹⁵. The Spark side decodes the BYTES (numpy frombuffer, after the real
+# chunk walk); the DuckDB oracle never sees the bytes — it regenerates the
+# identical samples arithmetically and aggregates them in SQL. Agreement
+# proves the binary encode → Arrow → numpy decode path end to end, sample
+# -exact. This narrows the multimodal stub caveat: PCM audio is
+# uncompressed, so its deep decode needs no codec library and is REAL
+# here; lossy image/video pixel decode remains the documented stub.
+_PCM_DOCS = 8
+
+
+def _pcm_payloads() -> list[tuple[int, bytes]]:
+    import struct
+
+    import numpy as np
+
+    rows = []
+    for d in range(1, _PCM_DOCS + 1):
+        n = 240 + 16 * d
+        rate = 8000 + 100 * d
+        i = np.arange(n, dtype=np.int64)
+        v = ((d * 7919 + i * 2654435761) % 65536) - 32768
+        data = v.astype("<i2").tobytes()
+        wav = (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + 16 + 8 + 4 + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            # a LIST chunk between fmt and data: fixed-offset readers break,
+            # the real chunk walk steps over it
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        rows.append((d, wav))
+    return rows
+
+
+@query(
+    "m_pcm_features",
+    oracle=f"""
+    WITH docs AS (SELECT unnest(generate_series(1, {_PCM_DOCS})) AS d),
+         s AS (SELECT d,
+                      unnest(generate_series(0, 240 + 16 * d - 1)) AS i
+               FROM docs),
+         v AS (SELECT d, i,
+                      ((d * 7919 + i * 2654435761) % 65536) - 32768 AS v
+               FROM s),
+         lagged AS (SELECT d, v,
+                           lag(v) OVER (PARTITION BY d ORDER BY i) AS pv
+                    FROM v)
+    SELECT CAST(d AS BIGINT) AS doc_id,
+           CAST(8000 + 100 * d AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           ROUND(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 9) AS rms
+    FROM lagged GROUP BY d
+    """,
+    tags=("multimodal", "pandas-udf", "real-codecs", "pcm"),
+)
+def m_pcm_features(spark, sf_dir) -> DataFrame:
+    """Real PCM16 signal features from genuinely decoded WAV bytes."""
+    from ..operators.multimodal import pcm_features
+
+    df = spark.createDataFrame(
+        [(d, bytearray(p)) for d, p in _pcm_payloads()],
+        "doc_id long, payload binary",
+    )
+    return pcm_features(df)

@@ -45,14 +45,15 @@ _MODULES = [
 # (t_repetition's linear top-count rewrite; v2 metadata count fixes behind
 # q_meta_iceberg_v2; the GIF frame-walk behind m_real_codecs;
 # computed-assignment MERGE in the SQL facade behind q_sql_surface;
-# cardinality-capped COW planning behind q_meta_dml). 12 + 45 + 5 = 62
-# overfills the 50-slot window by 12: the last seven (b) names
-# (q_sketch_quantiles, q_stream_dedup, q_stream_event_windows,
-# q_string_funcs, s_cosine_topk, s_ivf_topk, s_lsh_topk) and all five
-# (c) names fall out and MUST lead the r09 prefix (q_sketch_quantiles,
-# q_stream_dedup, q_stream_event_windows, q_string_funcs,
-# s_cosine_topk, s_ivf_topk, s_lsh_topk, t_repetition,
-# q_meta_iceberg_v2, m_real_codecs, q_sql_surface, q_meta_dml).
+# cardinality-capped COW planning behind q_meta_dml). 13 + 45 + 5 = 63
+# overfills the 50-slot window by 13: the last eight (b) names
+# (q_salted_engagement, q_sketch_quantiles, q_stream_dedup,
+# q_stream_event_windows, q_string_funcs, s_cosine_topk, s_ivf_topk,
+# s_lsh_topk) and all five (c) names fall out and MUST lead the r09
+# prefix (q_salted_engagement, q_sketch_quantiles, q_stream_dedup,
+# q_stream_event_windows, q_string_funcs, s_cosine_topk, s_ivf_topk,
+# s_lsh_topk, t_repetition, q_meta_iceberg_v2, m_real_codecs,
+# q_sql_surface, q_meta_dml).
 # A test_registry_prefix test fails loudly on
 # any name missing from the registry. Unlisted names follow in
 # module-registration order (all green in r06/r07).
@@ -70,6 +71,7 @@ _PREFIX_ORDER = [
     "t_ccnet_buckets",
     "s_rp_quality",
     "t_entropy",
+    "m_pcm_features",
     # (b) last signed r05 (45 names)
     "d_embedding_neardup",
     "d_exact_dup",

@@ -208,3 +208,75 @@ def test_entropy_matches_pure_python(spark):
         assert -1e-9 <= r.entropy <= math.log(n) + 1e-9
         n_checked += 1
     assert n_checked == len(rows)
+
+
+def test_wav_pcm_chunk_walk():
+    """The WAV decode is a real chunk walk: LIST chunks between fmt and
+    data are stepped over, odd-length chunks are word-aligned, and
+    non-PCM16 / truncated / non-WAV payloads are refused (None)."""
+    import struct
+
+    import numpy as np
+
+    from emr_apache_iceberg_workshop_spark.operators.multimodal import _wav_pcm
+
+    samples = np.array([0, 100, -100, 32767, -32768, 1], dtype="<i2")
+    data = samples.tobytes()
+
+    def wav(chunks):
+        body = b"WAVE" + b"".join(
+            cid + struct.pack("<I", len(c)) + c + (b"\x00" if len(c) % 2 else b"")
+            for cid, c in chunks
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 44100, 88200, 2, 16)[4:]
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    # fmt, an odd-length LIST (forces alignment padding), then data
+    w = wav([(b"fmt ", fmt), (b"LIST", b"INFO\x00"), (b"data", data)])
+    rate, got = _wav_pcm(w)
+    assert rate == 44100
+    assert np.array_equal(got, samples)
+    # stereo refused; 8-bit refused; non-wav refused
+    stereo = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    assert _wav_pcm(wav([(b"fmt ", stereo), (b"data", data)])) is None
+    eight = struct.pack("<HHIIHH", 1, 1, 44100, 44100, 1, 8)
+    assert _wav_pcm(wav([(b"fmt ", eight), (b"data", data)])) is None
+    assert _wav_pcm(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert _wav_pcm(b"plain text") is None
+
+
+def test_pcm_features_matches_pure_python(spark):
+    """Independent struct-level re-derivation of every m_pcm_features
+    column from the raw fixture bytes (no numpy on the checking side)."""
+    import struct
+
+    from emr_apache_iceberg_workshop_spark.plans.multimodal import (
+        _pcm_payloads,
+        m_pcm_features,
+    )
+
+    got = {r.doc_id: r for r in m_pcm_features(spark, SF_SMOKE).collect()}
+    assert len(got) == 8
+    for d, payload in _pcm_payloads():
+        # locate the data chunk by a straight scan of the checked bytes
+        i = 12
+        rate = None
+        vals = None
+        while i + 8 <= len(payload):
+            cid = payload[i:i + 4]
+            (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
+            if cid == b"fmt ":
+                rate = struct.unpack("<I", payload[i + 12:i + 16])[0]
+            if cid == b"data":
+                vals = list(struct.unpack(f"<{clen // 2}h", payload[i + 8:i + 8 + clen]))
+            i += 8 + clen + (clen & 1)
+        r = got[d]
+        assert r.sample_rate == rate == 8000 + 100 * d
+        assert r.n_samples == len(vals) == 240 + 16 * d
+        assert r.peak_abs == max(abs(v) for v in vals)
+        assert r.zero_crossings == sum(
+            1 for a, b in zip(vals, vals[1:]) if (a < 0) != (b < 0)
+        )
+        assert r.sum_sq == sum(v * v for v in vals)
+        assert abs(r.rms - math.sqrt(r.sum_sq / r.n_samples)) < 1e-8
