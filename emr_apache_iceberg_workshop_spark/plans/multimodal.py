@@ -406,3 +406,80 @@ def m_pcm_features(spark, sf_dir) -> DataFrame:
         "doc_id long, payload binary",
     )
     return pcm_features(df)
+
+
+# --------------------------------------------------------------------------
+# REAL BMP pixel decode, oracle-checked per pixel: each fixture doc is a
+# genuine bottom-up 24-bit BI_RGB BMP whose pixel (x, y) channels come
+# from v(c) = (d·131 + x·7 + y·17 + c·37) mod 256 (c: 0=R, 1=G, 2=B;
+# bytes stored B,G,R per the format). The Spark side decodes the BYTES
+# (stride/padding math, bottom-up flip, BGR swap — numpy); the oracle
+# regenerates the pixels arithmetically. The position-weighted checksum
+# Σ (1 + x + w·y)·(r + 2g + 3b) fails under any row-order or stride
+# mistake, so the decode is pinned, not just the channel totals.
+_BMP_DOCS = 6
+
+
+def _bmp_payloads() -> list[tuple[int, bytes]]:
+    import struct
+
+    import numpy as np
+
+    rows = []
+    for d in range(1, _BMP_DOCS + 1):
+        w, h = 3 + d, 2 + d
+        x = np.arange(w, dtype=np.int64)[None, :, None]
+        y = np.arange(h, dtype=np.int64)[:, None, None]
+        c = np.arange(3, dtype=np.int64)[None, None, :]  # 0=R,1=G,2=B
+        rgb = ((d * 131 + x * 7 + y * 17 + c * 37) % 256).astype(np.uint8)
+        stride = (3 * w + 3) // 4 * 4
+        px = np.zeros((h, stride), dtype=np.uint8)
+        # bottom-up rows, B,G,R byte order
+        px[:, : 3 * w] = rgb[::-1, :, ::-1].reshape(h, 3 * w)
+        data = px.tobytes()
+        bmp = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                          2835, 2835, 0, 0)
+            + data
+        )
+        rows.append((d, bmp))
+    return rows
+
+
+@query(
+    "m_bmp_pixels",
+    oracle=f"""
+    WITH docs AS (SELECT unnest(generate_series(1, {_BMP_DOCS})) AS d),
+         xs AS (SELECT d, unnest(generate_series(0, 3 + d - 1)) AS x
+                FROM docs),
+         px AS (SELECT d, x, unnest(generate_series(0, 2 + d - 1)) AS y
+                FROM xs),
+         v AS (SELECT d, x, y,
+                      (d * 131 + x * 7 + y * 17) % 256 AS r,
+                      (d * 131 + x * 7 + y * 17 + 37) % 256 AS g,
+                      (d * 131 + x * 7 + y * 17 + 74) % 256 AS b
+               FROM px)
+    SELECT CAST(d AS BIGINT) AS doc_id,
+           CAST(3 + d AS BIGINT) AS width,
+           CAST(2 + d AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((1 + x + (3 + d) * y) * (r + 2 * g + 3 * b)) AS BIGINT)
+               AS weighted
+    FROM v GROUP BY d
+    """,
+    tags=("multimodal", "pandas-udf", "real-codecs", "bmp"),
+)
+def m_bmp_pixels(spark, sf_dir) -> DataFrame:
+    """Real 24-bit BMP pixel decode graded by an arithmetic pixel oracle."""
+    from ..operators.multimodal import bmp_features
+
+    df = spark.createDataFrame(
+        [(d, bytearray(p)) for d, p in _bmp_payloads()],
+        "doc_id long, payload binary",
+    )
+    return bmp_features(df)

@@ -280,3 +280,45 @@ def test_pcm_features_matches_pure_python(spark):
         )
         assert r.sum_sq == sum(v * v for v in vals)
         assert abs(r.rms - math.sqrt(r.sum_sq / r.n_samples)) < 1e-8
+
+
+def test_bmp_decode_real_details():
+    """The BMP decode handles the three format details a fake would skip:
+    bottom-up row order (vs a top-down negative-height twin), 4-byte row
+    padding, and BGR byte order; non-24-bit and compressed BMPs refuse."""
+    import struct
+
+    import numpy as np
+
+    from emr_apache_iceberg_workshop_spark.operators.multimodal import _bmp_pixels
+
+    w, h = 3, 2  # stride 12 -> 3 padding bytes per row
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+
+    def bmp(height_field, rows):
+        data = rows.tobytes()
+        return (
+            b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, height_field, 1, 24, 0,
+                          len(data), 0, 0, 0, 0)
+            + data
+        )
+
+    stride = (3 * w + 3) // 4 * 4
+    rows_bu = np.zeros((h, stride), dtype=np.uint8)
+    rows_bu[:, : 3 * w] = rgb[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up BGR
+    got_w, got_h, got = _bmp_pixels(bmp(h, rows_bu))
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, rgb)
+    # top-down variant (negative height) must NOT be flipped
+    rows_td = np.zeros((h, stride), dtype=np.uint8)
+    rows_td[:, : 3 * w] = rgb[:, :, ::-1].reshape(h, 3 * w)
+    _, _, got_td = _bmp_pixels(bmp(-h, rows_td))
+    assert np.array_equal(got_td, rgb)
+    # refusals: 8-bit, compressed, truncated pixel array, not a BMP
+    bad_bpp = bytearray(bmp(h, rows_bu)); bad_bpp[28] = 8
+    assert _bmp_pixels(bytes(bad_bpp)) is None
+    bad_comp = bytearray(bmp(h, rows_bu)); bad_comp[30] = 1
+    assert _bmp_pixels(bytes(bad_comp)) is None
+    assert _bmp_pixels(bmp(h, rows_bu)[:-5]) is None
+    assert _bmp_pixels(b"not a bitmap") is None
