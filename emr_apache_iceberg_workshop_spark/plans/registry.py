@@ -45,14 +45,15 @@ _MODULES = [
 # (t_repetition's linear top-count rewrite; v2 metadata count fixes behind
 # q_meta_iceberg_v2; the GIF frame-walk behind m_real_codecs;
 # computed-assignment MERGE in the SQL facade behind q_sql_surface;
-# cardinality-capped COW planning behind q_meta_dml). 14 + 45 + 5 = 64
-# overfills the 50-slot window by 14: the last nine (b) names
-# (q_props_stats, q_salted_engagement, q_sketch_quantiles,
-# q_stream_dedup, q_stream_event_windows, q_string_funcs,
-# s_cosine_topk, s_ivf_topk, s_lsh_topk) and all five (c) names fall
-# out and MUST lead the r09 prefix (q_props_stats, q_salted_engagement,
+# cardinality-capped COW planning behind q_meta_dml). 15 + 45 + 5 = 65
+# overfills the 50-slot window by 15: the last ten (b) names
+# (q_pivot_status, q_props_stats, q_salted_engagement,
 # q_sketch_quantiles, q_stream_dedup, q_stream_event_windows,
-# q_string_funcs, s_cosine_topk, s_ivf_topk, s_lsh_topk, t_repetition,
+# q_string_funcs, s_cosine_topk, s_ivf_topk, s_lsh_topk) and all five
+# (c) names fall out and MUST lead the r09 prefix (q_pivot_status,
+# q_props_stats, q_salted_engagement, q_sketch_quantiles,
+# q_stream_dedup, q_stream_event_windows, q_string_funcs,
+# s_cosine_topk, s_ivf_topk, s_lsh_topk, t_repetition,
 # q_meta_iceberg_v2, m_real_codecs, q_sql_surface, q_meta_dml).
 # A test_registry_prefix test fails loudly on
 # any name missing from the registry. Unlisted names follow in
@@ -73,6 +74,7 @@ _PREFIX_ORDER = [
     "t_entropy",
     "m_pcm_features",
     "m_bmp_pixels",
+    "q_meta_dyn_overwrite",
     # (b) last signed r05 (45 names)
     "d_embedding_neardup",
     "d_exact_dup",

@@ -2026,3 +2026,68 @@ def q_sql_surface(spark, sf_dir) -> DataFrame:
     return t.scan().select(
         "invoiceid", "itemid", "category", "qty",
     ).withColumn("n_commits", F.lit(n).cast("int"))
+
+
+# --------------------------------------------------------------------------
+DYNOV_ROOT = os.path.join(_REPO_ROOT, "fixtures", "dynov_demo")
+
+
+def _dynov_table(spark):
+    """Deterministic dynamic-partition-overwrite fixture: two appends
+    (sids 1-2) across partitions a/b/c, then `overwrite_partitions` of a
+    batch touching ONLY a and b (sid 3) — c's files are never rewritten."""
+    from ..tables import SnapshotTable
+
+    import json as _json
+
+    try:
+        with open(os.path.join(DYNOV_ROOT, "_meta.json")) as f:
+            doc = _json.load(f)
+        snaps = doc.get("snapshots", [])
+        if len(snaps) == 3 and snaps[-1]["operation"] == "dynamic-overwrite":
+            return SnapshotTable(spark, DYNOV_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(DYNOV_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, category string, qty bigint"
+    t = SnapshotTable.create(
+        spark, DYNOV_ROOT, ddl, partition_by=["category"],
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    mk = lambda rows: spark.createDataFrame(rows, ddl).coalesce(1)  # noqa: E731
+    t.write(mk([(1, "a", 10), (2, "b", 20), (3, "c", 30)]))
+    t.write(mk([(4, "a", 40), (5, "b", 50)]))
+    t.overwrite_partitions(mk([(9, "a", 99), (8, "b", 88)]))
+    return t
+
+
+@query(
+    "q_meta_dyn_overwrite",
+    # oracle: INDEPENDENT reconstruction from the committed raw parquet —
+    # apply dynamic-overwrite semantics by hand: sid-3's own partitions
+    # replace, every other partition survives from sids 1-2
+    oracle=f"""
+    WITH old AS (
+      SELECT id, category, qty
+      FROM read_parquet('{DYNOV_ROOT}/data/s1/*/*.parquet', hive_partitioning = true)
+      UNION ALL
+      SELECT id, category, qty
+      FROM read_parquet('{DYNOV_ROOT}/data/s2/*/*.parquet', hive_partitioning = true)),
+    nw AS (
+      SELECT id, category, qty
+      FROM read_parquet('{DYNOV_ROOT}/data/s3/*/*.parquet', hive_partitioning = true))
+    SELECT id, category, qty FROM old
+    WHERE category NOT IN (SELECT DISTINCT category FROM nw)
+    UNION ALL
+    SELECT id, category, qty FROM nw
+    """,
+    tags=("meta:dyn-overwrite", "tablemeta", "reference:S13"),
+)
+def q_meta_dyn_overwrite(spark, sf_dir) -> DataFrame:
+    """Dynamic partition overwrite (Iceberg INSERT OVERWRITE,
+    partitionOverwriteMode=dynamic): the engine's masked scan must equal
+    an independent raw-parquet reconstruction that applies the
+    replace-only-written-partitions rule by hand."""
+    t = _dynov_table(spark)
+    return t.scan().select("id", "category", "qty")

@@ -711,7 +711,16 @@ class _StageWriter:
         self.file_cols = [(n, t) for n, t in table_cols if n not in ident]
         types = dict(table_cols)
         self.src_types = {f.source: types[f.source] for f in self.part_fields}
-        self.mode = "overwrite" if overwrite else "append"
+        if overwrite and options.get("overwrite-mode") == "dynamic":
+            # dynamic partition overwrite: replace only the partitions the
+            # batch writes (Iceberg partitionOverwriteMode=dynamic); the
+            # commit layer lists the staged dir's partitions and masks
+            # them out of older dirs
+            self.mode = "overwrite_dynamic"
+        elif overwrite:
+            self.mode = "overwrite"
+        else:
+            self.mode = "append"
         self.branch = options.get("branch", "main")
         self.stage_rel = f"data/.stage-{uuid.uuid4().hex[:12]}"
 

@@ -21,7 +21,10 @@ Supported grammar (case-insensitive keywords; one statement per call):
 - ``CREATE TABLE <name> [USING iceberg] [PARTITIONED BY (...)]
   [TBLPROPERTIES (...)] AS <SELECT ...>`` (CTAS — schema from the SELECT)
 - ``INSERT INTO <name> <SELECT ...>`` / ``INSERT INTO <name> VALUES ...``
-  / ``INSERT OVERWRITE [TABLE] <name> ...`` (snapshot-isolated overwrite)
+  / ``INSERT OVERWRITE [TABLE] <name> ...`` (snapshot-isolated overwrite;
+  with table property ``write.overwrite-mode=dynamic`` it replaces only
+  the partitions present in the inserted rows — Iceberg/Spark
+  ``partitionOverwriteMode=dynamic``)
 - ``DESCRIBE [TABLE] <name>`` / ``SHOW TBLPROPERTIES <name>`` /
   ``SHOW TABLES`` / ``SHOW CREATE TABLE <name>`` (regenerates the
   Iceberg DDL — columns, partition spec, properties — and the output
@@ -534,8 +537,15 @@ class SqlCatalog:
             df = df.toDF(*t.schema().fieldNames())
         else:
             df = self.spark.sql(self._rewrite_reads(rest))
-        mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
-        return t.write(df, mode=mode)
+        if m.group("mode").upper() == "OVERWRITE":
+            # INSERT OVERWRITE honors the Iceberg/Spark dynamic toggle as a
+            # table property (`write.overwrite-mode=dynamic` ≙ the session
+            # conf `spark.sql.sources.partitionOverwriteMode=dynamic`):
+            # replace only the partitions present in the inserted rows
+            if t.properties().get("write.overwrite-mode") == "dynamic":
+                return t.overwrite_partitions(df)
+            return t.write(df, mode="overwrite")
+        return t.write(df, mode="append")
 
     def _delete(self, stmt: str):
         m = re.match(

@@ -83,6 +83,10 @@ class Snapshot:
     files: list = field(default_factory=list)  # manifest: data files added here
     delete_file_stats: list = field(default_factory=list)  # manifest: delete files
     parent_id: int | None = None  # lineage parent (None: root or legacy linear)
+    # above-cap COW/dynamic-overwrite commits reference their touched-
+    # partition set as a parquet mask file instead of inline tuples;
+    # without this field `snapshots()` raised on any such table's history
+    mask_file: str | None = None
 
 
 def _entry_rel(e) -> str:
@@ -628,6 +632,73 @@ class SnapshotTable:
             stage, part_names, mode, operation, branch, summary_extra, meta=meta
         )
 
+    def overwrite_partitions(
+        self, df: DataFrame, summary_extra: dict | None = None
+    ) -> int:
+        """Dynamic partition overwrite (Iceberg `INSERT OVERWRITE` with
+        `spark.sql.sources.partitionOverwriteMode=dynamic`): replace
+        EXACTLY the partitions present in the batch; every other
+        partition's files stay byte-identical (time travel to the
+        pre-overwrite snapshot still sees the replaced rows). Partition
+        scoping reuses the COW machinery: inline exclusion tuples up to
+        `write.cow.scope-cap`, a parquet mask FILE above it — driver
+        memory and metadata size stay bounded at any partition
+        cardinality (the capped path never collects the touched set).
+        Unpartitioned tables degenerate to a full overwrite, Spark's own
+        semantics for dynamic mode without partitions. Stale bases refuse
+        with CommitConflict like every non-append commit."""
+        meta = self._load()
+        fields = self._part_fields(meta)
+        if not fields:
+            return self.write(
+                df, mode="overwrite", operation="dynamic-overwrite",
+                summary_extra=summary_extra,
+            )
+        schema = T.StructType.fromDDL(meta["schema"])
+        part_sel = [field_expr(f, schema).alias(f.name) for f in fields]
+        df_local = df.localCheckpoint(eager=True)  # written + partition-scanned
+        parts_df = df_local.select(*part_sel).distinct().localCheckpoint(eager=True)
+        cap = int(meta.get("properties", {}).get("write.cow.scope-cap", 10000))
+        head_rows = parts_df.limit(cap + 1).collect()
+        capped = len(head_rows) > cap
+        parts = (
+            []
+            if capped
+            else [{c: _part_str(v) for c, v in r.asDict().items()} for r in head_rows]
+        )
+        snaps = meta["snapshots"]
+        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        prev = self._head(meta)
+        rel, written_parts, files = self._write_data_dir(df_local, meta, sid)
+        mask_rel = self._write_mask_file(parts_df, sid) if capped else None
+        new_active = self._mask_active_dirs(prev, snaps, parts, mask_rel)
+        if files:  # an empty batch replaces nothing: no-op commit
+            new_active.append(rel)
+        n_scoped = parts_df.count() if capped else len(parts)
+        snap_rec = {
+            "snapshot_id": sid,
+            "parent_id": prev["snapshot_id"] if prev else None,
+            "made_current_at": self._clock(),
+            "operation": "dynamic-overwrite",
+            "dirs": [rel],
+            "active_dirs": new_active,
+            "partitions": written_parts,
+            "files": files,
+            "active_deletes": list(prev.get("active_deletes", [])) if prev else [],
+            "summary": dict(
+                {"mode": "dynamic-partition-overwrite",
+                 "replaced_partitions": n_scoped},
+                **(summary_extra or {}),
+            ),
+        }
+        if mask_rel:
+            snap_rec["mask_file"] = mask_rel
+            snap_rec["summary"]["scope"] = "mask-join"
+        snaps.append(snap_rec)
+        self._advance(meta, "main", sid, None)
+        self._commit(meta)
+        return sid
+
     def commit_staged(
         self,
         stage: str,
@@ -648,6 +719,8 @@ class SnapshotTable:
 
         if meta is None:
             meta = self._load()
+        if mode == "overwrite_dynamic" and not part_names:
+            mode = "overwrite"  # unpartitioned: dynamic degenerates to full
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         published = False
@@ -661,6 +734,22 @@ class SnapshotTable:
                     published = True
                     parts = self._list_partitions(out, part_names)
                     files = self._file_stats(rel)
+                    if mode == "overwrite_dynamic":
+                        # Spark-free path (DSv2 format writer): partitions
+                        # come from the dir listing as inline exclusion
+                        # tuples, so the metadata-size cap is a hard bound
+                        # here — the native overwrite_partitions() method
+                        # switches to a mask FILE above it instead
+                        cap = int(meta.get("properties", {}).get(
+                            "write.cow.scope-cap", 10000))
+                        if len(parts) > cap:
+                            _shutil.rmtree(out, ignore_errors=True)
+                            raise ValueError(
+                                f"dynamic overwrite touches {len(parts)} "
+                                f"partitions (> write.cow.scope-cap {cap}); "
+                                "use SnapshotTable.overwrite_partitions "
+                                "(mask-file scoped) or split the batch"
+                            )
                 return self._commit_write(
                     meta, sid, rel, parts, files, mode, operation, branch,
                     summary_extra,
@@ -732,6 +821,23 @@ class SnapshotTable:
             # a higher sid than every existing delete file, so they are
             # never suppressed — plain-append semantics preserved
             active_deletes = list(prev.get("active_deletes", [])) if prev else []
+        elif mode == "overwrite_dynamic":
+            # dynamic partition overwrite (Iceberg INSERT OVERWRITE with
+            # partitionOverwriteMode=dynamic): replace EXACTLY the
+            # partitions present in the new dir, via the same inline
+            # partition-exclusion entries COW merges write; untouched
+            # partitions' files stay byte-identical. Delete files carry
+            # over — they apply by sid to surviving older dirs only.
+            active = self._mask_active_dirs(prev, snaps, parts, None)
+            if files:  # an empty batch replaces nothing: no-op commit
+                active.append(rel)
+            active_deletes = list(prev.get("active_deletes", [])) if prev else []
+            operation = operation or "dynamic-overwrite"
+            summary_extra = dict(
+                {"mode": "dynamic-partition-overwrite",
+                 "replaced_partitions": len(parts)},
+                **(summary_extra or {}),
+            )
         else:
             active, active_deletes = [rel], []
         snaps.append(
