@@ -840,3 +840,58 @@ def d_minhash_accuracy(spark, sf_dir) -> DataFrame:
             (F.abs(F.col("est_sim") - F.col("jaccard")) <= 0.25).cast("bigint")
         ).alias("n_within_quarter"),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash CLUSTER-REPRESENTATIVE output: the shape a real 100 TB dedup job
+# ships. d_simhash's own SCALE.md decade probe proved exact pair
+# enumeration is OUTPUT-bound on duplicate-dense corpora (hamming-0
+# groups alone grow the true pair set ~41× for 10× the docs — a clique of
+# k near-dups is k(k-1)/2 pairs); the cluster form emits ONE row per
+# component (representative = min doc_id, member count, id checksum), so
+# the output is linear in the number of duplicate documents no matter how
+# dense the cliques get. Components come from the same banded candidate
+# edges via alternating large-star/small-star contraction
+# (operators/graph.py — O(log diameter) edge-set shuffles); the oracle
+# recomputes components with a recursive-CTE transitive closure, which is
+# exactly the O(Σk²) blow-up the Spark side avoids.
+@query(
+    "d_simhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+         md AS (SELECT doc_id, {_simhash_md5s('duck')} AS __md FROM documents),
+         h AS (SELECT doc_id, {_simhash_expr('duck')} AS simhash FROM md),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM h a JOIN h b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION
+                   SELECT doc_b AS a, doc_a AS b FROM pairs),
+         nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+         reach(s, t) AS (
+             SELECT doc_id, doc_id FROM nodes
+             UNION
+             SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+         ),
+         comp AS (SELECT s AS doc_id, MIN(t) AS rep FROM reach GROUP BY s)
+    SELECT CAST(rep AS BIGINT) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+    FROM comp GROUP BY rep
+    """,
+    tags=("dedup:simhash", "graph", "clusters"),
+)
+def d_simhash_clusters(spark, sf_dir) -> DataFrame:
+    """Near-dup clusters (rep, size, id-sum) over the simhash hamming≤3
+    graph — linear output where d_simhash's pair enumeration is
+    quadratic in clique size."""
+    from ..operators.graph import connected_components
+
+    pairs = d_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _rounds = connected_components(
+        pairs.selectExpr("doc_a AS u", "doc_b AS v")
+    )
+    return labels.groupBy(F.col("label").alias("rep")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+    )

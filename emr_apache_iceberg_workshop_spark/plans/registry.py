@@ -36,52 +36,59 @@ _MODULES = [
 # names, r04 covered event-time + the r04-new operators, r05 covered the
 # 45 names outside r04's window + 5 result-touched names.
 #
-# r08 leads with (a) the 8 queries NEW this round (never driver-signed —
-# a new query outside the window would reach the judge with no signature
-# at all, strictly worse than an aged one), then (b) the 45 names last
-# driver-signed in r05 (oldest rows — no name should go more than ~2
-# rounds unsigned; r06 covered 45, r07 the other 50, so the r05 cohort is
-# the only stale one), then (c) the 5 names whose CODE this round changes
-# (t_repetition's linear top-count rewrite; v2 metadata count fixes behind
-# q_meta_iceberg_v2; the GIF frame-walk behind m_real_codecs;
-# computed-assignment MERGE in the SQL facade behind q_sql_surface;
-# cardinality-capped COW planning behind q_meta_dml). 15 + 45 + 5 = 65
-# overfills the 50-slot window by 15: the last ten (b) names
-# (q_pivot_status, q_props_stats, q_salted_engagement,
-# q_sketch_quantiles, q_stream_dedup, q_stream_event_windows,
-# q_string_funcs, s_cosine_topk, s_ivf_topk, s_lsh_topk) and all five
-# (c) names fall out and MUST lead the r09 prefix (q_pivot_status,
-# q_props_stats, q_salted_engagement, q_sketch_quantiles,
-# q_stream_dedup, q_stream_event_windows, q_string_funcs,
-# s_cosine_topk, s_ivf_topk, s_lsh_topk, t_repetition,
-# q_meta_iceberg_v2, m_real_codecs, q_sql_surface, q_meta_dml).
-# A test_registry_prefix test fails loudly on
-# any name missing from the registry. Unlisted names follow in
-# module-registration order (all green in r06/r07).
+# r09 leads with (a) the queries NEW this round (m_png_pixels,
+# m_gif_pixels, d_simhash_clusters, q_catalog_format_read — never
+# driver-signed), then (b) the 15 names that overflowed r08's 50-slot
+# window (the ten r05-aged names q_string_funcs … s_lsh_topk plus the
+# five r08-code-touched names t_repetition … q_meta_dml — the r08
+# verdict's task-6 rotation list), then (c) the names whose CODE r09
+# changes: the five q_dsv2_* (failed-task commit protocol,
+# schema-evolution null-fill, ref schema resolution, hive-unescaped
+# partition tuples, stream replay-guard scope) and the three m_* decode
+# queries sharing operators/multimodal.py. 4 + 15 + 8 = 27; the r08
+# cohort follows and pads the window to 50. A test_registry_prefix test
+# fails loudly on any name missing from the registry; unlisted names
+# follow in module-registration order.
 _PREFIX_ORDER = [
-    # (a) new in r08, never signed
-    "d_simhash64",
-    "t_bigram_logprob",
-    "c_temperature_mix",
+    "m_png_pixels",
+    "m_gif_pixels",
+    "d_simhash_clusters",
+    "q_string_funcs",
+    "q_pivot_status",
+    "q_props_stats",
+    "q_salted_engagement",
+    "s_cosine_topk",
+    "s_lsh_topk",
+    "s_ivf_topk",
+    "q_sketch_quantiles",
+    "q_stream_event_windows",
+    "q_stream_dedup",
+    "t_repetition",
+    "q_meta_iceberg_v2",
+    "m_real_codecs",
+    "q_sql_surface",
+    "q_meta_dml",
     "q_dsv2_scan",
     "q_dsv2_incremental",
     "q_dsv2_pushdown",
     "q_dsv2_write",
     "q_dsv2_stream",
+    "m_decode_metadata",
+    "m_pcm_features",
+    "m_bmp_pixels",
+    "d_simhash64",
+    "t_bigram_logprob",
+    "c_temperature_mix",
     "t_bm25_topk",
     "t_ccnet_buckets",
     "s_rp_quality",
     "t_entropy",
-    "m_pcm_features",
-    "m_bmp_pixels",
     "q_meta_dyn_overwrite",
-    # (b) last signed r05 (45 names)
     "d_embedding_neardup",
     "d_exact_dup",
     "d_minhash_lsh",
     "d_ngram_jaccard",
     "d_simhash",
-    "m_decode_metadata",
     "q02_min_cost_supplier",
     "q07_volume_shipping",
     "q08_market_share",
@@ -111,22 +118,6 @@ _PREFIX_ORDER = [
     "q_ntile_deciles",
     "q_order_gaps",
     "q_percentiles",
-    "q_pivot_status",
-    "q_props_stats",
-    "q_salted_engagement",
-    "q_sketch_quantiles",
-    "q_stream_dedup",
-    "q_stream_event_windows",
-    "q_string_funcs",
-    "s_cosine_topk",
-    "s_ivf_topk",
-    "s_lsh_topk",
-    # (c) code-touched this round (last 3 overflow the window → lead r09)
-    "t_repetition",
-    "q_meta_iceberg_v2",
-    "m_real_codecs",
-    "q_sql_surface",
-    "q_meta_dml",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -106,6 +106,38 @@ def _part_str(v):
     return str(v)
 
 
+def _unescape_path(v: str) -> str:
+    """Inverse of `_escape_path` (Spark ExternalCatalogUtils
+    unescapePathName): %XX sequences back to their characters."""
+    if "%" not in v:
+        return v
+    out, i, n = [], 0, len(v)
+    while i < n:
+        c = v[i]
+        if c == "%" and i + 3 <= n:
+            try:
+                out.append(chr(int(v[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _file_part(f: dict) -> dict:
+    """A manifest entry's partition tuple as RAW (hive-unescaped) string
+    values — the same canonical form as the native scan's exclusion
+    tuples (`_part_str` of dataframe values) and `_parse_part_value`'s
+    input. Manifest entries store the dir-name segment verbatim, which
+    is hive-ESCAPED for special characters (tables.py:_file_stats)."""
+    return {
+        k: (None if v is None else _unescape_path(_part_str(v)))
+        for k, v in f["partition"].items()
+    }
+
+
 def _head(meta: dict, branch: str = "main") -> dict | None:
     snaps = meta["snapshots"]
     refs = meta.get("branches", {})
@@ -323,6 +355,56 @@ def _append_rels(meta: dict, lo: int, hi: int) -> list[str]:
     return rels
 
 
+def _resolve_snapshot(meta: dict, options) -> tuple[dict | None, int | None]:
+    """(snapshot entry, as_of sid) for the option surface: `snapshot-id`
+    (numeric id, tag, or branch name — Iceberg VERSION AS OF accepts all
+    three, tables.py:scan_at), `as-of-timestamp` (FOR TIMESTAMP AS OF,
+    main-lineage walk, tables.py:scan_as_of), else the `branch` head.
+    `as_of` is ALWAYS the resolved snapshot's id — the native scan passes
+    snap['snapshot_id'] into its rename mapping for every read, including
+    plain head scans (tables.py:_scan_snapshot), so a branch whose head
+    predates a later rename on main reads its files under the names
+    current AT the branch head. Shared by the reader's planner and
+    DataSource.schema() so the declared schema and the planned read can
+    never disagree about which snapshot they describe."""
+    ref = options.get("snapshot-id")
+    if ref is not None:
+        tags, branches = meta.get("tags", {}), meta.get("branches", {})
+        if not str(ref).lstrip("-").isdigit():
+            if ref in tags:
+                ref = tags[ref]
+            elif ref in branches:
+                ref = branches[ref]
+            else:
+                raise ValueError(f"unknown ref {ref!r}")
+        sid = int(ref)
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return s, sid
+        raise ValueError(f"unknown snapshot {sid}")
+    ts = options.get("as-of-timestamp")
+    if ts is not None:
+        import datetime as dt
+
+        try:
+            ts_f = float(ts)
+        except ValueError:
+            ts_f = (
+                dt.datetime.fromisoformat(ts)
+                .replace(tzinfo=dt.timezone.utc)
+                .timestamp()
+            )
+        head = _head(meta)
+        if head is None:
+            raise ValueError("empty table: no snapshot at or before that time")
+        for s in _lineage(meta, head["snapshot_id"]):
+            if float(s["made_current_at"]) <= ts_f:
+                return s, s["snapshot_id"]
+        raise ValueError(f"no snapshot at or before {ts}")
+    head = _head(meta, options.get("branch", "main"))
+    return head, (head["snapshot_id"] if head is not None else None)
+
+
 def _plan_entries(
     root: str,
     meta: dict,
@@ -359,7 +441,7 @@ def _plan_entries(
         for f in ws.get("files", []):
             if not f["path"].startswith(rel + "/") and f["path"] != rel:
                 continue
-            part = {k: _part_str(v) for k, v in f["partition"].items()}
+            part = _file_part(f)
             if part in excl:
                 continue  # rewritten by a later partition-scoped commit
             if file_keep is not None and not file_keep(f):
@@ -398,7 +480,12 @@ def _read_slice(partition):
         # empty-table / empty-plan sentinel (Spark calls read(None) when
         # a batch reader plans zero partitions)
         return
-    file_cols = [h for _n, h, _t in partition.columns if h is not None]
+    # Additive schema evolution: files written BEFORE evolve_schema(add=...)
+    # lack the added column entirely — read only the columns the file
+    # physically has and null-fill the rest (the native scan's explicit
+    # read-schema does the same, tables.py:_read_entries).
+    present = set(pq.read_schema(partition.path).names)
+    file_cols = [h for _n, h, _t in partition.columns if h is not None and h in present]
     t = pq.read_table(partition.path, columns=file_cols)
     n = t.num_rows
     keep = None  # None = all rows; else a python list[bool]
@@ -427,6 +514,8 @@ def _read_slice(partition):
                 simple = next(t_ for nm, _h, t_ in partition.columns if nm == k)
                 v = _parse_part_value(partition.part_values.get(k), simple)
                 kcols.append([v] * n)
+            elif h not in present:  # added after this file was written
+                kcols.append([None] * n)
             else:
                 kcols.append(t.column(h).to_pylist())
         mask = [tup not in dset for tup in zip(*kcols)]
@@ -441,6 +530,8 @@ def _read_slice(partition):
         if hist is None:
             v = _parse_part_value(partition.part_values.get(name), simple)
             arrays.append(pa.array([v] * t.num_rows, type=typ))
+        elif hist not in present:  # schema-evolved: old file, null column
+            arrays.append(pa.nulls(t.num_rows, type=typ))
         else:
             arrays.append(t.column(hist).cast(typ))
         names.append(name)
@@ -546,47 +637,6 @@ class SnapshotTableReader(DataSourceReader):
                 continue  # incomparable manifest value: keep the file
         return True
 
-    # -- planning ----------------------------------------------------------
-    def _resolve_snapshot(self, meta: dict) -> tuple[dict | None, int | None]:
-        """(snapshot entry, as_of sid for the rename mapping)."""
-        opt = self.options
-        ref = opt.get("snapshot-id")
-        if ref is not None:
-            tags, branches = meta.get("tags", {}), meta.get("branches", {})
-            if not str(ref).lstrip("-").isdigit():
-                if ref in tags:
-                    ref = tags[ref]
-                elif ref in branches:
-                    ref = branches[ref]
-                else:
-                    raise ValueError(f"unknown ref {ref!r}")
-            sid = int(ref)
-            for s in meta["snapshots"]:
-                if s["snapshot_id"] == sid:
-                    return s, sid
-            raise ValueError(f"unknown snapshot {sid}")
-        ts = opt.get("as-of-timestamp")
-        if ts is not None:
-            import datetime as dt
-
-            try:
-                ts_f = float(ts)
-            except ValueError:
-                ts_f = (
-                    dt.datetime.fromisoformat(ts)
-                    .replace(tzinfo=dt.timezone.utc)
-                    .timestamp()
-                )
-            head = _head(meta)
-            if head is None:
-                raise ValueError("empty table: no snapshot at or before that time")
-            for s in _lineage(meta, head["snapshot_id"]):
-                if float(s["made_current_at"]) <= ts_f:
-                    return s, s["snapshot_id"]
-            raise ValueError(f"no snapshot at or before {ts}")
-        head = _head(meta, self.options.get("branch", "main"))
-        return head, None
-
     def partitions(self):
         with open(os.path.join(self.root, "_meta.json")) as fh:
             meta = json.load(fh)
@@ -600,7 +650,7 @@ class SnapshotTableReader(DataSourceReader):
             deletes: list = []
             as_of = None
         else:
-            snap, as_of = self._resolve_snapshot(meta)
+            snap, as_of = _resolve_snapshot(meta, self.options)
             if snap is None:
                 # empty table: one sentinel slice that reads no rows (the
                 # API requires >= 1 partition)
@@ -610,7 +660,7 @@ class SnapshotTableReader(DataSourceReader):
 
         out = _plan_entries(
             self.root, meta, entries, deletes, as_of, self.fields,
-            file_keep=lambda f: self._file_may_match(f, f["partition"]),
+            file_keep=lambda f: self._file_may_match(f, _file_part(f)),
         )
         # zero live/matching files: the batch API still needs >= 1
         # partition (Spark otherwise calls read(None))
@@ -827,12 +877,36 @@ class _StageWriter:
 
         shutil.rmtree(os.path.join(self.root, self.stage_rel), ignore_errors=True)
 
+    def _publish_messages(self, messages) -> None:
+        """Move EXACTLY the files reported in WriterCommitMessages out of
+        the shared stage dir into a fresh publish dir, then point
+        `stage_rel` at it. This is the standard Spark commit-protocol
+        shape: a failed task attempt's partial parquet (or a speculative
+        duplicate attempt's files) sits in the stage dir but is never in
+        any successful task's message, so it is swept — not committed as
+        corrupt/duplicate rows. Shared by the batch commit and the
+        streaming commit."""
+        import shutil
+        import uuid
+
+        stage = os.path.join(self.root, self.stage_rel)
+        publish = os.path.join(self.root, f"data/.stage-{uuid.uuid4().hex[:12]}")
+        os.makedirs(publish, exist_ok=True)
+        for m in messages:
+            for rel in getattr(m, "paths", None) or []:
+                dst = os.path.join(publish, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(stage, rel), dst)
+        shutil.rmtree(stage, ignore_errors=True)  # sweep failed-attempt litter
+        self.stage_rel = os.path.relpath(publish, self.root)
+
 
 class SnapshotTableArrowWriter(_StageWriter, DataSourceArrowWriter):
     def write(self, iterator):
         return self._write_batches(iterator)
 
     def commit(self, messages):
+        self._publish_messages(messages)
         self._commit_stage()
 
     def abort(self, messages):
@@ -874,46 +948,44 @@ class SnapshotTableStreamWriter(_StageWriter, _STREAM_WRITER_BASE):
                 "eiws stream sink supports append output mode only "
                 "(complete-mode overwrite would rewrite the table each batch)"
             )
-        self.scope = options.get("query-scope")
-        key = self.scope or options.get("checkpointlocation") or options.get(
-            "checkpointLocation"
-        ) or ""
+        key = options.get("query-scope") or options.get(
+            "checkpointlocation"
+        ) or options.get("checkpointLocation") or ""
         h = hashlib.sha1(key.encode()).hexdigest()[:12]
+        # Replay-guard scope DEFAULTS to the checkpoint-location hash: a
+        # NEW query on a fresh checkpoint restarts batch ids at 0, and a
+        # None scope would match every unscoped snapshot already in the
+        # table — silently dropping the new query's batches. Distinct
+        # checkpoints must never share a replay guard; an explicit
+        # `query-scope` still overrides (two queries that WANT to share
+        # a guard set the same scope).
+        self.scope = options.get("query-scope") or f"ckpt-{h}"
         self.stage_rel = f"data/.stage-stream-{h}"
 
     def write(self, iterator):
         return self._write_batches(iterator)
 
     def commit(self, messages, batchId):
-        import shutil
-        import uuid
-
         from ..tables import SnapshotTable
 
         t = SnapshotTable(None, self.root)
+        # guard matches THIS scope only — never unscoped snapshots (which
+        # belong to other writers: append_stream_batch without a scope)
         done = [
             s.summary.get("streaming.batch-id")
             for s in t.snapshots()
             if s.summary.get("streaming.batch-id") is not None
-            and s.summary.get("streaming.query-scope") in (None, self.scope)
+            and s.summary.get("streaming.query-scope") == self.scope
         ]
         if done and batchId <= max(done):
             self._abort_stage()  # at-least-once replay of a committed batch
             return
         # publish exactly the files this batch's tasks reported
-        stage = os.path.join(self.root, self.stage_rel)
-        publish = os.path.join(self.root, f"data/.stage-{uuid.uuid4().hex[:12]}")
-        os.makedirs(publish, exist_ok=True)
-        for m in messages:
-            for rel in getattr(m, "paths", None) or []:
-                dst = os.path.join(publish, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(os.path.join(stage, rel), dst)
-        shutil.rmtree(stage, ignore_errors=True)  # sweep stale-attempt leftovers
-        summary = {"streaming.batch-id": int(batchId)}
-        if self.scope is not None:
-            summary["streaming.query-scope"] = self.scope
-        self.stage_rel = os.path.relpath(publish, self.root)
+        self._publish_messages(messages)
+        summary = {
+            "streaming.batch-id": int(batchId),
+            "streaming.query-scope": self.scope,
+        }
         self._commit_stage(summary_extra=summary)
 
     def abort(self, messages, batchId):
@@ -986,9 +1058,15 @@ class SnapshotTableDataSource(DataSource):
             )
         with open(os.path.join(root, "_meta.json")) as fh:
             meta = json.load(fh)
-        sid = self.options.get("snapshot-id")
-        as_of = int(sid) if sid is not None and str(sid).lstrip("-").isdigit() else None
-        return _schema_ddl_at(meta, as_of)
+        if self.options.get("end-snapshot-id") is not None:
+            # incremental append-range read: current schema, like the
+            # native scan_incremental (old files null-fill added columns)
+            return _schema_ddl_at(meta, None)
+        # time travel (snapshot id / tag / branch / timestamp) declares
+        # the schema AS OF the resolved snapshot — tables.py:scan_at uses
+        # schema_at(ref) the same way
+        snap, _as_of = _resolve_snapshot(meta, self.options)
+        return _schema_ddl_at(meta, snap["snapshot_id"] if snap else None)
 
     def reader(self, schema) -> SnapshotTableReader:
         fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]

@@ -162,3 +162,93 @@ def test_unknown_ref_raises(dsv2_spark):
 def test_missing_table_option_raises(dsv2_spark):
     with pytest.raises(Exception, match="eiws reader needs"):
         dsv2_spark.read.format("eiws").load("/no/such/table").collect()
+
+
+def test_schema_evolution_add_column(dsv2_spark, tmp_path):
+    """Files written BEFORE evolve_schema(add=...) lack the added column
+    entirely; the dsv2 reader must null-fill them (the native scan's
+    explicit read schema does), not crash on the missing parquet column."""
+    from pyspark.sql import types as T
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = SnapshotTable.create(dsv2_spark, str(tmp_path / "evo"), schema)
+    t.write(dsv2_spark.createDataFrame([(1, "a"), (2, "b")], schema), mode="append")
+    t.evolve_schema(add={"score": "double"})
+    new_schema = t.schema()
+    t.write(
+        dsv2_spark.createDataFrame([(3, "c", 0.5)], new_schema), mode="append"
+    )
+    fmt = dsv2_spark.read.format("eiws").option("table", t.root).load()
+    assert _rows(fmt) == _rows(t.scan()) == [(1, "a", None), (2, "b", None), (3, "c", 0.5)]
+    # time travel to the pre-evolution snapshot: schema has no score col
+    fmt1 = (
+        dsv2_spark.read.format("eiws")
+        .option("table", t.root)
+        .option("snapshot-id", "1")
+        .load()
+    )
+    assert fmt1.columns == ["id", "v"]
+    assert _rows(fmt1) == _rows(t.scan_at(1))
+
+
+def test_tag_and_branch_schema_resolution(dsv2_spark, tmp_path):
+    """A tag or branch ref on a schema-evolved table must declare the
+    schema AS OF the referenced snapshot (tables.py:scan_at parity), not
+    the head schema."""
+    from pyspark.sql import types as T
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = SnapshotTable.create(dsv2_spark, str(tmp_path / "tagevo"), schema)
+    t.write(dsv2_spark.createDataFrame([(1,)], schema), mode="append")
+    t.create_tag("v1")
+    t.create_branch("hold")
+    t.evolve_schema(add={"extra": "string"})
+    t.write(dsv2_spark.createDataFrame([(2, "x")], t.schema()), mode="append")
+    r = dsv2_spark.read.format("eiws").option("table", t.root)
+    tagged = r.option("snapshot-id", "v1").load()
+    assert tagged.columns == ["id"]
+    assert _rows(tagged) == _rows(t.scan_at("v1")) == [(1,)]
+    branched = (
+        dsv2_spark.read.format("eiws")
+        .option("table", t.root)
+        .option("branch", "hold")
+        .load()
+    )
+    assert branched.columns == ["id"]
+    assert _rows(branched) == [(1,)]
+    # head read still sees the evolved schema
+    head = dsv2_spark.read.format("eiws").option("table", t.root).load()
+    assert head.columns == ["id", "extra"]
+
+
+def test_special_char_partition_values(dsv2_spark, tmp_path):
+    """Partition values with hive-escapable characters (':', '/', '#',
+    '%'): dir names store them %XX-escaped, exclusion tuples and injected
+    values use the RAW form — the dsv2 path must unescape manifest
+    values or it keeps overwritten rows and returns escaped strings."""
+    from pyspark.sql import types as T
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("cat", T.StringType())]
+    )
+    t = SnapshotTable.create(
+        dsv2_spark, str(tmp_path / "esc"), schema, partition_by=["cat"]
+    )
+    rows = [(1, "a:b"), (2, "x/y#z"), (3, "p%q"), (4, "plain")]
+    t.write(dsv2_spark.createDataFrame(rows, schema), mode="append")
+    fmt = dsv2_spark.read.format("eiws").option("table", t.root).load()
+    assert _rows(fmt) == _rows(t.scan()) == sorted(rows)
+    # dynamic partition overwrite of ONE escaped partition: the exclusion
+    # tuple is the raw value; dsv2 must drop the old file for 'a:b' only
+    t.overwrite_partitions(dsv2_spark.createDataFrame([(10, "a:b")], schema))
+    expect = sorted([(10, "a:b"), (2, "x/y#z"), (3, "p%q"), (4, "plain")])
+    fmt2 = dsv2_spark.read.format("eiws").option("table", t.root).load()
+    assert _rows(fmt2) == _rows(t.scan()) == expect

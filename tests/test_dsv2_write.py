@@ -425,3 +425,67 @@ def test_many_partitions_lru_bounded_writers(wspark, tmp_path):
     assert _rows(t.scan()) == sorted(
         (b * 100 + i, f"k{i:03d}", b * 100 + i) for b in range(2) for i in range(100)
     )
+
+
+def test_batch_commit_publishes_only_reported_files(wspark, tmp_path):
+    """A failed/speculative task attempt's partial parquet sits in the
+    shared stage dir but is in no successful task's commit message — the
+    commit must sweep it, not publish it as duplicate/corrupt rows
+    (standard Spark commit-protocol semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emr_apache_iceberg_workshop_spark.sources.dsv2 import (
+        SnapshotTableArrowWriter,
+    )
+
+    t = _table(wspark, tmp_path)
+    fields = [(f.name, f.dataType.simpleString()) for f in t.schema().fields]
+    w = SnapshotTableArrowWriter({"table": t.root}, fields, overwrite=False)
+    good = pa.record_batch(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "category": pa.array(["a", "b"]),
+            "qty": pa.array([10, 20], pa.int64()),
+        }
+    )
+    msg = w._write_batches(iter([good]))
+    # simulate a dead attempt: duplicate rows staged but never reported
+    stage = os.path.join(t.root, w.stage_rel)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "category": pa.array(["a"]),
+                "qty": pa.array([10], pa.int64()),
+            }
+        ),
+        os.path.join(stage, "part-deadattempt-0000.snappy.parquet"),
+    )
+    w.commit([msg])
+    assert _rows(t.scan()) == [(1, "a", 10), (2, "b", 20)]  # no duplicate
+    assert sum(f["rows"] for f in t.snapshots()[-1].files) == 2
+    assert not [
+        d for d in os.listdir(os.path.join(t.root, "data")) if d.startswith(".stage")
+    ]
+
+
+def test_stream_fresh_checkpoint_defaults_to_distinct_scope(wspark, tmp_path):
+    """Two queries with DIFFERENT checkpoints and no explicit query-scope
+    must not share a replay guard: the second query's batch 0 appends
+    instead of being dropped against the first query's batch ids."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    src = SnapshotTable.create(wspark, str(tmp_path / "src"), schema)
+    src.write(wspark.createDataFrame([(1,), (2,)], schema), mode="append")
+    dst = SnapshotTable.create(wspark, str(tmp_path / "dst"), schema)
+
+    _stream_once(wspark, src.root, dst.root, str(tmp_path / "ckptA"))
+    assert sorted(r.id for r in dst.scan().collect()) == [1, 2]
+    # a brand-new query (fresh checkpoint, batch ids restart at 0)
+    _stream_once(wspark, src.root, dst.root, str(tmp_path / "ckptB"))
+    assert sorted(r.id for r in dst.scan().collect()) == [1, 1, 2, 2]
+    # while the SAME checkpoint location still replays exactly-once
+    _stream_once(wspark, src.root, dst.root, str(tmp_path / "ckptA"))
+    assert sorted(r.id for r in dst.scan().collect()) == [1, 1, 2, 2]
