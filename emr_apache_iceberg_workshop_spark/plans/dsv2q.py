@@ -240,3 +240,46 @@ def q_dsv2_stream(spark, sf_dir) -> DataFrame:
             dsum(F.col("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_catalog_format_read",
+    # VERSION AS OF 2 = the state after the s2 append (no deletes yet):
+    # the oracle reads the raw s1+s2 parquet, never the engine
+    oracle=f"""
+    WITH live AS (
+      SELECT id, category, qty
+      FROM read_parquet('{DEMO_ROOT}/data/s1/*/*.parquet', hive_partitioning = true)
+      UNION ALL
+      SELECT id, category, qty
+      FROM read_parquet('{DEMO_ROOT}/data/s2/*/*.parquet', hive_partitioning = true))
+    SELECT category, COUNT(*) AS n_rows, CAST(SUM(qty) AS BIGINT) AS total_qty
+    FROM live GROUP BY category
+    """,
+    tags=("dsv2", "catalog", "sql"),
+)
+def q_catalog_format_read(spark, sf_dir) -> DataFrame:
+    """READ-PATH UNIFICATION (one table model, one scan implementation):
+    a catalog-registered name read through restricted SQL — including
+    time travel — with `spark.eiws.scan.via-format=true`, so the
+    SqlCatalog name read routes through the SAME registered `eiws`
+    Python DataSource a `spark.read.format(...)` user gets
+    (tables.py:scan/_format_scan). The reference's reads are
+    catalog-name-based over its format reader (`bronze-silver.py:132`);
+    without unification a delete-resolution fix landing in one path
+    becomes a correctness fork between entry points."""
+    from ..sqlext import SqlCatalog
+    from ..tables import SnapshotTable
+
+    _demo_table(spark)
+    cat = SqlCatalog(spark)
+    cat.register("eiws_demo", DEMO_ROOT)
+    spark.conf.set(SnapshotTable.VIA_FORMAT_CONF, "true")
+    try:
+        return cat.sql(
+            "SELECT category, COUNT(*) AS n_rows, "
+            "CAST(SUM(qty) AS BIGINT) AS total_qty "
+            "FROM eiws_demo VERSION AS OF 2 GROUP BY category"
+        )
+    finally:
+        spark.conf.unset(SnapshotTable.VIA_FORMAT_CONF)

@@ -53,6 +53,7 @@ _PREFIX_ORDER = [
     "m_png_pixels",
     "m_gif_pixels",
     "d_simhash_clusters",
+    "q_catalog_format_read",
     "q_string_funcs",
     "q_pivot_status",
     "q_props_stats",

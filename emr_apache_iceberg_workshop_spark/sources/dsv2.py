@@ -8,13 +8,23 @@ who write `spark.read.format(...)` against the reference can point the
 format name here and keep the call shape.
 
 Options (all reads need `table`, or the `.load(path)` path):
-- `table`           table root directory
+- `table`           table root directory — or, with `warehouse`, a
+                    CATALOG NAME resolved via `<warehouse>/_catalog.json`
+                    (the SqlCatalog registry; the reference reads by
+                    catalog name, `bronze-silver.py:132`)
+- `warehouse`       catalog warehouse dir for name resolution
 - `branch`          read a named branch's head (default `main`)
 - `snapshot-id`     VERSION AS OF: snapshot id, tag, or branch name
 - `as-of-timestamp` FOR TIMESTAMP AS OF (epoch seconds or ISO string)
 - `start-snapshot-id` / `end-snapshot-id`
                     incremental append-range scan (start, end]
                     (reference option names, `bronze-silver.py:146-149`)
+
+Read-path UNIFICATION: the library direction is covered too — setting
+`spark.eiws.scan.via-format=true` routes SnapshotTable.scan/scan_at/
+scan_as_of/scan_incremental (and therefore SqlCatalog SQL-over-name
+reads) through THIS reader, so both entry points share one scan
+implementation (tables.py:VIA_FORMAT_CONF).
 
 Architecturally this is a SECOND, INDEPENDENT read path: planning walks
 `_meta.json` driver-side (the same O(manifest) cost class as the Spark
@@ -262,13 +272,34 @@ def _table_root(options) -> str:
     """Resolve the table root from `table`/`path` options. SQL DDL
     (`CREATE TABLE ... USING eiws LOCATION '<root>'`) delivers the
     location as a `file:` URI — strip the scheme so every entry form
-    (option, .load(path), DDL LOCATION) lands on the same POSIX path."""
+    (option, .load(path), DDL LOCATION) lands on the same POSIX path.
+
+    With a `warehouse` option, `table` may be a CATALOG NAME instead of
+    a path: it resolves through `<warehouse>/_catalog.json`, the same
+    durable name→root map `SqlCatalog` maintains — the reference's reads
+    are name-based through its Glue catalog (`bronze-silver.py:132`),
+    and this gives the format surface the same entry:
+    `spark.read.format("eiws").option("warehouse", wh)
+         .option("table", "db.orders")`."""
     raw = options.get("table") or options.get("path") or ""
     if raw.startswith("file://"):
         raw = raw[len("file://") :]
     elif raw.startswith("file:"):
         raw = raw[len("file:") :]
-    return os.path.abspath(raw) if raw else ""
+    if not raw:
+        return ""
+    path = os.path.abspath(raw)
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        wh = options.get("warehouse")
+        if wh:
+            try:
+                with open(os.path.join(wh, "_catalog.json")) as fh:
+                    root = json.load(fh).get(raw.lower())
+            except (OSError, ValueError):
+                root = None
+            if root:
+                return os.path.abspath(root)
+    return path
 
 
 def _load_mask_tuples(root: str, rels: list) -> list[dict]:

@@ -1453,19 +1453,70 @@ class SnapshotTable:
             df = self._apply_deletes(df, deletes)
         return df
 
+    # One table model, two interchangeable scan implementations: the
+    # native DataFrame pipeline below, or the registered `eiws` Python
+    # DataSource (sources/dsv2.py — pyarrow executors, same read
+    # semantics, independently fuzz/oracle-verified). Setting the session
+    # conf `spark.eiws.scan.via-format=true` routes every library read
+    # entry point (scan / scan_at / scan_as_of / scan_incremental, and
+    # therefore every SqlCatalog name read) through the format reader, so
+    # SQL-over-name and `spark.read.format("eiws")` share ONE scan path —
+    # the reference's reads are catalog-name-based over the same format
+    # reader (`bronze-silver.py:132,146-149`). Limitations of the format
+    # path (complex column types, the __sid/__rel internals the DML
+    # machinery needs) stay on the native pipeline, which DML uses
+    # directly via _read_entries.
+    VIA_FORMAT_CONF = "spark.eiws.scan.via-format"
+
+    def _via_format(self) -> bool:
+        if self.spark is None:
+            return False
+        try:
+            v = self.spark.conf.get(self.VIA_FORMAT_CONF, "false")
+        except Exception:
+            return False
+        return str(v).lower() == "true"
+
+    def _format_scan(self, **options) -> DataFrame:
+        from .sources import dsv2
+
+        dsv2.register(self.spark)
+        r = self.spark.read.format(dsv2.FORMAT_NAME).option("table", self.root)
+        for k, v in options.items():
+            if v is not None:
+                r = r.option(k, str(v))
+        return r.load()
+
     def scan(self, branch: str = "main") -> DataFrame:
         """Full current-state scan (S5): active dirs minus exclusion masks,
         minus MOR delete keys. `branch` reads a staged ref's state
         (Iceberg `VERSION AS OF 'branch'` / branch_<name> read)."""
+        if self._via_format():
+            return self._format_scan(branch=branch)
         head = self._head(self._load(), branch)
         if head is None:
             return self.spark.createDataFrame([], self.schema())
-        return self._scan_snapshot(head, self.schema())
+        # schema AS OF the head being read, not the global current schema:
+        # for main they coincide, but a BRANCH whose head predates a
+        # later main-side rename/evolve must read under the names current
+        # at the branch head (the rename mapping in _read_entries is
+        # as_of-bounded the same way) — otherwise old branch dirs get
+        # silently null-filled under the new name. Found by the rename op
+        # in the table-model fuzz; the dsv2 reader resolves branch schema
+        # identically (sources/dsv2.py:_resolve_snapshot).
+        return self._scan_snapshot(head, self.schema_at(head["snapshot_id"]))
 
     def scan_incremental(self, start_snapshot_id: int | None, end_snapshot_id: int) -> DataFrame:
         """Rows appended in (start, end] — Iceberg incremental-read semantics
         (`bronze-silver.py:146-149`): appends only; raises on overwrite in
         range, as Iceberg does."""
+        if self._via_format():
+            return self._format_scan(
+                **{
+                    "start-snapshot-id": start_snapshot_id or 0,
+                    "end-snapshot-id": end_snapshot_id,
+                }
+            )
         lo = start_snapshot_id or 0
         meta = self._load()
         # walk the PARENT CHAIN from the end snapshot, not the raw list:
@@ -2480,6 +2531,8 @@ class SnapshotTable:
         """Time-travel read: table state AS OF a snapshot id, tag, or
         branch name (Iceberg `VERSION AS OF` accepts all three), with the
         schema, exclusion masks, and delete files as of that snapshot."""
+        if self._via_format():
+            return self._format_scan(**{"snapshot-id": ref})
         if isinstance(ref, str):
             meta = self._load()
             tags = meta.get("tags", {})
@@ -2510,6 +2563,8 @@ class SnapshotTable:
             ts = _dt.datetime.fromisoformat(ts).replace(tzinfo=_dt.timezone.utc).timestamp()
         elif isinstance(ts, _dt.datetime):
             ts = ts.replace(tzinfo=ts.tzinfo or _dt.timezone.utc).timestamp()
+        if self._via_format():
+            return self._format_scan(**{"as-of-timestamp": ts})
         meta = self._load()
         head = self._head(meta)
         if head is None:

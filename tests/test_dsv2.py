@@ -252,3 +252,65 @@ def test_special_char_partition_values(dsv2_spark, tmp_path):
     expect = sorted([(10, "a:b"), (2, "x/y#z"), (3, "p%q"), (4, "plain")])
     fmt2 = dsv2_spark.read.format("eiws").option("table", t.root).load()
     assert _rows(fmt2) == _rows(t.scan()) == expect
+
+
+def test_warehouse_name_resolution(dsv2_spark, tmp_path):
+    """`option('warehouse', wh).option('table', '<catalog name>')` reads
+    a SqlCatalog-registered table by NAME through the format — the
+    reference's catalog-name read shape on its format reader."""
+    from pyspark.sql import types as T
+
+    from emr_apache_iceberg_workshop_spark.sqlext import SqlCatalog
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    wh = str(tmp_path / "wh")
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = SnapshotTable.create(dsv2_spark, str(tmp_path / "t1"), schema)
+    t.write(dsv2_spark.createDataFrame([(1,), (2,)], schema), mode="append")
+    SqlCatalog(dsv2_spark, wh).register("db.orders", t.root)
+    got = (
+        dsv2_spark.read.format("eiws")
+        .option("warehouse", wh)
+        .option("table", "db.orders")
+        .load()
+    )
+    assert _rows(got) == [(1,), (2,)]
+    # unknown name: the unresolved string fails the reader's root check
+    with pytest.raises(Exception, match="eiws reader needs"):
+        (
+            dsv2_spark.read.format("eiws")
+            .option("warehouse", wh)
+            .option("table", "db.nope")
+            .load()
+            .collect()
+        )
+
+
+def test_via_format_conf_unifies_read_paths(dsv2_spark):
+    """With spark.eiws.scan.via-format=true every library read entry
+    point (scan / scan_at / scan_as_of / scan_incremental) routes
+    through the registered Python data source and returns identical
+    results — read-path unification, plan-verified."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = _fx("tablemeta_demo")
+    t = _native(dsv2_spark, root)
+    native = {
+        "scan": _rows(t.scan()),
+        "at2": _rows(t.scan_at(2)),
+        "tag": _rows(t.scan_at("audit")),
+        "asof": _rows(t.scan_as_of(1700000070)),
+        "incr": _rows(t.scan_incremental(1, 2)),
+    }
+    dsv2_spark.conf.set(SnapshotTable.VIA_FORMAT_CONF, "true")
+    try:
+        routed = t.scan()
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "BatchScan eiws" in plan
+        assert _rows(routed) == native["scan"]
+        assert _rows(t.scan_at(2)) == native["at2"]
+        assert _rows(t.scan_at("audit")) == native["tag"]
+        assert _rows(t.scan_as_of(1700000070)) == native["asof"]
+        assert _rows(t.scan_incremental(1, 2)) == native["incr"]
+    finally:
+        dsv2_spark.conf.unset(SnapshotTable.VIA_FORMAT_CONF)

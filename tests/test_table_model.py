@@ -35,7 +35,10 @@ def _multiset(rows):
 
 
 def _scan_rows(df):
-    return _multiset((r["id"], r["v"], r["part"]) for r in df.collect())
+    # POSITIONAL extraction: column renames interleave into the sequence,
+    # so historical reads may surface the v-column under either name —
+    # field order is stable (renames preserve it), names are not
+    return _multiset(tuple(r)[:3] for r in df.collect())
 
 
 def _dsv2_rows(spark, root, **options):
@@ -57,7 +60,10 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         partition_by=["part"],
         properties={"write.merge.mode": "merge-on-read"},
     )
-    df = lambda rows: spark.createDataFrame(rows, DDL)  # noqa: E731
+    vname = "v"  # current name of the middle column (renames toggle it)
+    df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, f"id bigint, {vname} string, part string"
+    )
 
     main: list[tuple] = []
     branch: list[tuple] | None = None  # state of branch "b" when it exists
@@ -71,7 +77,7 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         op = rng.choice(
             ["append", "append", "merge", "overwrite", "delete", "compact",
              "evolve", "branch_write", "publish", "update", "maintain",
-             "cherry", "posdelete", "expire_age"]
+             "cherry", "posdelete", "expire_age", "rename", "rename"]
         )
         if op == "append":
             rows = _rows(rng, rng.randrange(1, 5))
@@ -116,7 +122,7 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
                 (i, "z", p) if lo <= i < lo + 4 else (i, v, p)
                 for (i, v, p) in main
             ]
-            sid = t.update_where(f"id >= {lo} AND id < {lo + 4}", {"v": "'z'"})
+            sid = t.update_where(f"id >= {lo} AND id < {lo + 4}", {vname: "'z'"})
             if sid is not None:
                 commit_main(sid)
         elif op == "maintain":
@@ -145,8 +151,23 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             # protected refs; the CURRENT state must never change
             cutoff = time.time() + (1.0 if rng.random() < 0.5 else -3600.0)
             t.expire_snapshots(keep_last=3, older_than=cutoff)
+        elif op == "rename":
+            # toggle the v column between "v" and "vv": a METADATA-ONLY
+            # commit; every subsequent scan (native AND dsv2 — whose
+            # per-dir historical-name translation is the subtlest reader
+            # path, sources/dsv2.py) must read old dirs under old names.
+            # Refused when v is currently a partition source (a prior
+            # evolve put it in the spec) — refusal changes nothing.
+            other = "vv" if vname == "v" else "v"
+            try:
+                sid = t.rename_column(vname, other)
+            except ValueError:
+                pass
+            else:
+                vname = other
+                commit_main(sid)
         elif op == "evolve":
-            commit_main(t.evolve_partition_spec(rng.choice([["part"], ["v"]])))
+            commit_main(t.evolve_partition_spec(rng.choice([["part"], [vname]])))
         elif op == "branch_write":
             rows = _rows(rng, rng.randrange(1, 4))
             if branch is None:
@@ -225,6 +246,26 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
     # a mid-sequence aggressive expire_age may have trimmed history to
     # keep_last; at least the head must still replay
     assert checked >= 1  # the walk actually exercised history
+
+    # READ-PATH UNIFICATION parity: with spark.eiws.scan.via-format set,
+    # the library entry points (scan / scan_at — and therefore every
+    # SqlCatalog name read) route through the registered `eiws` Python
+    # DataSource; the fuzz's final state and a historical state must be
+    # identical through both implementations, and the routed plan must
+    # genuinely be the Python data source (not silently the native scan)
+    spark.conf.set(SnapshotTable.VIA_FORMAT_CONF, "true")
+    try:
+        routed = t.scan()
+        assert "BatchScan eiws" in routed._jdf.queryExecution().executedPlan().toString(), (
+            "via-format flag did not route through the Python data source"
+        )
+        assert _scan_rows(routed) == _multiset(main), f"seed={seed} format scan"
+        for sid in sorted(set(states) & lineage)[-2:]:
+            assert _scan_rows(t.scan_at(sid)) == _multiset(states[sid]), (
+                f"seed={seed} format time travel to {sid}"
+            )
+    finally:
+        spark.conf.unset(SnapshotTable.VIA_FORMAT_CONF)
 
     # expiration keeps the current state intact
     t.expire_snapshots(keep_last=2)

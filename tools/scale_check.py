@@ -28,7 +28,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-QUERIES = ("d_simhash", "d_minhash_lsh", "c_dup_groups", "c_source_cap", "s_ivf_topk")
+QUERIES = (
+    # r07-8 cohort: the five heaviest corpus queries at the time
+    "d_simhash", "d_minhash_lsh", "c_dup_groups", "c_source_cap", "s_ivf_topk",
+    # r09 cohort (VERDICT r08 task 8): the round-8 heavies whose linearity
+    # was argued by shape-reduction — one measured decade each, plus the
+    # r09 cluster-representative output (whose whole point is sub-
+    # quadratic output on the dup-dense corpus)
+    "t_bigram_logprob", "d_simhash64", "t_bm25_topk", "t_ccnet_buckets",
+    "q_dsv2_stream", "d_simhash_clusters",
+)
 FACTOR = 10
 
 
@@ -68,6 +77,7 @@ def build_fixture(out_dir: str) -> None:
         pa.Table.from_pylist(rows), os.path.join(out_dir, "documents.parquet")
     )
 
+    build_customer(out_dir)
     emb = pq.read_table(os.path.join(src, "embeddings.parquet"))
     dim = len(emb.column("embedding")[0].as_py())
     n_lab = max(x.as_py() for x in emb.column("label")) + 1
@@ -82,6 +92,31 @@ def build_fixture(out_dir: str) -> None:
         }
     )
     pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def build_customer(out_dir: str) -> None:
+    """10x customer replication (custkeys shifted by k*n0) for the
+    q_dsv2_stream decade probe — added after the original fixture
+    shipped, so it backfills into an existing out_dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = os.path.join(out_dir, "customer.parquet")
+    if os.path.exists(dst):
+        return
+    src = pq.read_table("/root/testdata/sf0.1/customer.parquet")
+    n0 = src.num_rows
+    key_hi = max(x.as_py() for x in src.column("c_custkey")) + 1
+    parts = []
+    for k in range(FACTOR):
+        t = src.set_column(
+            src.schema.get_field_index("c_custkey"),
+            "c_custkey",
+            pa.array([x.as_py() + k * key_hi for x in src.column("c_custkey")],
+                     type=src.schema.field("c_custkey").type),
+        )
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), dst)
 
 
 def _time_named(spark, sf_dir: str, names, runs: int = 2) -> dict[str, float]:
@@ -142,6 +177,7 @@ def main() -> None:
     out_dir = args[0] if args else os.path.join(REPO, ".scale", "sf1")
     if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
         build_fixture(out_dir)
+    build_customer(out_dir)  # backfill (no-op when present)
     from emr_apache_iceberg_workshop_spark.session import build_session
 
     spark = build_session(app_name="scale-check")
