@@ -8,12 +8,22 @@ payloads are text bytes). The Spark-side plumbing is real and tested
 either way: binary columns through Arrow batches, `mapInPandas` schema
 contracts, row-expanding frame sampling.
 
-One deep decode IS real with no codec library: uncompressed PCM16 audio.
-`pcm_features` chunk-walks the RIFF container and decodes the actual
-samples (numpy frombuffer), producing signal features the DuckDB oracle
-verifies sample-exactly (`m_pcm_features`). The stub caveat therefore
-narrows to LOSSY formats (image pixel decode, video frames, model
-embeddings), which genuinely need PIL/ffmpeg/a model.
+Several deep decodes ARE real with no codec library:
+- uncompressed PCM16 audio (`_wav_pcm`: RIFF chunk walk + numpy
+  frombuffer, sample-exact oracle `m_pcm_features`);
+- 24-bit BMP pixels (`_bmp_pixels`: stride/bottom-up/BGR, positional
+  pixel oracle `m_bmp_pixels`);
+- PNG pixels (`_png_pixels`: stdlib zlib inflate + all five scanline
+  filters unfiltered, `m_png_pixels`);
+- GIF first-frame pixels (`_gif_pixels`: real LZW expansion incl.
+  dictionary growth/CLEAR/just-out-of-dict, `m_gif_pixels`);
+- baseline-JPEG ENTROPY layer (`_jpeg_coeffs`: DHT Huffman tables from
+  the file, DC prediction, run-length/ZRL/EOB, dequant — the lossless
+  layer, graded coefficient-exact by `m_jpeg_coeffs`; `_jpeg_pixels`
+  adds the float IDCT for pixel output).
+The stub caveat therefore narrows to decodes that genuinely need
+external libraries or models: full color/progressive JPEG, video
+codecs, and learned embeddings.
 
 At 100 TB the payloads dominate: `decode_metadata` streams Arrow batches
 (no row-at-a-time pickling); frame sampling expands rows JVM-side via
@@ -638,6 +648,281 @@ def gif_features(df: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, schema=GIF_SCHEMA)
+
+
+JPEG_SCHEMA = (
+    "doc_id long, width long, height long, n_blocks long, n_nonzero long, "
+    "sum_abs long, weighted long, pixel_sum long"
+)
+
+
+def _jpeg_huff_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical JPEG Huffman table (ITU T.81 Annex C): codes assigned in
+    increasing length order. Returns {(length, code): value}."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment with JPEG
+    byte-unstuffing (0xFF 0x00 -> 0xFF; any other 0xFF-marker ends)."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.nbits = 0
+        self.ended = False
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            self.ended = True
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
+                self.pos += 2  # stuffed data byte
+            else:
+                self.ended = True  # a real marker (EOI/RSTn): stop
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int | None:
+        while self.nbits < n:
+            if not self._fill():
+                return None
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int | None:
+        length, code = 0, 0
+        while length < 16:
+            b = self.read(1)
+            if b is None:
+                return None
+            code = (code << 1) | b
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        return None
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map the `size`-bit magnitude bits
+    to the signed coefficient value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _jpeg_coeffs(payload: bytes):
+    """REAL baseline-JPEG ENTROPY DECODE — pure python/numpy, no codec
+    library: marker walk (DQT/SOF0/DHT/SOS), Huffman tables built from
+    the file's own DHT segments (not hardcoded), MSB-first bit reading
+    with byte-unstuffing, DC differential prediction, AC run-length
+    decode incl. ZRL (15,0) and EOB, and dequantization against the DQT
+    table (both in zigzag order). Supports single-component (grayscale)
+    baseline sequential frames with 8x8-multiple dimensions; anything
+    else (progressive, chroma-subsampled color, DRI restarts) returns
+    None. Returns (width, height, [per-block int64 arrays of the 64
+    DEQUANTIZED coefficients in zigzag order]). The entropy layer is the
+    part of JPEG that genuinely needs a decoder implementation — it is
+    LOSSLESS, so it can be pinned integer-exact by an oracle; the lossy
+    IDCT is applied separately for pixel output (`_jpeg_pixels`)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    n = len(payload)
+    i = 2
+    qt = None
+    w = h = None
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    sos = None
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        body = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    return None  # 16-bit tables out of scope
+                if tq == 0:
+                    qt = list(body[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1 or body[7] != 0x11:
+                return None  # grayscale, no subsampling only
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                cnt = sum(bits)
+                vals = list(body[j + 17 : j + 17 + cnt])
+                tbl = _jpeg_huff_table(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = tbl
+                j += 17 + cnt
+        elif marker == 0xDD:
+            return None  # restart intervals out of scope
+        elif marker == 0xDA:  # SOS: entropy data follows the header
+            ns = body[0]
+            if ns != 1:
+                return None
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            sos = (i + 2 + seglen, td, ta)
+            break
+        i += 2 + seglen
+    if sos is None or qt is None or w is None or w % 8 or h % 8:
+        return None
+    start, td, ta = sos
+    dc_t, ac_t = dc_tables.get(td), ac_tables.get(ta)
+    if dc_t is None or ac_t is None:
+        return None
+    bits = _JpegBits(payload, start)
+    n_blocks = (w // 8) * (h // 8)
+    blocks = []
+    pred = 0
+    for _b in range(n_blocks):
+        size = bits.huff(dc_t)
+        if size is None:
+            return None
+        mag = bits.read(size) if size else 0
+        if mag is None:
+            return None
+        pred += _jpeg_extend(mag, size)
+        coef = [0] * 64
+        coef[0] = pred * qt[0]
+        k = 1
+        while k < 64:
+            rs = bits.huff(ac_t)
+            if rs is None:
+                return None
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                return None
+            mag = bits.read(size)
+            if mag is None:
+                return None
+            coef[k] = _jpeg_extend(mag, size) * qt[k]
+            k += 1
+        blocks.append(coef)
+    return w, h, blocks
+
+
+_ZIGZAG = [  # zigzag index -> (row, col) in the 8x8 block (T.81 Figure 5)
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+
+def _jpeg_pixels(payload: bytes):
+    """Grayscale pixels from the entropy-decoded coefficients: de-zigzag,
+    float IDCT (DCT-III basis, T.81 A.3.3), +128 level shift,
+    floor(x+0.5) rounding, clamp to [0, 255]. Returns (w, h, HxW uint8)
+    or None. Pixel values are deterministic but float-derived — graded
+    queries pin the integer coefficient layer instead (`_jpeg_coeffs`)."""
+    import numpy as np
+
+    dec = _jpeg_coeffs(payload)
+    if dec is None:
+        return None
+    w, h, blocks = dec
+    k = np.arange(8)
+    basis = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)  # [x, u]
+    alpha = np.full(8, 1.0)
+    alpha[0] = 1 / np.sqrt(2.0)
+    out = np.zeros((h, w), dtype=np.uint8)
+    wb = w // 8
+    for b, coef in enumerate(blocks):
+        f = np.zeros((8, 8))
+        for zz, v in enumerate(coef):
+            r, c = _ZIGZAG[zz]
+            f[r, c] = v
+        spatial = (basis * alpha[None, :]) @ f @ (basis * alpha[None, :]).T / 4.0
+        px = np.clip(np.floor(spatial + 128.0 + 0.5), 0, 255).astype(np.uint8)
+        by, bx = divmod(b, wb)
+        out[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = px
+    return w, h, out
+
+
+def jpeg_features(df: DataFrame) -> DataFrame:
+    """mapInPandas: JPEG payload → coefficient-layer features from a REAL
+    baseline entropy decode. Graded columns are all integer-exact
+    (n_nonzero / sum_abs / the position-weighted Σ (1 + 64·b + k)·coef
+    over blocks b and zigzag positions k — sensitive to DC prediction,
+    run lengths, ZRL/EOB handling, zigzag indexing, and dequant);
+    pixel_sum additionally runs the float IDCT path end-to-end but is
+    derived from the same integer coefficients deterministically on this
+    side only. Map-only, Arrow both ways."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_blocks", "n_nonzero",
+                "sum_abs", "weighted", "pixel_sum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _jpeg_coeffs(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, blocks = dec
+                arr = np.asarray(blocks, dtype=np.int64)  # [nb, 64]
+                weights = 1 + 64 * np.arange(arr.shape[0], dtype=np.int64)[:, None] \
+                    + np.arange(64, dtype=np.int64)[None, :]
+                _w2, _h2, px = _jpeg_pixels(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_blocks"].append(arr.shape[0])
+                out["n_nonzero"].append(int((arr != 0).sum()))
+                out["sum_abs"].append(int(np.abs(arr).sum()))
+                out["weighted"].append(int((weights * arr).sum()))
+                out["pixel_sum"].append(int(px.astype(np.int64).sum()))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=JPEG_SCHEMA)
 
 
 def sample_frames(meta: DataFrame, every: int = 10) -> DataFrame:

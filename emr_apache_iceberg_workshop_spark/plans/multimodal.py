@@ -763,3 +763,252 @@ def m_gif_pixels(spark, sf_dir) -> DataFrame:
         "doc_id long, payload binary",
     )
     return gif_features(df)
+
+
+# --------------------------------------------------------------------------
+# REAL baseline-JPEG ENTROPY decode, oracle-checked coefficient-exact:
+# each fixture doc is a genuine grayscale baseline-sequential JPEG
+# (SOI/DQT/SOF0/DHT/SOS/EOI with byte stuffing) built by the encoder
+# below, which — like a real optimizing encoder — derives its OWN
+# canonical Huffman tables from the stream's symbol frequencies and
+# writes them into DHT, so the decoder genuinely has to build tables
+# from the file. Quantized coefficient k (zigzag order) of block b is
+# v(d,b,k) = ((d·13 + b·7 + k·9) mod 11) − 5 (0 bumped to 3) on a
+# d-parity-dependent support: odd docs use low-frequency positions
+# {0,1,3,5,8}; even docs use {0,20,63}, whose gaps force ZRL (16-zero
+# run) symbols and a no-EOB block end. The quant table qt[k] = 1 + k%4
+# pins dequantization. The oracle regenerates the DEQUANTIZED
+# coefficients arithmetically — the entropy layer is lossless, so the
+# comparison is integer-exact; pixel_sum (the lossy IDCT leg) is
+# verified at build time by an INDEPENDENT naive O(64)-per-pixel IDCT
+# and inlined as literals.
+_JPEG_DOCS = 6
+
+
+def _jpeg_doc_shape(d: int) -> tuple[int, int]:
+    return 2 + d % 3, 1 + d % 2  # (blocks wide, blocks high)
+
+
+def _jpeg_positions(d: int) -> list[int]:
+    return [0, 1, 3, 5, 8] if d % 2 == 1 else [0, 20, 63]
+
+
+def _jpeg_qval(d: int, b: int, k: int) -> int:
+    v = ((d * 13 + b * 7 + k * 9) % 11) - 5
+    return 3 if v == 0 else v
+
+
+_JPEG_QT = [1 + k % 4 for k in range(64)]
+
+
+def _jpeg_canonical(symbols_by_freq: list[int]) -> tuple[list[int], list[int]]:
+    """(BITS, HUFFVAL) for a canonical table: 2 symbols at length 3, 6 at
+    length 5, 24 at length 7, the rest at length 9 (Kraft sum ≤ 1, the
+    all-ones max-length code never assigned for ≤192 tail symbols)."""
+    n = len(symbols_by_freq)
+    plan = [(3, 2), (5, 6), (7, 24), (9, 192)]
+    bits = [0] * 16
+    taken = 0
+    for length, cap in plan:
+        use = min(cap, n - taken)
+        bits[length - 1] = use
+        taken += use
+        if taken == n:
+            break
+    assert taken == n, "fixture symbol set exceeds the canonical plan"
+    return bits, symbols_by_freq
+
+
+def _jpeg_encode(d: int) -> bytes:
+    """Minimal spec-correct baseline JPEG encoder (ITU T.81): quantized
+    coefficients → DC-differential + AC run-length symbols → optimized
+    canonical Huffman tables → byte-stuffed entropy segment."""
+    import struct
+    from collections import Counter
+
+    wb, hb = _jpeg_doc_shape(d)
+    pos = _jpeg_positions(d)
+    n_blocks = wb * hb
+
+    def size_of(v: int) -> int:
+        return 0 if v == 0 else abs(v).bit_length()
+
+    # pass 1: the symbol stream
+    events = []  # ("dc", size, value) | ("ac", runsize, size, value)
+    pred = 0
+    for b in range(n_blocks):
+        coef = {k: _jpeg_qval(d, b, k) for k in pos}
+        dc = coef[0]
+        diff = dc - pred
+        pred = dc
+        events.append(("dc", size_of(diff), diff))
+        k = 1
+        nz = sorted(p for p in pos if p > 0)
+        for p in nz:
+            run = p - k
+            while run > 15:
+                events.append(("ac", 0xF0, 0, 0))  # ZRL
+                run -= 16
+            s = size_of(coef[p])
+            events.append(("ac", (run << 4) | s, s, coef[p]))
+            k = p + 1
+        if k <= 63:
+            events.append(("ac", 0x00, 0, 0))  # EOB
+    dc_freq = Counter(e[1] for e in events if e[0] == "dc")
+    ac_freq = Counter(e[1] for e in events if e[0] == "ac")
+
+    def table(freq: Counter):
+        order = [s for s, _c in freq.most_common()]
+        bits, vals = _jpeg_canonical(order)
+        codes = {}
+        code = 0
+        i = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[i]] = (length, code)
+                code += 1
+                i += 1
+            code <<= 1
+        return bits, vals, codes
+
+    dc_bits, dc_vals, dc_codes = table(dc_freq)
+    ac_bits, ac_vals, ac_codes = table(ac_freq)
+
+    # pass 2: the bitstream
+    out_bits: list[tuple[int, int]] = []  # (value, nbits), MSB-first
+
+    def put(value: int, nbits: int) -> None:
+        if nbits:
+            out_bits.append((value, nbits))
+
+    for e in events:
+        if e[0] == "dc":
+            _t, s, v = e
+            length, code = dc_codes[s]
+            put(code, length)
+            if s:
+                put(v if v >= 0 else v + (1 << s) - 1, s)
+        else:
+            _t, rs, s, v = e
+            length, code = ac_codes[rs]
+            put(code, length)
+            if s:
+                put(v if v >= 0 else v + (1 << s) - 1, s)
+    acc = nb = 0
+    raw = bytearray()
+    for value, nbits in out_bits:
+        acc = (acc << nbits) | (value & ((1 << nbits) - 1))
+        nb += nbits
+        while nb >= 8:
+            raw.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+            acc &= (1 << nb) - 1
+    if nb:
+        raw.append(((acc << (8 - nb)) | ((1 << (8 - nb)) - 1)) & 0xFF)  # pad 1s
+    stuffed = bytearray()
+    for byte in raw:
+        stuffed.append(byte)
+        if byte == 0xFF:
+            stuffed.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    w, h = 8 * wb, 8 * hb
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QT))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)) + seg(
+        0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(stuffed) + b"\xff\xd9"
+    )
+
+
+def _jpeg_payloads() -> list[tuple[int, bytes]]:
+    return [(d, _jpeg_encode(d)) for d in range(1, _JPEG_DOCS + 1)]
+
+
+def _jpeg_expected_pixel_sums() -> dict[int, int]:
+    """Independent naive IDCT (scalar O(64) per pixel, math.cos, a
+    different summation order than the decoder's matrix form) over the
+    formula coefficients — the build-time verifier whose results are
+    inlined into the oracle as literals."""
+    import math
+
+    out = {}
+    for d in range(1, _JPEG_DOCS + 1):
+        wb, hb = _jpeg_doc_shape(d)
+        total = 0
+        for b in range(wb * hb):
+            coef = {k: _jpeg_qval(d, b, k) * _JPEG_QT[k] for k in _jpeg_positions(d)}
+            from ..operators.multimodal import _ZIGZAG
+
+            f = {}
+            for zz, v in coef.items():
+                f[_ZIGZAG[zz]] = v
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for (u_r, u_c), v in f.items():
+                        au = 1 / math.sqrt(2.0) if u_r == 0 else 1.0
+                        av = 1 / math.sqrt(2.0) if u_c == 0 else 1.0
+                        s += (
+                            au * av * v
+                            * math.cos((2 * y + 1) * u_r * math.pi / 16)
+                            * math.cos((2 * x + 1) * u_c * math.pi / 16)
+                        )
+                    px = math.floor(s / 4.0 + 128.0 + 0.5)
+                    total += min(255, max(0, px))
+        out[d] = total
+    return out
+
+
+def _jpeg_oracle() -> str:
+    sums = _jpeg_expected_pixel_sums()
+    px_rows = ", ".join(f"({d}, {s})" for d, s in sorted(sums.items()))
+    return f"""
+    WITH docs AS (SELECT unnest(generate_series(1, {_JPEG_DOCS})) AS d),
+         shape AS (SELECT d, 2 + d % 3 AS wb, 1 + d % 2 AS hb FROM docs),
+         blocks AS (SELECT d, wb, hb,
+                           unnest(generate_series(0, wb * hb - 1)) AS b
+                    FROM shape),
+         ks AS (SELECT d, wb, hb, b, k.k
+                FROM blocks, (SELECT unnest([0, 1, 3, 5, 8, 20, 63]) AS k) k
+                WHERE (d % 2 = 1 AND k.k IN (0, 1, 3, 5, 8))
+                   OR (d % 2 = 0 AND k.k IN (0, 20, 63))),
+         v AS (SELECT d, wb, hb, b, k,
+                      CASE WHEN (d * 13 + b * 7 + k * 9) % 11 - 5 = 0 THEN 3
+                           ELSE (d * 13 + b * 7 + k * 9) % 11 - 5 END
+                      * (1 + k % 4) AS coef
+               FROM ks),
+         px(d2, pixel_sum) AS (VALUES {px_rows})
+    SELECT CAST(d AS BIGINT) AS doc_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST(wb * hb AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+           CAST(SUM(abs(coef)) AS BIGINT) AS sum_abs,
+           CAST(SUM((1 + 64 * b + k) * coef) AS BIGINT) AS weighted,
+           CAST(MAX(px.pixel_sum) AS BIGINT) AS pixel_sum
+    FROM v JOIN px ON px.d2 = v.d
+    GROUP BY d, wb, hb
+    """
+
+
+@query(
+    "m_jpeg_coeffs",
+    oracle=_jpeg_oracle(),
+    tags=("multimodal", "pandas-udf", "real-codecs", "jpeg"),
+)
+def m_jpeg_coeffs(spark, sf_dir) -> DataFrame:
+    """Real baseline-JPEG entropy decode graded coefficient-exact, plus
+    the build-time-verified IDCT pixel sum."""
+    from ..operators.multimodal import jpeg_features
+
+    df = spark.createDataFrame(
+        [(d, bytearray(p)) for d, p in _jpeg_payloads()],
+        "doc_id long, payload binary",
+    )
+    return jpeg_features(df)

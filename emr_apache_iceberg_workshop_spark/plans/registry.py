@@ -37,7 +37,7 @@ _MODULES = [
 # 45 names outside r04's window + 5 result-touched names.
 #
 # r09 leads with (a) the queries NEW this round (m_png_pixels,
-# m_gif_pixels, d_simhash_clusters, q_catalog_format_read — never
+# m_gif_pixels, m_jpeg_coeffs, d_simhash_clusters, q_catalog_format_read — never
 # driver-signed), then (b) the 15 names that overflowed r08's 50-slot
 # window (the ten r05-aged names q_string_funcs … s_lsh_topk plus the
 # five r08-code-touched names t_repetition … q_meta_dml — the r08
@@ -52,6 +52,7 @@ _MODULES = [
 _PREFIX_ORDER = [
     "m_png_pixels",
     "m_gif_pixels",
+    "m_jpeg_coeffs",
     "d_simhash_clusters",
     "q_catalog_format_read",
     "q_string_funcs",

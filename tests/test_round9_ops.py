@@ -182,3 +182,65 @@ def test_simhash_clusters_match_pairs(spark):
         comps.setdefault(find(d), []).append(d)
     exp = sorted((min(v), len(v), sum(v)) for v in comps.values())
     assert sorted((r.rep, r.n_members, r.sum_doc_ids) for r in clusters) == exp
+
+
+def test_jpeg_entropy_decode_details():
+    """Decoder internals the oracle can't isolate: DC prediction chains
+    across blocks, ZRL runs, byte unstuffing, and rejection of
+    out-of-scope JPEG flavors."""
+    from emr_apache_iceberg_workshop_spark.operators.multimodal import (
+        _jpeg_coeffs,
+        _jpeg_pixels,
+    )
+    from emr_apache_iceberg_workshop_spark.plans.multimodal import (
+        _JPEG_QT,
+        _jpeg_doc_shape,
+        _jpeg_payloads,
+        _jpeg_positions,
+        _jpeg_qval,
+    )
+
+    stuffed = 0
+    for d, p in _jpeg_payloads():
+        w, h, blocks = _jpeg_coeffs(p)
+        wb, hb = _jpeg_doc_shape(d)
+        assert (w, h, len(blocks)) == (8 * wb, 8 * hb, wb * hb)
+        for b, coef in enumerate(blocks):
+            exp = {k: _jpeg_qval(d, b, k) * _JPEG_QT[k] for k in _jpeg_positions(d)}
+            assert all(coef[k] == exp.get(k, 0) for k in range(64)), (d, b)
+        if b"\xff\x00" in p[p.find(b"\xff\xda") :]:
+            stuffed += 1
+        px = _jpeg_pixels(p)
+        assert px is not None and px[2].shape == (h, w)
+    assert stuffed >= 1, "fixture set must exercise byte unstuffing"
+    # even docs use support {0, 20, 63}: gaps of 19 and 42 force ZRL
+    # symbols, and a nonzero at 63 ends the block with no EOB
+    assert any(d % 2 == 0 for d, _p in _jpeg_payloads())
+    good = dict(_jpeg_payloads())[1]
+    assert _jpeg_coeffs(b"\xff\xd8junk") is None
+    assert _jpeg_coeffs(b"not jpeg") is None
+    # progressive SOF2 flagged out of scope, not mis-decoded
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert _jpeg_coeffs(bytes(prog)) is None
+    # truncated entropy segment -> clean None, not garbage
+    assert _jpeg_coeffs(good[:-20]) is None
+
+
+def test_jpeg_pixel_sum_independent_idct():
+    """The decoder's matrix IDCT agrees with the naive scalar IDCT
+    (different summation order) on every fixture — the build-time
+    verification backing the inlined pixel_sum oracle literals."""
+    import numpy as np
+
+    from emr_apache_iceberg_workshop_spark.operators.multimodal import _jpeg_pixels
+    from emr_apache_iceberg_workshop_spark.plans.multimodal import (
+        _jpeg_expected_pixel_sums,
+        _jpeg_payloads,
+    )
+
+    sums = _jpeg_expected_pixel_sums()
+    for d, p in _jpeg_payloads():
+        _w, _h, px = _jpeg_pixels(p)
+        assert int(px.astype(np.int64).sum()) == sums[d]
