@@ -314,3 +314,34 @@ def test_via_format_conf_unifies_read_paths(dsv2_spark):
         assert _rows(t.scan_incremental(1, 2)) == native["incr"]
     finally:
         dsv2_spark.conf.unset(SnapshotTable.VIA_FORMAT_CONF)
+
+
+Q_META_VIA_FORMAT = [
+    # registered q_meta_* queries whose plans read through scan/scan_at/
+    # scan_as_of/scan_incremental — the entry points the via-format flag
+    # reroutes; each must produce identical rows through both paths
+    "q_meta_time_travel",
+    "q_meta_incremental",
+    "q_meta_refs",
+    "q_meta_dml",
+    "q_meta_dyn_overwrite",
+    "q_meta_as_of",
+]
+
+
+@pytest.mark.parametrize("name", Q_META_VIA_FORMAT)
+def test_q_meta_queries_via_format_path(dsv2_spark, name):
+    """The existing q_meta_* queries run green — with identical results —
+    when the library scan entry points are routed through the eiws
+    format reader (read-path unification, VERDICT r08 task 3)."""
+    from emr_apache_iceberg_workshop_spark.plans.registry import registry
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    fn = registry()[name].fn
+    native = _rows(fn(dsv2_spark, "/root/testdata/sf0.001"))
+    dsv2_spark.conf.set(SnapshotTable.VIA_FORMAT_CONF, "true")
+    try:
+        routed = _rows(fn(dsv2_spark, "/root/testdata/sf0.001"))
+    finally:
+        dsv2_spark.conf.unset(SnapshotTable.VIA_FORMAT_CONF)
+    assert routed == native
