@@ -884,14 +884,71 @@ def d_minhash_accuracy(spark, sf_dir) -> DataFrame:
 def d_simhash_clusters(spark, sf_dir) -> DataFrame:
     """Near-dup clusters (rep, size, id-sum) over the simhash hamming≤3
     graph — linear output where d_simhash's pair enumeration is
-    quadratic in clique size."""
+    quadratic in clique size.
+
+    The graph is contracted in FINGERPRINT space, not document space:
+    docs are first collapsed by exact simhash (one row per distinct
+    fingerprint: representative doc, member count, id-sum), the banded
+    candidate join and the star-contraction run over DISTINCT
+    fingerprints only, and per-cluster stats fold the group sizes back
+    in at the end. This is the step that makes the operator viable on a
+    duplicate-dense corpus: hamming-0 cliques — the sf1 fixture's 50k
+    docs hold 270.8M true doc pairs but only 15,708 distinct
+    fingerprints (SCALE.md r09 probe; the doc-pair form needed 429 s to
+    COUNT its pairs and then exhausted a 48 g heap in contraction,
+    while this form finishes in ~10 s) — are never materialized, so the
+    edge
+    set is quadratic only in DISTINCT near-identical fingerprints, and
+    the doc-pair-enumeration lower bound that makes d_simhash
+    output-bound does not apply here. A fingerprint group with ≥ 2
+    members but no neighboring fingerprint is its own cluster."""
     from ..operators.graph import connected_components
 
-    pairs = d_simhash(spark, sf_dir).select("doc_a", "doc_b")
-    labels, _rounds = connected_components(
-        pairs.selectExpr("doc_a AS u", "doc_b AS v")
+    h = _simhash_table(spark, sf_dir)
+    groups = (
+        h.groupBy("simhash")
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("s"),
+        )
+        .localCheckpoint(eager=True)
     )
-    return labels.groupBy(F.col("label").alias("rep")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+    fp = groups.select("simhash")
+    band_pairs = ", ".join(
+        f"{b}, CAST(shiftright(simhash, {8 * b}) & 255 AS INT)" for b in range(4)
+    )
+    bands = fp.selectExpr(
+        "simhash", f"stack(4, {band_pairs}) AS (band_idx, band_val)"
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.simhash") < F.col("y.simhash")),
+        )
+        .select(F.col("x.simhash").alias("u"), F.col("y.simhash").alias("v"))
+        .distinct()
+        .filter(F.expr("bit_count(u ^ v) <= 3"))
+    )
+    labels, _rounds = connected_components(edges)  # (doc_id=fingerprint, label)
+    labeled = groups.join(
+        labels.withColumnRenamed("doc_id", "simhash"), "simhash", "left"
+    ).select(
+        # isolated fingerprints keep their own value as the component label
+        F.coalesce(F.col("label"), F.col("simhash")).alias("comp"),
+        "rep_doc", "n", "s",
+    )
+    return (
+        labeled.groupBy("comp")
+        .agg(
+            F.min("rep_doc").alias("rep"),
+            F.sum("n").cast("long").alias("n_members"),
+            F.sum("s").cast("long").alias("sum_doc_ids"),
+        )
+        # drop singleton docs: cluster = docs with at least one near-dup
+        .filter(F.col("n_members") >= 2)
+        .select("rep", "n_members", "sum_doc_ids")
     )
