@@ -469,54 +469,73 @@ def _simhash_table(spark, sf_dir) -> DataFrame:
     tags=("dedup:simhash", "join"),
 )
 def d_simhash(spark, sf_dir) -> DataFrame:
+    # CANDIDATES by pigeonhole banding over DISTINCT FINGERPRINTS, not
+    # doc pairs: split the 32-bit simhash into 4 bytes; any pair at
+    # hamming ≤ 3 differs in ≤ 3 bytes, so at least one byte matches
+    # exactly → every qualifying fingerprint pair shares some
+    # (band_idx, band_val) key and survives the equi-join. Docs are
+    # first COLLAPSED by exact simhash (the d_simhash_clusters
+    # contraction, applied to the pair form): the banding, the
+    # candidate distinct(), and the exact-hamming verify all run on the
+    # distinct-fingerprint table (2,255 rows at sf0.1 vs 5,000 docs;
+    # 15,708 vs 50,000 at sf1), and doc pairs materialize only at the
+    # very end — within-group cliques via a same-fingerprint self-join,
+    # cross-fingerprint pairs by expanding each verified fingerprint
+    # pair through its two member lists. The expansion is the OUTPUT
+    # (unavoidable for a pair-form result — SCALE.md documents the
+    # enumeration lower bound); everything upstream of it is now
+    # quadratic only in distinct near-identical fingerprints. Widening
+    # the band keys (Manku-style 3-of-6 combinations) was tried and
+    # REJECTED earlier (~2× slower: higher per-true-pair candidate
+    # multiplicity); the fingerprint collapse attacks the actual cost —
+    # candidate volume — instead.
     h = _simhash_table(spark, sf_dir)
-    # CANDIDATES by pigeonhole banding, not all pairs: split the 32-bit
-    # simhash into 4 bytes; any pair at hamming ≤ 3 differs in ≤ 3 bytes,
-    # so at least one byte matches exactly → every qualifying pair shares
-    # some (band_idx, band_val) key and survives the equi-join. This is a
-    # shuffle on a ≤ 4·n-row key table instead of an O(n²) nested-loop —
-    # the shape that survives 100 TB (same banding argument as
-    # d_minhash_lsh). VERIFY recomputes exact hamming per candidate.
-    #
-    # Measured scaling (SCALE.md, sf0.1→sf1 probe): runtime here is
-    # OUTPUT-bound, not candidate-bound — on a duplicate-dense corpus the
-    # TRUE hamming≤3 pair set grows quadratically (hamming-0 groups alone
-    # give 41× the pairs at 10× the docs), so any exact pair enumeration
-    # is lower-bounded by its own result size. Widening the band keys
-    # (Manku-style 3-of-6 block combinations) was tried and REJECTED: it
-    # raises the per-true-pair candidate multiplicity (≤20 shared combo
-    # keys vs ≤4 shared bands) and measured ~2× slower at sf0.1. The
-    # scale path for dup-dense corpora is a wider fingerprint (64-bit
-    # simhash shrinks the hamming ball relative to the space) or
-    # cluster-representative output (c_dup_groups), not a different
-    # candidate scheme.
+    fp = h.select("simhash").distinct().localCheckpoint(eager=True)
     band_pairs = ", ".join(
         f"{b}, CAST(shiftright(simhash, {8 * b}) & 255 AS INT)" for b in range(4)
     )
-    bands = h.selectExpr(
-        "doc_id", "simhash", f"stack(4, {band_pairs}) AS (band_idx, band_val)"
+    bands = fp.selectExpr(
+        "simhash", f"stack(4, {band_pairs}) AS (band_idx, band_val)"
     )
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    fpp = (
         x.join(
             y,
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.simhash") < F.col("y.simhash")),
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("simhash_a"),
-            F.col("y.simhash").alias("simhash_b"),
-        )
-        .distinct()  # a pair can share several bands
-    )
-    return (
-        cand.withColumn("hamming", F.expr("CAST(bit_count(simhash_a ^ simhash_b) AS BIGINT)"))
+        .select(F.col("x.simhash").alias("fa"), F.col("y.simhash").alias("fb"))
+        .distinct()  # a fingerprint pair can share several bands
+        .withColumn("hamming", F.expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
         .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "simhash_a", "simhash_b", "hamming")
     )
+    a, b = h.alias("a"), h.alias("b")
+    within = (
+        a.join(b, (F.col("a.simhash") == F.col("b.simhash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    cross = (
+        fpp.join(a, F.col("a.simhash") == F.col("fa"))
+        .join(b, F.col("b.simhash") == F.col("fb"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("fa"))
+            .otherwise(F.col("fb")).alias("simhash_a"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("fb"))
+            .otherwise(F.col("fa")).alias("simhash_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)
 
 
 # --------------------------------------------------------------------------
@@ -608,38 +627,67 @@ def _simhash64_table(spark, sf_dir) -> DataFrame:
     tags=("dedup:simhash", "join"),
 )
 def d_simhash64(spark, sf_dir) -> DataFrame:
+    # 4-block 16-BIT pigeonhole banding over DISTINCT FINGERPRINTS
+    # (hamming ≤ 3 hits ≤ 3 of the 4 blocks, so at least one 16-bit
+    # block matches exactly — the Manku block choice for k=3), with the
+    # same fingerprint collapse as d_simhash: docs group by exact
+    # simhash64 first, candidates/verify run on distinct fingerprints,
+    # doc pairs materialize only in the final expansion (within-group
+    # cliques + cross-fingerprint pairs). 16-bit keys matter at scale:
+    # 8-bit bands give only 256 buckets, and the r09 sf1 probe measured
+    # the resulting per-bucket quadratic candidate blowup at 66 s for
+    # 44k distinct fingerprints; 65,536-way keys collapse the candidate
+    # stage to near-output size (2.4 s total). shiftright is arithmetic
+    # on the signed fingerprint, but & 65535 masks back to the raw
+    # block, so band values are stable for negative keys.
     h = _simhash64_table(spark, sf_dir)
-    # 8-byte pigeonhole banding: hamming ≤ 3 flips bits in ≤ 3 of the 8
-    # bytes, so ≥ 5 bytes (hence at least one band key) match exactly.
-    # shiftright is arithmetic on the signed fingerprint, but & 255 masks
-    # back to the raw byte, so band values are stable for negative keys.
+    fp = h.select("simhash64").distinct().localCheckpoint(eager=True)
     band_pairs = ", ".join(
-        f"{b}, CAST(shiftright(simhash64, {8 * b}) & 255 AS INT)" for b in range(8)
+        f"{b}, CAST(shiftright(simhash64, {16 * b}) & 65535 AS INT)"
+        for b in range(4)
     )
-    bands = h.selectExpr(
-        "doc_id", "simhash64", f"stack(8, {band_pairs}) AS (band_idx, band_val)"
+    bands = fp.selectExpr(
+        "simhash64", f"stack(4, {band_pairs}) AS (band_idx, band_val)"
     )
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    fpp = (
         x.join(
             y,
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.simhash64") < F.col("y.simhash64")),
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash64").alias("simhash_a"),
-            F.col("y.simhash64").alias("simhash_b"),
-        )
-        .distinct()  # a pair can share several bands
-    )
-    return (
-        cand.withColumn("hamming", F.expr("CAST(bit_count(simhash_a ^ simhash_b) AS BIGINT)"))
+        .select(F.col("x.simhash64").alias("fa"), F.col("y.simhash64").alias("fb"))
+        .distinct()  # a fingerprint pair can share several bands
+        .withColumn("hamming", F.expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
         .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "simhash_a", "simhash_b", "hamming")
     )
+    a, b = h.alias("a"), h.alias("b")
+    within = (
+        a.join(b, (F.col("a.simhash64") == F.col("b.simhash64"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash64").alias("simhash_a"),
+            F.col("b.simhash64").alias("simhash_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    cross = (
+        fpp.join(a, F.col("a.simhash64") == F.col("fa"))
+        .join(b, F.col("b.simhash64") == F.col("fb"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("fa"))
+            .otherwise(F.col("fb")).alias("simhash_a"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("fb"))
+            .otherwise(F.col("fa")).alias("simhash_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)
 
 
 # --------------------------------------------------------------------------
