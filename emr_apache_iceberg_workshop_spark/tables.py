@@ -1807,10 +1807,13 @@ class SnapshotTable:
             "content int, file_path string, partition string, record_count long,"
             " file_bytes long, snapshot_id long"
         )
-        if not snaps:
+        last = self._head(meta)
+        # `snaps` non-empty with a None main head happens when the only
+        # commits so far landed on a BRANCH (WAP staging before the first
+        # main publish) — main's metadata view is empty, not an error
+        if not snaps or last is None:
             return self.spark.createDataFrame([], schema)
         by_sid = {s["snapshot_id"]: s for s in snaps}
-        last = self._head(meta)
 
         def part_repr(part: dict) -> str:
             return "/".join(
@@ -1898,10 +1901,10 @@ class SnapshotTable:
             "status int, snapshot_id long, content int, file_path string,"
             " partition string, record_count long, file_bytes long"
         )
-        if not snaps:
+        head = self._head(meta)
+        if not snaps or head is None:  # empty main (e.g. branch-only WAP table)
             return self.spark.createDataFrame([], schema)
         by_sid = {s["snapshot_id"]: s for s in snaps}
-        head = self._head(meta)
         head_sid = head["snapshot_id"]
 
         def live(snap: dict) -> dict:
@@ -2690,11 +2693,12 @@ class SnapshotTable:
         current snapshot — active dirs minus partition-exclusion masks."""
         meta = self._load()
         snaps = meta["snapshots"]
-        if not snaps:
+        head = self._head(meta)
+        if not snaps or head is None:  # empty main (branch-only WAP table)
             return []
         by_sid = {s["snapshot_id"]: s for s in snaps}
         out = []
-        for e in self._head(meta)["active_dirs"]:
+        for e in head["active_dirs"]:
             rel, excl = _entry_rel(e), _entry_excl_full(self.root, e)
             ws = self._dir_manifest(meta, by_sid, rel)
             for f in ws.get("files", []):
@@ -2814,6 +2818,19 @@ class SnapshotTable:
         # retains snapshots reachable from any branch/tag)
         protected = set(meta.get("tags", {}).values())
         protected |= set(meta.get("branches", {}).values())
+        # evolve-schema commits (incl. renames) are protected
+        # UNCONDITIONALLY: their summaries are the table's schema/rename
+        # HISTORY — `schema_at` reconstructs period schemas from
+        # `prev_schema`, and `_renames`/`_name_at` map still-live dirs
+        # written under pre-rename column names. Expiring one silently
+        # null-fills renamed columns of surviving data (found by the
+        # table-model fuzz once rename/addcol ops interleaved with
+        # expire_age). They are metadata-only (no dirs), so retention
+        # costs nothing — the moral equivalent of Iceberg's metadata.json
+        # keeping every schema id forever, independent of snapshot expiry.
+        protected |= {
+            s["snapshot_id"] for s in snaps if s["operation"] == "evolve-schema"
+        }
         tail = {s["snapshot_id"] for s in snaps[-keep_last:]}
         if older_than is not None:
             tail |= {

@@ -37,8 +37,9 @@ def _multiset(rows):
 def _scan_rows(df):
     # POSITIONAL extraction: column renames interleave into the sequence,
     # so historical reads may surface the v-column under either name —
-    # field order is stable (renames preserve it), names are not
-    return _multiset(tuple(r)[:3] for r in df.collect())
+    # field order is stable (renames and add/drop preserve prefix order),
+    # names are not; widths vary with the add/drop history
+    return _multiset(tuple(r) for r in df.collect())
 
 
 def _dsv2_rows(spark, root, **options):
@@ -61,9 +62,27 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         properties={"write.merge.mode": "merge-on-read"},
     )
     vname = "v"  # current name of the middle column (renames toggle it)
-    df = lambda rows: spark.createDataFrame(  # noqa: E731
-        rows, f"id bigint, {vname} string, part string"
-    )
+    cols_extra: list[str] = []  # added bigint columns, in add order
+    extra_n = 0
+
+    def ddl_now() -> str:
+        return f"id bigint, {vname} string, part string" + "".join(
+            f", {c} bigint" for c in cols_extra
+        )
+
+    def df(rows):
+        return spark.createDataFrame(rows, ddl_now())
+
+    def mk_rows(n):
+        # base 3-tuple rows + a value for every currently-added column
+        return [
+            r + tuple(rng.randrange(100) for _ in cols_extra)
+            for r in _rows(rng, n)
+        ]
+
+    def pad(r: tuple) -> tuple:
+        # rows written before an add read back with the new columns NULL
+        return r + (None,) * (3 + len(cols_extra) - len(r))
 
     main: list[tuple] = []
     branch: list[tuple] | None = None  # state of branch "b" when it exists
@@ -77,10 +96,11 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         op = rng.choice(
             ["append", "append", "merge", "overwrite", "delete", "compact",
              "evolve", "branch_write", "publish", "update", "maintain",
-             "cherry", "posdelete", "expire_age", "rename", "rename"]
+             "cherry", "posdelete", "expire_age", "rename", "rename",
+             "addcol", "dropcol"]
         )
         if op == "append":
-            rows = _rows(rng, rng.randrange(1, 5))
+            rows = mk_rows(rng.randrange(1, 5))
             main = main + rows
             if rng.random() < 0.4:
                 # route through the DSv2 format writer: pyarrow staging +
@@ -97,12 +117,12 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             else:
                 commit_main(t.write(df(rows)))
         elif op == "overwrite":
-            rows = _rows(rng, rng.randrange(1, 4))
+            rows = mk_rows(rng.randrange(1, 4))
             main = list(rows)
             commit_main(t.write(df(rows), mode="overwrite"))
         elif op == "merge":
             # unique ids per batch (MERGE cardinality rule)
-            batch = {r[0]: r for r in _rows(rng, rng.randrange(1, 5))}
+            batch = {r[0]: r for r in mk_rows(rng.randrange(1, 5))}
             rows = list(batch.values())
             main = [r for r in main if r[0] not in batch] + rows
             commit_main(t.merge(df(rows), keys=["id"]))
@@ -119,8 +139,8 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         elif op == "update":
             lo = rng.randrange(0, 30)
             main = [
-                (i, "z", p) if lo <= i < lo + 4 else (i, v, p)
-                for (i, v, p) in main
+                (r[0], "z") + r[2:] if lo <= r[0] < lo + 4 else r
+                for r in main
             ]
             sid = t.update_where(f"id >= {lo} AND id < {lo + 4}", {vname: "'z'"})
             if sid is not None:
@@ -151,6 +171,30 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             # protected refs; the CURRENT state must never change
             cutoff = time.time() + (1.0 if rng.random() < 0.5 else -3600.0)
             t.expire_snapshots(keep_last=3, older_than=cutoff)
+        elif op == "addcol":
+            # additive schema evolution: METADATA-ONLY commit; every row
+            # written before it reads back with the new column NULL (both
+            # scan paths), historical states keep their period widths.
+            # Skipped above 3 extras to bound the schema walk.
+            if len(cols_extra) >= 3:
+                continue
+            extra_n += 1
+            name = f"e{extra_n}"
+            sid = t.evolve_schema(add={name: "bigint"})
+            cols_extra.append(name)
+            main = [r + (None,) for r in main]
+            commit_main(sid)
+        elif op == "dropcol":
+            # subtractive evolution restricted to previously-added extras
+            # (id/v/part stay, like a real table's core columns)
+            if not cols_extra:
+                continue
+            name = rng.choice(cols_extra)
+            idx = 3 + cols_extra.index(name)
+            sid = t.evolve_schema(drop=[name])
+            cols_extra.remove(name)
+            main = [r[:idx] + r[idx + 1 :] for r in main]
+            commit_main(sid)
         elif op == "rename":
             # toggle the v column between "v" and "vv": a METADATA-ONLY
             # commit; every subsequent scan (native AND dsv2 — whose
@@ -169,11 +213,19 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
         elif op == "evolve":
             commit_main(t.evolve_partition_spec(rng.choice([["part"], [vname]])))
         elif op == "branch_write":
-            rows = _rows(rng, rng.randrange(1, 4))
+            rows = mk_rows(rng.randrange(1, 4))
             if branch is None:
                 branch = list(main)  # auto-created from main
             bsid = t.write(df(rows), branch="b")
-            branch += rows
+            # the branch head is now the newest snapshot, so a branch
+            # scan reads under the CURRENT schema: rows staged before an
+            # intervening add/drop re-shape accordingly (old dirs
+            # null-fill added columns; dropped columns vanish)
+            width = 3 + len(cols_extra)
+            branch = [pad(r)[:width] for r in branch] + rows
+            branch_commits = [
+                (s, [pad(r)[:width] for r in rs]) for s, rs in branch_commits
+            ]
             branch_commits.append((bsid, rows))
         elif op == "publish":
             if branch is None:
@@ -199,7 +251,10 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
                 picked = t.cherry_pick_snapshot(sid_staged)
             except ValueError:
                 continue
-            main = main + rows
+            # staged rows may predate an add/drop: they land with the
+            # current schema's shape (missing columns NULL)
+            width = 3 + len(cols_extra)
+            main = main + [pad(r)[:width] for r in rows]
             branch_commits.pop(0)
             states[picked] = list(main)
 
@@ -273,5 +328,7 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
 
 
 def test_random_op_sequences_match_model(spark, tmp_path):
-    for seed in (7, 23, 41, 104):
+    # 3 and 71 are the seeds whose interleavings caught the branch-only
+    # metadata-table crash and the expire-drops-rename-history bug
+    for seed in (3, 7, 23, 41, 71, 104):
         _run_model(spark, tmp_path, seed)

@@ -1636,3 +1636,65 @@ def test_vacuum_one_call_table_service(spark, tmp_path):
     rep2 = t.vacuum(max_files_per_partition=2, keep_last=1)
     assert rep2["compacted_snapshot_id"] is None
     assert rep2["removed_orphan_dirs"] == []
+
+
+def test_metadata_tables_on_branch_only_table(spark, tmp_path):
+    """A table whose ONLY commits are branch-staged (WAP before the first
+    main publish) has an empty main view: every current-snapshot metadata
+    table must return empty, not crash on the None main head. Found by
+    the table-model fuzz (seed 3) once add/drop-column ops were mixed in."""
+    from pyspark.sql import types as T
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = SnapshotTable.create(spark, str(tmp_path / "waponly"), schema)
+    t.write(spark.createDataFrame([(1,)], schema), branch="b")
+    assert t.scan().count() == 0  # main is empty
+    assert t.files_table().count() == 0
+    assert t.entries_table().count() == 0
+    assert t.partitions_table().count() == 0
+    assert t.maintain() is None or isinstance(t.maintain(), int)
+    # the branch itself is readable and the refs table reports it
+    assert t.scan(branch="b").count() == 1
+    refs = {r.ref_name: r.ref_type for r in t.refs_table().collect()}
+    assert refs.get("b") == "branch"
+
+
+def test_expire_preserves_schema_and_rename_history(spark, tmp_path):
+    """expire_snapshots must never drop evolve-schema commits: their
+    summaries carry the rename records and prev_schema that still-live
+    dirs depend on — expiring one used to silently null-fill a renamed
+    column on every pre-rename file. Found by the table-model fuzz
+    (seed 71) once rename ops interleaved with expire_age."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "expren"), schema)
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], schema), mode="append")
+    t.rename_column("v", "vv")
+    t.evolve_schema(add={"extra": "bigint"})
+    for i in range(4):  # pile on commits so expire has candidates
+        t.write(spark.createDataFrame([(10 + i, "x", None)], t.schema()), mode="append")
+    expired = t.expire_snapshots(keep_last=2, older_than=_time.time() + 1)
+    assert expired  # something actually expired
+    meta = t._load()
+    kept_ops = [s["operation"] for s in meta["snapshots"]]
+    assert kept_ops.count("evolve-schema") == 2  # rename + add both survive
+    rows = sorted(map(tuple, t.scan().collect()))
+    # the renamed column still reads its pre-rename files' values
+    assert rows[:2] == [(1, "a", None), (2, "b", None)]
+    # and the dsv2 reader agrees
+    from emr_apache_iceberg_workshop_spark.sources import dsv2
+
+    dsv2.register(spark)
+    fmt = sorted(
+        map(tuple, spark.read.format("eiws").option("table", t.root).load().collect())
+    )
+    assert fmt == rows
