@@ -55,6 +55,7 @@ _PREFIX_ORDER = [
     "m_jpeg_coeffs",
     "d_simhash_clusters",
     "q_catalog_format_read",
+    "q_meta_analyze",
     "q_string_funcs",
     "q_pivot_status",
     "q_props_stats",

@@ -2091,3 +2091,101 @@ def q_meta_dyn_overwrite(spark, sf_dir) -> DataFrame:
     replace-only-written-partitions rule by hand."""
     t = _dynov_table(spark)
     return t.scan().select("id", "category", "qty")
+
+
+# --------------------------------------------------------------------------
+# ANALYZE TABLE — the statistics service (Iceberg
+# `CALL system.compute_table_stats`, which records NDV sketches in a
+# Puffin stats file; Spark's `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+# COLUMNS`). tables.py:analyze computes per-column null counts and a
+# DETERMINISTIC K-minimum-values sketch (k smallest distinct 60-bit
+# md5-prefix hashes) in one distributed top-k job per column, and stores
+# them in versioned table properties. The oracle recomputes the SKETCH
+# itself (sample size + k-th hash + null/row counts) from the same rows
+# in DuckDB — integer/string-exact; the float NDV estimator derived from
+# the sketch is engine-side only.
+_analyze_cache: dict = {}
+
+
+def _analyze_table(spark, sf_dir: str) -> str:
+    import tempfile
+
+    from ..catalog import load_table
+    from ..tables import SnapshotTable
+
+    key = os.path.abspath(sf_dir)
+    root = _analyze_cache.get(key)
+    if root and SnapshotTable.exists(root):
+        return root
+    root = os.path.join(tempfile.mkdtemp(prefix="eiws_analyze_"), "tbl")
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .selectExpr(
+            "CAST(c_custkey AS BIGINT) AS c_custkey",
+            "c_mktsegment",
+            "CAST(c_nationkey AS BIGINT) AS c_nationkey",
+        )
+    )
+    t = SnapshotTable.create(spark, root, src.schema)
+    t.write(src, mode="append")
+    _analyze_cache[key] = root
+    return root
+
+
+def _analyze_oracle_leg(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           (SELECT COUNT(*) FROM src) AS row_count,
+           (SELECT COUNT(*) FROM src WHERE {col} IS NULL) AS null_count,
+           CAST(COUNT(*) AS BIGINT) AS sample_size,
+           MAX(h) AS kth_hash
+    FROM (SELECT h FROM (
+            SELECT DISTINCT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)
+                            AS BIGINT) AS h
+            FROM src WHERE {col} IS NOT NULL)
+          ORDER BY h LIMIT 64)
+    """.strip()
+
+
+@query(
+    "q_meta_analyze",
+    oracle=f"""
+    WITH src AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+                        CAST(c_nationkey AS BIGINT) AS c_nationkey
+                 FROM customer WHERE c_custkey % 7 = 0)
+    {_analyze_oracle_leg('c_custkey')}
+    UNION ALL
+    {_analyze_oracle_leg('c_mktsegment')}
+    UNION ALL
+    {_analyze_oracle_leg('c_nationkey')}
+    """,
+    tags=("meta:analyze", "tablemeta", "stats"),
+)
+def q_meta_analyze(spark, sf_dir) -> DataFrame:
+    """ANALYZE through the SQL facade, then read the stored stats back:
+    the emitted sketch rows must match DuckDB's independent recompute."""
+    import json as _json
+
+    from ..sqlext import SqlCatalog
+
+    root = _analyze_table(spark, sf_dir)
+    cat = SqlCatalog(spark)
+    cat.register("stats_demo", root)
+    cat.sql(
+        "ANALYZE TABLE stats_demo COMPUTE STATISTICS "
+        "FOR COLUMNS c_custkey, c_mktsegment, c_nationkey"
+    )
+    t = cat.table("stats_demo")
+    props = t.properties()
+    rows = []
+    for c in ("c_custkey", "c_mktsegment", "c_nationkey"):
+        s = _json.loads(props[f"stats.{c}"])
+        rows.append(
+            (c, s["row_count"], s["null_count"], s["sample_size"], s["kth_hash"])
+        )
+    return spark.createDataFrame(
+        rows,
+        "column_name string, row_count long, null_count long, "
+        "sample_size long, kth_hash long",
+    )

@@ -285,6 +285,8 @@ class SqlCatalog:
             return self._call(stmt)
         if head == "ALTER":
             return self._alter(stmt)
+        if head == "ANALYZE":
+            return self._analyze(stmt)
         if head == "DESCRIBE":
             return self._describe(stmt)
         if head == "SHOW":
@@ -292,6 +294,23 @@ class SqlCatalog:
         if head in ("SELECT", "WITH"):
             return self.spark.sql(self._rewrite_reads(stmt))
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+
+    def _analyze(self, stmt: str):
+        """`ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]` —
+        Spark's ANALYZE statement shape routed to the KMV stats service
+        (tables.py:analyze); stats land in versioned table properties."""
+        m = re.match(
+            r"ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
+            r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w,\s]+))?$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"unsupported ANALYZE: {stmt[:120]!r}")
+        cols = None
+        if m.group("cols"):
+            cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+        return self.table(m.group("name")).analyze(columns=cols)
 
     def _describe(self, stmt: str):
         m = re.match(r"DESCRIBE\s+(?:TABLE\s+)?(?P<name>[\w.]+)$", stmt, re.I)
@@ -768,6 +787,16 @@ class SqlCatalog:
         t = self.table(val("table", 0))
         if proc == "rewrite_data_files":
             return t.compact()
+        if proc == "compute_table_stats":
+            cols = named.get("columns")
+            col_list = None
+            if cols is not None:
+                col_list = [
+                    x.strip().strip("'\"")
+                    for x in re.sub(r"^\s*array\s*\(|\)\s*$", "", cols, flags=re.I).split(",")
+                    if x.strip()
+                ]
+            return t.analyze(columns=col_list)
         if proc == "expire_snapshots":
             keep = val("retain_last", 1)
             older = named.get("older_than")

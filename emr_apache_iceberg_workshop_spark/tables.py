@@ -2884,6 +2884,67 @@ class SnapshotTable:
             shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
         return expired_ids
 
+    def analyze(self, columns: list[str] | None = None, k: int = 64) -> dict:
+        """Table statistics service (Iceberg `ANALYZE TABLE` /
+        `CALL system.compute_table_stats`, which records NDV sketches in
+        a stats file): per-column null count + a K-MINIMUM-VALUES
+        distinct-count sketch, stored in table properties
+        (`stats.<col>` = JSON) via the versioned metadata-only property
+        path — readable by `SHOW TBLPROPERTIES` and the `q_meta_analyze`
+        oracle query.
+
+        The sketch is DETERMINISTIC, which is what makes it verifiable
+        cross-engine: hash = the first 15 hex chars of md5(CAST(col AS
+        STRING)) (60 bits — bigint-safe in Spark and DuckDB alike), and
+        the sketch is the k smallest DISTINCT hashes. `sample_size` < k
+        means the column's exact NDV is sample_size; at sample_size = k
+        the standard KMV estimator (k-1)/F(kth) applies, recorded as
+        `ndv_est` (estimator output is float-derived, so oracle-graded
+        queries pin the sketch — sample_size/kth_hash — not the
+        estimate).
+
+        Scale shape: one distributed job per analyzed column —
+        DISTINCT on the hashed column (map-side combined) followed by a
+        global top-k ascending (TakeOrderedAndProject: per-partition
+        heaps of k rows, driver merge of k·partitions candidates) plus a
+        1-row null-count aggregate. Never a driver-side distinct set; at
+        100 TB this is the nightly stats job a catalog service runs per
+        column. ANALYZE reads the CURRENT snapshot (deletes applied)."""
+        import json as _json
+
+        schema = self.schema()
+        names = {f.name for f in schema.fields}
+        cols = columns or [f.name for f in schema.fields]
+        unknown = [c for c in cols if c not in names]
+        if unknown:
+            raise ValueError(f"analyze: unknown columns {unknown}")
+        df = self.scan().localCheckpoint(eager=True)  # one pass, reused per col
+        row_count = df.count()
+        out: dict[str, dict] = {}
+        for c in cols:
+            hashed = df.selectExpr(
+                f"CAST(conv(substr(md5(CAST(`{c}` AS STRING)), 1, 15), 16, 10)"
+                f" AS BIGINT) AS h"
+            ).filter("h IS NOT NULL")
+            kmv = [r["h"] for r in hashed.distinct().orderBy("h").limit(k).collect()]
+            nulls = df.filter(F.col(c).isNull()).count()
+            stat = {
+                "row_count": row_count,
+                "null_count": nulls,
+                "k": k,
+                "sample_size": len(kmv),
+                "kth_hash": kmv[-1] if kmv else None,
+            }
+            if len(kmv) < k:
+                stat["ndv_est"] = len(kmv)  # exact below the sketch size
+            else:
+                stat["ndv_est"] = int((k - 1) * (16**15) / kmv[-1])
+            out[c] = stat
+        self.set_properties(
+            {f"stats.{c}": _json.dumps(s, sort_keys=True) for c, s in out.items()}
+        )
+        return out
+
     def vacuum(
         self,
         max_files_per_partition: int = 4,

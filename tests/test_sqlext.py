@@ -481,3 +481,37 @@ def test_merge_set_star_with_computed_insert(spark, cat):
     )
     got = {r.id: r.v for r in cat.sql("SELECT * FROM sv").collect()}
     assert got == {1: "a2", 2: "B"}
+
+
+def test_analyze_statement_and_procedure(spark, tmp_path):
+    """ANALYZE TABLE and CALL system.compute_table_stats both route to
+    the KMV stats service; stats are versioned properties, exact below
+    the sketch size, and the estimator is within KMV error above it."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from emr_apache_iceberg_workshop_spark.sqlext import SqlCatalog
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("seg", T.StringType())]
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "an"), schema)
+    rows = [(i, f"s{i % 5}" if i % 10 else None) for i in range(300)]
+    t.write(spark.createDataFrame(rows, schema), mode="append")
+    cat = SqlCatalog(spark)
+    cat.register("an", t.root)
+    cat.sql("ANALYZE TABLE an COMPUTE STATISTICS FOR COLUMNS seg")
+    s = json.loads(t.properties()["stats.seg"])
+    # 5 distinct non-null values + 30 nulls: exact below the sketch size
+    assert (s["sample_size"], s["ndv_est"], s["null_count"], s["row_count"]) == (
+        5, 5, 30, 300,
+    )
+    # procedure form, all columns; id has 300 distinct > k=64 -> estimator
+    cat.sql("CALL system.compute_table_stats('an')")
+    sid = json.loads(t.properties()["stats.id"])
+    assert sid["sample_size"] == 64
+    assert 150 <= sid["ndv_est"] <= 600  # KMV error band around 300
+    with pytest.raises(Exception, match="unknown columns"):
+        cat.sql("ANALYZE TABLE an COMPUTE STATISTICS FOR COLUMNS nope")
