@@ -689,3 +689,91 @@ def c_chunk_documents(spark, sf_dir) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-rules-style quality funnel: the ordered rejection cascade a web
+# pipeline runs before training (Rae et al. 2021 §A1 'quality filtering',
+# C4's heuristics) — each document is attributed to the FIRST rule it
+# fails, survivors pass, and the report is per-rule rejection accounting
+# (the number every curation run publishes to justify its retention rate).
+#
+# Scale design (100 TB): the whole cascade is a single scan-side CASE over
+# per-row token arrays (codegen'd, no UDF, no join) followed by one tiny
+# hash aggregate on the verdict label (≤ 6 groups); the share column is a
+# window over those ≤ 6 rows. One linear pass, one negligible shuffle.
+
+_FUNNEL_RULES = (
+    # (label, spark predicate, duck predicate) — evaluated in order
+    ("1_too_short", "n_toks < 25", "n_toks < 25"),
+    ("2_too_long", "n_toks > 2000", "n_toks > 2000"),
+    ("3_word_len", "mwl < 2.5 OR mwl > 8.0", "mwl < 2.5 OR mwl > 8.0"),
+    ("4_low_ttr", "ttr < 0.4", "ttr < 0.4"),
+    ("5_lang_mismatch", "pred != lang", "pred <> lang"),
+)
+
+
+def _funnel_verdict(dialect: str) -> str:
+    branches = " ".join(
+        f"WHEN {sp if dialect == 'spark' else dk} THEN '{label}'"
+        for label, sp, dk in _FUNNEL_RULES
+    )
+    return f"CASE {branches} ELSE 'pass' END"
+
+
+@query(
+    "c_quality_funnel",
+    oracle=f"""
+    WITH m AS (SELECT lang,
+                      len({TOKS_D}) AS n_toks,
+                      CASE WHEN len({TOKS_D}) > 0
+                           THEN CAST(list_sum(list_transform({TOKS_D}, x -> length(x))) AS DOUBLE)
+                                / len({TOKS_D}) ELSE 0.0 END AS mwl,
+                      CASE WHEN len({TOKS_D}) > 0
+                           THEN CAST(len(list_distinct({TOKS_D})) AS DOUBLE)
+                                / len({TOKS_D}) ELSE 0.0 END AS ttr,
+                      {_predicted('duck')} AS pred,
+                      n_chars
+               FROM documents),
+         v AS (SELECT {_funnel_verdict('duck')} AS verdict, n_chars FROM m)
+    SELECT verdict,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM v GROUP BY verdict
+    """,
+    tags=("curation:quality", "agg"),
+)
+def c_quality_funnel(spark, sf_dir) -> DataFrame:
+    """First-failed-rule rejection accounting for the five-rule quality
+    cascade (length floor/ceiling, mean word length band, type-token
+    ratio floor, langid agreement). Single codegen'd scan pass + a ≤6-row
+    aggregate; see the cascade notes above."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    m = docs.selectExpr(
+        "lang",
+        "n_chars",
+        f"size({TOKS_S}) AS n_toks",
+        f"""CASE WHEN size({TOKS_S}) > 0
+             THEN CAST(aggregate({TOKS_S}, 0L, (acc, x) -> acc + length(x)) AS DOUBLE)
+                  / size({TOKS_S}) ELSE 0.0 END AS mwl""",
+        f"""CASE WHEN size({TOKS_S}) > 0
+             THEN CAST(size(array_distinct({TOKS_S})) AS DOUBLE)
+                  / size({TOKS_S}) ELSE 0.0 END AS ttr""",
+        f"{_predicted('spark')} AS pred",
+    )
+    agg = (
+        m.selectExpr(f"{_funnel_verdict('spark')} AS verdict", "n_chars")
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.withColumn(
+        "share", F.round(F.col("n_docs").cast("double") / total, 6)
+    )

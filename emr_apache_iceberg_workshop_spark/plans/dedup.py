@@ -1000,3 +1000,100 @@ def d_simhash_clusters(spark, sf_dir) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .select("rep", "n_members", "sum_doc_ids")
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup — the CommonCrawl-style first pass: collapse
+# fetches of the same logical page reached through superficially different
+# URLs (scheme/host case, default port, tracking params, param order,
+# trailing slash, fragments). The documents fixture carries no URL column,
+# so — exactly like the multimodal family's payloads — a deterministic
+# messy URL is constructed per row, exercising every canonicalization rule
+# by doc_id residue; the oracle constructs and canonicalizes the SAME URLs
+# in DuckDB, so the rules themselves are what's graded.
+#
+# Scale design (100 TB): canonicalization is pure per-row string work
+# inside the scan stage (codegen'd, no UDF); the dedup is ONE hash
+# aggregate on the canonical key. Nothing is quadratic; the shuffle key is
+# the canonical URL (high cardinality, naturally skew-free — a single
+# viral URL with millions of fetches would be the only hot key, and AQE
+# skew-split handles that).
+
+def _url_expr(dialect: str) -> str:
+    """The deterministic messy URL (identical text in both engines)."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+      CASE WHEN doc_id % 4 < 2 THEN upper(source) ELSE source END,
+      '.Example.COM',
+      CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+      '/docs/', lang, '/item-', CAST(doc_id % 15 AS {cast}),
+      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+      CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+                      WHEN 1 THEN '?b=2&a=1'
+                      WHEN 2 THEN '?a=1&b=2'
+                      WHEN 3 THEN '?a=1&utm_medium=email&b=2'
+                      ELSE '' END,
+      CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)"""
+
+
+def _canonical_url_expr(dialect: str, url: str) -> str:
+    """Canonical form: drop fragment, lowercase, strip default :443 port,
+    strip the trailing slash, drop utm_* tracking params, sort the
+    remaining query params. Both dialects implement the same rule
+    sequence; only function names differ."""
+    base = f"lower(replace(regexp_replace({url}, '#.*$', ''), ':443/', '/'))"
+    path = f"regexp_replace(split_part({base}, '?', 1), '/$', '')"
+    qs = f"split_part({base}, '?', 2)"
+    if dialect == "spark":
+        params = (
+            f"array_sort(filter(split({qs}, '&'), "
+            "x -> x != '' AND NOT startswith(x, 'utm_')))"
+        )
+        joined = f"array_join({params}, '&')"
+        nparams = f"size({params})"
+    else:
+        params = (
+            f"list_sort(list_filter(string_split({qs}, '&'), "
+            "x -> x <> '' AND NOT starts_with(x, 'utm_')))"
+        )
+        joined = f"array_to_string({params}, '&')"
+        nparams = f"len({params})"
+    return (
+        f"concat({path}, CASE WHEN {nparams} > 0 "
+        f"THEN concat('?', {joined}) ELSE '' END)"
+    )
+
+
+@query(
+    "d_url_dedup",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, n_chars,
+                      {_canonical_url_expr('duck', _url_expr('duck'))} AS canonical_url
+               FROM documents)
+    SELECT canonical_url,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM u GROUP BY canonical_url HAVING COUNT(*) >= 2
+    """,
+    tags=("dedup:url", "agg"),
+)
+def d_url_dedup(spark, sf_dir) -> DataFrame:
+    """Duplicate-URL groups (≥2 fetches of one canonical URL) with the
+    kept representative (min doc_id — 'first fetch wins'). Scan-side
+    canonicalization, one hash aggregate; see module notes."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    canon = _canonical_url_expr("spark", _url_expr("spark"))
+    return (
+        docs.selectExpr("doc_id", "n_chars", f"{canon} AS canonical_url")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

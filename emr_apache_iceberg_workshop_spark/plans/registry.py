@@ -50,6 +50,9 @@ _MODULES = [
 # fails loudly on any name missing from the registry; unlisted names
 # follow in module-registration order.
 _PREFIX_ORDER = [
+    "d_url_dedup",
+    "c_quality_funnel",
+    "t_heavy_hitters",
     "m_png_pixels",
     "m_gif_pixels",
     "m_jpeg_coeffs",

@@ -1054,3 +1054,69 @@ def t_entropy(spark, sf_dir) -> DataFrame:
         ).alias("entropy"),
     )
     return per_doc.withColumn("low_entropy", F.col("entropy") < 1.0)
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters, two-pass exact: the scalable alternative to t_token_freq's
+# single global groupBy. Pass 1 runs a Misra–Gries-style candidate sketch
+# per Arrow batch (any token whose GLOBAL count exceeds N/CAPACITY must
+# exceed n_i/CAPACITY in at least one batch — if it failed the local
+# threshold everywhere, summing gives count <= N/CAPACITY); pass 2 exactly
+# recounts ONLY the candidates (broadcast semi-join inside the scan) and
+# takes the top k. The global shuffle therefore carries candidate tokens
+# only — at 100 TB the long Zipf tail (the overwhelming shuffle mass of a
+# naive token groupBy) never leaves the map side. Contract: exact whenever
+# the k-th true count > N/CAPACITY — guaranteed for any Zipf-shaped corpus
+# with k << CAPACITY, and satisfied at every fixture scale (the fixtures'
+# vocabulary is ~10^2 while N/CAPACITY is a few dozen).
+
+_HH_CAPACITY = 512
+_HH_K = 25
+
+
+def heavy_hitter_candidates(docs: DataFrame, capacity: int = _HH_CAPACITY) -> DataFrame:
+    """Pass 1: per-batch local-frequency candidates (token column only)."""
+    import re
+
+    import pandas as pd
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def batches(it):
+        for pdf in it:
+            counts: dict[str, int] = {}
+            n = 0
+            for text in pdf["text"]:
+                for t in tok_re.findall(text):
+                    counts[t] = counts.get(t, 0) + 1
+                    n += 1
+            thresh = n / capacity
+            cand = [t for t, c in counts.items() if c > thresh]
+            if cand:
+                yield pd.DataFrame({"token": cand})
+
+    return docs.select("text").mapInPandas(batches, schema="token string")
+
+
+@query(
+    "t_heavy_hitters",
+    oracle=f"""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest({TOKS_D}) AS token FROM documents)
+    GROUP BY token ORDER BY freq DESC, token LIMIT {_HH_K}
+    """,
+    tags=("text", "tokens", "topk", "sketch"),
+)
+def t_heavy_hitters(spark, sf_dir) -> DataFrame:
+    """Exact top-25 tokens via the two-pass candidate-pruned plan; the
+    DuckDB oracle is the plain one-pass top-k, so the candidate guarantee
+    itself is what's graded."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    candidates = heavy_hitter_candidates(docs).distinct()
+    counted = (
+        docs.selectExpr(f"explode({TOKS_S}) AS token")
+        .join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return top_k(counted, [F.col("freq").desc(), F.col("token")], _HH_K)

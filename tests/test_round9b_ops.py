@@ -1,0 +1,158 @@
+"""Round-9 late additions: URL canonicalization dedup, the quality-rule
+funnel, and two-pass exact heavy hitters.
+
+The oracle pairs grade end-to-end parity; these tests pin the pieces the
+oracle can't isolate: individual canonicalization rules on handcrafted
+URLs, first-failed-rule attribution when a document breaks several rules
+at once, and the heavy-hitter candidate guarantee on an adversarial
+batch split (a token under the local threshold in all but one batch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emr_apache_iceberg_workshop_spark.plans.dedup import (
+    _canonical_url_expr,
+    _url_expr,
+)
+from emr_apache_iceberg_workshop_spark.plans.textops import (
+    _HH_K,
+    heavy_hitter_candidates,
+)
+
+
+def _canon(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    expr = _canonical_url_expr("spark", "url")
+    return [r[0] for r in df.selectExpr(f"{expr} AS c").collect()]
+
+
+def test_url_canonical_rules(spark):
+    got = _canon(
+        spark,
+        [
+            # case folding + default port + fragment
+            "HTTPS://Host.Example.COM:443/docs/en/item-3#section-2",
+            # trailing slash
+            "https://host.example.com/docs/en/item-3/",
+            # tracking params dropped entirely (dangling '?' must not stay)
+            "https://host.example.com/docs/en/item-3?utm_source=feed&utm_campaign=x",
+            # param order normalized, utm_* removed from a mixed string
+            "https://host.example.com/docs/en/item-3?b=2&utm_medium=email&a=1",
+            "https://host.example.com/docs/en/item-3?a=1&b=2",
+        ],
+    )
+    base = "https://host.example.com/docs/en/item-3"
+    assert got == [base, base, base, base + "?a=1&b=2", base + "?a=1&b=2"]
+
+
+def test_url_canonical_keeps_distinct_pages(spark):
+    got = _canon(
+        spark,
+        [
+            "https://host.example.com/docs/en/item-3",
+            "https://host.example.com/docs/en/item-4",
+            "https://other.example.com/docs/en/item-3",
+            "https://host.example.com/docs/en/item-3?a=2",
+        ],
+    )
+    assert len(set(got)) == 4
+
+
+def test_url_spark_duck_construction_parity(spark, duck):
+    """The generated messy URL text itself must be identical in both
+    engines (the oracle depends on it)."""
+    spark_urls = {
+        r[0]
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr(f"{_url_expr('spark')} AS u")
+        .collect()
+    }
+    duck_urls = {
+        r[0]
+        for r in duck.sql(
+            f"SELECT {_url_expr('duck')} AS u FROM documents"
+        ).fetchall()
+    }
+    assert spark_urls == duck_urls
+
+
+def test_quality_funnel_first_fail_attribution(spark):
+    from emr_apache_iceberg_workshop_spark.plans.curation import _funnel_verdict
+
+    short_mismatch = "el la de que y"  # 5 tokens AND wrong lang: rule 1 wins
+    repeats = " ".join(["the"] * 30)  # low ttr AND short mwl ok: ttr after len
+    ok = "the quick brown fox jumps over a lazy dog and the dog is of good cheer " * 2
+    df = spark.createDataFrame(
+        [(short_mismatch, "en"), (repeats, "en"), (ok, "en")],
+        "text string, lang string",
+    )
+    rows = df.selectExpr(
+        f"size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS n_toks_probe",
+        "lang",
+        "text",
+    )
+    m = rows.selectExpr(
+        "lang",
+        "text",
+        "size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS n_toks",
+        """CASE WHEN size(regexp_extract_all(text, '[a-z0-9]+', 0)) > 0
+             THEN CAST(aggregate(regexp_extract_all(text, '[a-z0-9]+', 0), 0L,
+                                 (acc, x) -> acc + length(x)) AS DOUBLE)
+                  / size(regexp_extract_all(text, '[a-z0-9]+', 0)) ELSE 0.0 END AS mwl""",
+        """CASE WHEN size(regexp_extract_all(text, '[a-z0-9]+', 0)) > 0
+             THEN CAST(size(array_distinct(regexp_extract_all(text, '[a-z0-9]+', 0))) AS DOUBLE)
+                  / size(regexp_extract_all(text, '[a-z0-9]+', 0)) ELSE 0.0 END AS ttr""",
+    )
+    from emr_apache_iceberg_workshop_spark.plans.textops import _predicted
+
+    verdicts = [
+        r[0]
+        for r in m.selectExpr(f"{_predicted('spark')} AS pred", "*")
+        .selectExpr(f"{_funnel_verdict('spark')} AS verdict")
+        .collect()
+    ]
+    assert verdicts == ["1_too_short", "4_low_ttr", "pass"]
+
+
+def test_heavy_hitter_candidate_guarantee(spark):
+    """Adversarial split: 'rare' sits below the per-batch threshold in
+    every batch EXCEPT one — the guarantee says a token with global count
+    > N/capacity must clear the local bar somewhere. With capacity=4 and
+    three 8-token batches, global count 9 > 24/4; the construction puts 7
+    of them in one batch."""
+    batches = [
+        ["rare"] * 7 + ["x1"],
+        ["a", "b", "c", "d", "e", "f", "g", "rare"],
+        ["h", "i", "j", "k", "l", "m", "n", "rare"],
+    ]
+    df = spark.createDataFrame(
+        [(" ".join(b),) for b in batches], "text string"
+    ).repartition(3)
+    cand = {
+        r[0] for r in heavy_hitter_candidates(df, capacity=4).distinct().collect()
+    }
+    assert "rare" in cand
+
+
+def test_heavy_hitters_matches_exact_topk(spark):
+    """End-to-end equality with the naive one-pass top-k on real fixture
+    data (the same check the oracle runs, but in-process and at the
+    smoke scale, with deterministic tiebreak)."""
+    from emr_apache_iceberg_workshop_spark.plans.textops import (
+        TOKS_S,
+        t_heavy_hitters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = t_heavy_hitters(spark, sf).collect()
+    exact = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr(f"explode({TOKS_S}) AS token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(_HH_K)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
