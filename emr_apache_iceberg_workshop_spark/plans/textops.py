@@ -1058,24 +1058,33 @@ def t_entropy(spark, sf_dir) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Heavy hitters, two-pass exact: the scalable alternative to t_token_freq's
-# single global groupBy. Pass 1 runs a Misra–Gries-style candidate sketch
-# per Arrow batch (any token whose GLOBAL count exceeds N/CAPACITY must
-# exceed n_i/CAPACITY in at least one batch — if it failed the local
-# threshold everywhere, summing gives count <= N/CAPACITY); pass 2 exactly
-# recounts ONLY the candidates (broadcast semi-join inside the scan) and
-# takes the top k. The global shuffle therefore carries candidate tokens
-# only — at 100 TB the long Zipf tail (the overwhelming shuffle mass of a
-# naive token groupBy) never leaves the map side. Contract: exact whenever
-# the k-th true count > N/CAPACITY — guaranteed for any Zipf-shaped corpus
-# with k << CAPACITY, and satisfied at every fixture scale (the fixtures'
-# vocabulary is ~10^2 while N/CAPACITY is a few dozen).
+# single global groupBy. Pass 1 runs a Misra–Gries-style local sketch per
+# Arrow batch (emit (token, local_count) for tokens with local_count >
+# n_i/CAPACITY), merges the emissions, and keeps tokens whose merged sum
+# exceeds N/CAPACITY; pass 2 exactly recounts ONLY those candidates
+# (broadcast semi-join inside the scan) and takes the top k. The global
+# shuffle therefore carries candidate tokens only — at 100 TB the long
+# Zipf tail (the overwhelming shuffle mass of a naive token groupBy)
+# never leaves the map side.
+#
+# Two provable bounds make this the shippable shape:
+# - candidate-set size ≤ CAPACITY globally (each survivor's merged sum
+#   exceeds N/CAPACITY and the sums total ≤ N), so the broadcast side is
+#   constant-bounded at ANY corpus scale — the lint-clean broadcast;
+# - exactness whenever the k-th true count > 2N/CAPACITY: a token's
+#   emitted sum S ≥ global_count − Σᵢ nᵢ/CAPACITY ≥ global_count −
+#   N/CAPACITY, so global_count > 2N/CAPACITY forces S > N/CAPACITY and
+#   the token survives the merge threshold. Guaranteed for any
+#   Zipf-shaped corpus with k << CAPACITY; at the fixtures' scales the
+#   vocabulary is ~10² while 2N/CAPACITY is single digits.
 
-_HH_CAPACITY = 512
+_HH_CAPACITY = 2048
 _HH_K = 25
 
 
 def heavy_hitter_candidates(docs: DataFrame, capacity: int = _HH_CAPACITY) -> DataFrame:
-    """Pass 1: per-batch local-frequency candidates (token column only)."""
+    """Pass 1 local stage: per-batch (token, local_count) emissions for
+    tokens clearing the batch-local n_i/capacity bar."""
     import re
 
     import pandas as pd
@@ -1091,11 +1100,13 @@ def heavy_hitter_candidates(docs: DataFrame, capacity: int = _HH_CAPACITY) -> Da
                     counts[t] = counts.get(t, 0) + 1
                     n += 1
             thresh = n / capacity
-            cand = [t for t, c in counts.items() if c > thresh]
+            cand = [(t, c) for t, c in counts.items() if c > thresh]
             if cand:
-                yield pd.DataFrame({"token": cand})
+                yield pd.DataFrame(
+                    {"token": [t for t, _ in cand], "cnt": [c for _, c in cand]}
+                )
 
-    return docs.select("text").mapInPandas(batches, schema="token string")
+    return docs.select("text").mapInPandas(batches, schema="token string, cnt long")
 
 
 @query(
@@ -1112,10 +1123,22 @@ def t_heavy_hitters(spark, sf_dir) -> DataFrame:
     DuckDB oracle is the plain one-pass top-k, so the candidate guarantee
     itself is what's graded."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    candidates = heavy_hitter_candidates(docs).distinct()
+    # 1-row scalar: the exact global token count N (scan-side array size)
+    n_tot = docs.selectExpr(f"size({TOKS_S}) AS n").agg(
+        F.sum("n").cast("long").alias("n_total")
+    )
+    # merged sketch: ≤ CAPACITY survivors by the Σ-sums-≤-N argument above
+    hh_cand = (
+        heavy_hitter_candidates(docs)
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("s"))
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("s") > F.col("n_total") / _HH_CAPACITY)
+        .select("token")
+    )
     counted = (
         docs.selectExpr(f"explode({TOKS_S}) AS token")
-        .join(F.broadcast(candidates), "token", "left_semi")
+        .join(F.broadcast(hh_cand), "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

@@ -117,22 +117,28 @@ def test_quality_funnel_first_fail_attribution(spark):
 
 def test_heavy_hitter_candidate_guarantee(spark):
     """Adversarial split: 'rare' sits below the per-batch threshold in
-    every batch EXCEPT one — the guarantee says a token with global count
-    > N/capacity must clear the local bar somewhere. With capacity=4 and
-    three 8-token batches, global count 9 > 24/4; the construction puts 7
-    of them in one batch."""
+    every batch EXCEPT one, and its merged emitted sum must still clear
+    the global N/capacity bar (the 2N/capacity exactness bound in
+    action). With capacity=4 and three 8-token batches, N=24: 'rare' has
+    global count 13 > 2N/4 = 12, emits 11 from batch one (11 > 8/4) and
+    nothing from the others (1 <= 2 each) — merged sum 11 > 24/4 = 6."""
     batches = [
-        ["rare"] * 7 + ["x1"],
-        ["a", "b", "c", "d", "e", "f", "g", "rare"],
-        ["h", "i", "j", "k", "l", "m", "n", "rare"],
+        ["rare"] * 11 + ["x1"],
+        ["a", "b", "rare", "c", "x2", "x2"],
+        ["d", "e", "rare", "f", "x3", "x3"],
     ]
     df = spark.createDataFrame(
         [(" ".join(b),) for b in batches], "text string"
     ).repartition(3)
-    cand = {
-        r[0] for r in heavy_hitter_candidates(df, capacity=4).distinct().collect()
-    }
-    assert "rare" in cand
+    emitted = heavy_hitter_candidates(df, capacity=4).collect()
+    merged = {}
+    for r in emitted:
+        merged[r["token"]] = merged.get(r["token"], 0) + r["cnt"]
+    n_total = sum(len(b) for b in batches)
+    survivors = {t for t, s in merged.items() if s > n_total / 4}
+    assert "rare" in survivors
+    # the bound on the other side: at most capacity survivors, ever
+    assert len(survivors) <= 4
 
 
 def test_heavy_hitters_matches_exact_topk(spark):

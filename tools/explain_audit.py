@@ -74,6 +74,10 @@ SCALAR_BROADCAST_OK = {
     # with two 1-row COUNT aggregates (current and pre-pick row counts)
     # via scalar crossJoin broadcasts
     "q_meta_cherrypick",
+    # round-9: the heavy-hitter merge threshold crossJoins the 1-row
+    # global token count (textops.py `n_tot`) — same scalar shape; the
+    # candidate semi-join itself is a bounded BroadcastHashJoin
+    "t_heavy_hitters",
 }
 
 # ---------------------------------------------------------------------------
@@ -103,6 +107,11 @@ BROADCAST_HINT_ALLOWED = {
         "stats",  # 1-row scalar aggregate (BM25 corpus n_docs + avgdl)
         "cuts",  # 1-row cutoff pair (ccnet tercile order statistics)
         "n_row",  # 1-row scalar aggregate (ccnet corpus doc count)
+        "n_tot",  # 1-row scalar aggregate (heavy-hitter global token count)
+        # merged Misra-Gries survivors: provably <= _HH_CAPACITY rows at
+        # ANY corpus scale (each survivor's merged local-count sum exceeds
+        # N/CAPACITY and the sums total <= N)
+        "hh_cand",
     },
     "plans/curation.py": {
         "tot",  # 1-row scalar aggregate (corpus doc count + sqrt-weight sum)

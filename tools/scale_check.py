@@ -37,6 +37,11 @@ QUERIES = (
     # quadratic output on the dup-dense corpus)
     "t_bigram_logprob", "d_simhash64", "t_bm25_topk", "t_ccnet_buckets",
     "q_dsv2_stream", "d_simhash_clusters",
+    # r09 late cohort: URL canonicalization dedup (scan-side string work +
+    # one hash agg), the quality-rule funnel (single CASE pass + tiny agg),
+    # and two-pass heavy hitters (bounded-candidate broadcast, map-side
+    # tail pruning) — all reduce to measured-linear shapes
+    "d_url_dedup", "c_quality_funnel", "t_heavy_hitters",
 )
 FACTOR = 10
 
