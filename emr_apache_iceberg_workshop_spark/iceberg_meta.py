@@ -1111,6 +1111,26 @@ def write_iceberg_metadata(
     }
     if fv == 2:
         doc["last-sequence-number"] = head["snapshot_id"]
+    # statistics files: if ANALYZE ran on this table (stats.<col> props
+    # with a retained kmv sketch), serialize the sketches into a Puffin
+    # file and reference it from the spec's `statistics` field, pinned to
+    # the current snapshot (ANALYZE reads the current snapshot)
+    col_stats = {}
+    for pk, pv in doc["properties"].items():
+        if pk.startswith("stats.") and pk.count(".") == 1:
+            try:
+                s = json.loads(pv)
+            except ValueError:
+                continue
+            col = pk[len("stats."):]
+            if isinstance(s, dict) and s.get("kmv") is not None and col in ids:
+                col_stats[col] = s
+    if col_stats:
+        doc["statistics"] = [
+            write_puffin_stats(
+                meta_dir, sid, sid if fv == 2 else 0, col_stats, ids
+            )
+        ]
     # version numbering like Iceberg's HadoopTableOperations: vN.metadata.json
     # + version-hint.text, so `sorted(...)[-1]` discovery (the reference's
     # read_iceberg_duckdb.py:35-37) finds the newest
@@ -1138,6 +1158,163 @@ def write_iceberg_metadata(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write(str(n))
     return md_path
+
+
+# ---------------------------------------------------------------------------
+# Puffin statistics files (Iceberg `statistics` metadata field).
+#
+# The spec pair (public): the Puffin container format
+# (iceberg.apache.org/puffin-spec/) — Magic "PFA1", concatenated blobs,
+# footer = Magic + JSON FileMetadata payload + payload size (int32 LE) +
+# flags (4 bytes) + Magic — and the `statistics` field of the table
+# metadata (table-spec §table-statistics), whose blob-metadata entries
+# carry the `ndv` property readers consume for CBO (this property, not the
+# sketch bytes, is the cross-engine stats interchange surface: engines
+# read blob metadata from the table metadata JSON without opening the
+# file). The sketch blob itself is serialized in the DataSketches compact
+# theta layout (serial v3: preamble longs / family 3 / ordered+compact+
+# read-only flags / retained count / theta long / ascending uint64
+# entries), with entries drawn from the engine's DETERMINISTIC md5-KMV
+# family (`SnapshotTable.analyze`), scaled from 60-bit KMV space to the
+# 63-bit theta domain (order- and estimator-preserving: theta/2^63 =
+# kth/2^60, so estimate = (retained-1)/theta_fraction equals the KMV
+# estimator). Caveat, stated plainly: the entry HASH FAMILY is md5-based,
+# not DataSketches' murmur3-x64-128(seed 9001), so a reader that
+# deserializes the blob gets the correct estimate and ordering, but
+# UNIONING these sketches with murmur-family sketches from another writer
+# is out of scope — the seed-hash field is stamped with this engine's
+# family tag so strict readers reject the merge instead of silently
+# combining incompatible families. Single-writer table stats (the actual
+# use of Iceberg statistics files) are unaffected.
+
+_PUFFIN_MAGIC = b"PFA1"
+_THETA_SCALE = 8  # 60-bit KMV hash domain -> 63-bit theta domain
+_EIWS_SEED_HASH = 0x4B56  # "KV": md5-KMV family tag (NOT murmur seed 9001's)
+
+
+def _theta_sketch_bytes(kmv: list[int], k: int) -> bytes:
+    """Compact ordered theta sketch, DataSketches serial version 3."""
+    import struct
+
+    if not kmv:
+        # empty: 1 preamble long, EMPTY|READ_ONLY|COMPACT|ORDERED flags
+        return struct.pack("<BBBBBBH", 1, 3, 3, 0, 0, 0x1E, _EIWS_SEED_HASH)
+    entries = [h * _THETA_SCALE for h in kmv]
+    estimation = len(kmv) >= k
+    theta = entries[-1] if estimation else (1 << 63) - 1
+    if estimation:
+        entries = entries[:-1]  # the k-th value IS theta, not a sample
+    flags = 0x1A  # READ_ONLY | COMPACT | ORDERED
+    pre = struct.pack(
+        "<BBBBBBHII", 3, 3, 3, 0, 0, flags, _EIWS_SEED_HASH, len(entries), 0
+    )
+    return pre + struct.pack("<q", theta) + b"".join(
+        struct.pack("<Q", e) for e in entries
+    )
+
+
+def _theta_decode(data: bytes) -> dict:
+    """Decode the compact theta layout back to
+    {retained, theta, entries, estimate} (reader used by the stats query;
+    the independent-decoder TEST re-implements this from the layout spec
+    without importing it)."""
+    import struct
+
+    pre_longs, ser_ver, family = data[0], data[1], data[2]
+    if (ser_ver, family) != (3, 3):
+        raise ValueError(f"not a compact theta sketch: serVer={ser_ver} family={family}")
+    if pre_longs == 1:
+        return {"retained": 0, "theta": (1 << 63) - 1, "entries": [], "estimate": 0}
+    (retained,) = struct.unpack_from("<I", data, 8)
+    (theta,) = struct.unpack_from("<q", data, 16)
+    entries = list(struct.unpack_from(f"<{retained}Q", data, 24))
+    if theta >= (1 << 63) - 1:
+        est = retained
+    else:
+        est = int(retained * (1 << 63) / theta)
+    return {"retained": retained, "theta": theta, "entries": entries, "estimate": est}
+
+
+def write_puffin_stats(
+    meta_dir: str,
+    snapshot_id: int,
+    sequence_number: int,
+    col_stats: dict[str, dict],
+    field_ids: dict[str, int],
+) -> dict:
+    """Write `<meta_dir>/<snapshot>-stats.puffin` holding one theta blob
+    per analyzed column and return the table-metadata `statistics` entry
+    that references it. `col_stats` is `SnapshotTable.analyze()` output
+    (needs the `kmv` list per column)."""
+    import struct
+
+    blobs_meta = []
+    body = io.BytesIO()
+    body.write(_PUFFIN_MAGIC)
+    for col in sorted(col_stats):
+        s = col_stats[col]
+        sk = _theta_sketch_bytes(s.get("kmv") or [], s.get("k", 64))
+        off = body.tell()
+        body.write(sk)
+        blobs_meta.append(
+            {
+                "type": "apache-datasketches-theta-v1",
+                "fields": [field_ids[col]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "offset": off,
+                "length": len(sk),
+                "properties": {"ndv": str(s["ndv_est"])},
+            }
+        )
+    payload = json.dumps(
+        {"blobs": blobs_meta, "properties": {"created-by": "eiws-spark"}},
+        sort_keys=True,
+    ).encode()
+    body.write(_PUFFIN_MAGIC)
+    body.write(payload)
+    body.write(struct.pack("<i", len(payload)))
+    body.write(struct.pack("<i", 0))  # flags: footer payload uncompressed
+    body.write(_PUFFIN_MAGIC)
+    path = os.path.join(meta_dir, f"{snapshot_id}-stats.puffin")
+    data = body.getvalue()
+    with open(path, "wb") as f:
+        f.write(data)
+    return {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": len(data),
+        "file-footer-size-in-bytes": 4 + len(payload) + 4 + 4 + 4,
+        "blob-metadata": [
+            {k: v for k, v in b.items() if k not in ("offset", "length")}
+            for b in blobs_meta
+        ],
+    }
+
+
+def read_puffin_stats(path: str) -> dict:
+    """Read a Puffin statistics file back: footer JSON + decoded theta
+    blobs, keyed by field id."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _PUFFIN_MAGIC or data[-4:] != _PUFFIN_MAGIC:
+        raise ValueError("not a Puffin file (missing magic)")
+    (flags,) = struct.unpack_from("<i", data, len(data) - 8)
+    (psize,) = struct.unpack_from("<i", data, len(data) - 12)
+    if flags & 1:
+        raise ValueError("compressed footer payload not supported")
+    payload = data[len(data) - 12 - psize : len(data) - 12]
+    if data[len(data) - 16 - psize : len(data) - 12 - psize] != _PUFFIN_MAGIC:
+        raise ValueError("corrupt footer (missing leading magic)")
+    meta = json.loads(payload.decode())
+    out = {}
+    for b in meta.get("blobs", []):
+        sk = _theta_decode(data[b["offset"] : b["offset"] + b["length"]])
+        for fid in b["fields"]:
+            out[fid] = {"blob": b, "sketch": sk}
+    return {"file_metadata": meta, "by_field": out}
 
 
 def external_ddl(metadata_json_path: str, table_name: str) -> dict[str, str]:

@@ -53,6 +53,7 @@ _PREFIX_ORDER = [
     "d_url_dedup",
     "c_quality_funnel",
     "t_heavy_hitters",
+    "q_meta_stats_puffin",
     "m_png_pixels",
     "m_gif_pixels",
     "m_jpeg_coeffs",

@@ -2189,3 +2189,94 @@ def q_meta_analyze(spark, sf_dir) -> DataFrame:
         "column_name string, row_count long, null_count long, "
         "sample_size long, kth_hash long",
     )
+
+
+def _puffin_oracle_leg(col: str) -> str:
+    """Oracle twin of the Puffin statistics blob for one column: the
+    retained-entry count (the k-th KMV value becomes theta, so a full
+    sketch retains k-1 entries), the 60-bit bound hash (theta for
+    estimation mode, the max retained entry in exact mode — both equal
+    the k-th/last KMV hash), and the NDV written to the blob's `ndv`
+    property. The estimator leg mirrors `SnapshotTable.analyze`'s float
+    semantics bit-for-bit: IEEE-double division of the exactly-
+    representable numerator 63·2^60 by the rounded-to-double k-th hash,
+    truncated — DOUBLE arithmetic is deterministic and identical across
+    engines."""
+    return f"""
+    SELECT '{col}' AS column_name,
+           CASE WHEN COUNT(*) >= 64 THEN CAST(COUNT(*) - 1 AS BIGINT)
+                ELSE CAST(COUNT(*) AS BIGINT) END AS retained,
+           MAX(h) AS bound_hash,
+           CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+                ELSE CAST(FLOOR(CAST(63 AS DOUBLE) * 1152921504606846976
+                                / CAST(MAX(h) AS DOUBLE)) AS BIGINT)
+           END AS ndv
+    FROM (SELECT h FROM (
+            SELECT DISTINCT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)
+                            AS BIGINT) AS h
+            FROM src WHERE {col} IS NOT NULL)
+          ORDER BY h LIMIT 64)
+    """.strip()
+
+
+@query(
+    "q_meta_stats_puffin",
+    oracle=f"""
+    WITH src AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+                        CAST(c_nationkey AS BIGINT) AS c_nationkey
+                 FROM customer WHERE c_custkey % 7 = 0)
+    {_puffin_oracle_leg('c_custkey')}
+    UNION ALL
+    {_puffin_oracle_leg('c_mktsegment')}
+    UNION ALL
+    {_puffin_oracle_leg('c_nationkey')}
+    """,
+    tags=("meta:statistics", "tablemeta", "stats", "interop"),
+)
+def q_meta_stats_puffin(spark, sf_dir) -> DataFrame:
+    """ANALYZE, emit native Iceberg metadata, then read the statistics
+    back THROUGH the Puffin statistics file (container walk + compact-
+    theta decode + blob `ndv` property) — the full write→read loop of the
+    spec's table-statistics surface, graded against DuckDB's independent
+    KMV recompute. Cites the reference's interop promise
+    (read_iceberg_duckdb.py:22-44): stats files ride the same metadata
+    dir external engines attach."""
+    import json as _json
+
+    from ..iceberg_meta import (
+        iceberg_schema,
+        read_puffin_stats,
+        write_iceberg_metadata,
+    )
+    from ..sqlext import SqlCatalog
+
+    root = _analyze_table(spark, sf_dir)
+    cat = SqlCatalog(spark)
+    cat.register("stats_puffin_demo", root)
+    t = cat.table("stats_puffin_demo")
+    if "stats.c_custkey" not in t.properties():
+        cat.sql(
+            "ANALYZE TABLE stats_puffin_demo COMPUTE STATISTICS "
+            "FOR COLUMNS c_custkey, c_mktsegment, c_nationkey"
+        )
+        t = cat.table("stats_puffin_demo")
+    md_path = write_iceberg_metadata(t)
+    with open(md_path) as f:
+        doc = _json.load(f)
+    stats_entry = doc["statistics"][0]
+    puffin = read_puffin_stats(stats_entry["statistics-path"])
+    _schema_json, ids = iceberg_schema(t.schema())
+    rows = []
+    for col in ("c_custkey", "c_mktsegment", "c_nationkey"):
+        got = puffin["by_field"][ids[col]]
+        sk = got["sketch"]
+        if sk["theta"] >= (1 << 63) - 1:
+            bound = max(sk["entries"]) // 8
+        else:
+            bound = sk["theta"] // 8
+        rows.append(
+            (col, sk["retained"], bound, int(got["blob"]["properties"]["ndv"]))
+        )
+    return spark.createDataFrame(
+        rows, "column_name string, retained long, bound_hash long, ndv long"
+    )

@@ -2934,6 +2934,9 @@ class SnapshotTable:
                 "k": k,
                 "sample_size": len(kmv),
                 "kth_hash": kmv[-1] if kmv else None,
+                # full sketch retained so iceberg_meta can serialize the
+                # Puffin statistics blob (~1.3 KB/column at k=64)
+                "kmv": kmv,
             }
             if len(kmv) < k:
                 stat["ndv_est"] = len(kmv)  # exact below the sketch size
