@@ -1070,6 +1070,14 @@ class SnapshotTable:
             }
         )
         meta["schema"] = new_ddl
+        # dropped columns take their statistics with them (a later
+        # re-added column of the same name must not inherit stale stats)
+        props = meta.get("properties") or {}
+        dropped_stats = [f"stats.{name}" for name in (drop or []) if f"stats.{name}" in props]
+        if dropped_stats:
+            for key in dropped_stats:
+                props.pop(key)
+            meta["properties"] = props
         self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid
@@ -1127,6 +1135,13 @@ class SnapshotTable:
             }
         )
         meta["schema"] = new_ddl
+        # column statistics follow the rename (Iceberg stats are keyed by
+        # field id, which a rename preserves — the name-keyed property
+        # must move with the column or the stats silently orphan)
+        props = meta.get("properties") or {}
+        if f"stats.{old}" in props:
+            props[f"stats.{new}"] = props.pop(f"stats.{old}")
+            meta["properties"] = props
         self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid

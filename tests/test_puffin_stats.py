@@ -171,3 +171,42 @@ def test_no_stats_no_statistics_field(spark, tmp_path):
     assert "statistics" not in doc
     meta_dir = os.path.dirname(md_path)
     assert not [p for p in os.listdir(meta_dir) if p.endswith(".puffin")]
+
+
+def test_stats_follow_rename_and_drop(spark, tmp_path):
+    """Stats are conceptually field-id-keyed (Iceberg): a rename carries
+    the column's stats to the new name (and the emitted Puffin blob keeps
+    the field id); a drop removes them, so a re-added column of the same
+    name cannot inherit stale stats."""
+    import json as _json
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+        iceberg_schema,
+        read_puffin_stats,
+        write_iceberg_metadata,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "k long, grp long"
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.write(df, mode="append")
+    t.analyze(["k", "grp"])
+    t.rename_column("grp", "bucket_id")
+    props = t.properties()
+    assert "stats.grp" not in props and "stats.bucket_id" in props
+    s = _json.loads(props["stats.bucket_id"])
+    assert s["sample_size"] == 7  # the 7 distinct grp values travelled over
+
+    md_path = write_iceberg_metadata(t)
+    with open(md_path) as f:
+        doc = _json.load(f)
+    _schema, ids = iceberg_schema(t.schema())
+    puffin = read_puffin_stats(doc["statistics"][0]["statistics-path"])
+    assert puffin["by_field"][ids["bucket_id"]]["sketch"]["estimate"] == 7
+
+    t.evolve_schema(drop=["bucket_id"])
+    assert "stats.bucket_id" not in t.properties()
+    t.evolve_schema(add={"bucket_id": "bigint"})
+    assert "stats.bucket_id" not in t.properties()  # no stale inheritance
