@@ -993,3 +993,126 @@ def resize_images(meta: DataFrame, max_side: int = 256) -> DataFrame:
             scale.alias("scale"),
         )
     )
+
+
+EXIF_SCHEMA = (
+    "doc_id long, byte_order string, make string, model string, "
+    "orientation long, xres_num long, xres_den long, dt string, iso long, "
+    "exp_num long, exp_den long, pix_x long, pix_y long"
+)
+
+# TIFF/EXIF field types (TIFF 6.0 spec §2): type id -> element byte size
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _exif_parse(payload: bytes):
+    """REAL EXIF metadata decode — pure stdlib struct, both byte orders:
+    JPEG marker walk to APP1, "Exif\\0\\0" check, TIFF header (II/MM +
+    magic 42), IFD entry walk (tag/type/count/value with the spec's
+    inline-vs-offset rule: values of total size <= 4 bytes live in the
+    value field itself), ASCII NUL-stripping, RATIONAL (num, den) pairs,
+    and the 0x8769 Exif sub-IFD pointer. Unknown tags are skipped by the
+    size-driven walk (never parsed), exactly how a real reader survives
+    maker notes. Returns a dict of the supported tags or None for
+    non-JPEG / non-EXIF / corrupt payloads."""
+    import struct
+
+    n = len(payload)
+    if payload[:3] != b"\xff\xd8\xff":
+        return None
+    # find APP1 (0xE1) with the Exif identifier
+    i = 2
+    tiff = None
+    while i + 4 <= n and payload[i] == 0xFF:
+        marker = payload[i + 1]
+        if marker in (0xD8, 0xD9):
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = payload[i + 10 : i + 2 + seglen]
+            break
+        i += 2 + seglen
+    if tiff is None or len(tiff) < 8:
+        return None
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    (magic,) = struct.unpack_from(bo + "H", tiff, 2)
+    if magic != 42:
+        return None
+    (ifd0,) = struct.unpack_from(bo + "I", tiff, 4)
+
+    def read_ifd(off: int) -> dict:
+        out: dict[int, object] = {}
+        if off + 2 > len(tiff):
+            return out
+        (cnt,) = struct.unpack_from(bo + "H", tiff, off)
+        for e in range(cnt):
+            base = off + 2 + 12 * e
+            if base + 12 > len(tiff):
+                break
+            tag, typ = struct.unpack_from(bo + "HH", tiff, base)
+            (num,) = struct.unpack_from(bo + "I", tiff, base + 4)
+            size = _TIFF_TYPE_SIZE.get(typ)
+            if size is None:
+                continue  # unknown type: skip (walk is size-driven)
+            total = size * num
+            if total <= 4:
+                voff = base + 8
+            else:
+                (voff,) = struct.unpack_from(bo + "I", tiff, base + 8)
+            if voff + total > len(tiff):
+                continue
+            if typ == 2:  # ASCII, NUL-terminated
+                out[tag] = tiff[voff : voff + num].split(b"\x00")[0].decode(
+                    "ascii", "replace"
+                )
+            elif typ == 3:
+                out[tag] = struct.unpack_from(bo + "H", tiff, voff)[0]
+            elif typ == 4:
+                out[tag] = struct.unpack_from(bo + "I", tiff, voff)[0]
+            elif typ == 5:
+                out[tag] = struct.unpack_from(bo + "II", tiff, voff)
+        return out
+
+    ifd = read_ifd(ifd0)
+    exif_ifd = ifd.get(0x8769)
+    sub = read_ifd(exif_ifd) if isinstance(exif_ifd, int) else {}
+    xres = ifd.get(0x011A) or (None, None)
+    exp = sub.get(0x829A) or (None, None)
+    return {
+        "byte_order": "II" if bo == "<" else "MM",
+        "make": ifd.get(0x010F),
+        "model": ifd.get(0x0110),
+        "orientation": ifd.get(0x0112),
+        "xres_num": xres[0],
+        "xres_den": xres[1],
+        "dt": ifd.get(0x0132),
+        "iso": sub.get(0x8827),
+        "exp_num": exp[0],
+        "exp_den": exp[1],
+        "pix_x": sub.get(0xA002),
+        "pix_y": sub.get(0xA003),
+    }
+
+
+def exif_features(df: DataFrame) -> DataFrame:
+    """mapInPandas: JPEG payload → EXIF tags through the real TIFF/IFD
+    walk. Non-EXIF rows are dropped. Map-only, Arrow both ways."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _exif_parse(bytes(payload))
+                if dec is None:
+                    continue
+                rows.append({"doc_id": int(doc_id), **dec})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=EXIF_SCHEMA)

@@ -1012,3 +1012,117 @@ def m_jpeg_coeffs(spark, sf_dir) -> DataFrame:
         "doc_id long, payload binary",
     )
     return jpeg_features(df)
+
+
+# --------------------------------------------------------------------------
+# REAL EXIF/TIFF metadata decode, oracle-checked value-exact: each fixture
+# doc is a genuine JPEG APP1 Exif segment whose TIFF block is hand-built
+# from the TIFF 6.0 / EXIF 2.3 specs — alternating byte orders (odd docs
+# II little-endian, even docs MM big-endian), IFD0 + the 0x8769 Exif
+# sub-IFD, inline AND offset-stored values (odd docs' Make string is
+# long enough to need an offset; even docs' fits the 4-byte inline rule),
+# RATIONAL pairs, plus two tags a reader must SKIP to survive real files:
+# a MakerNote (type 7 UNDEFINED, offset-stored) and a private LONG tag.
+# The decoder (`operators/multimodal._exif_parse`) walks markers and IFDs
+# by the spec; the oracle regenerates every tag value arithmetically from
+# the doc number, so a byte-order, inline-rule, or offset mistake cannot
+# pass.
+_EXIF_DOCS = 8
+
+
+def _exif_payloads() -> list[tuple[int, bytes]]:
+    import struct
+
+    rows = []
+    for d in range(1, _EXIF_DOCS + 1):
+        bo = "<" if d % 2 == 1 else ">"
+        make = (f"cam{d % 5}" if d % 2 == 1 else f"c{d % 5}").encode() + b"\x00"
+        model = f"mdl-{d % 3}".encode() + b"\x00"
+        dt = f"2026:08:{d % 28 + 1:02d} 12:00:00".encode() + b"\x00"
+        maker = b"mn" + bytes([d]) * 4
+        ifd0_off = 8
+        exif_off = ifd0_off + 2 + 6 * 12 + 4
+        val_off = exif_off + 2 + 6 * 12 + 4
+        values = bytearray()
+
+        def put(data: bytes) -> int:
+            off = val_off + len(values)
+            values.extend(data)
+            if len(values) % 2:  # TIFF values are word-aligned
+                values.extend(b"\x00")
+            return off
+
+        def entry(tag: int, typ: int, cnt: int, data: bytes) -> bytes:
+            if len(data) <= 4:
+                val = data + b"\x00" * (4 - len(data))
+            else:
+                val = struct.pack(bo + "I", put(data))
+            return struct.pack(bo + "HHI", tag, typ, cnt) + val
+
+        ifd0 = [
+            entry(0x010F, 2, len(make), make),
+            entry(0x0110, 2, len(model), model),
+            entry(0x0112, 3, 1, struct.pack(bo + "H", d % 8 + 1)),
+            entry(0x011A, 5, 1, struct.pack(bo + "II", 72 * (d % 4 + 1), 1)),
+            entry(0x0132, 2, len(dt), dt),
+            entry(0x8769, 4, 1, struct.pack(bo + "I", exif_off)),
+        ]
+        sub = [
+            entry(0x829A, 5, 1, struct.pack(bo + "II", 1, 60 + 7 * d)),
+            entry(0x8827, 3, 1, struct.pack(bo + "H", 100 * (d % 8 + 1))),
+            entry(0x927C, 7, len(maker), maker),  # MakerNote: must be skipped
+            entry(0x9999, 4, 1, struct.pack(bo + "I", d)),  # private tag
+            entry(0xA002, 4, 1, struct.pack(bo + "I", 640 + 16 * d)),
+            entry(0xA003, 4, 1, struct.pack(bo + "I", 480 + 9 * d)),
+        ]
+        tiff = (
+            (b"II" if bo == "<" else b"MM")
+            + struct.pack(bo + "H", 42)
+            + struct.pack(bo + "I", ifd0_off)
+            + struct.pack(bo + "H", len(ifd0)) + b"".join(ifd0)
+            + struct.pack(bo + "I", 0)
+            + struct.pack(bo + "H", len(sub)) + b"".join(sub)
+            + struct.pack(bo + "I", 0)
+            + bytes(values)
+        )
+        app1 = b"Exif\x00\x00" + tiff
+        jpeg = (
+            b"\xff\xd8"
+            + b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
+            + b"\xff\xd9"
+        )
+        rows.append((d, jpeg))
+    return rows
+
+
+@query(
+    "m_exif_parse",
+    oracle=f"""
+    SELECT CAST(d AS BIGINT) AS doc_id,
+           CASE WHEN d % 2 = 1 THEN 'II' ELSE 'MM' END AS byte_order,
+           CASE WHEN d % 2 = 1 THEN 'cam' || CAST(d % 5 AS VARCHAR)
+                ELSE 'c' || CAST(d % 5 AS VARCHAR) END AS make,
+           'mdl-' || CAST(d % 3 AS VARCHAR) AS model,
+           CAST(d % 8 + 1 AS BIGINT) AS orientation,
+           CAST(72 * (d % 4 + 1) AS BIGINT) AS xres_num,
+           CAST(1 AS BIGINT) AS xres_den,
+           '2026:08:' || lpad(CAST(d % 28 + 1 AS VARCHAR), 2, '0')
+               || ' 12:00:00' AS dt,
+           CAST(100 * (d % 8 + 1) AS BIGINT) AS iso,
+           CAST(1 AS BIGINT) AS exp_num,
+           CAST(60 + 7 * d AS BIGINT) AS exp_den,
+           CAST(640 + 16 * d AS BIGINT) AS pix_x,
+           CAST(480 + 9 * d AS BIGINT) AS pix_y
+    FROM (SELECT unnest(generate_series(1, {_EXIF_DOCS})) AS d)
+    """,
+    tags=("multimodal", "pandas-udf", "real-codecs", "exif"),
+)
+def m_exif_parse(spark, sf_dir) -> DataFrame:
+    """EXIF tags from genuine JPEG/TIFF bytes through the real IFD walk."""
+    from ..operators.multimodal import exif_features
+
+    df = spark.createDataFrame(
+        [(d, bytearray(p)) for d, p in _exif_payloads()],
+        "doc_id long, payload binary",
+    )
+    return exif_features(df)

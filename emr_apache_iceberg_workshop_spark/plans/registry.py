@@ -54,6 +54,7 @@ _PREFIX_ORDER = [
     "c_quality_funnel",
     "t_heavy_hitters",
     "q_meta_stats_puffin",
+    "m_exif_parse",
     "m_png_pixels",
     "m_gif_pixels",
     "m_jpeg_coeffs",

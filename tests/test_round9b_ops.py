@@ -162,3 +162,39 @@ def test_heavy_hitters_matches_exact_topk(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+
+
+def test_exif_parse_rejects_and_survives():
+    """Rejection paths return None (never garbage): non-JPEG bytes, a
+    JPEG with no Exif APP1, a wrong TIFF magic, and truncation anywhere
+    inside the IFD walk must not raise."""
+    from emr_apache_iceberg_workshop_spark.operators.multimodal import _exif_parse
+    from emr_apache_iceberg_workshop_spark.plans.multimodal import _exif_payloads
+
+    good = _exif_payloads()[0][1]
+    assert _exif_parse(b"not a jpeg") is None
+    assert _exif_parse(b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xd9") is None
+    bad_magic = bytearray(good)
+    bad_magic[good.index(b"II")+2] = 99  # TIFF magic 42 -> 99
+    assert _exif_parse(bytes(bad_magic)) is None
+    for cut in range(10, len(good), 7):
+        _exif_parse(good[:cut])  # any prefix: parse or None, never raise
+
+
+def test_exif_both_byte_orders_and_inline_rule():
+    """Odd docs are II with an offset-stored Make; even docs are MM with
+    the inline (<=4 bytes) Make — both must decode to the constructed
+    values, and the skip-tags (MakerNote, private 0x9999) never leak."""
+    from emr_apache_iceberg_workshop_spark.operators.multimodal import _exif_parse
+    from emr_apache_iceberg_workshop_spark.plans.multimodal import _exif_payloads
+
+    for d, payload in _exif_payloads():
+        got = _exif_parse(payload)
+        assert got["byte_order"] == ("II" if d % 2 == 1 else "MM")
+        assert got["make"] == (f"cam{d % 5}" if d % 2 == 1 else f"c{d % 5}")
+        assert got["orientation"] == d % 8 + 1
+        assert got["xres_num"] == 72 * (d % 4 + 1) and got["xres_den"] == 1
+        assert got["iso"] == 100 * (d % 8 + 1)
+        assert got["exp_den"] == 60 + 7 * d
+        assert got["pix_x"] == 640 + 16 * d and got["pix_y"] == 480 + 9 * d
+        assert 0x927C not in got and 0x9999 not in got
