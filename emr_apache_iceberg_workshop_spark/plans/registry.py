@@ -55,6 +55,7 @@ _PREFIX_ORDER = [
     "t_heavy_hitters",
     "q_meta_stats_puffin",
     "m_exif_parse",
+    "s_ann_recall",
     "m_png_pixels",
     "m_gif_pixels",
     "m_jpeg_coeffs",

@@ -681,3 +681,74 @@ def s_rp_quality(spark, sf_dir) -> DataFrame:
         ).alias("mean_abs_err"),
         F.round(F.max(F.expr("abs(cos64 - cos16)")), 9).alias("max_abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN accuracy contract: recall@k of the LSH tier against the brute-force
+# baseline, per query — the sketch-error grading d_minhash_accuracy gives
+# the dedup tier and q_sketch_* give the aggregate sketches, applied to
+# the similarity tier. Running the brute-force baseline is the point (the
+# grader needs ground truth); at 100 TB this is the sampled offline
+# recall job every ANN deployment runs on a few hundred queries — the
+# query set here is the same FIXED 5-id broadcast set as every s_* query,
+# so both leg costs stay one corpus scan each.
+@query(
+    "s_ann_recall",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding AS e, {_BUCKET_D} AS bucket,
+                      sqrt({odot('embedding', 'embedding')}) AS nrm
+               FROM embeddings),
+         truth AS (
+           SELECT q_id, c_id FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                    row_number() OVER (
+                      PARTITION BY q.vec_id
+                      ORDER BY {odot('q.e', 'c.e')} / (q.nrm * c.nrm) DESC,
+                               c.vec_id) AS rank
+             FROM n q JOIN n c
+               ON q.vec_id % 100 = 0 AND q.vec_id < 500
+              AND q.vec_id <> c.vec_id)
+           WHERE rank <= {TOPK}),
+         lsh AS (
+           SELECT q_id, c_id FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                    row_number() OVER (
+                      PARTITION BY q.vec_id
+                      ORDER BY {odot('q.e', 'c.e')} / (q.nrm * c.nrm) DESC,
+                               c.vec_id) AS rank
+             FROM n q JOIN n c ON q.bucket = c.bucket
+              AND q.vec_id % 100 = 0 AND q.vec_id < 500
+              AND q.vec_id <> c.vec_id)
+           WHERE rank <= {TOPK})
+    SELECT t.q_id,
+           COUNT(*) AS n_true,
+           CAST(SUM(CASE WHEN l.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           CAST(SUM(CASE WHEN l.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / {TOPK} AS recall
+    FROM truth t LEFT JOIN lsh l ON t.q_id = l.q_id AND t.c_id = l.c_id
+    GROUP BY t.q_id
+    """,
+    tags=("similarity:recall", "topk", "accuracy"),
+)
+def s_ann_recall(spark, sf_dir) -> DataFrame:
+    """Recall@10 of s_lsh_topk vs the s_cosine_topk ground truth, per
+    query id — both legs reuse the exact plan shapes of the graded
+    queries (broadcast query set, streaming corpus, exact-decimal dots),
+    so this measures the BUCKETING loss, nothing else."""
+    n = _normed(spark, sf_dir, (f"{_BUCKET_S} AS bucket",))
+    truth = _topk_pairs(n, bucket_col=None).select("q_id", "c_id")
+    lsh = _topk_pairs(n, bucket_col="bucket").selectExpr(
+        "q_id", "c_id AS lsh_c_id"
+    )
+    joined = truth.join(
+        lsh,
+        (truth.q_id == lsh.q_id) & (truth.c_id == lsh.lsh_c_id),
+        "left",
+    ).select(truth.q_id, "c_id", "lsh_c_id")
+    hit = F.sum(F.when(F.col("lsh_c_id").isNotNull(), 1).otherwise(0))
+    return joined.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        hit.cast("long").alias("n_hit"),
+        (hit.cast("double") / TOPK).alias("recall"),
+    )

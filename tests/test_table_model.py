@@ -97,7 +97,7 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             ["append", "append", "merge", "overwrite", "delete", "compact",
              "evolve", "branch_write", "publish", "update", "maintain",
              "cherry", "posdelete", "expire_age", "rename", "rename",
-             "addcol", "dropcol"]
+             "addcol", "dropcol", "analyze"]
         )
         if op == "append":
             rows = mk_rows(rng.randrange(1, 5))
@@ -165,6 +165,21 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
                 {"write.delete.mode": "copy-on-write",
                  "write.delete.style": "equality"}
             )
+        elif op == "analyze":
+            # statistics service mid-sequence: metadata-only (no snapshot),
+            # reads the CURRENT state — its row_count must equal the
+            # model's, through any mix of MOR deletes/COW/evolution; the
+            # stats property must also survive later renames (checked
+            # implicitly: analyze on the toggling v column stores under
+            # the CURRENT name and rename_column carries it over)
+            col = rng.choice(["id", vname, "part"] + cols_extra)
+            head_before = t.latest_snapshot_id()
+            stats = t.analyze([col])
+            assert stats[col]["row_count"] == len(main), (
+                f"analyze({col}) row_count {stats[col]['row_count']} != "
+                f"model {len(main)}"
+            )
+            assert t.latest_snapshot_id() == head_before
         elif op == "expire_age":
             # timestamp retention mid-sequence: a cutoff in the past is a
             # no-op, one in the future expires all but keep_last +
