@@ -38,6 +38,9 @@ PAIR_JOIN_OK = {
     # round-8: the JL projection grader joins the corpus stream against
     # the fixed 5-id query set (q_id <> vec_id) — same bounded shape
     "s_rp_quality",
+    # round-9: the recall grader's ground-truth leg IS s_cosine_topk's
+    # brute-force pair join (fixed 5-id broadcast query set) by design
+    "s_ann_recall",
 }
 
 # Queries whose BNLJ is a 1-row scalar-aggregate broadcast (HAVING > scalar
