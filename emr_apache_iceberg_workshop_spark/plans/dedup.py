@@ -1097,3 +1097,122 @@ def d_url_dedup(spark, sf_dir) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment dedup: |A∩B| / min(|A|,|B|) ≥ 0.8 — catches a
+# document EMBEDDED in a larger one (quote farms, concatenated shards,
+# boilerplate wrappers), which symmetric Jaccard misses by construction
+# (a 50-shingle doc inside a 1000-shingle doc has jaccard ≤ 0.05). Same
+# DF-capped inverted-index candidates and hot-term decomposition as the
+# jaccard tier, but WITHOUT its size-compatibility prune (that prune is
+# exactness-preserving only for jaccard ≥ 0.3; containment pairs are
+# size-asymmetric on purpose). Orientation is deterministic: the doc
+# with the smaller shingle set is the contained one, ties to the lower
+# doc_id.
+
+CONTAINMENT_MIN = 0.8
+
+
+def _containment_scored_pairs(s: DataFrame) -> DataFrame:
+    e = s.selectExpr("doc_id", "size(sh) AS n", "explode(sh) AS shingle").persist()
+    e.count()
+    hot = (
+        e.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+        .persist()
+    )
+    has_hot = not hot.isEmpty()
+    capped = e.join(hot, "shingle", "left_anti") if has_hot else e
+    ea, eb = capped.alias("a"), capped.alias("b")
+    cnt = (
+        ea.join(
+            eb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__nc_capped"),
+            F.min(F.col("a.n")).alias("__na"),
+            F.min(F.col("b.n")).alias("__nb"),
+        )
+    )
+    if has_hot:
+        doc_hot = (
+            e.join(hot, "shingle", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("__hsh"))
+        )
+        scored = (
+            cnt.join(doc_hot.selectExpr("doc_id AS doc_a", "__hsh AS __ha"), "doc_a", "left")
+            .join(doc_hot.selectExpr("doc_id AS doc_b", "__hsh AS __hb"), "doc_b", "left")
+            .withColumn(
+                "n_common",
+                (
+                    F.col("__nc_capped")
+                    + F.expr(
+                        "size(array_intersect(coalesce(__ha, array()), coalesce(__hb, array())))"
+                    )
+                ).cast("bigint"),
+            )
+        )
+    else:
+        scored = cnt.withColumn("n_common", F.col("__nc_capped").cast("bigint"))
+    small_is_a = (F.col("__na") < F.col("__nb")) | (
+        (F.col("__na") == F.col("__nb"))  # tie: lower doc_id (doc_a < doc_b)
+    )
+    return (
+        scored.withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least("__na", "__nb"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+        .select(
+            F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("contained_id"),
+            F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("container_id"),
+            "n_common",
+            "containment",
+        )
+    )
+
+
+@query(
+    "d_containment",
+    # same candidate contract as d_ngram_jaccard's oracle (capped inverted
+    # index), verify = containment against the smaller FULL shingle set,
+    # deterministic orientation (smaller set contained; tie -> lower id)
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_D} AS sh FROM documents),
+         e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         hot AS (SELECT shingle FROM e GROUP BY shingle
+                 HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+         ec AS (SELECT doc_id, shingle FROM e
+                WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM ec a JOIN ec b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         v AS (SELECT doc_a, doc_b,
+                      CAST(len(sa.sh) + len(sb.sh)
+                           - len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_common,
+                      len(sa.sh) AS na, len(sb.sh) AS nb
+               FROM cand JOIN s sa ON sa.doc_id = doc_a
+                         JOIN s sb ON sb.doc_id = doc_b)
+    SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_id,
+           CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS container_id,
+           n_common,
+           CAST(n_common AS DOUBLE) / LEAST(na, nb) AS containment
+    FROM v
+    WHERE CAST(n_common AS DOUBLE) / LEAST(na, nb) >= {CONTAINMENT_MIN}
+    """,
+    tags=("dedup:containment", "join"),
+)
+def d_containment(spark, sf_dir) -> DataFrame:
+    """Near-containment pairs over the shared shingle signature table;
+    see `_containment_scored_pairs` for the decomposition and why the
+    jaccard size prune must NOT apply here."""
+    return _containment_scored_pairs(shingle_arrays_for(spark, sf_dir))

@@ -56,6 +56,8 @@ _PREFIX_ORDER = [
     "q_meta_stats_puffin",
     "m_exif_parse",
     "s_ann_recall",
+    "d_containment",
+    "q_stream_heavy_hitters",
     "m_png_pixels",
     "m_gif_pixels",
     "m_jpeg_coeffs",

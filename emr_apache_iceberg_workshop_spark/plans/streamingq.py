@@ -593,3 +593,57 @@ def q_stream_append(spark, sf_dir) -> DataFrame:
             dsum(F.col("value")).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming heavy hitters: the t_heavy_hitters aggregate executed AS A
+# STREAM — complete-mode token counting (state = O(vocabulary), the
+# standard streaming frequency-table shape) with the top-k taken from the
+# final sink state. Streaming-vs-batch equivalence against the same
+# one-pass DuckDB top-k oracle as the batch query.
+
+_DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+_docs_stream_cache: dict[str, str] = {}
+
+
+def _docs_stream_dir(sf_dir: str) -> str:
+    import os
+
+    key = os.path.abspath(sf_dir)
+    d = _docs_stream_cache.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="eiws_stream_docs_")
+        os.symlink(
+            os.path.join(key, "documents.parquet"),
+            os.path.join(d, "documents.parquet"),
+        )
+        _docs_stream_cache[key] = d
+    return d
+
+
+from .textops import _HH_K as _STREAM_HH_K, TOKS_D as _TOKS_D  # noqa: E402
+
+
+@query(
+    "q_stream_heavy_hitters",
+    oracle=f"""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest({_TOKS_D}) AS token FROM documents)
+    GROUP BY token ORDER BY freq DESC, token LIMIT {_STREAM_HH_K}
+    """,
+    tags=("streaming:agg", "tokens", "topk"),
+)
+def q_stream_heavy_hitters(spark, sf_dir) -> DataFrame:
+    """Token frequency as a complete-mode streaming aggregation, top-25
+    from the drained sink — must equal the batch top-k exactly."""
+    from ..operators import top_k
+    from .textops import TOKS_S
+
+    stream = spark.readStream.schema(_DOCS_DDL).parquet(_docs_stream_dir(sf_dir))
+    counts = (
+        stream.selectExpr(f"explode({TOKS_S}) AS token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    out = _run_to_memory(counts, spark, "complete", "stream_hh")
+    return top_k(out, [F.col("freq").desc(), F.col("token")], _STREAM_HH_K)

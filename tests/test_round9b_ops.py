@@ -198,3 +198,28 @@ def test_exif_both_byte_orders_and_inline_rule():
         assert got["exp_den"] == 60 + 7 * d
         assert got["pix_x"] == 640 + 16 * d and got["pix_y"] == 480 + 9 * d
         assert 0x927C not in got and 0x9999 not in got
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a much longer one: containment ~1.0
+    while jaccard is far below its 0.3 gate — the asymmetric tier's
+    reason to exist. Orientation: the smaller set is the contained one."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        SHINGLES_S,
+        _containment_scored_pairs,
+        _jaccard_scored_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    short = " ".join(words)
+    long = " ".join(words + [f"pad{i}" for i in range(400)])
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    ).selectExpr("doc_id", f"{SHINGLES_S} AS sh")
+    got = _containment_scored_pairs(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["contained_id"], r["container_id"]) == (1, 2)
+    assert r["containment"] == 1.0
+    # the symmetric tier rejects the same pair (containment's reason to exist)
+    assert _jaccard_scored_pairs(docs, materialized=True).count() == 0

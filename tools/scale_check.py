@@ -42,6 +42,10 @@ QUERIES = (
     # and two-pass heavy hitters (bounded-candidate broadcast, map-side
     # tail pruning) — all reduce to measured-linear shapes
     "d_url_dedup", "c_quality_funnel", "t_heavy_hitters",
+    # r09 closing pair: the asymmetric containment tier (capped-index
+    # candidates WITHOUT the jaccard size prune — the probe watches for
+    # candidate inflation) and the ANN recall grader (two corpus scans)
+    "d_containment", "s_ann_recall",
 )
 FACTOR = 10
 
