@@ -1095,6 +1095,8 @@ def write_iceberg_metadata(
         "last-partition-id": (999 + len(fid_of)) if fid_of else 999,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
+        # replaced below when the table declares a write order
+        # (`WRITE ORDERED BY` -> write.sort-order property)
         "properties": {
             **meta.get("properties", {}),
             **(
@@ -1111,6 +1113,32 @@ def write_iceberg_metadata(
     }
     if fv == 2:
         doc["last-sequence-number"] = head["snapshot_id"]
+    # declared write order (`ALTER TABLE ... WRITE ORDERED BY` stores the
+    # write.sort-order property; the write path sorts within tasks on it):
+    # emit the spec's sort-order JSON so external engines see the same
+    # clustering contract — identity transform, asc, nulls-first (Spark's
+    # sortWithinPartitions defaults, which the writer uses)
+    sort_cols = [
+        c.strip()
+        for c in doc["properties"].get("write.sort-order", "").split(",")
+        if c.strip()
+    ]
+    sort_fields = [
+        {
+            "transform": "identity",
+            "source-id": ids[c],
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+        for c in sort_cols
+        if c in ids
+    ]
+    if sort_fields:
+        doc["sort-orders"] = [
+            {"order-id": 0, "fields": []},
+            {"order-id": 1, "fields": sort_fields},
+        ]
+        doc["default-sort-order-id"] = 1
     # statistics files: if ANALYZE ran on this table (stats.<col> props
     # with a retained kmv sketch), serialize the sketches into a Puffin
     # file and reference it from the spec's `statistics` field, pinned to

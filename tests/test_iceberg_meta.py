@@ -651,3 +651,38 @@ def test_emission_covers_main_lineage_only_and_multi_spec(spark, tmp_path):
     )
     _, _, mlist3 = read_avro_container(head3["manifest-list"])
     assert {m["partition_spec_id"] for m in mlist3} == {0}
+
+
+def test_sort_order_emitted_from_write_order(spark, tmp_path):
+    """`WRITE ORDERED BY` (write.sort-order property) surfaces as a real
+    Iceberg sort order: order-id 1, identity/asc/nulls-first fields by
+    field id, default-sort-order-id updated; unordered tables keep the
+    spec's empty order 0."""
+    import json
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+        iceberg_schema,
+        write_iceberg_metadata,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    df = spark.createDataFrame([(1, "a", 2)], "k long, s string, v long")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.write(df, mode="append")
+
+    with open(write_iceberg_metadata(t)) as f:
+        doc = json.load(f)
+    assert doc["default-sort-order-id"] == 0
+    assert doc["sort-orders"] == [{"order-id": 0, "fields": []}]
+
+    t.set_properties({"write.sort-order": "k, v"})
+    with open(write_iceberg_metadata(t)) as f:
+        doc = json.load(f)
+    _schema, ids = iceberg_schema(t.schema())
+    assert doc["default-sort-order-id"] == 1
+    assert doc["sort-orders"][1]["fields"] == [
+        {"transform": "identity", "source-id": ids["k"],
+         "direction": "asc", "null-order": "nulls-first"},
+        {"transform": "identity", "source-id": ids["v"],
+         "direction": "asc", "null-order": "nulls-first"},
+    ]
