@@ -58,6 +58,7 @@ _PREFIX_ORDER = [
     "s_ann_recall",
     "d_containment",
     "q_stream_heavy_hitters",
+    "q_meta_position_deletes",
     "m_png_pixels",
     "m_gif_pixels",
     "m_jpeg_coeffs",

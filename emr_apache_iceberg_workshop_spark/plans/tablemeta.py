@@ -2280,3 +2280,33 @@ def q_meta_stats_puffin(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, retained long, bound_hash long, ndv long"
     )
+
+
+@query(
+    "q_meta_position_deletes",
+    # the positional fixture's delete identities are fully determined:
+    # the base write is coalesce(1) + sortWithinPartitions(id), so within
+    # each category file positions follow id order — DELETE qty<25 hits
+    # (a,0) and (a,1) at snapshot 2, UPDATE id=4 pre-images (b,1) at
+    # snapshot 3. File names carry write UUIDs, so the graded column is
+    # the partition dir extracted from the path, not the path itself.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('category=a', CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+        ('category=a', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        ('category=b', CAST(1 AS BIGINT), CAST(3 AS BIGINT)))
+    AS t(part, pos, delete_snapshot_id)
+    """,
+    tags=("meta:position-deletes", "tablemeta", "reference:S13"),
+)
+def q_meta_position_deletes(spark, sf_dir) -> DataFrame:
+    """The `.position_deletes` metadata table over the positional-MOR
+    fixture: every active (data file, row position) delete identity with
+    its committing snapshot — the MOR debugging surface Iceberg v2
+    exposes under the same name."""
+    t = _posdel_table(spark)
+    return t.position_deletes_table().select(
+        F.regexp_extract("file_path", r"(category=[^/]+)", 1).alias("part"),
+        "pos",
+        "delete_snapshot_id",
+    )

@@ -1898,6 +1898,37 @@ class SnapshotTable:
             " record_count long, file_bytes long",
         )
 
+    def position_deletes_table(self) -> DataFrame:
+        """Metadata table (`<table>.position_deletes` analogue, Iceberg
+        v2): one row per ACTIVE positional delete — the (data file, row
+        position) identity each delete file holds, plus the delete file
+        and the snapshot that committed it. Equality deletes are not
+        rows here (they carry key predicates, not positions — Iceberg
+        scopes this table to position deletes too). Reads the delete
+        parquet distributed; file count is O(active delete commits)."""
+        head = self._head(self._load())
+        pos_dels = [
+            d
+            for d in (head.get("active_deletes", []) if head else [])
+            if d.get("style") == "position"
+        ]
+        schema = (
+            "file_path string, pos long, delete_file string,"
+            " delete_snapshot_id long"
+        )
+        if not pos_dels:
+            return self.spark.createDataFrame([], schema)
+        out = None
+        for d in pos_dels:
+            one = self.spark.read.parquet(os.path.join(self.root, d["file"])).select(
+                F.col("file_rel").alias("file_path"),
+                F.col("pos").cast("long").alias("pos"),
+                F.lit(d["file"]).alias("delete_file"),
+                F.lit(d["sid"]).cast("long").alias("delete_snapshot_id"),
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
+
     def entries_table(self) -> DataFrame:
         """Metadata table (`<table>.entries` analogue): one row per
         manifest entry of the CURRENT snapshot with the entry lifecycle

@@ -223,3 +223,27 @@ def test_containment_catches_embedded_doc(spark):
     assert r["containment"] == 1.0
     # the symmetric tier rejects the same pair (containment's reason to exist)
     assert _jaccard_scored_pairs(docs, materialized=True).count() == 0
+
+
+def test_position_deletes_table_lifecycle(spark, tmp_path):
+    """.position_deletes: empty with no deletes, one row per (file, pos)
+    identity while MOR deletes are active, empty again after compact()
+    folds them into data files."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), ddl,
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.delete.style": "position"},
+    )
+    t.write(spark.createDataFrame([(i, "x") for i in range(6)], ddl)
+            .coalesce(1).sortWithinPartitions("id"))
+    assert t.position_deletes_table().count() == 0
+    t.delete_where("id >= 4")
+    rows = t.position_deletes_table().collect()
+    assert sorted(r["pos"] for r in rows) == [4, 5]
+    assert {r["delete_snapshot_id"] for r in rows} == {2}
+    t.compact()
+    assert t.position_deletes_table().count() == 0
+    assert sorted(r["id"] for r in t.scan().collect()) == [0, 1, 2, 3]
