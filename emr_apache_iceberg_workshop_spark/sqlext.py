@@ -46,7 +46,7 @@ Supported grammar (case-insensitive keywords; one statement per call):
 - ``SELECT ...`` over registered tables, with
   ``<name> [FOR] VERSION AS OF <sid|'tag'>``,
   ``<name> [FOR] TIMESTAMP AS OF '<ts>'``, and metadata suffixes
-  ``<name>.history|.snapshots|.files|.partitions|.refs|.manifests|.entries|.changes`` —
+  ``<name>.history|.snapshots|.files|.partitions|.refs|.manifests|.entries|.position_deletes|.changes`` —
   each reference is materialized as a temp view and the rewritten text
   runs through `spark.sql`.
 - ``CALL [catalog.]system.rewrite_data_files('<name>')`` /
@@ -85,7 +85,7 @@ from pyspark.sql import functions as F
 
 from .tables import SnapshotTable
 
-_META_TABLES = ("history", "snapshots", "files", "partitions", "refs", "manifests", "entries", "changes")
+_META_TABLES = ("history", "snapshots", "files", "partitions", "refs", "manifests", "entries", "position_deletes", "changes")
 
 
 def _ws(s: str) -> str:
@@ -890,6 +890,7 @@ class SqlCatalog:
                             "refs": "refs_table",
                             "manifests": "manifests_table",
                             "entries": "entries_table",
+                            "position_deletes": "position_deletes_table",
                         }[meta.lower()],
                     )()
                 elif ver:

@@ -515,3 +515,21 @@ def test_analyze_statement_and_procedure(spark, tmp_path):
     assert 150 <= sid["ndv_est"] <= 600  # KMV error band around 300
     with pytest.raises(Exception, match="unknown columns"):
         cat.sql("ANALYZE TABLE an COMPUTE STATISTICS FOR COLUMNS nope")
+
+
+def test_position_deletes_meta_table_sql(spark, cat, tmp_path):
+    """`SELECT * FROM t.position_deletes` through the facade."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "pd"), ddl,
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.delete.style": "position"},
+    )
+    t.write(spark.createDataFrame([(i, "x") for i in range(4)], ddl)
+            .coalesce(1).sortWithinPartitions("id"))
+    t.delete_where("id >= 3")
+    cat.register("pd", t.root)
+    rows = cat.sql("SELECT * FROM pd.position_deletes").collect()
+    assert [r["pos"] for r in rows] == [3]
