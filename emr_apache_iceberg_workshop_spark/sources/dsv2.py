@@ -436,6 +436,44 @@ def _resolve_snapshot(meta: dict, options) -> tuple[dict | None, int | None]:
     return head, (head["snapshot_id"] if head is not None else None)
 
 
+def _all_spec_strs(meta: dict) -> dict[str, str]:
+    """Field name -> spec string for every partition spec this table has
+    ever had (mirror of SnapshotTable._all_part_fields): exclusion tuples
+    written under an old spec must still resolve after evolution."""
+    from ..partitioning import parse_field
+
+    specs: list[str] = list(meta.get("partition_by") or [])
+    for s in meta.get("snapshots", []):
+        if s.get("operation") == "evolve-partition":
+            summ = s.get("summary", {})
+            specs += (summ.get("partition_by") or []) + (
+                summ.get("prev_partition_by") or []
+            )
+    out: dict[str, str] = {}
+    for spec in dict.fromkeys(specs):
+        out.setdefault(parse_field(spec).name, spec)
+    return out
+
+
+def _transform_str(spec: str | None, v, src_simple: str | None):
+    """Executor-side partition transform into the canonical dir-string
+    domain (`_part_str` / `_dir_value` form): identity str with Spark's
+    bool rendering; bucket via the Iceberg-parity murmur3 hash; hidden
+    date/time transforms via _py_transform. None stays None."""
+    if v is None:
+        return None
+    if spec is None:  # unknown field name: identity on the column itself
+        return "true" if isinstance(v, bool) else str(v)
+    from ..partitioning import _py_transform, iceberg_bucket, parse_field
+
+    f = parse_field(spec)
+    if f.transform == "bucket":
+        return str(iceberg_bucket(v, f.param, _spark_type(src_simple or "string")))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(_py_transform(f, v))
+
+
 def _plan_entries(
     root: str,
     meta: dict,
@@ -452,6 +490,11 @@ def _plan_entries(
     reader (whose append-only batches pass deletes=[])."""
     by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
     renames = _renames(meta)
+    spec_strs = _all_spec_strs(meta)
+    from ..partitioning import parse_field
+
+    src_of = {n: parse_field(s).source for n, s in spec_strs.items()}
+    simple_of = dict(fields)
     out: list[FileSlice] = []
     for e in entries:
         rel, excl = _entry_rel(e), _entry_excl(e)
@@ -475,6 +518,26 @@ def _plan_entries(
             part = _file_part(f)
             if part in excl:
                 continue  # rewritten by a later partition-scoped commit
+            # exclusion tuples keyed by ANOTHER spec (partition-spec
+            # evolution happened between this dir's write and the
+            # rewrite) can't be matched against the dir name — re-derive
+            # them from data columns per row in the executor, mirroring
+            # the native scan (tables.py:_partition_match_expr)
+            row_excl = []
+            for tup in excl:
+                if set(tup) == set(part):
+                    continue  # handled by the file-level check above
+                row_excl.append(
+                    [
+                        (
+                            src_of.get(name, name),
+                            spec_strs.get(name),
+                            simple_of.get(src_of.get(name, name)),
+                            val,
+                        )
+                        for name, val in tup.items()
+                    ]
+                )
             if file_keep is not None and not file_keep(f):
                 continue  # pushed-filter file pruning
             cols = []
@@ -495,6 +558,7 @@ def _plan_entries(
                     },
                     eq_deletes=eq,
                     pos_delete_dirs=pos,
+                    row_excl=row_excl,
                 )
             )
     return out
@@ -530,6 +594,35 @@ def _read_slice(partition):
             dead.update(p for r, p in zip(rels, poss) if r == partition.rel)
         if dead:
             keep = [i not in dead for i in range(n)]
+
+    if partition.row_excl:
+        # cross-spec partition exclusion: re-derive the transform-space
+        # value from data columns per row (see _plan_entries); a row
+        # matching any exclusion tuple was rewritten by a later commit
+        by_out = {name: (h, t_) for name, h, t_ in partition.columns}
+
+        def _src_vals(src):
+            h, simple = by_out.get(src, (src, None))
+            if h is None:  # injected identity partition column
+                return [_parse_part_value(partition.part_values.get(src), simple)] * n
+            if h not in present:  # dropped/added-later: not evaluable
+                return [None] * n
+            return t.column(h).to_pylist()
+
+        drop = [False] * n
+        for conds in partition.row_excl:
+            m = [True] * n
+            for src, spec, simple, val in conds:
+                vals = _src_vals(src)
+                for i in range(n):
+                    if m[i] and _transform_str(spec, vals[i], simple) != val:
+                        m[i] = False
+            for i in range(n):
+                if m[i]:
+                    drop[i] = True
+        if any(drop):
+            mask = [not x for x in drop]
+            keep = mask if keep is None else [a and b for a, b in zip(keep, mask)]
 
     for d in partition.eq_deletes:
         dt_ = pq.read_table(d["dir"], columns=d["keys"])
@@ -583,6 +676,13 @@ class FileSlice(InputPartition):
     # [{'dir': abs delete dir, 'keys': [col], 'key_types': [simple]}]
     eq_deletes: list = field(default_factory=list)
     pos_delete_dirs: list = field(default_factory=list)  # abs dirs
+    # CROSS-SPEC partition exclusion (partition-spec evolution): tuples
+    # keyed by a spec OTHER than this dir's layout can't be checked
+    # against the dir name — they are re-derived from data columns per
+    # row, exactly like the native scan's _partition_match_expr. Each
+    # entry is a conjunction [(src_col, spec_str|None, src_simple, val)];
+    # a row matching ANY entry was rewritten by a later commit → dropped.
+    row_excl: list = field(default_factory=list)
 
 
 class SnapshotTableReader(DataSourceReader):

@@ -345,3 +345,43 @@ def test_q_meta_queries_via_format_path(dsv2_spark, name):
     finally:
         dsv2_spark.conf.unset(SnapshotTable.VIA_FORMAT_CONF)
     assert routed == native
+
+
+def test_cross_spec_exclusion_rows(spark, tmp_path):
+    """Partition-spec evolution between a dir's write and a later
+    partition-scoped rewrite: the exclusion tuples are keyed by the NEW
+    spec, which the old dir's name can't answer — the reader must
+    re-derive them from data columns per row (the native scan's
+    behavior), or the masked rows come back as duplicates."""
+    from emr_apache_iceberg_workshop_spark.sources import dsv2
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, v string, part string"
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), ddl, partition_by=["part"])
+    rows = [(1, "x", "a"), (2, "y", "a"), (3, "x", "b"), (4, "y", "b")]
+    t.write(spark.createDataFrame(rows, ddl))
+    t.evolve_partition_spec(["v"])
+    # partition-scoped COW under the NEW spec: rewrites every v='x' row,
+    # masking the old part-keyed dir with {'v': 'x'} exclusion tuples
+    t.update_where("v = 'x'", {"id": "id + 100"})
+    dsv2.register(spark)
+    native = sorted(tuple(r) for r in t.scan().collect())
+    fmt = sorted(
+        tuple(r)
+        for r in spark.read.format(dsv2.FORMAT_NAME)
+        .option("table", t.root)
+        .load()
+        .collect()
+    )
+    assert native == fmt
+    assert sorted(r[0] for r in native) == [2, 4, 101, 103]
+    # time travel to the pre-rewrite snapshot still sees the originals
+    fmt1 = sorted(
+        tuple(r)
+        for r in spark.read.format(dsv2.FORMAT_NAME)
+        .option("table", t.root)
+        .option("snapshot-id", "1")
+        .load()
+        .collect()
+    )
+    assert fmt1 == sorted(rows)

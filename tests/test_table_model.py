@@ -343,7 +343,13 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
 
 
 def test_random_op_sequences_match_model(spark, tmp_path):
+    # 1213 caught the cross-spec partition-exclusion bug in the dsv2
+    # reader (spec evolution between a dir's write and a maintain
+    # rewrite left the masked rows readable as duplicates);
     # 3 and 71 are the seeds whose interleavings caught the branch-only
     # metadata-table crash and the expire-drops-rename-history bug
     for seed in (3, 7, 23, 41, 71, 104):
         _run_model(spark, tmp_path, seed)
+    # 30 steps: the cross-spec exclusion interaction needs the longer
+    # sequence (evolve at step ~16, maintain at ~17) to materialize
+    _run_model(spark, tmp_path, 1213, steps=30)
