@@ -391,13 +391,15 @@ def _resolve_snapshot(meta: dict, options) -> tuple[dict | None, int | None]:
     (numeric id, tag, or branch name — Iceberg VERSION AS OF accepts all
     three, tables.py:scan_at), `as-of-timestamp` (FOR TIMESTAMP AS OF,
     main-lineage walk, tables.py:scan_as_of), else the `branch` head.
-    `as_of` is ALWAYS the resolved snapshot's id — the native scan passes
-    snap['snapshot_id'] into its rename mapping for every read, including
-    plain head scans (tables.py:_scan_snapshot), so a branch whose head
-    predates a later rename on main reads its files under the names
-    current AT the branch head. Shared by the reader's planner and
-    DataSource.schema() so the declared schema and the planned read can
-    never disagree about which snapshot they describe."""
+    `as_of` is the resolved snapshot's id for snapshot-id / tag /
+    VERSION-AS-OF-branch-name / timestamp reads (snapshot-schema
+    semantics), and None for the plain `branch` option — Iceberg's
+    branch/tag schema rule: BRANCH reads use the TABLE's current schema
+    (branches are writable; writes validate against the current schema,
+    so reads must match or write→read would not round-trip), while tags
+    and VERSION AS OF keep the snapshot's schema. Shared by the reader's
+    planner and DataSource.schema() so the declared schema and the
+    planned read can never disagree about which snapshot they describe."""
     ref = options.get("snapshot-id")
     if ref is not None:
         tags, branches = meta.get("tags", {}), meta.get("branches", {})
@@ -433,7 +435,7 @@ def _resolve_snapshot(meta: dict, options) -> tuple[dict | None, int | None]:
                 return s, s["snapshot_id"]
         raise ValueError(f"no snapshot at or before {ts}")
     head = _head(meta, options.get("branch", "main"))
-    return head, (head["snapshot_id"] if head is not None else None)
+    return head, None  # branch head: table-current schema + full rename log
 
 
 def _all_spec_strs(meta: dict) -> dict[str, str]:
@@ -541,21 +543,27 @@ def _plan_entries(
             if file_keep is not None and not file_keep(f):
                 continue  # pushed-filter file pruning
             cols = []
+            part_values = {}
             for name, simple in fields:
-                if name in f["partition"]:
+                hist = _name_at(renames, dsid, name, as_of)
+                # identity-partitioned dirs strip the source column from
+                # the data files — inject it from the dir name. The
+                # partition dict is keyed by the name AT WRITE TIME, so a
+                # column renamed after the dir was written must be looked
+                # up under its historical name too.
+                if name in f["partition"] or hist in f["partition"]:
                     cols.append((name, None, simple))  # injected constant
+                    part_values[name] = part.get(
+                        name if name in f["partition"] else hist
+                    )
                 else:
-                    cols.append((name, _name_at(renames, dsid, name, as_of), simple))
+                    cols.append((name, hist, simple))
             out.append(
                 FileSlice(
                     path=os.path.join(root, f["path"]),
                     rel=f["path"],
                     columns=cols,
-                    part_values={
-                        name: part.get(name)
-                        for name, _h, _t in cols
-                        if name in f["partition"]
-                    },
+                    part_values=part_values,
                     eq_deletes=eq,
                     pos_delete_dirs=pos,
                     row_excl=row_excl,
@@ -1193,11 +1201,12 @@ class SnapshotTableDataSource(DataSource):
             # incremental append-range read: current schema, like the
             # native scan_incremental (old files null-fill added columns)
             return _schema_ddl_at(meta, None)
-        # time travel (snapshot id / tag / branch / timestamp) declares
-        # the schema AS OF the resolved snapshot — tables.py:scan_at uses
-        # schema_at(ref) the same way
-        snap, _as_of = _resolve_snapshot(meta, self.options)
-        return _schema_ddl_at(meta, snap["snapshot_id"] if snap else None)
+        # snapshot-id / tag / timestamp reads declare the schema AS OF
+        # the resolved snapshot (tables.py:scan_at / schema_at); the
+        # plain `branch` option resolves as_of=None — branch reads use
+        # the TABLE's current schema (see _resolve_snapshot)
+        _snap, as_of = _resolve_snapshot(meta, self.options)
+        return _schema_ddl_at(meta, as_of)
 
     def reader(self, schema) -> SnapshotTableReader:
         fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]

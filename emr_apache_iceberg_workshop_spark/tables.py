@@ -1454,7 +1454,13 @@ class SnapshotTable:
             F.col("__rel").alias("file_rel"), F.col("__pos").alias("pos")
         )
 
-    def _scan_snapshot(self, snap: dict, schema: T.StructType) -> DataFrame:
+    _AS_OF_SNAP = object()  # sentinel: default the rename bound to the snapshot
+
+    def _scan_snapshot(
+        self, snap: dict, schema: T.StructType, as_of=_AS_OF_SNAP
+    ) -> DataFrame:
+        if as_of is self._AS_OF_SNAP:
+            as_of = snap["snapshot_id"]
         deletes = snap.get("active_deletes", [])
         has_pos = any(d.get("style") == "position" for d in deletes)
         df = self._read_entries(
@@ -1462,7 +1468,7 @@ class SnapshotTable:
             schema=schema,
             with_sid=bool(deletes),
             with_pos=has_pos,
-            as_of=snap["snapshot_id"],
+            as_of=as_of,
         )
         if deletes:
             df = self._apply_deletes(df, deletes)
@@ -1511,15 +1517,16 @@ class SnapshotTable:
         head = self._head(self._load(), branch)
         if head is None:
             return self.spark.createDataFrame([], self.schema())
-        # schema AS OF the head being read, not the global current schema:
-        # for main they coincide, but a BRANCH whose head predates a
-        # later main-side rename/evolve must read under the names current
-        # at the branch head (the rename mapping in _read_entries is
-        # as_of-bounded the same way) — otherwise old branch dirs get
-        # silently null-filled under the new name. Found by the rename op
-        # in the table-model fuzz; the dsv2 reader resolves branch schema
-        # identically (sources/dsv2.py:_resolve_snapshot).
-        return self._scan_snapshot(head, self.schema_at(head["snapshot_id"]))
+        # Iceberg's branch/tag schema rule: BRANCH reads use the TABLE's
+        # current schema (branches are writable — writes validate against
+        # the current schema, so reads must use it too or a branch write
+        # immediately followed by a branch read would not round-trip;
+        # found by the table-model fuzz, seed 8080, once add/drop ops
+        # interleaved between the fork and a branch write). TAGS and
+        # VERSION AS OF keep the snapshot's schema (scan_at below).
+        # as_of=None applies the full rename log, exactly like a main
+        # scan — per-dir historical-name mapping handles old dirs.
+        return self._scan_snapshot(head, self.schema(), as_of=None)
 
     def scan_incremental(self, start_snapshot_id: int | None, end_snapshot_id: int) -> DataFrame:
         """Rows appended in (start, end] — Iceberg incremental-read semantics

@@ -196,9 +196,11 @@ def test_schema_evolution_add_column(dsv2_spark, tmp_path):
 
 
 def test_tag_and_branch_schema_resolution(dsv2_spark, tmp_path):
-    """A tag or branch ref on a schema-evolved table must declare the
-    schema AS OF the referenced snapshot (tables.py:scan_at parity), not
-    the head schema."""
+    """Iceberg's branch/tag schema rule on a schema-evolved table: a TAG
+    (or VERSION AS OF) declares the schema AS OF the referenced snapshot
+    (tables.py:scan_at parity); a BRANCH read uses the TABLE's current
+    schema — branches are writable, and writes validate against the
+    current schema, so reads must round-trip."""
     from pyspark.sql import types as T
 
     from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
@@ -220,8 +222,11 @@ def test_tag_and_branch_schema_resolution(dsv2_spark, tmp_path):
         .option("branch", "hold")
         .load()
     )
-    assert branched.columns == ["id"]
-    assert _rows(branched) == [(1,)]
+    assert branched.columns == ["id", "extra"]  # table-current schema
+    assert _rows(branched) == [(1, None)] == _rows(t.scan(branch="hold"))
+    # VERSION AS OF the branch NAME keeps the snapshot schema
+    via_name = r.option("snapshot-id", "hold").load()
+    assert via_name.columns == ["id"]
     # head read still sees the evolved schema
     head = dsv2_spark.read.format("eiws").option("table", t.root).load()
     assert head.columns == ["id", "extra"]
@@ -385,3 +390,29 @@ def test_cross_spec_exclusion_rows(spark, tmp_path):
         .collect()
     )
     assert fmt1 == sorted(rows)
+
+
+def test_renamed_former_partition_source_injection(spark, tmp_path):
+    """A column that was an identity partition source (files store it only
+    in the dir name), later removed from the spec and THEN renamed: the
+    dsv2 reader must inject it from the dir name under its HISTORICAL
+    key — the partition dict is keyed by the name at write time."""
+    from emr_apache_iceberg_workshop_spark.sources import dsv2
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, v string, part string"
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), ddl, partition_by=["v"])
+    t.write(spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], ddl))
+    t.evolve_partition_spec(["part"])  # v leaves the spec...
+    t.rename_column("v", "vv")  # ...so the rename is legal
+    t.write(spark.createDataFrame([(3, "c", "z")], "id bigint, vv string, part string"))
+    dsv2.register(spark)
+    fmt = sorted(
+        tuple(r)
+        for r in spark.read.format(dsv2.FORMAT_NAME)
+        .option("table", t.root)
+        .load()
+        .collect()
+    )
+    assert fmt == [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]
+    assert fmt == sorted(tuple(r) for r in t.scan().collect())

@@ -198,6 +198,13 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             sid = t.evolve_schema(add={name: "bigint"})
             cols_extra.append(name)
             main = [r + (None,) for r in main]
+            # branch reads use the TABLE's current schema (Iceberg's
+            # branch/tag rule), so staged branch state reshapes too
+            if branch is not None:
+                branch = [r + (None,) for r in branch]
+                branch_commits = [
+                    (s, [r + (None,) for r in rs]) for s, rs in branch_commits
+                ]
             commit_main(sid)
         elif op == "dropcol":
             # subtractive evolution restricted to previously-added extras
@@ -209,6 +216,12 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             sid = t.evolve_schema(drop=[name])
             cols_extra.remove(name)
             main = [r[:idx] + r[idx + 1 :] for r in main]
+            if branch is not None:
+                branch = [r[:idx] + r[idx + 1 :] for r in branch]
+                branch_commits = [
+                    (s, [r[:idx] + r[idx + 1 :] for r in rs])
+                    for s, rs in branch_commits
+                ]
             commit_main(sid)
         elif op == "rename":
             # toggle the v column between "v" and "vv": a METADATA-ONLY
@@ -353,3 +366,8 @@ def test_random_op_sequences_match_model(spark, tmp_path):
     # 30 steps: the cross-spec exclusion interaction needs the longer
     # sequence (evolve at step ~16, maintain at ~17) to materialize
     _run_model(spark, tmp_path, 1213, steps=30)
+    # 8080 caught the branch-schema divergence (branch writes validated
+    # against the current schema while branch reads used the fork-point
+    # schema — write→read did not round-trip once add/drop ops landed
+    # between fork and branch write); 36 steps to reach the interleaving
+    _run_model(spark, tmp_path, 8080, steps=36)

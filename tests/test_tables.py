@@ -1698,3 +1698,44 @@ def test_expire_preserves_schema_and_rename_history(spark, tmp_path):
         map(tuple, spark.read.format("eiws").option("table", t.root).load().collect())
     )
     assert fmt == rows
+
+
+def test_branch_reads_use_current_table_schema(spark, tmp_path):
+    """Iceberg's branch/tag schema rule: a BRANCH read uses the table's
+    CURRENT schema (branches are writable; writes validate against the
+    current schema, so reads must round-trip), while VERSION AS OF a
+    branch name — scan_at — keeps the snapshot schema. Found by the
+    table-model fuzz (seed 8080) once add/drop ops landed between the
+    fork and a branch write."""
+    from emr_apache_iceberg_workshop_spark.sources import dsv2
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, e2 bigint"
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), ddl)
+    t.write(spark.createDataFrame([(1, 11), (2, 22)], ddl))
+    t.write(spark.createDataFrame([(3, 33)], ddl), branch="b")  # fork
+    t.evolve_schema(drop=["e2"])
+    t.evolve_schema(add={"e4": "bigint"})
+    # branch write under the CURRENT schema (id, e4) must round-trip
+    bsid = t.write(
+        spark.createDataFrame([(4, 44)], "id bigint, e4 bigint"), branch="b"
+    )
+    got = sorted(tuple(r) for r in t.scan(branch="b").collect())
+    assert t.scan(branch="b").columns == ["id", "e4"]
+    assert got == [(1, None), (2, None), (3, None), (4, 44)]
+    dsv2.register(spark)
+    fmt = sorted(
+        tuple(r)
+        for r in spark.read.format(dsv2.FORMAT_NAME)
+        .option("table", t.root)
+        .option("branch", "b")
+        .load()
+        .collect()
+    )
+    assert fmt == got
+    # VERSION AS OF the branch name: snapshot schema (current, since the
+    # branch head is the newest commit) — and the pre-evolution snapshot
+    # keeps its period schema
+    assert t.scan_at("b").columns == ["id", "e4"]
+    assert t.scan_at(1).columns == ["id", "e2"]
+    assert t.branches()["b"] == bsid  # branch head moved; main untouched
