@@ -197,6 +197,52 @@ def _renames(meta: dict) -> list[tuple[int, str, str]]:
     return out
 
 
+def _ddl_names(ddl: str) -> list[str]:
+    """Field names from either DDL form ("a bigint, b string" or
+    "a:bigint,b:string"), top-level commas only."""
+    names, depth, cur = [], 0, []
+    for ch in ddl + ",":
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            f = "".join(cur).strip()
+            if f:
+                names.append(f.split(":")[0].split(" ")[0].strip("`"))
+            cur = []
+        else:
+            cur.append(ch)
+    return names
+
+
+def _births(meta: dict, as_of: int | None = None) -> dict[str, int]:
+    """Column name -> (re)creation snapshot id — tables.py:_births
+    semantics (Iceberg field-id rule: a dropped-then-re-added name is a
+    NEW column; files from its previous life read NULL)."""
+    evolves = [
+        s
+        for s in meta.get("snapshots", [])
+        if s.get("operation") == "evolve-schema"
+        and (as_of is None or s["snapshot_id"] <= as_of)
+    ]
+    first = evolves[0]["summary"]["prev_schema"] if evolves else meta["schema"]
+    births = {n: 0 for n in _ddl_names(first)}
+    for s in evolves:
+        summ = s.get("summary", {})
+        r = summ.get("renamed")
+        if r:
+            births[r["to"]] = births.pop(r["from"], 0)
+            continue
+        prev = set(_ddl_names(summ["prev_schema"]))
+        cur = set(_ddl_names(summ["schema"]))
+        for n in cur - prev:
+            births[n] = s["snapshot_id"]
+        for n in prev - cur:
+            births.pop(n, None)
+    return births
+
+
 def _name_at(renames: list, dir_sid: int, name: str, as_of: int | None) -> str:
     for rsid, old, new in reversed(renames):
         if rsid <= dir_sid or (as_of is not None and rsid > as_of):
@@ -492,6 +538,7 @@ def _plan_entries(
     reader (whose append-only batches pass deletes=[])."""
     by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
     renames = _renames(meta)
+    births = _births(meta, as_of)
     spec_strs = _all_spec_strs(meta)
     from ..partitioning import parse_field
 
@@ -545,6 +592,13 @@ def _plan_entries(
             cols = []
             part_values = {}
             for name, simple in fields:
+                if births.get(name, 0) > dsid:
+                    # (re)created after this dir: NULL even if the file
+                    # carries a same-named dead column (_births rule);
+                    # "" is never a parquet column, so the executor's
+                    # present-check null-fills it
+                    cols.append((name, "", simple))
+                    continue
                 hist = _name_at(renames, dsid, name, as_of)
                 # identity-partitioned dirs strip the source column from
                 # the data files — inject it from the dir name. The

@@ -1266,6 +1266,44 @@ class SnapshotTable:
         return out
 
     @staticmethod
+    def _births(meta: dict, as_of: int | None = None) -> dict[str, int]:
+        """Column name (as of `as_of`; None = head) -> the snapshot id at
+        which that LOGICAL column was (re)created. Iceberg reads columns
+        by field id, so a column dropped and later re-added under the
+        same name is a DIFFERENT column — files from its previous life
+        must read NULL, not resurrect the dead column's values. This
+        name-mapped layer gets the same semantics by walking the
+        evolve-schema log: adds set the birth, renames carry it, drops
+        delete it (so a re-add gets the re-add's snapshot id)."""
+        def names_of(ddl: str) -> list[str]:
+            return [f.name for f in T.StructType.fromDDL(ddl).fields]
+
+        evolves = [
+            s
+            for s in meta.get("snapshots", [])
+            if s.get("operation") == "evolve-schema"
+            and (as_of is None or s["snapshot_id"] <= as_of)
+        ]
+        first_schema = (
+            evolves[0]["summary"]["prev_schema"] if evolves else meta["schema"]
+        )
+        births = {n: 0 for n in names_of(first_schema)}
+        for s in evolves:
+            sid = s["snapshot_id"]
+            summ = s.get("summary", {})
+            r = summ.get("renamed")
+            if r:
+                births[r["to"]] = births.pop(r["from"], 0)
+                continue
+            prev = set(names_of(summ["prev_schema"]))
+            cur = set(names_of(summ["schema"]))
+            for n in cur - prev:
+                births[n] = sid
+            for n in prev - cur:
+                births.pop(n, None)
+        return births
+
+    @staticmethod
     def _name_at(renames: list, dir_sid: int, name: str, as_of: int | None) -> str:
         """The name column `name` (as of snapshot `as_of`; None = head) had
         when dir `dir_sid` was written: unwind renames committed in
@@ -1307,6 +1345,7 @@ class SnapshotTable:
             return df
         all_fields = self._all_part_fields(meta)
         renames = self._renames(meta)
+        births = self._births(meta, as_of)
         dfs = []
         for e in entries:
             rel, excl = _entry_rel(e), _entry_excl(e)
@@ -1316,8 +1355,19 @@ class SnapshotTable:
                 (self._name_at(renames, dsid, f.name, as_of), f)
                 for f in schema.fields
             ] if renames else [(f.name, f) for f in schema.fields]
+            # a column (re)created AFTER this dir was written did not
+            # exist as this logical column then: it reads NULL even if
+            # the file carries a same-named column from a previous
+            # drop/re-add life (Iceberg field-id semantics — see _births)
+            force_null = {
+                f.name for f in schema.fields if births.get(f.name, 0) > dsid
+            }
             read_schema = T.StructType(
-                [T.StructField(hn, f.dataType, f.nullable) for hn, f in hist]
+                [
+                    T.StructField(hn, f.dataType, f.nullable)
+                    for hn, f in hist
+                    if f.name not in force_null
+                ]
             )
             # basePath per snapshot dir so partition columns resolve
             df = self.spark.read.option("basePath", p).schema(read_schema).parquet(p)
@@ -1327,9 +1377,12 @@ class SnapshotTable:
                 )
             # alias historical names back to the requested schema, and drop
             # the derived directory column hidden-partition dirs append
-            sel = [F.col(hn).alias(f.name) for hn, f in hist] + (
-                [F.col("__rel"), F.col("__pos")] if with_pos else []
-            )
+            sel = [
+                F.lit(None).cast(f.dataType).alias(f.name)
+                if f.name in force_null
+                else F.col(hn).alias(f.name)
+                for hn, f in hist
+            ] + ([F.col("__rel"), F.col("__pos")] if with_pos else [])
             df = df.select(*sel)
             if excl:
                 # exclusion re-derives partition values from data columns

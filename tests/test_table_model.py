@@ -63,6 +63,8 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
     )
     vname = "v"  # current name of the middle column (renames toggle it)
     cols_extra: list[str] = []  # added bigint columns, in add order
+    retired: list[str] = []  # dropped names, available for REUSE (the
+    # field-id rule: a re-added name is a new column — old files NULL)
     extra_n = 0
 
     def ddl_now() -> str:
@@ -193,8 +195,14 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             # Skipped above 3 extras to bound the schema walk.
             if len(cols_extra) >= 3:
                 continue
-            extra_n += 1
-            name = f"e{extra_n}"
+            if retired and rng.random() < 0.4:
+                # REUSE a previously-dropped name: a different logical
+                # column under the same name — pre-existing rows must
+                # read NULL, never the dead column's file values
+                name = retired.pop(rng.randrange(len(retired)))
+            else:
+                extra_n += 1
+                name = f"e{extra_n}"
             sid = t.evolve_schema(add={name: "bigint"})
             cols_extra.append(name)
             main = [r + (None,) for r in main]
@@ -215,6 +223,7 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             idx = 3 + cols_extra.index(name)
             sid = t.evolve_schema(drop=[name])
             cols_extra.remove(name)
+            retired.append(name)
             main = [r[:idx] + r[idx + 1 :] for r in main]
             if branch is not None:
                 branch = [r[:idx] + r[idx + 1 :] for r in branch]

@@ -1739,3 +1739,42 @@ def test_branch_reads_use_current_table_schema(spark, tmp_path):
     assert t.scan_at("b").columns == ["id", "e4"]
     assert t.scan_at(1).columns == ["id", "e2"]
     assert t.branches()["b"] == bsid  # branch head moved; main untouched
+
+
+def test_column_name_reuse_does_not_resurrect(spark, tmp_path):
+    """Iceberg reads columns by field id: a column dropped and later
+    re-added under the SAME name is a different column — files from its
+    previous life must read NULL (both scan paths), while time travel to
+    the old snapshot still sees the original values under the period
+    schema."""
+    from emr_apache_iceberg_workshop_spark.sources import dsv2
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, e1 bigint"
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), ddl)
+    t.write(spark.createDataFrame([(1, 111), (2, 222)], ddl))
+    t.evolve_schema(drop=["e1"])
+    t.evolve_schema(add={"e1": "bigint"})
+    t.write(spark.createDataFrame([(3, 999)], ddl))
+    expect = [(1, None), (2, None), (3, 999)]
+    assert sorted(tuple(r) for r in t.scan().collect()) == expect
+    dsv2.register(spark)
+    fmt = sorted(
+        tuple(r)
+        for r in spark.read.format(dsv2.FORMAT_NAME)
+        .option("table", t.root)
+        .load()
+        .collect()
+    )
+    assert fmt == expect
+    # the ORIGINAL column is still there for time travel
+    assert sorted(tuple(r) for r in t.scan_at(1).collect()) == [(1, 111), (2, 222)]
+    fmt1 = sorted(
+        tuple(r)
+        for r in spark.read.format(dsv2.FORMAT_NAME)
+        .option("table", t.root)
+        .option("snapshot-id", "1")
+        .load()
+        .collect()
+    )
+    assert fmt1 == [(1, 111), (2, 222)]
