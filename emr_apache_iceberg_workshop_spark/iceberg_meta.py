@@ -665,6 +665,15 @@ def write_iceberg_metadata(
     if head is None:
         raise ValueError("empty table: commit a snapshot before emitting metadata")
     renames = table._renames(meta)
+    # Known limitation, stated plainly: the emitted name-mapping is
+    # TABLE-level (the spec's schema.name-mapping.default), so a column
+    # DROPPED and RE-ADDED under the same name cannot be distinguished
+    # per file — an external reader would bind old files' dead column to
+    # the new field id, where the engine's own scans (tables.py:_births)
+    # correctly read NULL. Representing that externally needs per-file
+    # field ids in the parquet metadata (a data rewrite), out of scope
+    # for zero-copy emission; tables that reused a column name should
+    # compact() before emitting.
     name_mapping: list[dict] | None = None
     if renames:
         # live files written before a rename carry the OLD column names;
