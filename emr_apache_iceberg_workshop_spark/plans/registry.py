@@ -59,6 +59,7 @@ _PREFIX_ORDER = [
     "d_containment",
     "q_stream_heavy_hitters",
     "q_meta_position_deletes",
+    "c_epoch_shuffle",
     "m_png_pixels",
     "m_gif_pixels",
     "m_jpeg_coeffs",

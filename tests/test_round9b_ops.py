@@ -247,3 +247,23 @@ def test_position_deletes_table_lifecycle(spark, tmp_path):
     t.compact()
     assert t.position_deletes_table().count() == 0
     assert sorted(r["id"] for r in t.scan().collect()) == [0, 1, 2, 3]
+
+
+def test_epoch_shuffle_permutation_properties(spark):
+    """Each epoch is a reproducible permutation, and different epochs
+    order the corpus differently (the reshuffle contract)."""
+    from emr_apache_iceberg_workshop_spark.plans.curation import c_epoch_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    a = c_epoch_shuffle(spark, sf).collect()
+    b = c_epoch_shuffle(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_epoch = {}
+    for r in a:
+        by_epoch.setdefault(r["epoch"], []).append((r["rank"], r["doc_id"]))
+    orders = [tuple(d for _, d in sorted(v)) for v in by_epoch.values()]
+    assert len(orders) == 3
+    assert len(set(orders)) == 3  # every epoch a different order
+    for v in by_epoch.values():  # each a prefix of a permutation: no dups
+        docs = [d for _, d in v]
+        assert len(set(docs)) == len(docs)

@@ -81,6 +81,9 @@ SCALAR_BROADCAST_OK = {
     # global token count (textops.py `n_tot`) — same scalar shape; the
     # candidate semi-join itself is a bounded BroadcastHashJoin
     "t_heavy_hitters",
+    # round-9: the epoch shuffle crossJoins the 3-row epoch constant
+    # (curation.py `epochs`, fixed at any corpus scale) — bounded side
+    "c_epoch_shuffle",
 }
 
 # ---------------------------------------------------------------------------
