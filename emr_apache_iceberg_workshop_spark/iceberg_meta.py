@@ -57,6 +57,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import struct
 import uuid
 
@@ -835,6 +836,7 @@ def write_iceberg_metadata(
     snapshots_doc = []
     snapshot_log = []
     prev_emitted: int | None = None
+    prev_state: dict[str, tuple[int, int, int]] = {}  # prior snapshot's live files
     for snap in snaps:
         s_id = snap["snapshot_id"]
         files = _snapshot_files(meta, snap, allow_deletes=(fv == 2), root=root)
@@ -849,6 +851,7 @@ def write_iceberg_metadata(
         mrecs = []
         total_rows = 0
         n_entries = 0
+        s_state: dict[str, tuple[int, int, int]] = {}  # path -> (rows, bytes, dsid)
         for g_idx, (g_spec_id, g_files) in enumerate(sorted(groups.items())):
             g_spec_fields, g_part_fields = specs_built[g_spec_id]
             g_cols = {p["name"] for p in g_part_fields}
@@ -863,6 +866,7 @@ def write_iceberg_metadata(
                         f"current at its commit {dsid} ({sorted(g_cols)})"
                     )
                 g_rows += f["rows"]
+                s_state[f["path"]] = (f["rows"], f["bytes"], dsid)
                 min_seq = min(min_seq, dsid)
                 lbs, ubs = bounds_maps(f.get("bounds"))
                 nulls = f.get("nulls") or {}
@@ -1064,11 +1068,29 @@ def write_iceberg_metadata(
             mrecs,
             meta={"format-version": str(fv), "snapshot-id": str(s_id)},
         )
+        # Iceberg's standard snapshot summary counters (table-spec
+        # "Snapshot Summary", all string-valued): added-* = files whose
+        # owning commit IS this snapshot, deleted-* = files live in the
+        # parent state but gone from this one (COW rewrites, overwrites,
+        # expired partitions), total-* = this snapshot's full live state.
+        # Ops tooling (and engines' scan planners) read these without
+        # opening a single manifest.
+        added = {p: v for p, v in s_state.items() if v[2] == s_id}
+        removed = {p: v for p, v in prev_state.items() if p not in s_state}
         summary = {
             "operation": _OP_SUMMARY.get(snap.get("operation", "append"), "overwrite"),
-            "added-data-files": str(n_entries),
-            "added-records": str(total_rows),
+            "added-data-files": str(len(added)),
+            "added-records": str(sum(v[0] for v in added.values())),
+            "added-files-size": str(sum(v[1] for v in added.values())),
+            "total-data-files": str(n_entries),
+            "total-records": str(total_rows),
+            "total-files-size": str(sum(v[1] for v in s_state.values())),
         }
+        if removed:
+            summary["deleted-data-files"] = str(len(removed))
+            summary["deleted-records"] = str(sum(v[0] for v in removed.values()))
+            summary["removed-files-size"] = str(sum(v[1] for v in removed.values()))
+        prev_state = s_state
         if n_del_files:
             summary["total-delete-files"] = str(n_del_files)
         entry = {
@@ -1132,6 +1154,19 @@ def write_iceberg_metadata(
         for c in doc["properties"].get("write.sort-order", "").split(",")
         if c.strip()
     ]
+    missing_sort = [c for c in sort_cols if c not in ids]
+    if missing_sort:
+        # a declared sort column absent from the current schema means the
+        # write.sort-order property drifted (e.g. the column was dropped
+        # without updating the property) — surface it instead of silently
+        # emitting a narrower order than the table declares
+        import warnings
+
+        warnings.warn(
+            f"write.sort-order names column(s) {missing_sort} not in the "
+            "current schema; they are omitted from the emitted sort order",
+            stacklevel=2,
+        )
     sort_fields = [
         {
             "transform": "identity",
@@ -1216,13 +1251,16 @@ def write_iceberg_metadata(
 # 63-bit theta domain (order- and estimator-preserving: theta/2^63 =
 # kth/2^60, so estimate = (retained-1)/theta_fraction equals the KMV
 # estimator). Caveat, stated plainly: the entry HASH FAMILY is md5-based,
-# not DataSketches' murmur3-x64-128(seed 9001), so a reader that
-# deserializes the blob gets the correct estimate and ordering, but
-# UNIONING these sketches with murmur-family sketches from another writer
-# is out of scope — the seed-hash field is stamped with this engine's
-# family tag so strict readers reject the merge instead of silently
-# combining incompatible families. Single-writer table stats (the actual
-# use of Iceberg statistics files) are unaffected.
+# not DataSketches' murmur3-x64-128(seed 9001), and the blob's seed-hash
+# field is stamped with this engine's own family tag (0x4B56) — stock
+# DataSketches readers VALIDATE seed-hash on wrap/heapify, so
+# deserializing the blob with a stock reader FAILS the seed check
+# outright (by design: better a loud rejection than silently unioning
+# incompatible hash families). The cross-engine stats interchange surface
+# is therefore the blob-METADATA `ndv` property in the table metadata
+# JSON — which is exactly what engines consume for CBO without opening
+# the Puffin file — not the sketch bytes themselves. Only this engine's
+# own `read_puffin_stats` re-derives estimates from the blob.
 
 _PUFFIN_MAGIC = b"PFA1"
 _THETA_SCALE = 8  # 60-bit KMV hash domain -> 63-bit theta domain
@@ -1471,3 +1509,67 @@ def read_table_chain(
         "data": data,
         "deletes": deletes,
     }
+
+
+def discover_latest_metadata(root: str) -> str:
+    """Latest-metadata discovery, the way the reference's external reader
+    does it (`read_iceberg_duckdb.py:22-44`): list `<root>/metadata/`,
+    keep `*.metadata.json`, take `sorted(...)[-1]`. The reference's
+    Glue-written tables name versions `%05d-<uuid>.metadata.json`, where
+    plain lexicographic order IS version order; this engine emits
+    Hadoop-style `vN.metadata.json`, where it is only up to v9 — so the
+    sort key zero-pads the numeric version (the same rule, normalized for
+    the naming scheme). Cross-checked against `version-hint.text`
+    (HadoopTableOperations' own discovery) when present: a disagreement
+    means a torn emission and raises instead of guessing."""
+    meta_dir = os.path.join(root, "metadata")
+    names = [n for n in os.listdir(meta_dir) if n.endswith(".metadata.json")]
+    if not names:
+        raise FileNotFoundError(f"no *.metadata.json under {meta_dir}")
+
+    def vkey(n: str):
+        m = re.match(r"v(\d+)\.metadata\.json$", n)
+        return (int(m.group(1)), n) if m else (-1, n)
+
+    latest = sorted(names, key=vkey)[-1]
+    hint_path = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint_path):
+        with open(hint_path) as f:
+            hint = f.read().strip()
+        hinted = f"v{hint}.metadata.json"
+        if os.path.exists(os.path.join(meta_dir, hinted)) and hinted != latest:
+            raise ValueError(
+                f"metadata discovery disagreement: listing says {latest!r}, "
+                f"version-hint.text says {hinted!r}"
+            )
+    return os.path.join(meta_dir, latest)
+
+
+def metadata_log_entries(metadata_json_path: str) -> list[dict]:
+    """Iceberg's `.metadata_log_entries` metadata table, derived from the
+    emitted chain: one row per metadata version — every `metadata-log`
+    entry of the given (usually latest) metadata.json, plus that file
+    itself. `latest_snapshot_id` / `latest_schema_id` /
+    `latest_sequence_number` are read from EACH version file (equivalent
+    to Iceberg's snapshot-log correlation, and checkable independently by
+    any reader that opens the version files). Returns dicts with keys
+    file (basename), timestamp_ms, latest_snapshot_id, latest_schema_id,
+    latest_sequence_number (None under v1 docs, like Iceberg's NULL)."""
+    rows: list[dict] = []
+    with open(metadata_json_path) as f:
+        doc = json.load(f)
+    chain = [e["metadata-file"] for e in doc.get("metadata-log", [])]
+    chain.append(metadata_json_path)
+    for path in chain:
+        with open(path) as f:
+            d = json.load(f)
+        rows.append(
+            {
+                "file": os.path.basename(path),
+                "timestamp_ms": d.get("last-updated-ms"),
+                "latest_snapshot_id": d.get("current-snapshot-id"),
+                "latest_schema_id": d.get("current-schema-id"),
+                "latest_sequence_number": d.get("last-sequence-number"),
+            }
+        )
+    return rows

@@ -34,22 +34,76 @@ _MODULES = [
 # row at least every other round: r01 covered tpch/events/textops, r02
 # front-loaded the extension surface, r03 covered tablemeta + the r01-only
 # names, r04 covered event-time + the r04-new operators, r05 covered the
-# 45 names outside r04's window + 5 result-touched names.
+# 45 names outside r04's window + 5 result-touched names, r09 covered the
+# round-9 additions + the r05-aged overflow + the r09 code-touched names.
 #
-# r09 leads with (a) the queries NEW this round (m_png_pixels,
-# m_gif_pixels, m_jpeg_coeffs, d_simhash_clusters, q_catalog_format_read — never
-# driver-signed), then (b) the 15 names that overflowed r08's 50-slot
-# window (the ten r05-aged names q_string_funcs … s_lsh_topk plus the
-# five r08-code-touched names t_repetition … q_meta_dml — the r08
-# verdict's task-6 rotation list), then (c) the names whose CODE r09
-# changes: the five q_dsv2_* (failed-task commit protocol,
-# schema-evolution null-fill, ref schema resolution, hive-unescaped
-# partition tuples, stream replay-guard scope) and the three m_* decode
-# queries sharing operators/multimodal.py. 4 + 15 + 8 = 27; the r08
-# cohort follows and pads the window to 50. A test_registry_prefix test
-# fails loudly on any name missing from the registry; unlisted names
-# follow in module-registration order.
+# r10 (the r09 verdict's task 1, verbatim): leads with (a) the 3 queries
+# NEW this round (q_meta_metadata_log — discovery-rule proof,
+# q_meta_add_files — zero-rewrite import, q_meta_snapshot_summary —
+# emitted summary counters; never driver-signed), then (b) ALL 44 names
+# whose most-recent driver confirmation is r06 — the stale cohort,
+# oldest-first signal — then (c) 3 names whose CODE changed this round:
+# q_meta_analyze (integer ndv estimator), q_dsv2_scan (DDL parsers learn
+# <...> depth), q_dsv2_stream (replay-guard legacy migration). 3 + 44 +
+# 3 = 50. After this window every query's driver signal is ≥ r07. A
+# test_registry_prefix test fails loudly on any name missing from the
+# registry; unlisted names follow in module-registration order.
 _PREFIX_ORDER = [
+    # (a) new in r10
+    "q_meta_metadata_log",
+    "q_meta_add_files",
+    "q_meta_snapshot_summary",
+    # (b) the 44 r06-stale names
+    "c_chunk_documents",
+    "c_hash_sample",
+    "c_pack_sequences",
+    "c_source_cap",
+    "c_train_split",
+    "d_minhash_accuracy",
+    "d_span_dup",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q_avro_roundtrip",
+    "q_bloom_join",
+    "q_filter_project",
+    "q_funnel_steps",
+    "q_jsonl_scan",
+    "q_latest_event_per_user",
+    "q_merge_upsert",
+    "q_meta_as_of",
+    "q_meta_entries",
+    "q_meta_evolution",
+    "q_meta_history",
+    "q_meta_incr_agg",
+    "q_meta_maintain",
+    "q_meta_manifests",
+    "q_meta_pos_delete",
+    "q_meta_rollback",
+    "q_meta_snapshots",
+    "q_meta_wap",
+    "q_retention_cohorts",
+    "q_stream_incr_agg",
+    "q_stream_join",
+    "q_stream_sessionize",
+    "q_table_counts",
+    "s_quantized_topk",
+    "s_topic_clusters",
+    "t_boilerplate",
+    "t_hashed_classifier",
+    "t_langid_confusion",
+    "t_quality_score",
+    "t_tfidf_keywords",
+    "t_token_stats",
+    "t_unigram_logprob",
+    # (c) r10 code-touched
+    "q_meta_analyze",
+    "q_dsv2_scan",
+    "q_dsv2_stream",
+    # --- below the 50-slot window: the r09 window (freshest signal),
+    # then the r07/r08 cohorts in their prior order
     "d_url_dedup",
     "c_quality_funnel",
     "t_heavy_hitters",
@@ -65,7 +119,6 @@ _PREFIX_ORDER = [
     "m_jpeg_coeffs",
     "d_simhash_clusters",
     "q_catalog_format_read",
-    "q_meta_analyze",
     "q_string_funcs",
     "q_pivot_status",
     "q_props_stats",
@@ -81,11 +134,9 @@ _PREFIX_ORDER = [
     "m_real_codecs",
     "q_sql_surface",
     "q_meta_dml",
-    "q_dsv2_scan",
     "q_dsv2_incremental",
     "q_dsv2_pushdown",
     "q_dsv2_write",
-    "q_dsv2_stream",
     "m_decode_metadata",
     "m_pcm_features",
     "m_bmp_pixels",

@@ -615,6 +615,20 @@ ICE_ROOT = os.path.join(_REPO_ROOT, "fixtures", "iceberg_demo")
 _ice_md_path: str | None = None
 
 
+def _has_summary_totals(md_path: str) -> bool:
+    """True when the emission carries the standard snapshot summary
+    counters (`total-records` etc.) — a fixture emitted by older code
+    lacks them and must rebuild."""
+    import json
+
+    try:
+        with open(md_path) as f:
+            doc = json.load(f)
+        return all("total-records" in s.get("summary", {}) for s in doc["snapshots"])
+    except Exception:
+        return False
+
+
 def _iceberg_demo(spark) -> str:
     """Deterministic append-only partitioned table (2 commits, coalesce(1)
     per partition) with Iceberg metadata emitted; returns the
@@ -630,7 +644,7 @@ def _iceberg_demo(spark) -> str:
         with open(hint) as f:
             n = f.read().strip()
         cand = os.path.join(ICE_ROOT, "metadata", f"v{n}.metadata.json")
-        if os.path.exists(cand):
+        if os.path.exists(cand) and _has_summary_totals(cand):
             _ice_md_path = cand
             return cand
     shutil.rmtree(ICE_ROOT, ignore_errors=True)
@@ -2310,3 +2324,234 @@ def q_meta_position_deletes(spark, sf_dir) -> DataFrame:
         "pos",
         "delete_snapshot_id",
     )
+
+
+# --------------------------------------------------------------------------
+# Metadata-log surface + latest-metadata discovery (reference
+# `read_iceberg_duckdb.py:22-44`: the external reader finds the CURRENT
+# metadata by listing `metadata/`, filtering `*.metadata.json`, and taking
+# `sorted()[-1]`). The fixture carries a 4-version emission history whose
+# middle includes a ROLLBACK and an EXPIRE — the hostile cases for a
+# discovery rule — and the query reads the `.metadata_log_entries` table
+# through the discovered latest file. The oracle reads EVERY version file
+# on disk independently: the two agree only if (a) discovery picked the
+# true latest version and (b) that file's metadata-log chain is complete
+# and carries each prior version's own last-updated-ms /
+# current-snapshot-id.
+
+METALOG_ROOT = os.path.join(_REPO_ROOT, "fixtures", "metalog_demo")
+
+
+def _metalog_demo(spark):
+    """4-emission history: v1 (s1) → v2 (s2) → write s3, rollback to s2,
+    expire → v3 (current s2) → write → v4. Deterministic clock; reused
+    when version-hint already says 4."""
+    from ..iceberg_meta import write_iceberg_metadata
+    from ..tables import SnapshotTable
+
+    hint = os.path.join(METALOG_ROOT, "metadata", "version-hint.text")
+    try:
+        with open(hint) as f:
+            ok = f.read().strip() == "4"
+    except OSError:
+        ok = False
+    if ok:
+        return SnapshotTable(spark, METALOG_ROOT)
+    shutil.rmtree(METALOG_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, qty bigint"
+    t = SnapshotTable.create(
+        spark, METALOG_ROOT, ddl,
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    t.write(spark.createDataFrame([(1, 10), (2, 20)], ddl).coalesce(1))
+    write_iceberg_metadata(t)  # v1, current = s1
+    t.write(spark.createDataFrame([(3, 30)], ddl).coalesce(1))
+    write_iceberg_metadata(t)  # v2, current = s2
+    t.write(spark.createDataFrame([(4, 40)], ddl).coalesce(1))  # s3
+    t.rollback_to_snapshot(2)  # s3 leaves the main lineage
+    t.expire_snapshots(keep_last=1)  # drops the unreachable fork
+    write_iceberg_metadata(t)  # v3, current = s2 again
+    t.write(spark.createDataFrame([(5, 50)], ddl).coalesce(1))
+    write_iceberg_metadata(t)  # v4
+    return t
+
+
+@query(
+    "q_meta_metadata_log",
+    # independent derivation: every version file on disk, read directly —
+    # no metadata-log knowledge. Agreement proves the discovery rule
+    # landed on the true latest AND its log chain is complete/correct.
+    oracle=f"""
+    SELECT regexp_extract(filename, 'v[0-9]+\\.metadata\\.json') AS file,
+           CAST("last-updated-ms" AS BIGINT) AS timestamp_ms,
+           CAST("current-snapshot-id" AS BIGINT) AS latest_snapshot_id,
+           CAST("current-schema-id" AS INT) AS latest_schema_id
+    FROM read_json_auto('{METALOG_ROOT}/metadata/v*.metadata.json',
+                        filename = true)
+    """,
+    tags=("meta:metadata-log", "tablemeta", "interop"),
+)
+def q_meta_metadata_log(spark, sf_dir) -> DataFrame:
+    """`.metadata_log_entries` over a rollback+expire emission history,
+    reached through the reference reader's latest-metadata discovery rule
+    (list / filter / sorted()[-1], `read_iceberg_duckdb.py:22-44`)."""
+    t = _metalog_demo(spark)
+    return t.metadata_log_entries_table().select(
+        "file", "timestamp_ms", "latest_snapshot_id", "latest_schema_id"
+    )
+
+
+@query(
+    "q_meta_snapshot_summary",
+    # manifest-free recomputation: per-snapshot added/total counters
+    # rebuilt from the raw parquet files alone (append-only fixture:
+    # snapshot N's live state IS dirs s1..sN). The same numbers are
+    # graded twice — once from the engine's `.snapshots` table, once from
+    # the emitted Iceberg metadata's snapshot `summary` — so a drift in
+    # EITHER surface breaks the match.
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(regexp_extract(filename, 'data/s([0-9]+)/', 1) AS BIGINT) AS dsid,
+             filename AS fn, COUNT(*) AS n
+      FROM read_parquet('{ICE_ROOT}/data/*/*/*.parquet', filename = true)
+      GROUP BY 1, 2)
+    SELECT s.dsid AS snapshot_id,
+           (SELECT COUNT(*) FROM f WHERE f.dsid = s.dsid) AS added_files,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM f WHERE f.dsid = s.dsid) AS added_rows,
+           (SELECT COUNT(*) FROM f WHERE f.dsid <= s.dsid) AS total_data_files,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM f WHERE f.dsid <= s.dsid) AS total_records,
+           (SELECT COUNT(*) FROM f WHERE f.dsid = s.dsid) AS em_added_files,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM f WHERE f.dsid = s.dsid) AS em_added_records,
+           (SELECT COUNT(*) FROM f WHERE f.dsid <= s.dsid) AS em_total_files,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM f WHERE f.dsid <= s.dsid) AS em_total_records
+    FROM (SELECT DISTINCT dsid FROM f) s
+    """,
+    tags=("meta:snapshot-summary", "tablemeta", "interop"),
+)
+def q_meta_snapshot_summary(spark, sf_dir) -> DataFrame:
+    """Iceberg standard snapshot summary counters, graded on BOTH
+    surfaces at once: the engine's `.snapshots` totals and the emitted
+    metadata.json `summary` (added-data-files / added-records /
+    total-data-files / total-records), against a raw-parquet
+    recomputation that consults neither."""
+    import json
+
+    from ..tables import SnapshotTable
+
+    md = _iceberg_demo(spark)
+    with open(md) as f:
+        doc = json.load(f)
+    em_rows = [
+        (
+            s["snapshot-id"],
+            int(s["summary"]["added-data-files"]),
+            int(s["summary"]["added-records"]),
+            int(s["summary"]["total-data-files"]),
+            int(s["summary"]["total-records"]),
+        )
+        for s in doc["snapshots"]
+    ]
+    emdf = spark.createDataFrame(
+        em_rows,
+        "snapshot_id long, em_added_files long, em_added_records long,"
+        " em_total_files long, em_total_records long",
+    )
+    t = SnapshotTable(spark, ICE_ROOT)
+    st = t.snapshots_table().select(
+        "snapshot_id", "added_files", "added_rows",
+        "total_data_files", F.col("total_records").alias("total_records"),
+    )
+    # both sides are O(snapshot-count) driver-built rows: broadcast, never
+    # a shuffle join
+    return st.join(F.broadcast(emdf), "snapshot_id")
+
+
+# --------------------------------------------------------------------------
+# `add_files` import (Iceberg add_files/migrate procedure): pre-existing
+# parquet registered into the table with footer-derived manifests and NO
+# data rewrite — the realistic 100 TB bootstrap path the reference's
+# first-run bronze overwrite (`raw-bronze.py:178-183`) sidesteps by
+# rewriting. The fixture imports an externally-written hive-partitioned
+# dataset into a table that already has native rows; the oracle reads the
+# native dirs AND THE ORIGINAL EXTERNAL FILES — agreement proves the
+# import registered exactly the source's content (zero-rewrite is proved
+# by inode equality in pytest).
+
+ADDFILES_ROOT = os.path.join(_REPO_ROOT, "fixtures", "addfiles_demo")
+ADDFILES_SRC = os.path.join(_REPO_ROOT, "fixtures", "addfiles_src")
+
+
+def _addfiles_demo(spark):
+    from ..tables import SnapshotTable
+
+    ok = False
+    try:
+        t = SnapshotTable(spark, ADDFILES_ROOT)
+        snaps = t.snapshots()
+        ok = (
+            len(snaps) == 2
+            and snaps[-1].operation == "add-files"
+            and all(
+                os.path.exists(os.path.join(ADDFILES_ROOT, f["path"]))
+                for s in snaps
+                for f in s.files
+            )
+            and os.path.isdir(ADDFILES_SRC)
+        )
+    except Exception:
+        ok = False
+    if ok:
+        return t
+    shutil.rmtree(ADDFILES_ROOT, ignore_errors=True)
+    shutil.rmtree(ADDFILES_SRC, ignore_errors=True)
+    ddl = "id bigint, category string, qty bigint"
+    # the "pre-existing" dataset: plain Spark parquet, hive-partitioned,
+    # written by no table machinery at all
+    ext = spark.createDataFrame(
+        [(10, "a", 100), (11, "b", 110), (12, "b", 120), (13, "c", 130)], ddl
+    )
+    (
+        ext.coalesce(1)
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .partitionBy("category")
+        .parquet(ADDFILES_SRC)
+    )
+    counter = itertools.count()
+    t = SnapshotTable.create(
+        spark,
+        ADDFILES_ROOT,
+        ddl,
+        partition_by=["category"],
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    t.write(
+        spark.createDataFrame([(1, "a", 10), (2, "c", 20)], ddl)
+        .coalesce(1)
+        .sortWithinPartitions("id")
+    )
+    t.add_files(ADDFILES_SRC)
+    return t
+
+
+@query(
+    "q_meta_add_files",
+    # native rows from the table's own s1 dir + imported rows from the
+    # ORIGINAL external location (not the table's copy of them — there is
+    # no copy): union-exact against the table scan
+    oracle=f"""
+    SELECT id, category, qty
+    FROM read_parquet('{ADDFILES_ROOT}/data/s1/*/*.parquet',
+                      hive_partitioning = true)
+    UNION ALL
+    SELECT id, category, qty
+    FROM read_parquet('{ADDFILES_SRC}/*/*.parquet', hive_partitioning = true)
+    """,
+    tags=("meta:add-files", "tablemeta", "reference:S10"),
+)
+def q_meta_add_files(spark, sf_dir) -> DataFrame:
+    """Scan after an `add_files` import: native + imported rows, graded
+    against the native dirs plus the UNTOUCHED external source files."""
+    t = _addfiles_demo(spark)
+    return t.scan().select("id", "category", "qty")

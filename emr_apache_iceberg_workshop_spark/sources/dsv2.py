@@ -199,17 +199,23 @@ def _renames(meta: dict) -> list[tuple[int, str, str]]:
 
 def _ddl_names(ddl: str) -> list[str]:
     """Field names from either DDL form ("a bigint, b string" or
-    "a:bigint,b:string"), top-level commas only."""
+    "a:bigint,b:string"), top-level commas only. Depth tracks both
+    (...) and <...> so decimal(10,2) AND map<string,int> /
+    struct<a:int,b:string> commas survive; the name is the prefix before
+    the first top-level ':' or space (a struct field's INNER colons sit
+    behind '<' and never split)."""
     names, depth, cur = [], 0, []
     for ch in ddl + ",":
-        if ch == "(":
+        if ch in "(<":
             depth += 1
-        elif ch == ")":
+        elif ch in ")>":
             depth -= 1
         if ch == "," and depth == 0:
             f = "".join(cur).strip()
             if f:
-                names.append(f.split(":")[0].split(" ")[0].strip("`"))
+                head = f.split("<", 1)[0].split("(", 1)[0]
+                name = head.split(":")[0].split(" ")[0] if head else f
+                names.append(name.strip("`"))
             cur = []
         else:
             cur.append(ch)
@@ -258,7 +264,10 @@ def _schema_ddl_at(meta: dict, snapshot_id: int | None) -> str:
     Normalized to space-form DDL: metadata stores either "a bigint, b
     string" or the simpleString form "a:bigint,b:string", and this runs
     in the sessionless data-source worker where fromDDL is unavailable.
-    Splitting tracks paren depth so decimal(10,2) commas survive."""
+    Splitting tracks (...) AND <...> depth so decimal(10,2) and
+    map<string,int> / struct<a:int> commas survive, and the name/type
+    split only honors a ':' BEFORE any '<' or '(' (struct-inner colons
+    never split)."""
     ddl = meta["schema"]
     if snapshot_id is not None:
         for s in meta["snapshots"]:
@@ -267,9 +276,9 @@ def _schema_ddl_at(meta: dict, snapshot_id: int | None) -> str:
                 break
     fields, depth, cur = [], 0, []
     for ch in ddl:
-        if ch == "(":
+        if ch in "(<":
             depth += 1
-        elif ch == ")":
+        elif ch in ")>":
             depth -= 1
         if ch == "," and depth == 0:
             fields.append("".join(cur))
@@ -281,7 +290,7 @@ def _schema_ddl_at(meta: dict, snapshot_id: int | None) -> str:
     out = []
     for f in fields:
         f = f.strip()
-        if ":" in f.split("(", 1)[0]:
+        if ":" in f.split("<", 1)[0].split("(", 1)[0]:
             name, typ = f.split(":", 1)
             out.append(f"{name.strip()} {typ.strip()}")
         else:
@@ -293,12 +302,13 @@ def _ddl_fields(ddl: str) -> list[tuple[str, str]]:
     """Space-form DDL -> [(name, simpleString)], splitting on top-level
     commas only (decimal(10, 2) commas survive) and stripping the space
     inside parameterized types so the strings compare equal to
-    DataType.simpleString()."""
+    DataType.simpleString(). <...> depth is tracked like (...) so
+    map/struct/array element commas survive."""
     fields, depth, cur = [], 0, []
     for ch in ddl:
-        if ch == "(":
+        if ch in "(<":
             depth += 1
-        elif ch == ")":
+        elif ch in ")>":
             depth -= 1
         if ch == "," and depth == 0:
             fields.append("".join(cur))
@@ -1170,6 +1180,22 @@ class SnapshotTableStreamWriter(_StageWriter, _STREAM_WRITER_BASE):
             if s.summary.get("streaming.batch-id") is not None
             and s.summary.get("streaming.query-scope") == self.scope
         ]
+        if not done and batchId > 0:
+            # one-time upgrade path: snapshots committed by the pre-scope
+            # code carry batch ids with NO query-scope. A query resumed
+            # from an EXISTING checkpoint replays its last committed batch
+            # with batchId > 0 — a brand-new query always starts at 0 —
+            # so "no scoped history yet, replaying batch > 0" can only be
+            # the migration restart, and the legacy unscoped guard
+            # applies. (The one corner this can't cover: a legacy
+            # checkpoint whose ONLY committed batch was 0 — restart a
+            # fresh checkpoint after upgrading in that case.)
+            done = [
+                s.summary.get("streaming.batch-id")
+                for s in t.snapshots()
+                if s.summary.get("streaming.batch-id") is not None
+                and "streaming.query-scope" not in s.summary
+            ]
         if done and batchId <= max(done):
             self._abort_stage()  # at-least-once replay of a committed batch
             return

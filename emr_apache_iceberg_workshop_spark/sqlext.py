@@ -46,7 +46,7 @@ Supported grammar (case-insensitive keywords; one statement per call):
 - ``SELECT ...`` over registered tables, with
   ``<name> [FOR] VERSION AS OF <sid|'tag'>``,
   ``<name> [FOR] TIMESTAMP AS OF '<ts>'``, and metadata suffixes
-  ``<name>.history|.snapshots|.files|.partitions|.refs|.manifests|.entries|.position_deletes|.changes`` —
+  ``<name>.history|.snapshots|.files|.partitions|.refs|.manifests|.entries|.position_deletes|.metadata_log_entries|.changes`` —
   each reference is materialized as a temp view and the rewritten text
   runs through `spark.sql`.
 - ``CALL [catalog.]system.rewrite_data_files('<name>')`` /
@@ -85,7 +85,7 @@ from pyspark.sql import functions as F
 
 from .tables import SnapshotTable
 
-_META_TABLES = ("history", "snapshots", "files", "partitions", "refs", "manifests", "entries", "position_deletes", "changes")
+_META_TABLES = ("history", "snapshots", "files", "partitions", "refs", "manifests", "entries", "position_deletes", "metadata_log_entries", "changes")
 
 
 def _ws(s: str) -> str:
@@ -891,6 +891,7 @@ class SqlCatalog:
                             "manifests": "manifests_table",
                             "entries": "entries_table",
                             "position_deletes": "position_deletes_table",
+                            "metadata_log_entries": "metadata_log_entries_table",
                         }[meta.lower()],
                     )()
                 elif ver:

@@ -699,6 +699,131 @@ class SnapshotTable:
         self._commit(meta)
         return sid
 
+    _PA_SPARK_TYPES = {
+        "int64": "bigint",
+        "int32": "int",
+        "int16": "smallint",
+        "int8": "tinyint",
+        "string": "string",
+        "large_string": "string",
+        "double": "double",
+        "float": "float",
+        "bool": "boolean",
+        "date32[day]": "date",
+        "binary": "binary",
+        "large_binary": "binary",
+        "timestamp[us]": "timestamp",
+        "timestamp[ns]": "timestamp_ntz",
+    }
+
+    def add_files(self, source_dir: str, check_schema: bool = True) -> int:
+        """Iceberg's `add_files` procedure (and the `migrate` bootstrap
+        path): register PRE-EXISTING parquet files into the table as one
+        append snapshot — footer-derived manifest entries, ZERO data
+        rewrite. This is the realistic 100 TB bootstrap: the reference's
+        first bronze run overwrites existing files into a table
+        (`raw-bronze.py:178-183`); at scale you import them in place.
+
+        Files are HARD-LINKED from `source_dir` into the table's own
+        `data/s{sid}` layout (same bytes, same blocks — a link is an
+        inode ref, not a copy; cross-filesystem sources fall back to a
+        copy). Linking, rather than referencing foreign paths in the
+        manifest, keeps every table invariant intact: scans, partition
+        masks, compaction and `expire_snapshots` (which deletes table
+        dirs — unlinking never touches the source's own reference).
+
+        A partitioned table requires the source to be hive-laid-out on
+        EXACTLY the table's identity partition columns (Iceberg's
+        `add_files` contract for hive sources); non-identity transforms
+        can't be derived from existing files without reading them — use
+        `write()` for those. Footer schemas are validated against the
+        table schema (minus identity partition columns, which hive layout
+        strips) so a mis-schema'd import fails loudly instead of
+        null-filling at read time. Commits through the same staged-append
+        protocol as every writer (retry/rebase on conflict)."""
+        import shutil as _shutil
+
+        import pyarrow.parquet as pq
+
+        meta = self._load()
+        fields = self._part_fields(meta)
+        if any(f.transform != "identity" for f in fields):
+            raise ValueError(
+                "add_files requires identity partitioning — transformed "
+                "partition values can't be derived from existing files "
+                "without a rewrite; use write() instead"
+            )
+        part_names = [f.name for f in fields]
+        schema = T.StructType.fromDDL(meta["schema"])
+        expect = {
+            f.name: f.dataType.simpleString()
+            for f in schema.fields
+            if f.name not in set(part_names)
+        }
+        src_root = os.path.abspath(source_dir)
+        stage = os.path.join(self.root, f"data/.stage-{uuid.uuid4().hex[:12]}")
+        found = 0
+        try:
+            for dirpath, _dirs, fns in os.walk(src_root):
+                for fn in sorted(fns):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(dirpath, fn)
+                    relp = os.path.relpath(fp, src_root)
+                    segs = [s for s in os.path.dirname(relp).split(os.sep) if s]
+                    seg_cols = [s.split("=", 1)[0] for s in segs if "=" in s]
+                    if seg_cols != part_names:
+                        raise ValueError(
+                            f"{relp}: source layout partitions {seg_cols} do "
+                            f"not match the table's identity partition "
+                            f"columns {part_names}"
+                        )
+                    if check_schema:
+                        pa_schema = pq.read_schema(fp)
+                        got = {
+                            n: self._PA_SPARK_TYPES.get(
+                                str(pa_schema.field(n).type)
+                            )
+                            for n in pa_schema.names
+                        }
+                        # names must match exactly; types are checked for
+                        # every arrow type with a known Spark mapping
+                        # (unknown/nested types defer to read-time checks)
+                        mismatch = set(got) ^ set(expect)
+                        mismatch |= {
+                            n
+                            for n in set(got) & set(expect)
+                            if got[n] is not None and got[n] != expect[n]
+                        }
+                        if mismatch:
+                            raise ValueError(
+                                f"{relp}: footer schema {sorted(got.items())} "
+                                f"does not match table columns "
+                                f"{sorted(expect.items())} (mismatch: "
+                                f"{sorted(mismatch)})"
+                            )
+                    dst = os.path.join(stage, relp)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    try:
+                        os.link(fp, dst)  # zero-copy: same inode
+                    except OSError:
+                        _shutil.copy2(fp, dst)  # cross-device fallback
+                    found += 1
+        except Exception:
+            _shutil.rmtree(stage, ignore_errors=True)
+            raise
+        if not found:
+            _shutil.rmtree(stage, ignore_errors=True)
+            raise ValueError(f"no parquet files under {src_root}")
+        return self.commit_staged(
+            stage,
+            part_names,
+            mode="append",
+            operation="add-files",
+            summary_extra={"added-files-source": src_root},
+            meta=meta,
+        )
+
     def commit_staged(
         self,
         stage: str,
@@ -1142,6 +1267,17 @@ class SnapshotTable:
         if f"stats.{old}" in props:
             props[f"stats.{new}"] = props.pop(f"stats.{old}")
             meta["properties"] = props
+        # the declared write order follows the rename too — it is keyed
+        # by name in the property, and leaving the old name would silently
+        # erase the effective (and emitted) sort order
+        so = props.get("write.sort-order")
+        if so:
+            cols = [c.strip() for c in so.split(",") if c.strip()]
+            if old in cols:
+                props["write.sort-order"] = ", ".join(
+                    new if c == old else c for c in cols
+                )
+                meta["properties"] = props
         self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid
@@ -1835,14 +1971,30 @@ class SnapshotTable:
 
     def snapshots_table(self) -> DataFrame:
         """Metadata table (`<table>.snapshots` analogue): one row per
-        snapshot with committed_at (TIMESTAMP), parent_id, operation, and
-        manifest totals for the files ADDED by the snapshot. Built from
-        _meta.json on the driver — O(snapshot count), no data-file I/O,
-        same as Iceberg reading its metadata tree."""
+        snapshot with committed_at (TIMESTAMP), parent_id, operation,
+        manifest totals for the files ADDED by the snapshot, and Iceberg's
+        standard summary TOTALS (`total-records` / `total-data-files` /
+        `total-files-size`) for the snapshot's full live state — the
+        counters ops tooling reads off `.snapshots` without touching a
+        manifest. Built from _meta.json on the driver — O(snapshot count ×
+        live dirs), no data-file I/O, same as Iceberg reading its metadata
+        tree."""
+        meta = self._load()
+        by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
         rows = []
         parent = None
-        for s in self._load()["snapshots"]:
+        for s in meta["snapshots"]:
             files = s.get("files", [])
+            t_files = t_rows = t_bytes = 0
+            for e in s.get("active_dirs", []):
+                rel, excl = _entry_rel(e), _entry_excl_full(self.root, e)
+                ws = self._dir_manifest(meta, by_sid, rel)
+                for f in ws.get("files", []):
+                    if f["partition"] in excl:
+                        continue
+                    t_files += 1
+                    t_rows += f["rows"]
+                    t_bytes += f["bytes"]
             rows.append(
                 (
                     s["snapshot_id"],
@@ -1852,13 +2004,17 @@ class SnapshotTable:
                     len(files),
                     sum(f["rows"] for f in files),
                     sum(f["bytes"] for f in files),
+                    t_files,
+                    t_rows,
+                    t_bytes,
                 )
             )
             parent = s["snapshot_id"]
         return self.spark.createDataFrame(
             rows,
             "snapshot_id long, committed_at_sec double, parent_id long,"
-            " operation string, added_files long, added_rows long, added_bytes long",
+            " operation string, added_files long, added_rows long, added_bytes long,"
+            " total_data_files long, total_records long, total_files_size long",
         ).select(
             "snapshot_id",
             F.timestamp_seconds("committed_at_sec").alias("committed_at"),
@@ -1867,6 +2023,9 @@ class SnapshotTable:
             "added_files",
             "added_rows",
             "added_bytes",
+            "total_data_files",
+            "total_records",
+            "total_files_size",
         )
 
     def files_table(self) -> DataFrame:
@@ -2088,6 +2247,36 @@ class SnapshotTable:
             "snapshot_id long, operation string, added_data_files int,"
             " added_delete_files int, added_rows long, added_delete_rows long,"
             " partition_summary array<string>",
+        )
+
+    def metadata_log_entries_table(self) -> DataFrame:
+        """Metadata table (Iceberg `.metadata_log_entries`): one row per
+        emitted metadata.json version — the `metadata-log` chain of the
+        LATEST version file plus that file itself. The latest file is
+        found by the reference reader's discovery rule
+        (`read_iceberg_duckdb.py:22-44`: list metadata/, keep
+        *.metadata.json, sorted()[-1] — naming-normalized and
+        cross-checked against version-hint.text in
+        `iceberg_meta.discover_latest_metadata`). Raises if
+        `write_iceberg_metadata` has never run on this table. Driver-side
+        metadata work, O(version count)."""
+        from .iceberg_meta import discover_latest_metadata, metadata_log_entries
+
+        latest = discover_latest_metadata(self.root)
+        rows = [
+            (
+                e["file"],
+                e["timestamp_ms"],
+                e["latest_snapshot_id"],
+                e["latest_schema_id"],
+                e["latest_sequence_number"],
+            )
+            for e in metadata_log_entries(latest)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file string, timestamp_ms long, latest_snapshot_id long,"
+            " latest_schema_id int, latest_sequence_number long",
         )
 
     # -- merge (J1) --------------------------------------------------------
@@ -3047,7 +3236,10 @@ class SnapshotTable:
             if len(kmv) < k:
                 stat["ndv_est"] = len(kmv)  # exact below the sketch size
             else:
-                stat["ndv_est"] = int((k - 1) * (16**15) / kmv[-1])
+                # pure integer arithmetic: (k-1)*16^15 is ~2^66, past
+                # float53 precision — float division could skew the stored
+                # estimate (and the Puffin ndv property) by ±1
+                stat["ndv_est"] = (k - 1) * (16**15) // kmv[-1]
             out[c] = stat
         self.set_properties(
             {f"stats.{c}": _json.dumps(s, sort_keys=True) for c, s in out.items()}

@@ -99,7 +99,7 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
             ["append", "append", "merge", "overwrite", "delete", "compact",
              "evolve", "branch_write", "publish", "update", "maintain",
              "cherry", "posdelete", "expire_age", "rename", "rename",
-             "addcol", "dropcol", "analyze"]
+             "addcol", "dropcol", "analyze", "add_files"]
         )
         if op == "append":
             rows = mk_rows(rng.randrange(1, 5))
@@ -118,6 +118,17 @@ def _run_model(spark, tmp_path, seed: int, steps: int = 18):
                 commit_main(t.latest_snapshot_id())
             else:
                 commit_main(t.write(df(rows)))
+        elif op == "add_files":
+            # zero-rewrite import: externally-written hive parquet
+            # registered in place — must be committed-state identical to
+            # an append of the same rows, through any later interleaving
+            # (merge/delete/compact/evolution hit imported files too)
+            rows = mk_rows(rng.randrange(1, 4))
+            src = str(tmp_path / f"ext{seed}_{_step}")
+            part_cols = [f.name for f in t._part_fields(t._load())]
+            df(rows).coalesce(1).write.partitionBy(*part_cols).parquet(src)
+            main = main + rows
+            commit_main(t.add_files(src))
         elif op == "overwrite":
             rows = mk_rows(rng.randrange(1, 4))
             main = list(rows)
