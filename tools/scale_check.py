@@ -46,6 +46,12 @@ QUERIES = (
     # candidates WITHOUT the jaccard size prune — the probe watches for
     # candidate inflation) and the ANN recall grader (two corpus scans)
     "d_containment", "s_ann_recall",
+    # r10 (VERDICT r09 task 4): the final-close cohort with documented
+    # shapes but no measured decade — the deterministic epoch reshuffle
+    # (WindowGroupLimit keeps per-epoch top-k map-side) and the
+    # complete-mode streaming heavy hitters (micro-batch machinery is
+    # per-query fixed cost; the state is the token-count map)
+    "c_epoch_shuffle", "q_stream_heavy_hitters",
 )
 FACTOR = 10
 
@@ -191,7 +197,8 @@ def main() -> None:
 
     spark = build_session(app_name="scale-check")
     report = {}
-    names = [n for n in QUERIES if only is None or n == only]
+    picked = set(only.split(",")) if only else None
+    names = [n for n in QUERIES if picked is None or n in picked]
     if names:
         t01 = _time_named(spark, "/root/testdata/sf0.1", names)
         t1 = _time_named(spark, out_dir, names)
