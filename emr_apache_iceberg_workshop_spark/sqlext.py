@@ -54,6 +54,8 @@ Supported grammar (case-insensitive keywords; one statement per call):
   [, older_than => TIMESTAMP '<ts>' | <epoch-seconds>])`` /
   ``remove_orphan_files('<name>')`` /
   ``rollback_to_snapshot('<name>', <sid>)`` /
+  ``add_files('<name>', source_table => '`parquet`.`<dir>`')`` (register
+  existing parquet in place, zero rewrite) /
   ``cherrypick_snapshot('<name>', <sid>)`` /
   ``fast_forward('<table>', '<branch>', '<to>')`` (Iceberg CALL shape:
   move ref `branch` forward to `to`'s head; both args required) /
@@ -825,6 +827,16 @@ class SqlCatalog:
                 max_files_per_partition=int(mx) if mx else 4,
                 keep_last=int(keep) if keep else 2,
             )
+        if proc == "add_files":
+            # Iceberg `CALL system.add_files(table => t, source_table =>
+            # '`parquet`.`/path`')`: register existing parquet without a
+            # rewrite. The source is a path (the backtick-quoted
+            # `parquet`.`<dir>` Iceberg shape or a plain quoted dir).
+            src = val("source_table", 1)
+            if src is None:
+                raise ValueError("add_files requires (table, source_table)")
+            pm = re.match(r"`?parquet`?\s*\.\s*`(?P<p>[^`]+)`$", src)
+            return t.add_files(pm.group("p") if pm else src)
         if proc == "rollback_to_snapshot":
             return t.rollback_to_snapshot(int(val("snapshot_id", 1)))
         if proc == "cherrypick_snapshot":

@@ -407,3 +407,22 @@ def test_add_files_then_dml_and_time_travel(spark, tmp_path):
     ext = spark.read.parquet(src)
     assert sorted(r.id for r in ext.collect()) == [0, 1, 2, 3]
     assert sorted(r.id for r in t.scan().collect()) == [0, 1, 3, 100]
+
+
+def test_call_system_add_files(spark, tmp_path):
+    """`CALL system.add_files(table => t, source_table =>
+    '`parquet`.`<dir>`')` through the SQL facade (Iceberg CALL shape)."""
+    from emr_apache_iceberg_workshop_spark.sqlext import SqlCatalog
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, v string"
+    src = str(tmp_path / "ext")
+    spark.createDataFrame([(1, "a"), (2, "b")], ddl).coalesce(1).write.parquet(src)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), ddl)
+    t.write(spark.createDataFrame([(9, "n")], ddl).coalesce(1))
+    cat = SqlCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.register("imp", t.root)
+    cat.sql(f"CALL system.add_files(table => 'imp', source_table => '`parquet`.`{src}`')")
+    rows = sorted(tuple(r) for r in cat.sql("SELECT * FROM imp").collect())
+    assert rows == [(1, "a"), (2, "b"), (9, "n")]
+    assert t.snapshots()[-1].operation == "add-files"
