@@ -1013,6 +1013,16 @@ def write_iceberg_metadata(
                         }
                     )
             n_del_files = len(dentries)
+            n_pos_deletes = sum(
+                e["data_file"]["record_count"]
+                for e in dentries
+                if e["data_file"]["content"] == 1
+            )
+            n_eq_deletes = sum(
+                e["data_file"]["record_count"]
+                for e in dentries
+                if e["data_file"]["content"] == 2
+            )
             dmanifest_path = os.path.join(
                 meta_dir, f"{uuid.uuid5(uuid.NAMESPACE_URL, root + 'd' + str(s_id))}-m1.avro"
             )
@@ -1093,6 +1103,11 @@ def write_iceberg_metadata(
         prev_state = s_state
         if n_del_files:
             summary["total-delete-files"] = str(n_del_files)
+            # the spec's per-flavor delete-row counters: position deletes
+            # (content=1) and equality deletes (content=2), the live MOR
+            # state engines subtract from total-records for estimates
+            summary["total-position-deletes"] = str(n_pos_deletes)
+            summary["total-equality-deletes"] = str(n_eq_deletes)
         entry = {
             "snapshot-id": s_id,
             "timestamp-ms": s_ts,

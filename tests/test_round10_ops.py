@@ -426,3 +426,37 @@ def test_call_system_add_files(spark, tmp_path):
     rows = sorted(tuple(r) for r in cat.sql("SELECT * FROM imp").collect())
     assert rows == [(1, "a"), (2, "b"), (9, "n")]
     assert t.snapshots()[-1].operation == "add-files"
+
+
+def test_snapshot_summary_mor_delete_counters(spark, tmp_path):
+    """v2 emission summary carries the per-flavor delete counters:
+    equality-delete rows from a MOR merge and position-delete rows from
+    a positional MOR delete."""
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+        write_iceberg_metadata,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, v string"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), ddl,
+        properties={"write.merge.mode": "merge-on-read",
+                    "write.delete.mode": "merge-on-read",
+                    "write.delete.style": "position"},
+    )
+    t.write(
+        spark.createDataFrame([(i, "x") for i in range(6)], ddl)
+        .coalesce(1).sortWithinPartitions("id")
+    )
+    src = spark.createDataFrame([("U", 1, "y"), ("D", 2, None)], "Op string, id bigint, v string")
+    t.merge(src.coalesce(1), keys=["id"], op_col="Op")  # 2 equality-delete rows
+    t.delete_where("id = 5")  # 1 positional delete row
+    md = write_iceberg_metadata(t, format_version=2)
+    with open(md) as f:
+        doc = json.load(f)
+    head = doc["snapshots"][-1]["summary"]
+    assert int(head["total-delete-files"]) >= 2
+    assert head["total-equality-deletes"] == "2"
+    assert head["total-position-deletes"] == "1"
+    # MOR adds delete files, never removes data files
+    assert "deleted-data-files" not in head
