@@ -460,3 +460,72 @@ def test_snapshot_summary_mor_delete_counters(spark, tmp_path):
     assert head["total-position-deletes"] == "1"
     # MOR adds delete files, never removes data files
     assert "deleted-data-files" not in head
+
+
+def test_concurrent_add_files_and_appends(spark, tmp_path):
+    """The 100 TB bootstrap under contention: two add_files imports race
+    two native appends over the same root — every commit lands (imports
+    are appends, so losers rebase), nothing is lost, snapshot ids stay
+    unique, and all imported files remain hard links of their sources."""
+    import threading
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, v string"
+    root = str(tmp_path / "t")
+    SnapshotTable.create(spark, root, ddl)
+    srcs = []
+    for k in range(2):
+        src = str(tmp_path / f"ext{k}")
+        spark.createDataFrame(
+            [(100 * (k + 1) + j, f"e{k}") for j in range(3)], ddl
+        ).coalesce(1).write.parquet(src)
+        srcs.append(src)
+    errs: list = []
+
+    def importer(k: int) -> None:
+        try:
+            SnapshotTable(spark, root).add_files(srcs[k])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender(i: int) -> None:
+        try:
+            SnapshotTable(spark, root).write(
+                spark.createDataFrame([(i, f"n{i}")], ddl)
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=importer, args=(0,)),
+        threading.Thread(target=appender, args=(1,)),
+        threading.Thread(target=importer, args=(1,)),
+        threading.Thread(target=appender, args=(2,)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    t = SnapshotTable(spark, root)
+    got = sorted(r.id for r in t.scan().collect())
+    assert got == [1, 2, 100, 101, 102, 200, 201, 202]
+    sids = [s.snapshot_id for s in t.snapshots()]
+    assert len(sids) == len(set(sids)) == 4
+    # imported entries still link to source inodes even if rebased to a
+    # different snapshot id than first claimed
+    src_inodes = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for src in srcs
+        for dp, _d, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    linked = 0
+    for s in t.snapshots():
+        if s.operation == "add-files":
+            for frec in s.files:
+                assert os.stat(os.path.join(root, frec["path"])).st_ino in src_inodes
+                linked += 1
+    assert linked == 2
