@@ -1552,10 +1552,18 @@ def discover_latest_metadata(root: str) -> str:
         with open(hint_path) as f:
             hint = f.read().strip()
         hinted = f"v{hint}.metadata.json"
-        if os.path.exists(os.path.join(meta_dir, hinted)) and hinted != latest:
+        # The listing is authoritative (HadoopTableOperations' rule). A
+        # hint OLDER than the listed latest is the normal mid-commit
+        # window — the writer creates vN.metadata.json first and updates
+        # the hint after — never an error. A hint NEWER than anything
+        # listed means the hinted version file VANISHED after the hint
+        # advanced (a hand-deleted or torn emission): raise rather than
+        # silently serve a version the table already moved past.
+        if vkey(hinted) > vkey(latest):
             raise ValueError(
-                f"metadata discovery disagreement: listing says {latest!r}, "
-                f"version-hint.text says {hinted!r}"
+                f"metadata discovery disagreement: version-hint.text says "
+                f"{hinted!r} but the newest listed file is {latest!r} — "
+                "the hinted version file is missing"
             )
     return os.path.join(meta_dir, latest)
 
@@ -1575,7 +1583,17 @@ def metadata_log_entries(metadata_json_path: str) -> list[dict]:
         doc = json.load(f)
     chain = [e["metadata-file"] for e in doc.get("metadata-log", [])]
     chain.append(metadata_json_path)
+    meta_dir = os.path.dirname(os.path.abspath(metadata_json_path))
     for path in chain:
+        if not os.path.exists(path):
+            # metadata-log entries store the paths current AT WRITE TIME;
+            # a relocated table (moved warehouse, different checkout) still
+            # has the version files side-by-side in metadata/ — resolve by
+            # basename next to the file being read, like Iceberg readers
+            # resolving relative to the table location
+            local = os.path.join(meta_dir, os.path.basename(path))
+            if os.path.exists(local):
+                path = local
         with open(path) as f:
             d = json.load(f)
         rows.append(

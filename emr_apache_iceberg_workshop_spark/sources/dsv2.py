@@ -1187,15 +1187,27 @@ class SnapshotTableStreamWriter(_StageWriter, _STREAM_WRITER_BASE):
             # with batchId > 0 — a brand-new query always starts at 0 —
             # so "no scoped history yet, replaying batch > 0" can only be
             # the migration restart, and the legacy unscoped guard
-            # applies. (The one corner this can't cover: a legacy
-            # checkpoint whose ONLY committed batch was 0 — restart a
-            # fresh checkpoint after upgrading in that case.)
-            done = [
-                s.summary.get("streaming.batch-id")
+            # applies. Scoped to tables that predate scoping ENTIRELY:
+            # once ANY scoped streaming snapshot exists (this query's or
+            # another's), unscoped batch ids belong to other writers
+            # (streaming/jobs.py append_stream_batch) and must never
+            # suppress this query's batches. (Corners this can't cover:
+            # a legacy checkpoint whose ONLY committed batch was 0, or a
+            # resumed query whose own scoped history was expired on a
+            # table that still carries unscoped ids — restart from a
+            # fresh checkpoint after upgrading in those cases.)
+            any_scoped = any(
+                s.summary.get("streaming.batch-id") is not None
+                and "streaming.query-scope" in s.summary
                 for s in t.snapshots()
-                if s.summary.get("streaming.batch-id") is not None
-                and "streaming.query-scope" not in s.summary
-            ]
+            )
+            if not any_scoped:
+                done = [
+                    s.summary.get("streaming.batch-id")
+                    for s in t.snapshots()
+                    if s.summary.get("streaming.batch-id") is not None
+                    and "streaming.query-scope" not in s.summary
+                ]
         if done and batchId <= max(done):
             self._abort_stage()  # at-least-once replay of a committed batch
             return

@@ -712,8 +712,16 @@ class SnapshotTable:
         "date32[day]": "date",
         "binary": "binary",
         "large_binary": "binary",
-        "timestamp[us]": "timestamp",
-        "timestamp[ns]": "timestamp_ntz",
+        # parquet timestamp semantics: isAdjustedToUTC=true surfaces in
+        # arrow as a tz-annotated type (what Spark's TIMESTAMP writes
+        # under outputTimestampType=TIMESTAMP_MICROS); no tz annotation
+        # means NTZ (Spark's TIMESTAMP_NTZ). Legacy INT96 footers decode
+        # as tz-less nanos in arrow though they are semantically TZ, so
+        # bare 'timestamp[ns]' is deliberately UNMAPPED (name-only check)
+        # rather than mis-asserted either way.
+        "timestamp[us]": "timestamp_ntz",
+        "timestamp[us, tz=UTC]": "timestamp",
+        "timestamp[ns, tz=UTC]": "timestamp",
     }
 
     def add_files(self, source_dir: str, check_schema: bool = True) -> int:
@@ -1983,18 +1991,32 @@ class SnapshotTable:
         by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
         rows = []
         parent = None
+        # the same dir (and the same mask files) recur in many snapshots'
+        # active sets — resolve each distinct ENTRY once, or this
+        # metadata-only call does O(snapshots × dirs) repeated mask-file
+        # parquet reads on long histories
+        entry_cache: dict[str, tuple[int, int, int]] = {}
         for s in meta["snapshots"]:
             files = s.get("files", [])
             t_files = t_rows = t_bytes = 0
             for e in s.get("active_dirs", []):
-                rel, excl = _entry_rel(e), _entry_excl_full(self.root, e)
-                ws = self._dir_manifest(meta, by_sid, rel)
-                for f in ws.get("files", []):
-                    if f["partition"] in excl:
-                        continue
-                    t_files += 1
-                    t_rows += f["rows"]
-                    t_bytes += f["bytes"]
+                ckey = json.dumps(e, sort_keys=True) if isinstance(e, dict) else str(e)
+                tot = entry_cache.get(ckey)
+                if tot is None:
+                    rel, excl = _entry_rel(e), _entry_excl_full(self.root, e)
+                    excl_set = {json.dumps(x, sort_keys=True) for x in excl}
+                    ws = self._dir_manifest(meta, by_sid, rel)
+                    nf = nr = nb = 0
+                    for f in ws.get("files", []):
+                        if json.dumps(f["partition"], sort_keys=True) in excl_set:
+                            continue
+                        nf += 1
+                        nr += f["rows"]
+                        nb += f["bytes"]
+                    tot = entry_cache[ckey] = (nf, nr, nb)
+                t_files += tot[0]
+                t_rows += tot[1]
+                t_bytes += tot[2]
             rows.append(
                 (
                     s["snapshot_id"],

@@ -215,7 +215,7 @@ def test_discovery_past_v9_lexicographic_hazard(spark, tmp_path):
     assert len(rows) == 11
 
 
-def test_discovery_disagreement_raises(spark, tmp_path):
+def test_discovery_disagreement_and_mid_commit_window(spark, tmp_path):
     import os
 
     from emr_apache_iceberg_workshop_spark.iceberg_meta import (
@@ -223,9 +223,15 @@ def test_discovery_disagreement_raises(spark, tmp_path):
     )
 
     t = _emitting_table(spark, tmp_path, n_versions=2)
-    # tear the emission: hint says v1 while v2 exists
-    with open(os.path.join(t.root, "metadata", "version-hint.text"), "w") as f:
+    hint = os.path.join(t.root, "metadata", "version-hint.text")
+    # hint OLDER than the listing = the normal mid-commit window (writer
+    # creates vN first, updates the hint after): listing wins, no error
+    with open(hint, "w") as f:
         f.write("1")
+    assert discover_latest_metadata(t.root).endswith("v2.metadata.json")
+    # hint NEWER than anything listed = the hinted file vanished: torn
+    with open(hint, "w") as f:
+        f.write("9")
     with pytest.raises(ValueError, match="disagreement"):
         discover_latest_metadata(t.root)
 
@@ -529,3 +535,71 @@ def test_concurrent_add_files_and_appends(spark, tmp_path):
                 assert os.stat(os.path.join(root, frec["path"])).st_ino in src_inodes
                 linked += 1
     assert linked == 2
+
+
+def test_stream_guard_ignores_unscoped_once_any_scope_exists(spark, tmp_path):
+    """Once ANY scoped streaming snapshot exists on the table, unscoped
+    batch ids belong to other writers (jobs.py append_stream_batch) and
+    must never suppress a different query's batches — even one resuming
+    with batchId > 0 and no scoped history of its own."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), "id bigint")
+    t.write(
+        spark.createDataFrame([(1,)], "id bigint"),
+        summary_extra={"streaming.batch-id": 7},  # unscoped (other writer)
+    )
+    # a scoped commit from some OTHER query marks the table post-migration
+    wA = _writer(t.root, str(tmp_path / "ckptA"))
+    wA.commit([], batchId=0)
+    assert len(t.snapshots()) == 2
+    # a different query resuming at batch 3 with no scoped history: the
+    # unscoped id 7 must NOT swallow it
+    wB = _writer(t.root, str(tmp_path / "ckptB"))
+    wB.commit([], batchId=3)
+    snaps = t.snapshots()
+    assert len(snaps) == 3
+    assert snaps[-1].summary["streaming.batch-id"] == 3
+
+
+def test_add_files_timestamp_flavors(spark, tmp_path):
+    """Both Spark timestamp flavors import into matching columns and are
+    rejected across flavors."""
+    import datetime as dt
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, ts timestamp, tsn timestamp_ntz"
+    src = str(tmp_path / "ext")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12), dt.datetime(2024, 1, 1, 12))], ddl
+    ).coalesce(1).write.parquet(src)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), ddl)
+    t.add_files(src)  # both flavors accepted against their own columns
+    assert t.scan().count() == 1
+
+    # flavor mismatch: a TZ column offered for an NTZ table column
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "t2"), "id bigint, ts timestamp_ntz, tsn timestamp_ntz"
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        t2.add_files(src)
+
+
+def test_metadata_log_survives_table_relocation(spark, tmp_path):
+    """metadata-log entries store write-time absolute paths; after the
+    whole table directory moves, the chain resolves by basename next to
+    the discovered file (portable checkouts / moved warehouses)."""
+    import shutil
+
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = _emitting_table(spark, tmp_path, n_versions=3)
+    moved = str(tmp_path / "moved")
+    shutil.move(t.root, moved)
+    t2 = SnapshotTable(spark, moved)
+    rows = t2.metadata_log_entries_table().orderBy("file").collect()
+    assert [r["file"] for r in rows] == [
+        "v1.metadata.json", "v2.metadata.json", "v3.metadata.json",
+    ]
+    assert [r["latest_snapshot_id"] for r in rows] == [1, 2, 3]

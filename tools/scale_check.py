@@ -197,7 +197,11 @@ def main() -> None:
 
     spark = build_session(app_name="scale-check")
     report = {}
-    picked = set(only.split(",")) if only else None
+    picked = {s.strip() for s in only.split(",") if s.strip()} if only else None
+    if picked:
+        unknown = picked - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"--only names not in QUERIES: {sorted(unknown)}")
     names = [n for n in QUERIES if picked is None or n in picked]
     if names:
         t01 = _time_named(spark, "/root/testdata/sf0.1", names)
