@@ -43,16 +43,20 @@ _MODULES = [
 # emitted summary counters; never driver-signed), then (b) ALL 44 names
 # whose most-recent driver confirmation is r06 — the stale cohort,
 # oldest-first signal — then (c) 3 names whose CODE changed this round:
-# q_meta_analyze (integer ndv estimator), q_dsv2_scan (DDL parsers learn
-# <...> depth), q_dsv2_stream (replay-guard legacy migration). 3 + 44 +
-# 3 = 50. After this window every query's driver signal is ≥ r07. A
-# test_registry_prefix test fails loudly on any name missing from the
-# registry; unlisted names follow in module-registration order.
+# q_dsv2_scan (DDL parsers learn <...> depth), q_dsv2_stream
+# (replay-guard legacy migration) — q_meta_analyze (integer ndv) is
+# r09-driver-signed and battery-verified post-change, so its slot goes
+# to the fourth r10 addition, q_meta_avro_java (the Apache-Avro-Java-
+# decoded chain read, never driver-signed). 4 + 44 + 2 = 50. After this
+# window every query's driver signal is ≥ r07. A test_registry_prefix
+# test fails loudly on any name missing from the registry; unlisted
+# names follow in module-registration order.
 _PREFIX_ORDER = [
     # (a) new in r10
     "q_meta_metadata_log",
     "q_meta_add_files",
     "q_meta_snapshot_summary",
+    "q_meta_avro_java",
     # (b) the 44 r06-stale names
     "c_chunk_documents",
     "c_hash_sample",
@@ -99,11 +103,11 @@ _PREFIX_ORDER = [
     "t_token_stats",
     "t_unigram_logprob",
     # (c) r10 code-touched
-    "q_meta_analyze",
     "q_dsv2_scan",
     "q_dsv2_stream",
     # --- below the 50-slot window: the r09 window (freshest signal),
     # then the r07/r08 cohorts in their prior order
+    "q_meta_analyze",
     "d_url_dedup",
     "c_quality_funnel",
     "t_heavy_hitters",

@@ -2555,3 +2555,79 @@ def q_meta_add_files(spark, sf_dir) -> DataFrame:
     against the native dirs plus the UNTOUCHED external source files."""
     t = _addfiles_demo(spark)
     return t.scan().select("id", "category", "qty")
+
+
+@query(
+    "q_meta_avro_java",
+    # same manifest-free oracle as q_meta_iceberg: raw recursive glob
+    # over the data dirs — agreement proves the JAVA-decoded manifests
+    # list exactly the live files with correct partitions and row counts
+    oracle=f"""
+    SELECT category,
+           COUNT(DISTINCT filename) AS n_files,
+           COUNT(*) AS n_rows,
+           CAST(SUM(qty) AS BIGINT) AS qty_total
+    FROM read_parquet('{ICE_ROOT}/data/*/*/*.parquet',
+                      hive_partitioning = true, filename = true)
+    GROUP BY category
+    """,
+    tags=("meta:avro-java", "tablemeta", "interop"),
+)
+def q_meta_avro_java(spark, sf_dir) -> DataFrame:
+    """Third-party-decoded external read: the fixture table's Iceberg
+    chain walked with the STOCK Apache Avro Java library (avro-1.12.x on
+    Spark's JVM classpath — the Avro implementation Iceberg's own Java
+    runtime uses), not this repo's decoder. metadata.json → Java-decoded
+    manifest list → Java-decoded manifests → listed parquet files,
+    aggregated per partition and graded against a glob oracle that
+    consults no metadata at all."""
+    import json as _json
+
+    md = _iceberg_demo(spark)
+    with open(md) as f:
+        doc = _json.load(f)
+    snap = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    jvm = spark._jvm
+
+    def java_records(path):
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        out = []
+        while dfr.hasNext():
+            out.append(dfr.next())
+        dfr.close()
+        return out
+
+    files = []
+    for mrec in java_records(snap["manifest-list"]):
+        for e in java_records(str(mrec.get("manifest_path").toString())):
+            dfr = e.get("data_file")
+            part = dfr.get("partition")
+            files.append(
+                (
+                    str(part.get("category").toString()),
+                    str(dfr.get("file_path").toString()),
+                )
+            )
+    dfs = [
+        spark.read.schema("id bigint, qty bigint")
+        .parquet(fp)
+        .select(
+            F.lit(cat).alias("category"),
+            F.lit(fp).alias("fpath"),
+            "qty",
+        )
+        for cat, fp in files
+    ]
+    u = dfs[0]
+    for d in dfs[1:]:
+        u = u.unionByName(d)
+    return u.groupBy("category").agg(
+        F.countDistinct("fpath").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").cast("bigint").alias("qty_total"),
+    )
