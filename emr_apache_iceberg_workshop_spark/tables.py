@@ -434,40 +434,68 @@ class SnapshotTable:
             offs.append(int(off if off is not None else col.data_page_offset))
         return offs
 
+    @staticmethod
+    def _stat_one(fp: str, base: str, rel_dir: str) -> dict:
+        """Manifest entry for ONE parquet file (partition tuple parsed
+        from the hive path, footer-derived rows/bounds/nulls/splits).
+        Static and self-free so the parallel stats path can run it
+        executor-side without dragging a SparkSession into the closure."""
+        import pyarrow.parquet as pq
+
+        relp = os.path.relpath(fp, base)
+        part: dict = {}
+        d = os.path.dirname(relp)
+        for seg in d.split(os.sep) if d else []:
+            if "=" in seg:
+                c, v = seg.split("=", 1)
+                part[c] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        md = pq.ParquetFile(fp).metadata
+        return {
+            "path": os.path.join(rel_dir, relp),
+            "partition": part,
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(fp),
+            "bounds": SnapshotTable._col_bounds(md),
+            "nulls": SnapshotTable._col_nulls(md),
+            "split_offsets": SnapshotTable._split_offsets(md),
+        }
+
     def _file_stats(self, rel_dir: str) -> list[dict]:
         """Manifest entries for every parquet file under `rel_dir`: path,
         partition tuple, row count (parquet footer), bytes, per-column
-        min/max bounds + null counts, row-group split offsets. Driver-side
-        walk + footer reads — O(file count), exactly the bookkeeping an
-        Iceberg writer does when it builds a manifest."""
-        import pyarrow.parquet as pq
+        min/max bounds + null counts, row-group split offsets — exactly
+        the bookkeeping an Iceberg writer does when it builds a manifest.
 
+        The listing walk is driver-side; the footer READS distribute as a
+        Spark job once the dir holds ≥ `write.stats.parallel-threshold`
+        files (default 256) — on a 100 TB bootstrap (`add_files` over a
+        million files) serial driver-side footer reads would be the
+        commit bottleneck, while a map-only job over the path list is
+        embarrassingly parallel. Below the threshold (every
+        normal-sized commit) the serial path avoids job-launch overhead;
+        Spark-free callers (the DSv2 commit worker) always use it."""
         base = os.path.join(self.root, rel_dir)
-        out: list[dict] = []
+        paths: list[str] = []
         for dirpath, _dirs, files in os.walk(base):
             for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                fp = os.path.join(dirpath, fn)
-                relp = os.path.relpath(fp, base)
-                part: dict = {}
-                d = os.path.dirname(relp)
-                for seg in d.split(os.sep) if d else []:
-                    if "=" in seg:
-                        c, v = seg.split("=", 1)
-                        part[c] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
-                md = pq.ParquetFile(fp).metadata
-                out.append(
-                    {
-                        "path": os.path.join(rel_dir, relp),
-                        "partition": part,
-                        "rows": md.num_rows,
-                        "bytes": os.path.getsize(fp),
-                        "bounds": self._col_bounds(md),
-                        "nulls": self._col_nulls(md),
-                        "split_offsets": self._split_offsets(md),
-                    }
+                if fn.endswith(".parquet"):
+                    paths.append(os.path.join(dirpath, fn))
+        threshold = int(
+            self._load().get("properties", {}).get(
+                "write.stats.parallel-threshold", 256
+            )
+        )
+        if self.spark is not None and len(paths) >= threshold:
+            stat_one, rd = SnapshotTable._stat_one, rel_dir
+            out = (
+                self.spark.sparkContext.parallelize(
+                    paths, min(len(paths), 256)
                 )
+                .map(lambda fp: stat_one(fp, base, rd))
+                .collect()
+            )
+        else:
+            out = [self._stat_one(fp, base, rel_dir) for fp in paths]
         out.sort(key=lambda f: f["path"])
         return out
 

@@ -603,3 +603,32 @@ def test_metadata_log_survives_table_relocation(spark, tmp_path):
         "v1.metadata.json", "v2.metadata.json", "v3.metadata.json",
     ]
     assert [r["latest_snapshot_id"] for r in rows] == [1, 2, 3]
+
+
+def test_parallel_file_stats_identical_to_serial(spark, tmp_path):
+    """Above write.stats.parallel-threshold, footer stats compute as a
+    Spark job; output must be byte-identical to the serial path (the
+    manifest is the correctness anchor for pruning, .files, emission)."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "id bigint, category string, qty double"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), ddl, partition_by=["category"],
+        properties={"write.stats.parallel-threshold": "4"},
+    )
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3], float(i) / 7) for i in range(200)], ddl
+    ).repartition(6)
+    t.write(df)  # committed via the PARALLEL stats path (>= 4 files)
+    rel = t.snapshots()[-1].files[0]["path"].rsplit("/", 2)[0]
+    par = t._file_stats(rel)
+    assert len(par) >= 4
+    # force the serial path on the same dir and compare exactly
+    t.set_properties({"write.stats.parallel-threshold": "100000"})
+    ser = t._file_stats(rel)
+    assert par == ser
+    # manifest-derived surfaces work off the parallel-computed stats
+    assert t.scan().count() == 200
+    assert sum(f["rows"] for f in t.snapshots()[-1].files) == 200
+    kept, total = t.plan_files("id", 0, 3)
+    assert 0 < len(kept) <= total
