@@ -468,12 +468,16 @@ class SnapshotTable:
 
         The listing walk is driver-side; the footer READS distribute as a
         Spark job once the dir holds ≥ `write.stats.parallel-threshold`
-        files (default 256) — on a 100 TB bootstrap (`add_files` over a
-        million files) serial driver-side footer reads would be the
-        commit bottleneck, while a map-only job over the path list is
-        embarrassingly parallel. Below the threshold (every
-        normal-sized commit) the serial path avoids job-launch overhead;
-        Spark-free callers (the DSv2 commit worker) always use it."""
+        files — on a 100 TB bootstrap (`add_files` over a million files
+        on OBJECT STORAGE, where each footer read is a 20-50 ms GET)
+        serial driver-side reads would be the commit bottleneck, while a
+        map-only job over the path list is embarrassingly parallel. The
+        default threshold is 20000 because the regime is latency-bound,
+        not CPU-bound: measured on local disk, serial footer reads cost
+        ~0.3 ms/file while the job path costs ~1.9 ms/file in scheduling
+        overhead at 2k files (SCALE.md, round 10) — set the threshold
+        low only when the warehouse is remote. Spark-free callers (the
+        DSv2 commit worker) always use the serial path."""
         base = os.path.join(self.root, rel_dir)
         paths: list[str] = []
         for dirpath, _dirs, files in os.walk(base):
@@ -482,7 +486,7 @@ class SnapshotTable:
                     paths.append(os.path.join(dirpath, fn))
         threshold = int(
             self._load().get("properties", {}).get(
-                "write.stats.parallel-threshold", 256
+                "write.stats.parallel-threshold", 20000
             )
         )
         if self.spark is not None and len(paths) >= threshold:
