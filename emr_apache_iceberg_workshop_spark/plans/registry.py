@@ -43,11 +43,12 @@ _MODULES = [
 # emitted summary counters; never driver-signed), then (b) ALL 44 names
 # whose most-recent driver confirmation is r06 — the stale cohort,
 # oldest-first signal — then (c) 3 names whose CODE changed this round:
-# q_dsv2_scan (DDL parsers learn <...> depth), q_dsv2_stream
-# (replay-guard legacy migration) — q_meta_analyze (integer ndv) is
-# r09-driver-signed and battery-verified post-change, so its slot goes
-# to the fourth r10 addition, q_meta_avro_java (the Apache-Avro-Java-
-# decoded chain read, never driver-signed). 4 + 44 + 2 = 50. After this
+# s_semdedup (SemDeDup, new this round — never driver-signed) and
+# q_dsv2_stream (replay-guard legacy migration). q_meta_analyze (integer
+# ndv) and q_dsv2_scan (DDL parsers learn <...> depth) are
+# r09-driver-signed and battery-verified post-change, so their slots go
+# to the never-signed r10 additions (q_meta_avro_java, s_semdedup).
+# 4 + 44 + 2 = 50. After this
 # window every query's driver signal is ≥ r07. A test_registry_prefix
 # test fails loudly on any name missing from the registry; unlisted
 # names follow in module-registration order.
@@ -102,8 +103,8 @@ _PREFIX_ORDER = [
     "t_tfidf_keywords",
     "t_token_stats",
     "t_unigram_logprob",
-    # (c) r10 code-touched
-    "q_dsv2_scan",
+    # (c) r10 code-touched / late additions
+    "s_semdedup",
     "q_dsv2_stream",
     # --- below the 50-slot window: the r09 window (freshest signal),
     # then the r07/r08 cohorts in their prior order
@@ -138,6 +139,7 @@ _PREFIX_ORDER = [
     "m_real_codecs",
     "q_sql_surface",
     "q_meta_dml",
+    "q_dsv2_scan",
     "q_dsv2_incremental",
     "q_dsv2_pushdown",
     "q_dsv2_write",

@@ -752,3 +752,113 @@ def s_ann_recall(spark, sf_dir) -> DataFrame:
         hit.cast("long").alias("n_hit"),
         (hit.cast("double") / TOPK).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication the
+# way production LLM pipelines run it — k-means the embedding space,
+# then find duplicate GROUPS only WITHIN each cluster (pairwise cosine ≥
+# τ) and keep one representative per group. The cluster partition is the
+# blocking structure: cross-cluster pairs are never scored. Differs from
+# `s_dup_clusters` (LSH sign-bucket blocking) in using the LEARNED
+# partition — the paper's finding is that semantic duplicates co-locate
+# under k-means far more reliably than under random-projection buckets.
+#
+# Scale shape: assignment is the same zero-shuffle projection as
+# `s_topic_clusters`; the within-cluster self-join shuffles on the
+# cluster id, so the pairwise work is Σ|cluster|² — the paper (and any
+# 100 TB run) scales K with the corpus to hold |cluster| ≈ constant,
+# making the total LINEAR in n at fixed cluster size. K here comes from
+# the shared seeded k-means (constant for the fixture); the knob is
+# K_IVF. Group collapse is the O(log d) star-contraction used by every
+# dedup family here.
+SEM_TAU = CLUSTER_COS  # cosine threshold for "semantic duplicate"
+
+_SEM_ORACLE = f"""
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, embedding AS e FROM embeddings),
+    samp AS (SELECT vec_id, e, {_H_D} AS h FROM emb ORDER BY h, vec_id LIMIT {IVF_SAMPLE}),
+    sr AS (SELECT vec_id, e, row_number() OVER (ORDER BY h, vec_id) AS rn FROM samp),
+    c0 AS (SELECT rn AS cluster, e AS ce FROM sr WHERE rn <= {K_IVF}),
+    {",".join(_ivf_iter_cte(i + 1, f"c{i}") for i in range(IVF_ROUNDS))},
+    cf AS (SELECT cluster, ce, ({odot('ce', 'ce')}) AS cn2 FROM c{IVF_ROUNDS}),
+    asg1 AS (SELECT m.vec_id, m.e, c.cluster,
+               row_number() OVER (PARTITION BY m.vec_id
+                 ORDER BY 2 * ({odot('m.e', 'c.ce')}) - c.cn2 DESC, c.cluster) AS rnk
+             FROM emb m CROSS JOIN cf c),
+    n AS (SELECT vec_id, e, cluster, sqrt({odot('e', 'e')}) AS nrm
+          FROM asg1 WHERE rnk = 1),
+    edges AS (SELECT a.vec_id AS u, b.vec_id AS v
+              FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE {odot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {SEM_TAU}),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    reach(vec_id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.vec_id),
+    lbl AS (SELECT vec_id, MIN(comp) AS comp FROM reach GROUP BY vec_id),
+    pruned AS (SELECT vec_id FROM lbl WHERE vec_id <> comp)
+    SELECT CAST(n.cluster AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) - COUNT(p.vec_id) AS BIGINT) AS n_kept,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_pruned
+    FROM n LEFT JOIN pruned p ON n.vec_id = p.vec_id
+    GROUP BY 1
+    """
+
+
+@query(
+    "s_semdedup",
+    oracle=_SEM_ORACLE,
+    tags=("similarity:semdedup", "dedup", "kmeans"),
+)
+def s_semdedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup: per k-means cluster, collapse within-cluster cosine-≥τ
+    groups to one representative (min vec_id) and report kept/pruned
+    counts — the corpus-curation summary a pipeline materializes before
+    training."""
+    from ..operators.graph import connected_components
+
+    cents, cn2 = _kmeans_centroids(spark, sf_dir)
+    # the assigned+normed table feeds BOTH self-join sides and the final
+    # rollup: materialize it once (the paper's pipelines persist cluster
+    # assignments as a staging table for exactly this reason) instead of
+    # recomputing the exact-decimal norm + centroid argmax three times
+    n = (
+        _normed(spark, sf_dir)
+        .withColumn("cluster", F.expr(_assign_expr(cents, cn2)).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    a = n.selectExpr("vec_id AS u", "e AS ae", "nrm AS a_nrm", "cluster")
+    b = n.selectExpr("vec_id AS v", "e AS be", "nrm AS b_nrm", "cluster AS __cb")
+    from ..functions.exact import sdot_approx
+
+    # two-stage threshold: a cheap double dot prunes the within-cluster
+    # pair stream first (margin 1e-6 ≫ the ~1e-13 float error over d=64
+    # terms), then the exact-decimal dot makes the cross-engine-exact
+    # keep/prune DECISION only for near-threshold survivors — ~20× less
+    # BigDecimal work with identical results
+    edges = (
+        a.join(b, (F.col("cluster") == F.col("__cb")) & (F.col("u") < F.col("v")))
+        .filter(
+            F.expr(sdot_approx("ae", "be")) / (F.col("a_nrm") * F.col("b_nrm"))
+            >= SEM_TAU - 1e-6
+        )
+        .filter(
+            F.expr(sdot("ae", "be")) / (F.col("a_nrm") * F.col("b_nrm")) >= SEM_TAU
+        )
+        .select("u", "v")
+    )
+    labels, _rounds = connected_components(edges)
+    pruned = labels.filter(F.col("doc_id") != F.col("label")).select(
+        F.col("doc_id").alias("vec_id"), F.lit(1).alias("p")
+    )
+    return (
+        n.join(pruned, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.count(F.lit(1)) - F.count("p")).cast("long").alias("n_kept"),
+            F.count("p").cast("long").alias("n_pruned"),
+        )
+    )
