@@ -52,6 +52,10 @@ QUERIES = (
     # complete-mode streaming heavy hitters (micro-batch machinery is
     # per-query fixed cost; the state is the token-count map)
     "c_epoch_shuffle", "q_stream_heavy_hitters",
+    # r10 late addition: SemDeDup — within-cluster pairwise at FIXED K is
+    # the probe's watch-point (the paper scales K with the corpus to hold
+    # cluster size constant; at fixed K the pair stream grows n²/K)
+    "s_semdedup",
 )
 FACTOR = 10
 
