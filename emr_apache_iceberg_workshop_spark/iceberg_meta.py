@@ -1085,7 +1085,14 @@ def write_iceberg_metadata(
         # expired partitions), total-* = this snapshot's full live state.
         # Ops tooling (and engines' scan planners) read these without
         # opening a single manifest.
-        added = {p: v for p, v in s_state.items() if v[2] == s_id}
+        # Parent-relative, per the Iceberg spec: added-* counts files LIVE
+        # here but absent from the parent state — not files whose owning
+        # dir id happens to equal this snapshot id. The two agree for
+        # plain appends and COW rewrites, but diverge for cherry-pick /
+        # rollback-forward commits, where the incoming dirs stay owned by
+        # the SOURCE snapshot id (tables.py cherry_pick_snapshot keeps
+        # files=[]) yet are new relative to this snapshot's parent.
+        added = {p: v for p, v in s_state.items() if p not in prev_state}
         removed = {p: v for p, v in prev_state.items() if p not in s_state}
         summary = {
             "operation": _OP_SUMMARY.get(snap.get("operation", "append"), "overwrite"),
@@ -1581,10 +1588,13 @@ def metadata_log_entries(metadata_json_path: str) -> list[dict]:
     rows: list[dict] = []
     with open(metadata_json_path) as f:
         doc = json.load(f)
-    chain = [e["metadata-file"] for e in doc.get("metadata-log", [])]
-    chain.append(metadata_json_path)
+    chain = [
+        (e["metadata-file"], e.get("timestamp-ms"))
+        for e in doc.get("metadata-log", [])
+    ]
+    chain.append((metadata_json_path, doc.get("last-updated-ms")))
     meta_dir = os.path.dirname(os.path.abspath(metadata_json_path))
-    for path in chain:
+    for path, log_ts in chain:
         if not os.path.exists(path):
             # metadata-log entries store the paths current AT WRITE TIME;
             # a relocated table (moved warehouse, different checkout) still
@@ -1594,6 +1604,23 @@ def metadata_log_entries(metadata_json_path: str) -> list[dict]:
             local = os.path.join(meta_dir, os.path.basename(path))
             if os.path.exists(local):
                 path = local
+        if not os.path.exists(path):
+            # historical version files may be legitimately gone (cleaned
+            # up under write.metadata.delete-after-commit.enabled, or a
+            # partial copy). Iceberg's .metadata_log_entries tolerates
+            # this — emit the recorded name with NULL latest_* columns
+            # instead of failing the whole metadata-table query.
+            rows.append(
+                {
+                    "file": os.path.basename(path),
+                    # the log entry's own timestamp survives the cleanup
+                    "timestamp_ms": log_ts,
+                    "latest_snapshot_id": None,
+                    "latest_schema_id": None,
+                    "latest_sequence_number": None,
+                }
+            )
+            continue
         with open(path) as f:
             d = json.load(f)
         rows.append(

@@ -2011,9 +2011,13 @@ class SnapshotTable:
 
     def snapshots_table(self) -> DataFrame:
         """Metadata table (`<table>.snapshots` analogue): one row per
-        snapshot with committed_at (TIMESTAMP), parent_id, operation,
-        manifest totals for the files ADDED by the snapshot, and Iceberg's
-        standard summary TOTALS (`total-records` / `total-data-files` /
+        snapshot with committed_at (TIMESTAMP), parent_id, operation, and
+        Iceberg's standard summary counters — added-* PARENT-RELATIVE per
+        the spec's Snapshot Summary (files live here but absent from the
+        parent state; this matches manifest-added for appends and COW
+        rewrites, and stays correct for cherry-pick / rollback-forward
+        commits whose incoming dirs remain owned by the SOURCE snapshot),
+        and total-* (`total-records` / `total-data-files` /
         `total-files-size`) for the snapshot's full live state — the
         counters ops tooling reads off `.snapshots` without touching a
         manifest. Built from _meta.json on the driver — O(snapshot count ×
@@ -2027,43 +2031,40 @@ class SnapshotTable:
         # active sets — resolve each distinct ENTRY once, or this
         # metadata-only call does O(snapshots × dirs) repeated mask-file
         # parquet reads on long histories
-        entry_cache: dict[str, tuple[int, int, int]] = {}
+        entry_cache: dict[str, dict[str, tuple[int, int]]] = {}
+        prev_live: dict[str, tuple[int, int]] = {}
         for s in meta["snapshots"]:
-            files = s.get("files", [])
-            t_files = t_rows = t_bytes = 0
+            live: dict[str, tuple[int, int]] = {}
             for e in s.get("active_dirs", []):
                 ckey = json.dumps(e, sort_keys=True) if isinstance(e, dict) else str(e)
-                tot = entry_cache.get(ckey)
-                if tot is None:
+                ent = entry_cache.get(ckey)
+                if ent is None:
                     rel, excl = _entry_rel(e), _entry_excl_full(self.root, e)
                     excl_set = {json.dumps(x, sort_keys=True) for x in excl}
                     ws = self._dir_manifest(meta, by_sid, rel)
-                    nf = nr = nb = 0
-                    for f in ws.get("files", []):
-                        if json.dumps(f["partition"], sort_keys=True) in excl_set:
-                            continue
-                        nf += 1
-                        nr += f["rows"]
-                        nb += f["bytes"]
-                    tot = entry_cache[ckey] = (nf, nr, nb)
-                t_files += tot[0]
-                t_rows += tot[1]
-                t_bytes += tot[2]
+                    ent = entry_cache[ckey] = {
+                        f["path"]: (f["rows"], f["bytes"])
+                        for f in ws.get("files", [])
+                        if json.dumps(f["partition"], sort_keys=True) not in excl_set
+                    }
+                live.update(ent)
+            added = [v for p, v in live.items() if p not in prev_live]
             rows.append(
                 (
                     s["snapshot_id"],
                     float(s["made_current_at"]),
                     parent,
                     s["operation"],
-                    len(files),
-                    sum(f["rows"] for f in files),
-                    sum(f["bytes"] for f in files),
-                    t_files,
-                    t_rows,
-                    t_bytes,
+                    len(added),
+                    sum(v[0] for v in added),
+                    sum(v[1] for v in added),
+                    len(live),
+                    sum(v[0] for v in live.values()),
+                    sum(v[1] for v in live.values()),
                 )
             )
             parent = s["snapshot_id"]
+            prev_live = live
         return self.spark.createDataFrame(
             rows,
             "snapshot_id long, committed_at_sec double, parent_id long,"
