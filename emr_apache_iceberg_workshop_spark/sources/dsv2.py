@@ -1164,6 +1164,26 @@ class SnapshotTableStreamWriter(_StageWriter, _STREAM_WRITER_BASE):
         # a guard set the same scope).
         self.scope = options.get("query-scope") or f"ckpt-{h}"
         self.stage_rel = f"data/.stage-stream-{h}"
+        self._adopt_opt = str(
+            options.get("adopt-unscoped-guard", "")
+        ).lower() in ("true", "1")
+
+    @property
+    def adopt_legacy(self) -> bool:
+        """Legacy-unscoped-guard adoption is an explicit migration step:
+        writer option `adopt-unscoped-guard=true` or table property
+        `streaming.adopt-unscoped-guard=true`. Inferring it from 'no
+        scoped snapshot exists yet' would let unscoped batch ids written
+        by OTHER writers (append_stream_batch without a scope) swallow a
+        resumed scoped query's batches."""
+        if self._adopt_opt:
+            return True
+        from ..tables import SnapshotTable
+
+        props = SnapshotTable(None, self.root).properties()
+        return str(
+            props.get("streaming.adopt-unscoped-guard", "")
+        ).lower() in ("true", "1")
 
     def write(self, iterator):
         return self._write_batches(iterator)
@@ -1180,22 +1200,24 @@ class SnapshotTableStreamWriter(_StageWriter, _STREAM_WRITER_BASE):
             if s.summary.get("streaming.batch-id") is not None
             and s.summary.get("streaming.query-scope") == self.scope
         ]
-        if not done and batchId > 0:
-            # one-time upgrade path: snapshots committed by the pre-scope
-            # code carry batch ids with NO query-scope. A query resumed
-            # from an EXISTING checkpoint replays its last committed batch
-            # with batchId > 0 — a brand-new query always starts at 0 —
-            # so "no scoped history yet, replaying batch > 0" can only be
-            # the migration restart, and the legacy unscoped guard
-            # applies. Scoped to tables that predate scoping ENTIRELY:
-            # once ANY scoped streaming snapshot exists (this query's or
-            # another's), unscoped batch ids belong to other writers
-            # (streaming/jobs.py append_stream_batch) and must never
-            # suppress this query's batches. (Corners this can't cover:
-            # a legacy checkpoint whose ONLY committed batch was 0, or a
-            # resumed query whose own scoped history was expired on a
-            # table that still carries unscoped ids — restart from a
-            # fresh checkpoint after upgrading in those cases.)
+        if not done and batchId > 0 and self.adopt_legacy:
+            # one-time upgrade path, EXPLICIT OPT-IN ONLY: snapshots
+            # committed by the pre-scope code carry batch ids with NO
+            # query-scope. A query resumed from an EXISTING checkpoint
+            # replays its last committed batch with batchId > 0, and the
+            # legacy unscoped guard should suppress that replay — but
+            # "no scoped history yet, replaying batch > 0" is NOT proof
+            # of a migration restart: unscoped batch ids are also written
+            # TODAY by other writers (streaming/jobs.py
+            # append_stream_batch without a scope), and inferring
+            # adoption from their presence silently aborts a resumed
+            # scoped query's batches — data loss. So adoption requires
+            # the migration step to declare it: set the table property
+            # `streaming.adopt-unscoped-guard=true` (or pass the writer
+            # option `adopt-unscoped-guard=true`) when upgrading a
+            # pre-scope table, and unset it once this query has committed
+            # its first scoped batch. Without the opt-in, unscoped ids
+            # are always foreign and never consulted.
             any_scoped = any(
                 s.summary.get("streaming.batch-id") is not None
                 and "streaming.query-scope" in s.summary

@@ -141,6 +141,9 @@ def test_stream_guard_accepts_legacy_unscoped_on_resume(spark, tmp_path):
         summary_extra={"streaming.batch-id": 2},
     )
     assert "streaming.query-scope" not in t.snapshots()[-1].summary
+    # round 11: adoption is an explicit migration step (unscoped ids are
+    # also written by other live writers — inferring adoption loses data)
+    t.set_properties({"streaming.adopt-unscoped-guard": "true"})
     w = _writer(t.root, str(tmp_path / "ckpt"))
     # resumed checkpoint replays its last committed batch (2) -> dropped
     w.commit([], batchId=2)
