@@ -1216,3 +1216,184 @@ def d_containment(spark, sf_dir) -> DataFrame:
     see `_containment_scored_pairs` for the decomposition and why the
     jaccard size prune must NOT apply here."""
     return _containment_scored_pairs(shingle_arrays_for(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Incremental (cross-run) dedup against a PERSISTED signature table.
+#
+# Production shape for day 2 of a 100 TB pipeline: the corpus's MinHash
+# signatures live in a SnapshotTable written once (the day-1 build); each
+# NEW ingest batch is signatured in O(batch) — the only pass that touches
+# TEXT — then band-joined against the persisted signatures, and finally
+# appended to the store as a new snapshot (the incremental twin of the
+# reference's snapshot-range consumption, bronze-silver.py:146-149,
+# applied to the dedup family). Corpus text is never rescanned: the store
+# scan reads ~100 bytes/doc of signature columns instead of KBs of text,
+# is column-pruned to the band keys + minhashes, and — because the batch
+# side is small — AQE broadcasts the batch bands, so the store is
+# STREAMED, never shuffled.
+
+_SIG_COLS = [f"mh{i}" for i in range(N_MINHASH)]
+_SIG_DDL = "doc_id bigint, " + ", ".join(f"{c} bigint" for c in _SIG_COLS) + \
+    ", " + ", ".join(f"band{b} string" for b in range(N_BANDS))
+
+
+def minhash_signature_df(docs: DataFrame) -> DataFrame:
+    """doc_id, mh0..mh{K-1}, band0..band{B-1} from text — one linear
+    codegen'd scan (explode → md5 → K partial-agg MINs, map-side combined
+    before the doc_id shuffle), identical arithmetic to `d_minhash_lsh`."""
+    e = (
+        docs.selectExpr("doc_id", f"{SHINGLES_S} AS __sh")
+        .selectExpr("doc_id", "explode_outer(__sh) AS x")
+        .selectExpr("doc_id", f"{_H32_S} AS h")
+    )
+    sig = e.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P})").alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    return sig.selectExpr("*", *_band_exprs())
+
+
+def build_signature_store(spark, docs: DataFrame, root: str):
+    """Day-1 build: signature the corpus ONCE and persist as a
+    SnapshotTable (snapshot 1 = the corpus signatures)."""
+    from ..tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, root, _SIG_DDL)
+    t.write(minhash_signature_df(docs))
+    return t
+
+
+def _bands_long(df: DataFrame, id_alias: str) -> DataFrame:
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(N_BANDS))
+    return df.selectExpr(
+        f"doc_id AS {id_alias}",
+        f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)",
+    )
+
+
+def dedup_batch_incremental(
+    spark, batch_docs: DataFrame, store, append: bool = True
+) -> DataFrame:
+    """Dedup a NEW batch against the persisted signature store in
+    O(batch + matches) text work: signature the batch (the only pass over
+    text), band-join its bands against the store's AND against itself
+    (new dups can arrive inside one batch), estimate similarity from
+    signature agreement alone — no shingle arrays, no text columns — and,
+    when `append`, commit the batch's signatures to the store as a new
+    snapshot so the NEXT batch sees them. Returns (doc_a, doc_b, est_sim)
+    with doc_a < doc_b, one row per banded candidate pair."""
+    batch_sig = minhash_signature_df(batch_docs).localCheckpoint(eager=True)
+    if append:
+        store.write(batch_sig)
+    store_sig = store.scan()
+    mh_arr = "array(" + ", ".join(_SIG_COLS) + ")"
+
+    bl = _bands_long(batch_sig, "b_id")
+    # batch vs store: store doc_ids that pre-date this batch (the store
+    # scan includes the just-appended snapshot when append=True — exclude
+    # the batch's own ids to avoid self-pairs; batch-internal pairs come
+    # from the self-join below)
+    sl = _bands_long(
+        store_sig.join(batch_sig.select("doc_id"), "doc_id", "left_anti"),
+        "s_id",
+    )
+    vs_store = bl.join(sl, ["band_idx", "band_key"]).selectExpr(
+        "least(b_id, s_id) AS doc_a", "greatest(b_id, s_id) AS doc_b"
+    )
+    x, y = bl.alias("x"), bl.selectExpr("b_id AS y_id", "band_idx", "band_key").alias("y")
+    vs_self = x.join(
+        y,
+        (F.col("x.band_idx") == F.col("y.band_idx"))
+        & (F.col("x.band_key") == F.col("y.band_key"))
+        & (F.col("x.b_id") < F.col("y.y_id")),
+    ).selectExpr("b_id AS doc_a", "y_id AS doc_b")
+    cand = vs_store.unionByName(vs_self).distinct()
+
+    # signature lookup for BOTH endpoints: store ∪ batch, signatures only
+    sigs = store_sig.select("doc_id", *_SIG_COLS).unionByName(
+        batch_sig.select("doc_id", *_SIG_COLS)
+    ).distinct()
+    ma = sigs.selectExpr("doc_id AS doc_a", f"{mh_arr} AS mha")
+    mb = sigs.selectExpr("doc_id AS doc_b", f"{mh_arr} AS mhb")
+    return cand.join(ma, "doc_a").join(mb, "doc_b").selectExpr(
+        "doc_a",
+        "doc_b",
+        f"CAST(size(filter(zip_with(mha, mhb, (x, y) -> x = y), v -> v)) AS DOUBLE)"
+        f" / {N_MINHASH} AS est_sim",
+    )
+
+
+_incr_store_cache: dict[str, str] = {}
+
+
+def _incremental_store_for(spark, sf_dir: str) -> str:
+    """Per-sf_dir persisted signature store, built ONCE per process from
+    the corpus slice (doc_id % 5 != 0) — the day-1 state the graded query
+    deduplicates its batch against."""
+    import tempfile
+
+    from ..tables import SnapshotTable
+
+    key = os.path.abspath(sf_dir)
+    root = _incr_store_cache.get(key)
+    if root and SnapshotTable.exists(root):
+        return root
+    root = os.path.join(tempfile.mkdtemp(prefix="eiws_incrdedup_"), "sigs")
+    corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 5 != 0"
+    ).select("doc_id", "text")
+    build_signature_store(spark, corpus, root)
+    _incr_store_cache[key] = root
+    return root
+
+
+@query(
+    "d_incremental",
+    # Ground truth: the FULL-corpus LSH recompute on the union (identical
+    # machinery to d_minhash_lsh's oracle), restricted to the pairs the
+    # incremental run is responsible for — those touching the new batch
+    # (doc_id % 5 = 0). Agreement proves batch-vs-corpus AND
+    # batch-vs-batch candidate completeness plus signature-exact est_sim.
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_D} AS __sh FROM documents),
+         hs AS (SELECT doc_id, {HASHED_SHINGLES_D} AS __hs FROM s),
+         m AS (SELECT doc_id, {', '.join(_minhash_exprs('duck'))} FROM hs),
+         b AS (SELECT *, {', '.join(_band_exprs())} FROM m),
+         long AS (
+           SELECT doc_id, band_idx, band_key FROM (
+             SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM b
+             UNION ALL SELECT doc_id, 1, band1 FROM b
+             UNION ALL SELECT doc_id, 2, band2 FROM b
+             UNION ALL SELECT doc_id, 3, band3 FROM b)
+         ),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM long x JOIN long y
+                  ON x.band_key = y.band_key AND x.band_idx = y.band_idx
+                     AND x.doc_id < y.doc_id
+                  WHERE x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(list_zip(
+                  [ma.mh0, ma.mh1, ma.mh2, ma.mh3, ma.mh4, ma.mh5, ma.mh6, ma.mh7, ma.mh8, ma.mh9, ma.mh10, ma.mh11],
+                  [mb.mh0, mb.mh1, mb.mh2, mb.mh3, mb.mh4, mb.mh5, mb.mh6, mb.mh7, mb.mh8, mb.mh9, mb.mh10, mb.mh11]),
+                p -> p[1] = p[2])) AS DOUBLE) / {N_MINHASH} AS est_sim
+    FROM cand JOIN m ma ON ma.doc_id = doc_a JOIN m mb ON mb.doc_id = doc_b
+    """,
+    tags=("dedup:incremental", "join", "snapshot-table"),
+)
+def d_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental dedup of a new batch (doc_id % 5 = 0) against the
+    persisted corpus signature store — the batch run touches batch TEXT
+    only; the corpus contributes nothing but its signature parquet
+    (proven by plan assertion in tests/test_round11_ops.py)."""
+    from ..tables import SnapshotTable
+
+    store = SnapshotTable(spark, _incremental_store_for(spark, sf_dir))
+    batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 5 = 0"
+    ).select("doc_id", "text")
+    # append=False: the graded query must be idempotent across runs in one
+    # process; the append path is exercised by the pytest
+    return dedup_batch_incremental(spark, batch, store, append=False)
