@@ -195,6 +195,53 @@ def _probe_expr(cents: list[tuple[int, list[float]]], cn2: list[float], p: int) 
     )
 
 
+# Past this many centroids the inline literal-struct argmax expression is
+# infeasible (the generated SQL grows as K·d literals; codegen and the
+# parser both degrade past a few hundred structs), so assignment switches
+# to a broadcast centroid-table join — the `s_ivf_topk` probe-join shape.
+# Production SemDeDup at 100 TB wants K ≈ n / target_cluster_size ≈ 10⁴-10⁵,
+# which is exactly the join regime. Both paths are EXACT-identical: same
+# exact-decimal dot, same score arithmetic, same smallest-cluster
+# tie-break (parity-asserted in tests/test_round11_ops.py).
+SEM_ASSIGN_INLINE_MAX = 256
+
+
+def assign_clusters(
+    n: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    cn2: list[float],
+    inline_max: int = SEM_ASSIGN_INLINE_MAX,
+) -> DataFrame:
+    """Add an int `cluster` column = argmin-distance centroid for each row
+    of `n` (which must carry the embedding column `e`).
+
+    K ≤ inline_max: scan-side literal expression — zero shuffle, zero join
+    (the fixture/oracle path). K > inline_max: broadcast the centroid
+    table and argmax via a map-side-combined `max_by` aggregation — the
+    scalable path; the n×K scored stream is never shuffled (partial
+    aggregation reduces each partition to one row per vec_id before the
+    exchange) and the centroid table is O(K·d) broadcast state, the same
+    bound as the driver-literal form."""
+    if len(cents) <= inline_max:
+        return n.withColumn("cluster", F.expr(_assign_expr(cents, cn2)).cast("int"))
+    spark = n.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(k), list(map(float, comps)), float(c2)) for (k, comps), c2 in zip(cents, cn2)],
+        "cluster int, ce array<double>, cn2 double",
+    )
+    scored = n.select("vec_id", "e").crossJoin(F.broadcast(cdf)).selectExpr(
+        "vec_id",
+        "cluster",
+        f"CAST(2 * ({sdot('e', 'ce')}) - cn2 AS DOUBLE) AS s",
+    )
+    # max_by over struct(s, -cluster): largest score, ties to the SMALLEST
+    # cluster id — bit-identical to _assign_expr's array_max tie-break
+    asg = scored.groupBy("vec_id").agg(
+        F.expr("max_by(cluster, struct(s, -cluster))").alias("cluster")
+    )
+    return n.join(asg, "vec_id")
+
+
 # Trained index cached per (session, corpus): IVF is build-once/query-many
 # — at 100 TB the centroid table is persisted alongside the corpus and
 # every search job loads it, never retrains (same shared-materialization
@@ -824,10 +871,8 @@ def s_semdedup(spark, sf_dir) -> DataFrame:
     # rollup: materialize it once (the paper's pipelines persist cluster
     # assignments as a staging table for exactly this reason) instead of
     # recomputing the exact-decimal norm + centroid argmax three times
-    n = (
-        _normed(spark, sf_dir)
-        .withColumn("cluster", F.expr(_assign_expr(cents, cn2)).cast("int"))
-        .localCheckpoint(eager=True)
+    n = assign_clusters(_normed(spark, sf_dir), cents, cn2).localCheckpoint(
+        eager=True
     )
     a = n.selectExpr("vec_id AS u", "e AS ae", "nrm AS a_nrm", "cluster")
     b = n.selectExpr("vec_id AS v", "e AS be", "nrm AS b_nrm", "cluster AS __cb")

@@ -105,6 +105,10 @@ BROADCAST_HINT_ALLOWED = {
     "plans/similarity.py": {
         "q",  # fixed 5-id query set (QUERY_FILTER bounds it at any SF)
         "qs",  # the same fixed query set, quantized tier
+        # O(K·d) centroid table (assign_clusters big-K path) — bounded by
+        # the k-means centroid count, the same driver-state bound as the
+        # inline-literal assignment it replaces; never grows with corpus
+        "cdf",
     },
     "plans/textops.py": {
         "tot",  # 1-row scalar aggregate (total token count + vocab size)
@@ -130,6 +134,11 @@ BROADCAST_HINT_ALLOWED = {
     },
     "plans/tablemeta.py": {
         "n_now", "n_before",  # 1-row COUNT aggregates over the fixture
+        # O(snapshot-count) driver-built rows: the emitted-metadata summary
+        # table is one row per snapshot in metadata.json, bounded by the
+        # table's snapshot retention policy (expire_snapshots), never by
+        # corpus size
+        "emdf",
     },
 }
 
