@@ -35,30 +35,81 @@ _MODULES = [
 # front-loaded the extension surface, r03 covered tablemeta + the r01-only
 # names, r04 covered event-time + the r04-new operators, r05 covered the
 # 45 names outside r04's window + 5 result-touched names, r09 covered the
-# round-9 additions + the r05-aged overflow + the r09 code-touched names.
+# round-9 additions + the r05-aged overflow + the r09 code-touched names,
+# r10 covered the r10 additions + the 44 r06-stale names.
 #
-# r10 (the r09 verdict's task 1, verbatim): leads with (a) the 3 queries
-# NEW this round (q_meta_metadata_log — discovery-rule proof,
-# q_meta_add_files — zero-rewrite import, q_meta_snapshot_summary —
-# emitted summary counters; never driver-signed), then (b) ALL 44 names
-# whose most-recent driver confirmation is r06 — the stale cohort,
-# oldest-first signal — then (c) 3 names whose CODE changed this round:
-# s_semdedup (SemDeDup, new this round — never driver-signed) and
-# q_dsv2_stream (replay-guard legacy migration). q_meta_analyze (integer
-# ndv) and q_dsv2_scan (DDL parsers learn <...> depth) are
-# r09-driver-signed and battery-verified post-change, so their slots go
-# to the never-signed r10 additions (q_meta_avro_java, s_semdedup).
-# 4 + 44 + 2 = 50. After this
-# window every query's driver signal is ≥ r07. A test_registry_prefix
-# test fails loudly on any name missing from the registry; unlisted
-# names follow in module-registration order.
+# r11 (this round's rotation, per the r10 verdict's tasks 2/7): leads
+# with (a) the 2 queries NEW this round (d_incremental — cross-run dedup
+# against a persisted signature store; q_meta_metadata_log_reloc — the
+# SQL-facade metadata-log chain over a RELOCATED warehouse; never
+# driver-signed), then (b) ALL 46 names whose most-recent driver
+# confirmation is r07 — the stale cohort, oldest-first — then (c) 2
+# names whose CODE changed this round: q_meta_snapshot_summary (added-*
+# counters now parent-relative on both surfaces; values identical on the
+# append-only fixture, re-signed anyway) and s_semdedup (assignment
+# routed through assign_clusters; inline path at fixture K, plan
+# unchanged). 2 + 46 + 2 = 50. The r10-fresh additions (q_meta_add_files
+# etc.) stay out of the window so the stale cohort gets the slots; after
+# this window every query's driver signal is >= r08.
 _PREFIX_ORDER = [
-    # (a) new in r10
+    # (a) new in r11
+    "d_incremental",
+    "q_meta_metadata_log_reloc",
+    # (b) the 46 r07-stale names
+    "c_curated_corpus",
+    "c_dup_groups",
+    "c_mix_corpora",
+    "c_stratified_sample",
+    "m_extract_features",
+    "m_frame_sample",
+    "m_modality_stats",
+    "m_resize_plan",
+    "q_asof_join",
+    "q_bucketed_join",
+    "q_event_windows",
+    "q_latest_event",
+    "q_meta_bounds",
+    "q_meta_bucket",
+    "q_meta_cherrypick",
+    "q_meta_compaction",
+    "q_meta_expire",
+    "q_meta_expire_age",
+    "q_meta_files",
+    "q_meta_hidden",
+    "q_meta_iceberg",
+    "q_meta_multispec",
+    "q_meta_name_mapping",
+    "q_meta_partitions",
+    "q_meta_pruning",
+    "q_meta_v2_travel",
+    "q_part_revenue_share",
+    "q_range_join",
+    "q_rollup_revenue",
+    "q_semi_anti",
+    "q_sessionization",
+    "q_set_ops",
+    "q_sketch_distinct",
+    "q_sql_ctas",
+    "q_stream_append",
+    "q_stream_cdc",
+    "q_top_customers",
+    "q_trailing_window",
+    "s_dup_clusters",
+    "s_knn_graph",
+    "t_bpe_tokens",
+    "t_decontaminate",
+    "t_fingerprint",
+    "t_lang_profile",
+    "t_scrub_pii",
+    "t_token_freq",
+    # (c) r11 code-touched
+    "q_meta_snapshot_summary",
+    "s_semdedup",
+    # --- below the 50-slot window: prior prefix order (r10 window first,
+    # then the earlier cohorts)
     "q_meta_metadata_log",
     "q_meta_add_files",
-    "q_meta_snapshot_summary",
     "q_meta_avro_java",
-    # (b) the 44 r06-stale names
     "c_chunk_documents",
     "c_hash_sample",
     "c_pack_sequences",
@@ -103,11 +154,7 @@ _PREFIX_ORDER = [
     "t_tfidf_keywords",
     "t_token_stats",
     "t_unigram_logprob",
-    # (c) r10 code-touched / late additions
-    "s_semdedup",
     "q_dsv2_stream",
-    # --- below the 50-slot window: the r09 window (freshest signal),
-    # then the r07/r08 cohorts in their prior order
     "q_meta_analyze",
     "d_url_dedup",
     "c_quality_funnel",

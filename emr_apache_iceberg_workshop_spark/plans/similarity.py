@@ -250,14 +250,18 @@ def assign_clusters(
 _kmeans_cache: dict[tuple[str, str], tuple] = {}
 
 
-def _kmeans_centroids(spark, sf_dir) -> tuple[list[tuple[int, list[float]]], list[float]]:
-    """Seeded Lloyd's: sample = IVF_SAMPLE smallest (md5(vec_id), vec_id);
-    seeds = first K_IVF of the sample; IVF_ROUNDS assign/update rounds with
+def _kmeans_centroids(
+    spark, sf_dir, k: int = K_IVF, sample: int = IVF_SAMPLE
+) -> tuple[list[tuple[int, list[float]]], list[float]]:
+    """Seeded Lloyd's: sample = `sample` smallest (md5(vec_id), vec_id);
+    seeds = first `k` of the sample; IVF_ROUNDS assign/update rounds with
     exact-decimal per-dim means. Returns (centroids, per-centroid ‖c‖²).
-    Empty clusters drop out (both engines derive them identically)."""
+    Empty clusters drop out (both engines derive them identically).
+    Defaults are the shared fixture index; scale probes pass a corpus-
+    matched k (K ≈ n / target_cluster_size)."""
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), k, sample)
     cached = _kmeans_cache.get(key)
     if cached is not None:
         return cached
@@ -265,7 +269,7 @@ def _kmeans_centroids(spark, sf_dir) -> tuple[list[tuple[int, list[float]]], lis
     samp = (
         emb.selectExpr("vec_id", "embedding AS e", f"{_H_S} AS h")
         .orderBy("h", "vec_id")
-        .limit(IVF_SAMPLE)
+        .limit(sample)
     )
     w = Window.orderBy("h", "vec_id")
     sr = (
@@ -273,7 +277,7 @@ def _kmeans_centroids(spark, sf_dir) -> tuple[list[tuple[int, list[float]]], lis
         .select("vec_id", "e", "rn")
         .localCheckpoint(eager=True)  # tiny; reread every round
     )
-    seeds = sr.filter(F.col("rn") <= K_IVF).selectExpr("rn AS cluster", "e AS ce")
+    seeds = sr.filter(F.col("rn") <= k).selectExpr("rn AS cluster", "e AS ce")
     cents = [
         (r["cluster"], [float(x) for x in r["ce"]])
         for r in sorted(seeds.collect(), key=lambda r: r["cluster"])
@@ -863,10 +867,24 @@ def s_semdedup(spark, sf_dir) -> DataFrame:
     """SemDeDup: per k-means cluster, collapse within-cluster cosine-≥τ
     groups to one representative (min vec_id) and report kept/pruned
     counts — the corpus-curation summary a pipeline materializes before
-    training."""
+    training. Fixture K (oracle-shared index); production scales K with
+    the corpus — see `semdedup_counts`."""
+    return semdedup_counts(spark, sf_dir)
+
+
+def semdedup_counts(
+    spark, sf_dir, k: int = K_IVF, sample: int = IVF_SAMPLE
+) -> DataFrame:
+    """Parameterized SemDeDup pipeline (s_semdedup = defaults). `k` is
+    THE scale knob: fixed K makes the within-cluster pair stream grow
+    n²/K; a production run sets K ≈ n / target_cluster_size, which holds
+    per-input-row cost flat (measured in SCALE.md via
+    `tools/scale_check.py --only=semdedup_k`). Past
+    SEM_ASSIGN_INLINE_MAX centroids, `assign_clusters` switches to the
+    broadcast centroid-table join automatically."""
     from ..operators.graph import connected_components
 
-    cents, cn2 = _kmeans_centroids(spark, sf_dir)
+    cents, cn2 = _kmeans_centroids(spark, sf_dir, k=k, sample=sample)
     # the assigned+normed table feeds BOTH self-join sides and the final
     # rollup: materialize it once (the paper's pipelines persist cluster
     # assignments as a staging table for exactly this reason) instead of

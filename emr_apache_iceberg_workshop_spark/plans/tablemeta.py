@@ -2402,6 +2402,63 @@ def q_meta_metadata_log(spark, sf_dir) -> DataFrame:
     )
 
 
+METALOG_RELOC_ROOT = os.path.join(_REPO_ROOT, "fixtures", "metalog_reloc")
+
+
+def _metalog_reloc(spark):
+    """RELOCATED copy of the metalog demo: the whole table directory
+    copied to a different absolute path AFTER its 4-version history was
+    emitted, so every metadata-log entry records a now-stale write-time
+    path — the moved-warehouse / portable-checkout shape."""
+    _metalog_demo(spark)  # ensure the source history exists
+    from ..tables import SnapshotTable
+
+    hint = os.path.join(METALOG_RELOC_ROOT, "metadata", "version-hint.text")
+    try:
+        with open(hint) as f:
+            ok = f.read().strip() == "4"
+    except OSError:
+        ok = False
+    if not ok:
+        shutil.rmtree(METALOG_RELOC_ROOT, ignore_errors=True)
+        shutil.copytree(METALOG_ROOT, METALOG_RELOC_ROOT)
+    return SnapshotTable(spark, METALOG_RELOC_ROOT)
+
+
+@query(
+    "q_meta_metadata_log_reloc",
+    # independent derivation AT THE NEW LOCATION: the relocated dir's
+    # version files read directly. Agreement proves the engine's chain
+    # walk resolves each logged (stale) path by basename next to the
+    # discovered latest file — and that the SQL-facade
+    # `<table>.metadata_log_entries` suffix serves the same rows.
+    oracle=f"""
+    SELECT regexp_extract(filename, 'v[0-9]+\\.metadata\\.json') AS file,
+           CAST("last-updated-ms" AS BIGINT) AS timestamp_ms,
+           CAST("current-snapshot-id" AS BIGINT) AS latest_snapshot_id,
+           CAST("current-schema-id" AS INT) AS latest_schema_id
+    FROM read_json_auto('{METALOG_RELOC_ROOT}/metadata/v*.metadata.json',
+                        filename = true)
+    """,
+    tags=("meta:metadata-log", "tablemeta", "interop", "sql-facade"),
+)
+def q_meta_metadata_log_reloc(spark, sf_dir) -> DataFrame:
+    """`.metadata_log_entries` over a RELOCATED warehouse, through the
+    SQL facade (`SELECT ... FROM <name>.metadata_log_entries`): the
+    logged absolute paths are stale after the move and must resolve by
+    basename (`iceberg_meta.py:1600` fallback), like Iceberg readers
+    resolving relative to the table location."""
+    from ..sqlext import SqlCatalog
+
+    t = _metalog_reloc(spark)
+    cat = SqlCatalog(spark, warehouse=os.path.join(_REPO_ROOT, "fixtures"))
+    cat.register("metalog_reloc", t.root)
+    return cat.sql(
+        "SELECT file, timestamp_ms, latest_snapshot_id, latest_schema_id"
+        " FROM metalog_reloc.metadata_log_entries"
+    )
+
+
 @query(
     "q_meta_snapshot_summary",
     # manifest-free recomputation: per-snapshot added/total counters

@@ -188,6 +188,22 @@ def time_dsv2_write(spark, sf_dir: str, runs: int = 2) -> float:
     return round(best, 3)
 
 
+def time_semdedup_k(spark, sf_dir: str, k: int, sample: int, runs: int = 2) -> float:
+    """SemDeDup at an explicit K — the operator's scale knob. The decade
+    probe runs sf1 with K scaled 10× (cluster size matched to sf0.1's
+    K=8 fixture), turning the fixed-K n²/K pair stream back into a
+    per-input-row-flat cost (the paper's production setting)."""
+    from emr_apache_iceberg_workshop_spark.plans.similarity import semdedup_counts
+
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        semdedup_counts(spark, sf_dir, k=k, sample=sample).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = next(
@@ -202,10 +218,13 @@ def main() -> None:
     spark = build_session(app_name="scale-check")
     report = {}
     picked = {s.strip() for s in only.split(",") if s.strip()} if only else None
+    specials = {"dsv2_write", "semdedup_k"}
     if picked:
-        unknown = picked - set(QUERIES)
+        unknown = picked - set(QUERIES) - specials
         if unknown:
-            raise SystemExit(f"--only names not in QUERIES: {sorted(unknown)}")
+            raise SystemExit(
+                f"--only names not in QUERIES or {sorted(specials)}: {sorted(unknown)}"
+            )
     names = [n for n in QUERIES if picked is None or n in picked]
     if names:
         t01 = _time_named(spark, "/root/testdata/sf0.1", names)
@@ -218,7 +237,7 @@ def main() -> None:
                 "time_ratio": round(t1[q] / t01[q], 2),
                 "per_row_ratio": round(t1[q] / t01[q] / FACTOR, 2),
             }
-    if only in (None, "dsv2_write"):
+    if picked is None or "dsv2_write" in picked:
         w01 = time_dsv2_write(spark, "/root/testdata/sf0.1")
         w1 = time_dsv2_write(spark, out_dir)
         report["dsv2_write"] = {
@@ -226,6 +245,18 @@ def main() -> None:
             "sf1_s": w1,
             "time_ratio": round(w1 / w01, 2),
             "per_row_ratio": round(w1 / w01 / FACTOR, 2),
+        }
+    if picked is None or "semdedup_k" in picked:
+        # scaled-K decade: sf0.1 at the fixture index (K=8, sample=256) vs
+        # sf1 at K×10 (matched cluster size) — per_row_ratio ≈ 1 is the
+        # claim; contrast with the fixed-K s_semdedup row (~3)
+        s01 = time_semdedup_k(spark, "/root/testdata/sf0.1", k=8, sample=256)
+        s1 = time_semdedup_k(spark, out_dir, k=80, sample=2560)
+        report["semdedup_k"] = {
+            "sf0.1_s(K=8)": s01,
+            "sf1_s(K=80)": s1,
+            "time_ratio": round(s1 / s01, 2),
+            "per_row_ratio": round(s1 / s01 / FACTOR, 2),
         }
     print("SCALE " + json.dumps(report))
 
