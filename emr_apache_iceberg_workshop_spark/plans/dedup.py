@@ -1397,3 +1397,148 @@ def d_incremental(spark, sf_dir) -> DataFrame:
     # append=False: the graded query must be idempotent across runs in one
     # process; the append path is exercised by the pytest
     return dedup_batch_incremental(spark, batch, store, append=False)
+
+
+# --------------------------------------------------------------------------
+# Incremental SimHash twin: same day-2 shape as `dedup_batch_incremental`
+# but over the 32-bit simhash fingerprint store — fingerprints are 8 bytes
+# per doc (vs 12 minhashes + 4 band strings), so the persisted table is
+# even cheaper to stream, and the hamming verify needs no second column.
+
+_SH_DDL = "doc_id bigint, simhash bigint"
+
+
+def simhash_signature_df(docs: DataFrame) -> DataFrame:
+    """doc_id, simhash — the codegen'd explode→md5→bit-majority aggregate
+    from `_simhash_table`, over an arbitrary documents DataFrame."""
+    high = "'8','9','a','b','c','d','e','f'"
+    e = docs.selectExpr(
+        "doc_id", f"explode_outer(array_distinct({TOKS_S})) AS x"
+    ).selectExpr("doc_id", "md5(x) AS hh")
+    bit_counts = [
+        F.expr(
+            f"count(CASE WHEN substr(hh, {b + 1}, 1) IN ({high}) THEN 1 END)"
+        ).alias(f"c{b}")
+        for b in range(32)
+    ]
+    g = e.groupBy("doc_id").agg(F.count("hh").alias("n"), *bit_counts)
+    vote = " + ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return g.selectExpr("doc_id", f"CAST({vote} AS BIGINT) AS simhash")
+
+
+def build_simhash_store(spark, docs: DataFrame, root: str):
+    """Day-1 build: fingerprint the corpus once, persist as a SnapshotTable."""
+    from ..tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, root, _SH_DDL)
+    t.write(simhash_signature_df(docs))
+    return t
+
+
+def _sh_bands(df: DataFrame, fp_alias: str) -> DataFrame:
+    band_pairs = ", ".join(
+        f"{b}, CAST(shiftright(simhash, {8 * b}) & 255 AS INT)" for b in range(4)
+    )
+    return df.select("simhash").distinct().selectExpr(
+        f"simhash AS {fp_alias}", f"stack(4, {band_pairs}) AS (band_idx, band_val)"
+    )
+
+
+def dedup_batch_incremental_simhash(
+    spark, batch_docs: DataFrame, store, append: bool = True, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash batch dedup against the persisted fingerprint store:
+    fingerprint the batch (the only text pass), byte-band the batch's
+    DISTINCT fingerprints against the store's ∪ its own (pigeonhole:
+    hamming ≤ 3 over 4 bytes ⇒ some byte equal, and equal fingerprints
+    share every band), verify exact hamming on the fingerprint pairs,
+    then expand to doc pairs touching the batch. Returns
+    (doc_a, doc_b, simhash_a, simhash_b, hamming), doc_a < doc_b."""
+    batch_sig = simhash_signature_df(batch_docs).localCheckpoint(eager=True)
+    if append:
+        store.write(batch_sig)
+    store_sig = store.scan().select("doc_id", "simhash")
+    if append:
+        # the store scan now includes the batch snapshot; the union below
+        # must not double-count it
+        other_sig = store_sig
+    else:
+        other_sig = store_sig.unionByName(batch_sig)
+
+    bfp = _sh_bands(batch_sig, "fa")
+    ofp = _sh_bands(other_sig, "fb")
+    fpp = (
+        bfp.join(ofp, ["band_idx", "band_val"])
+        .select("fa", "fb")
+        .distinct()
+        .withColumn("hamming", F.expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    a = batch_sig.selectExpr("doc_id AS ida", "simhash AS fa")
+    b = other_sig.selectExpr("doc_id AS idb", "simhash AS fb")
+    return (
+        fpp.join(a, "fa")
+        .join(b, "fb")
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            F.when(F.col("ida") < F.col("idb"), F.col("fa")).otherwise(F.col("fb")).alias("simhash_a"),
+            F.when(F.col("ida") < F.col("idb"), F.col("fb")).otherwise(F.col("fa")).alias("simhash_b"),
+            "hamming",
+        )
+        .distinct()  # batch-batch pairs arrive in both orientations
+    )
+
+
+_incr_sh_store_cache: dict[str, str] = {}
+
+
+def _incremental_sh_store_for(spark, sf_dir: str) -> str:
+    import tempfile
+
+    from ..tables import SnapshotTable
+
+    key = os.path.abspath(sf_dir)
+    root = _incr_sh_store_cache.get(key)
+    if root and SnapshotTable.exists(root):
+        return root
+    root = os.path.join(tempfile.mkdtemp(prefix="eiws_incrsh_"), "sigs")
+    corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 5 != 0"
+    ).select("doc_id", "text")
+    build_simhash_store(spark, corpus, root)
+    _incr_sh_store_cache[key] = root
+    return root
+
+
+@query(
+    "d_incremental_simhash",
+    # full-corpus simhash recompute on the union (d_simhash's oracle),
+    # restricted to the pairs the incremental run owns — those touching
+    # the batch (doc_id % 5 = 0)
+    oracle=f"""
+    WITH md AS (SELECT doc_id, {_simhash_md5s('duck')} AS __md FROM documents),
+         h AS (SELECT doc_id, {_simhash_expr('duck')} AS simhash FROM md)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS simhash_a, b.simhash AS simhash_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+    """,
+    tags=("dedup:incremental-simhash", "join", "snapshot-table"),
+)
+def d_incremental_simhash(spark, sf_dir) -> DataFrame:
+    """Incremental SimHash dedup of the batch slice (doc_id % 5 = 0)
+    against the persisted fingerprint store — corpus text never
+    rescanned (d_incremental's plan proof applies; same store shape)."""
+    from ..tables import SnapshotTable
+
+    store = SnapshotTable(spark, _incremental_sh_store_for(spark, sf_dir))
+    batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 5 = 0"
+    ).select("doc_id", "text")
+    return dedup_batch_incremental_simhash(spark, batch, store, append=False)

@@ -54,6 +54,7 @@ _MODULES = [
 _PREFIX_ORDER = [
     # (a) new in r11
     "d_incremental",
+    "d_incremental_simhash",
     "q_meta_metadata_log_reloc",
     # (b) the 46 r07-stale names
     "c_curated_corpus",
@@ -102,11 +103,13 @@ _PREFIX_ORDER = [
     "t_lang_profile",
     "t_scrub_pii",
     "t_token_freq",
-    # (c) r11 code-touched
+    # (c) r11 code-touched (s_semdedup's assign refactor is
+    # plan-identical at fixture K and stays below the window; the summary
+    # counters' semantics actually changed -> re-sign)
     "q_meta_snapshot_summary",
-    "s_semdedup",
     # --- below the 50-slot window: prior prefix order (r10 window first,
     # then the earlier cohorts)
+    "s_semdedup",
     "q_meta_metadata_log",
     "q_meta_add_files",
     "q_meta_avro_java",

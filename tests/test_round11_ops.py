@@ -350,3 +350,43 @@ def test_assign_clusters_bigk_tiebreak(spark):
             .collect()
         }
         assert got == {(1, 3), (2, 5)}, (inline_max, got)
+
+
+def test_incremental_simhash_store_roundtrip(spark, tmp_path):
+    """SimHash twin of the incremental store: batch text only, corpus via
+    the persisted fingerprint table; append commits a new snapshot; plan
+    never rescans corpus text."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_simhash_store,
+        dedup_batch_incremental_simhash,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "doc_id bigint, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [(1, base), (2, "completely unrelated corpus words drawn from an"
+          " entirely different vocabulary and domain")],
+        ddl,
+    ).write.parquet(str(tmp_path / "corpus_docs"))
+    spark.createDataFrame(
+        [(10, base), (11, base)], ddl
+    ).write.parquet(str(tmp_path / "batch_docs"))
+
+    store_root = str(tmp_path / "shsigs")
+    build_simhash_store(
+        spark, spark.read.parquet(str(tmp_path / "corpus_docs")), store_root
+    )
+    store = SnapshotTable(spark, store_root)
+    batch = spark.read.parquet(str(tmp_path / "batch_docs"))
+    m = dedup_batch_incremental_simhash(spark, batch, store, append=True)
+    rows = {(r.doc_a, r.doc_b): r.hamming for r in m.collect()}
+    assert rows[(1, 10)] == 0 and rows[(1, 11)] == 0  # vs corpus
+    assert rows[(10, 11)] == 0  # within batch
+    assert not any(2 in p for p in rows)
+    assert len(store.snapshots()) == 2
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    m2 = dedup_batch_incremental_simhash(spark, batch, store, append=False)
+    plan = m2._jdf.queryExecution().executedPlan().toString()
+    assert "corpus_docs" not in plan
