@@ -209,8 +209,8 @@ SEM_ASSIGN_INLINE_MAX = 256
 def assign_clusters(
     n: DataFrame,
     cents: list[tuple[int, list[float]]],
-    cn2: list[float],
-    inline_max: int = SEM_ASSIGN_INLINE_MAX,
+    cn2: list[float] | None,
+    inline_max: int | None = None,
 ) -> DataFrame:
     """Add an int `cluster` column = argmin-distance centroid for each row
     of `n` (which must carry the embedding column `e`).
@@ -221,10 +221,23 @@ def assign_clusters(
     scalable path; the n×K scored stream is never shuffled (partial
     aggregation reduces each partition to one row per vec_id before the
     exchange) and the centroid table is O(K·d) broadcast state, the same
-    bound as the driver-literal form."""
+    bound as the driver-literal form.
+
+    cn2=None recomputes each ‖c‖² with the same exact-decimal dot the
+    scores use (the k-means training rounds pass None — centroids change
+    every round)."""
+    if inline_max is None:
+        inline_max = SEM_ASSIGN_INLINE_MAX  # resolved at CALL time (testable)
     if len(cents) <= inline_max:
         return n.withColumn("cluster", F.expr(_assign_expr(cents, cn2)).cast("int"))
     spark = n.sparkSession
+    if cn2 is None:
+        # one tiny JVM job: ‖c‖² per centroid, exact-decimal — identical
+        # to the inline form's sdot(a, a) evaluation
+        row = spark.range(1).selectExpr(
+            *[f"{sdot(_arr(c), _arr(c))} AS c{i}" for i, (_, c) in enumerate(cents)]
+        ).collect()[0]
+        cn2 = [row[f"c{i}"] for i in range(len(cents))]
     cdf = spark.createDataFrame(
         [(int(k), list(map(float, comps)), float(c2)) for (k, comps), c2 in zip(cents, cn2)],
         "cluster int, ce array<double>, cn2 double",
@@ -283,7 +296,11 @@ def _kmeans_centroids(
         for r in sorted(seeds.collect(), key=lambda r: r["cluster"])
     ]
     for _ in range(IVF_ROUNDS):
-        assigned = sr.withColumn("cluster", F.expr(_assign_expr(cents)))
+        # routed through assign_clusters so TRAINING is also big-K capable
+        # (inline literal at fixture K — byte-identical plan — broadcast
+        # join past SEM_ASSIGN_INLINE_MAX); cn2=None recomputes ‖c‖² per
+        # round exactly as the inline form would
+        assigned = assign_clusters(sr, cents, None)
         stats = (
             assigned.select("cluster", F.posexplode("e").alias("dim", "val"))
             .groupBy("cluster", "dim")

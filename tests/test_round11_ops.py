@@ -390,3 +390,27 @@ def test_incremental_simhash_store_roundtrip(spark, tmp_path):
     m2 = dedup_batch_incremental_simhash(spark, batch, store, append=False)
     plan = m2._jdf.queryExecution().executedPlan().toString()
     assert "corpus_docs" not in plan
+
+
+def test_semdedup_pipeline_path_independent(spark, monkeypatch):
+    """The FULL SemDeDup pipeline (training assignment rounds + final
+    assignment + collapse) must give identical results whichever
+    assignment path runs — forcing the broadcast-join path everywhere by
+    dropping the inline threshold to 0 reproduces the inline result
+    row-for-row."""
+    from emr_apache_iceberg_workshop_spark.plans import similarity as sim
+
+    sf_dir = "/root/testdata/sf0.001"
+    inline = {
+        tuple(r) for r in sim.semdedup_counts(spark, sf_dir, k=6, sample=64).collect()
+    }
+    sim._kmeans_cache.clear()  # retrain under the forced path
+    monkeypatch.setattr(sim, "SEM_ASSIGN_INLINE_MAX", 0)
+    try:
+        joined = {
+            tuple(r)
+            for r in sim.semdedup_counts(spark, sf_dir, k=6, sample=64).collect()
+        }
+    finally:
+        sim._kmeans_cache.clear()  # do not leak forced-path training
+    assert inline == joined and len(inline) > 0

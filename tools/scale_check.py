@@ -56,6 +56,13 @@ QUERIES = (
     # the probe's watch-point (the paper scales K with the corpus to hold
     # cluster size constant; at fixed K the pair stream grows n²/K)
     "s_semdedup",
+    # r11: the incremental dedup tiers. Their per-sf store fixture builds
+    # on the FIRST run; best-of-2 timing therefore measures the
+    # steady-state batch path (signature the batch + band-join the
+    # persisted store). Watch-point: the simhash tier's output is the
+    # batch-touching near-dup pair enumeration, which on the marker-token
+    # fixture grows with the batch's share of dup pairs, not n².
+    "d_incremental", "d_incremental_simhash",
 )
 FACTOR = 10
 
