@@ -1514,31 +1514,118 @@ def _incremental_sh_store_for(spark, sf_dir: str) -> str:
     return root
 
 
+def simhash_batch_verdicts(
+    spark, batch_docs: DataFrame, store, append: bool = True, max_hamming: int = 3
+) -> DataFrame:
+    """BOUNDED-output incremental SimHash dedup: one row per batch doc
+    that has >= 1 near-dup partner (hamming <= max_hamming) in the store
+    or the batch — (doc_id, simhash, n_partners, best_hamming,
+    best_partner). Computed ENTIRELY at the fingerprint level: per-
+    fingerprint doc stats (count, two smallest ids) + the banded
+    fingerprint-pair stream, then a per-fingerprint aggregate joined back
+    to the batch. No doc-pair enumeration anywhere — the pair form
+    (`dedup_batch_incremental_simhash`) is output-bound on dup-dense
+    corpora (measured 11x/row across the sf0.1->sf1 decade, SCALE.md),
+    while this verdict form's intermediates are O(distinct fingerprints
+    + fingerprint pairs) and its output O(batch): the shape a 100 TB
+    ingest gate actually ships."""
+    batch_sig = simhash_signature_df(batch_docs).localCheckpoint(eager=True)
+    if append:
+        store.write(batch_sig)
+    other = store.scan().select("doc_id", "simhash")
+    if not append:
+        other = other.unionByName(batch_sig.select("doc_id", "simhash"))
+
+    # per-fingerprint stats over the full universe: count + two smallest
+    # doc ids (min2 lets the same-fingerprint bucket exclude the batch
+    # doc itself when IT is the minimum)
+    s1 = other.groupBy("simhash").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("doc_id").alias("min1"),
+    )
+    m2 = (
+        other.join(s1, "simhash")
+        .filter(F.col("doc_id") > F.col("min1"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("min2"))
+    )
+    stats = s1.join(m2, "simhash", "left")
+
+    bfp = _sh_bands(batch_sig, "fa")
+    ofp = _sh_bands(other, "fb")
+    fpp = (
+        bfp.join(ofp, ["band_idx", "band_val"])
+        .select("fa", "fb")
+        .distinct()
+        .withColumn("hamming", F.expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # cross-bucket aggregate per batch fingerprint: total partner count
+    # and the lexicographic-min (hamming, partner) pair — doc-independent
+    cross = fpp.filter(F.col("fa") != F.col("fb")).join(
+        stats.selectExpr("simhash AS fb", "cnt AS cntb", "min1 AS minb"), "fb"
+    )
+    cross_agg = cross.groupBy("fa").agg(
+        F.sum("cntb").cast("long").alias("cnt1"),
+        F.min(F.struct("hamming", "minb")).alias("best1"),
+    )
+    same = stats.selectExpr(
+        "simhash AS fa", "cnt AS cnt0", "min1 AS s_min1", "min2 AS s_min2"
+    )
+    b = batch_sig.selectExpr("doc_id", "simhash", "simhash AS fa")
+    out = (
+        b.join(same, "fa")  # every batch doc's fingerprint is in `other`
+        .join(cross_agg, "fa", "left")
+        .selectExpr(
+            "doc_id",
+            "simhash",
+            "CAST((cnt0 - 1) + coalesce(cnt1, 0) AS BIGINT) AS n_partners",
+            "CAST(CASE WHEN cnt0 >= 2 THEN 0 ELSE best1.hamming END AS BIGINT)"
+            " AS best_hamming",
+            "CAST(CASE WHEN cnt0 >= 2 THEN"
+            " (CASE WHEN s_min1 <> doc_id THEN s_min1 ELSE s_min2 END)"
+            " ELSE best1.minb END AS BIGINT) AS best_partner",
+        )
+        .filter("n_partners > 0")
+    )
+    return out
+
+
 @query(
     "d_incremental_simhash",
-    # full-corpus simhash recompute on the union (d_simhash's oracle),
-    # restricted to the pairs the incremental run owns — those touching
-    # the batch (doc_id % 5 = 0)
+    # full-corpus simhash recompute on the union, aggregated to the SAME
+    # bounded per-batch-doc verdict: partner count, best hamming, and the
+    # smallest partner id at the best hamming (composite-key MIN makes
+    # the tie-break identical in both engines)
     oracle=f"""
     WITH md AS (SELECT doc_id, {_simhash_md5s('duck')} AS __md FROM documents),
-         h AS (SELECT doc_id, {_simhash_expr('duck')} AS simhash FROM md)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.simhash AS simhash_a, b.simhash AS simhash_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM h a JOIN h b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-      AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+         h AS (SELECT doc_id, {_simhash_expr('duck')} AS simhash FROM md),
+         p AS (SELECT a.doc_id AS doc_id, a.simhash AS simhash,
+                      b.doc_id AS partner,
+                      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+               FROM h a JOIN h b ON b.doc_id <> a.doc_id
+               WHERE a.doc_id % 5 = 0
+                 AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+    SELECT doc_id, simhash,
+           CAST(COUNT(*) AS BIGINT) AS n_partners,
+           CAST(MIN(hamming * 10000000000 + partner) // 10000000000 AS BIGINT)
+             AS best_hamming,
+           CAST(MIN(hamming * 10000000000 + partner) % 10000000000 AS BIGINT)
+             AS best_partner
+    FROM p GROUP BY doc_id, simhash
     """,
     tags=("dedup:incremental-simhash", "join", "snapshot-table"),
 )
 def d_incremental_simhash(spark, sf_dir) -> DataFrame:
     """Incremental SimHash dedup of the batch slice (doc_id % 5 = 0)
-    against the persisted fingerprint store — corpus text never
-    rescanned (d_incremental's plan proof applies; same store shape)."""
+    against the persisted fingerprint store, BOUNDED-OUTPUT verdict form
+    (one row per batch doc with a partner) — corpus text never rescanned,
+    no doc-pair enumeration (the pair form is enumeration-bound on
+    dup-dense corpora; see SCALE.md r11)."""
     from ..tables import SnapshotTable
 
     store = SnapshotTable(spark, _incremental_sh_store_for(spark, sf_dir))
     batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
         "doc_id % 5 = 0"
     ).select("doc_id", "text")
-    return dedup_batch_incremental_simhash(spark, batch, store, append=False)
+    return simhash_batch_verdicts(spark, batch, store, append=False)
