@@ -108,7 +108,9 @@ _PREFIX_ORDER = [
     # counters' semantics actually changed -> re-sign)
     "q_meta_snapshot_summary",
     # --- below the 50-slot window: prior prefix order (r10 window first,
-    # then the earlier cohorts)
+    # then the earlier cohorts). s_incremental_semdedup is r11-new but the
+    # window is full; battery-verified this round, driver-signs at r12.
+    "s_incremental_semdedup",
     "s_semdedup",
     "q_meta_metadata_log",
     "q_meta_add_files",

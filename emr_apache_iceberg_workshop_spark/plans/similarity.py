@@ -264,21 +264,26 @@ _kmeans_cache: dict[tuple[str, str], tuple] = {}
 
 
 def _kmeans_centroids(
-    spark, sf_dir, k: int = K_IVF, sample: int = IVF_SAMPLE
+    spark, sf_dir, k: int = K_IVF, sample: int = IVF_SAMPLE,
+    where: str | None = None,
 ) -> tuple[list[tuple[int, list[float]]], list[float]]:
     """Seeded Lloyd's: sample = `sample` smallest (md5(vec_id), vec_id);
     seeds = first `k` of the sample; IVF_ROUNDS assign/update rounds with
     exact-decimal per-dim means. Returns (centroids, per-centroid ‖c‖²).
     Empty clusters drop out (both engines derive them identically).
     Defaults are the shared fixture index; scale probes pass a corpus-
-    matched k (K ≈ n / target_cluster_size)."""
+    matched k (K ≈ n / target_cluster_size); `where` restricts TRAINING
+    to a corpus slice (the incremental tier trains on day-1 data only —
+    day-2 batches are assigned, never retrain)."""
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), k, sample)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), k, sample, where)
     cached = _kmeans_cache.get(key)
     if cached is not None:
         return cached
     emb = load_table(spark, sf_dir, "embeddings")
+    if where:
+        emb = emb.filter(where)
     samp = (
         emb.selectExpr("vec_id", "embedding AS e", f"{_H_S} AS h")
         .orderBy("h", "vec_id")
@@ -942,3 +947,154 @@ def semdedup_counts(
             F.count("p").cast("long").alias("n_pruned"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental (cross-run) SEMANTIC dedup — the SemDeDup day-2 shape and
+# the third member of the incremental family (lexical MinHash and
+# bit-level SimHash live in plans/dedup.py). Day 1 trains the k-means
+# index on the corpus and persists per-vector CLUSTER ASSIGNMENTS (+
+# norms + vectors) as a SnapshotTable; each day-2 batch is ASSIGNED with
+# the frozen centroids (O(batch·K·d), never retrains), joined only
+# within its own clusters against the persisted assignments, and scored
+# with the same two-stage double-prefilter + exact-decimal cosine as
+# s_semdedup. Output is the bounded verdict form: one row per batch
+# vector with >= 1 semantic duplicate.
+
+SEM_INCR_WHERE = "vec_id % 5 != 0"  # the fixture's day-1 corpus slice
+
+
+def semdedup_batch_verdicts(
+    spark,
+    batch: DataFrame,
+    store,
+    cents: list[tuple[int, list[float]]],
+    cn2: list[float],
+    append: bool = True,
+    tau: float = SEM_TAU,
+) -> DataFrame:
+    """(vec_id, cluster, n_partners, best_cos, best_partner) for every
+    batch vector with a same-cluster cosine-≥τ partner in the persisted
+    assignment store or the batch itself. `batch` must carry (vec_id, e,
+    nrm) — the `_normed` shape. When `append`, the batch's assignments
+    are committed to the store so the next batch sees them."""
+    basg = assign_clusters(batch, cents, cn2).localCheckpoint(eager=True)
+    if append:
+        store.write(basg.select("vec_id", "cluster", "nrm", "e"))
+    universe = store.scan().select("vec_id", "cluster", "nrm", "e")
+    if not append:
+        universe = universe.unionByName(basg.select("vec_id", "cluster", "nrm", "e"))
+
+    from ..functions.exact import sdot_approx
+
+    a = basg.selectExpr("vec_id", "cluster", "e AS ae", "nrm AS a_nrm")
+    b = universe.selectExpr(
+        "vec_id AS partner", "cluster AS __cb", "e AS be", "nrm AS b_nrm"
+    )
+    pairs = (
+        a.join(b, (F.col("cluster") == F.col("__cb")) & (F.col("vec_id") != F.col("partner")))
+        .filter(
+            F.expr(sdot_approx("ae", "be")) / (F.col("a_nrm") * F.col("b_nrm"))
+            >= tau - 1e-6
+        )
+        .withColumn(
+            "cos", F.expr(sdot("ae", "be")) / (F.col("a_nrm") * F.col("b_nrm"))
+        )
+        .filter(F.col("cos") >= tau)
+        .select("vec_id", "cluster", "partner", "cos")
+    )
+    agg = pairs.groupBy("vec_id", "cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partners"),
+        F.max("cos").alias("best_cos"),
+    )
+    # smallest partner id at the (bit-exact) best cosine — two-step argmax
+    # with plain float equality, identical in both engines because every
+    # cos comes from the same exact-decimal dot
+    best = (
+        pairs.join(agg.select("vec_id", "best_cos"), "vec_id")
+        .filter(F.col("cos") == F.col("best_cos"))
+        .groupBy("vec_id")
+        .agg(F.min("partner").alias("best_partner"))
+    )
+    return agg.join(best, "vec_id").select(
+        "vec_id", "cluster", "n_partners", "best_cos", "best_partner"
+    )
+
+
+_incr_sem_store_cache: dict[str, str] = {}
+
+
+def _incremental_sem_store_for(spark, sf_dir: str) -> str:
+    """Day-1 state: corpus-slice vectors assigned under the corpus-trained
+    index and persisted (vec_id, cluster, nrm, e)."""
+    import os
+    import tempfile
+
+    from ..tables import SnapshotTable
+
+    key = os.path.abspath(sf_dir)
+    root = _incr_sem_store_cache.get(key)
+    if root and SnapshotTable.exists(root):
+        return root
+    root = os.path.join(tempfile.mkdtemp(prefix="eiws_incrsem_"), "asg")
+    cents, cn2 = _kmeans_centroids(spark, sf_dir, where=SEM_INCR_WHERE)
+    corpus = _normed(spark, sf_dir).filter(SEM_INCR_WHERE)
+    assigned = assign_clusters(corpus, cents, cn2)
+    t = SnapshotTable.create(
+        spark, root, "vec_id bigint, cluster int, nrm double, e array<float>"
+    )
+    t.write(assigned.select("vec_id", "cluster", "nrm", "e"))
+    _incr_sem_store_cache[key] = root
+    return root
+
+
+_SEM_INCR_ORACLE = f"""
+    WITH
+    emb AS (SELECT vec_id, embedding AS e FROM embeddings),
+    corp AS (SELECT vec_id, e, {_H_D} AS h FROM emb WHERE {SEM_INCR_WHERE}),
+    samp AS (SELECT vec_id, e, h FROM corp ORDER BY h, vec_id LIMIT {IVF_SAMPLE}),
+    sr AS (SELECT vec_id, e, row_number() OVER (ORDER BY h, vec_id) AS rn FROM samp),
+    c0 AS (SELECT rn AS cluster, e AS ce FROM sr WHERE rn <= {K_IVF}),
+    {",".join(_ivf_iter_cte(i + 1, f"c{i}") for i in range(IVF_ROUNDS))},
+    cf AS (SELECT cluster, ce, ({odot('ce', 'ce')}) AS cn2 FROM c{IVF_ROUNDS}),
+    asg1 AS (SELECT m.vec_id, m.e, c.cluster,
+               row_number() OVER (PARTITION BY m.vec_id
+                 ORDER BY 2 * ({odot('m.e', 'c.ce')}) - c.cn2 DESC, c.cluster) AS rnk
+             FROM emb m CROSS JOIN cf c),
+    n AS (SELECT vec_id, e, cluster, sqrt({odot('e', 'e')}) AS nrm
+          FROM asg1 WHERE rnk = 1),
+    p AS (SELECT a.vec_id, a.cluster, b.vec_id AS partner,
+                 {odot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cos
+          FROM n a JOIN n b
+            ON a.cluster = b.cluster AND b.vec_id <> a.vec_id
+          WHERE a.vec_id % 5 = 0
+            AND {odot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {SEM_TAU}),
+    agg AS (SELECT vec_id, cluster,
+                   CAST(COUNT(*) AS BIGINT) AS n_partners,
+                   MAX(cos) AS best_cos
+            FROM p GROUP BY 1, 2)
+    SELECT agg.vec_id AS vec_id, CAST(agg.cluster AS INT) AS cluster,
+           agg.n_partners AS n_partners, agg.best_cos AS best_cos,
+           MIN(p.partner) AS best_partner
+    FROM agg JOIN p ON p.vec_id = agg.vec_id AND p.cos = agg.best_cos
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@query(
+    "s_incremental_semdedup",
+    oracle=_SEM_INCR_ORACLE,
+    tags=("similarity:incremental-semdedup", "dedup", "kmeans", "snapshot-table"),
+)
+def s_incremental_semdedup(spark, sf_dir) -> DataFrame:
+    """Incremental SemDeDup: the batch slice (vec_id % 5 = 0) assigned
+    under the FROZEN corpus-trained index and semantically deduped
+    against the persisted day-1 assignments + itself — bounded verdict
+    output, no corpus re-assignment (oracle: the full recompute on the
+    union, restricted to batch verdicts)."""
+    from ..tables import SnapshotTable
+
+    store = SnapshotTable(spark, _incremental_sem_store_for(spark, sf_dir))
+    cents, cn2 = _kmeans_centroids(spark, sf_dir, where=SEM_INCR_WHERE)
+    batch = _normed(spark, sf_dir).filter("vec_id % 5 = 0")
+    return semdedup_batch_verdicts(spark, batch, store, cents, cn2, append=False)

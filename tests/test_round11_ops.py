@@ -414,3 +414,48 @@ def test_semdedup_pipeline_path_independent(spark, monkeypatch):
     finally:
         sim._kmeans_cache.clear()  # do not leak forced-path training
     assert inline == joined and len(inline) > 0
+
+
+def test_incremental_semdedup_store_roundtrip(spark, tmp_path):
+    """Semantic twin: day-1 assignments persisted; the batch is assigned
+    under the frozen index and deduped within clusters against the store
+    and itself; append commits the batch's assignments; the next batch
+    sees them."""
+    from emr_apache_iceberg_workshop_spark.plans.similarity import (
+        assign_clusters,
+        semdedup_batch_verdicts,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "vec_id bigint, e array<double>, nrm double"
+    cents = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    cn2 = [1.0, 1.0]
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1.0), (2, [0.0, 1.0], 1.0)], ddl
+    )
+    store_root = str(tmp_path / "asg")
+    t = SnapshotTable.create(
+        spark, store_root, "vec_id bigint, cluster int, nrm double, e array<double>"
+    )
+    t.write(assign_clusters(corpus, cents, cn2).select("vec_id", "cluster", "nrm", "e"))
+
+    batch = spark.createDataFrame(
+        [(10, [0.9, 0.1], 0.9055385138137417),
+         (11, [0.9, 0.1], 0.9055385138137417),
+         (12, [-1.0, 0.0], 1.0)],  # same cluster as 1/10/11? argmax: score 2*(-1)-1 vs 2*0-1 -> cluster 2
+        ddl,
+    )
+    m = semdedup_batch_verdicts(spark, batch, t, cents, cn2, append=True, tau=0.9)
+    rows = {r.vec_id: r for r in m.collect()}
+    # 10 and 11 are semantic dups of corpus vec 1 and of each other
+    assert rows[10].n_partners == 2 and rows[11].n_partners == 2
+    assert rows[10].best_partner in (1, 11)
+    # 12 points the other way: no cosine-0.9 partner
+    assert 12 not in rows
+    assert len(t.snapshots()) == 2  # batch assignments appended
+
+    # next batch sees day-1 AND day-2 vectors
+    b2 = spark.createDataFrame([(20, [1.0, 0.05], 1.0012492197250393)], ddl)
+    m2 = semdedup_batch_verdicts(spark, b2, t, cents, cn2, append=False, tau=0.9)
+    p2 = {r.vec_id: r.n_partners for r in m2.collect()}
+    assert p2.get(20, 0) >= 3  # 1, 10, 11 all qualify

@@ -63,6 +63,11 @@ QUERIES = (
     # batch-touching near-dup pair enumeration, which on the marker-token
     # fixture grows with the batch's share of dup pairs, not n².
     "d_incremental", "d_incremental_simhash",
+    # r11 late: the semantic incremental tier (frozen corpus-trained
+    # index, within-cluster verify against the persisted assignments) —
+    # fixed-K caveat applies to the WITHIN-CLUSTER pair stream exactly as
+    # for s_semdedup; the batch-vs-store join is batch-bounded
+    "s_incremental_semdedup",
 )
 FACTOR = 10
 
