@@ -111,6 +111,7 @@ _PREFIX_ORDER = [
     # then the earlier cohorts). s_incremental_semdedup is r11-new but the
     # window is full; battery-verified this round, driver-signs at r12.
     "s_incremental_semdedup",
+    "q_meta_summary_lifecycle",
     "s_semdedup",
     "q_meta_metadata_log",
     "q_meta_add_files",

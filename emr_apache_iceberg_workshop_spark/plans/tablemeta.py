@@ -2688,3 +2688,95 @@ def q_meta_avro_java(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("qty").cast("bigint").alias("qty_total"),
     )
+
+
+# --------------------------------------------------------------------------
+SUMLC_ROOT = os.path.join(_REPO_ROOT, "fixtures", "summary_lifecycle_demo")
+_SUMLC_META = os.path.join(SUMLC_ROOT, "_meta.json")
+
+
+def _summary_lifecycle_table(spark):
+    """Deterministic non-append lifecycle for the summary counters:
+    s1 appends 3 rows across partitions a/b (2 files), s2 COW-deletes one
+    row of partition a (rewrites a's file: 1 added, 1 deleted), s3
+    cherry-picks a staged append (files stay owned by the STAGED snapshot
+    — the case the pre-r11 owner-id counters reported as added=0)."""
+    import json as _json
+
+    from ..tables import SnapshotTable
+
+    try:
+        with open(_SUMLC_META) as f:
+            ops = [s["operation"] for s in _json.load(f)["snapshots"]]
+        if ops == ["append", "delete", "append", "cherrypick"]:
+            return SnapshotTable(spark, SUMLC_ROOT)
+    except Exception:
+        pass
+    shutil.rmtree(SUMLC_ROOT, ignore_errors=True)
+    counter = itertools.count()
+    ddl = "id bigint, part string"
+    t = SnapshotTable.create(
+        spark, SUMLC_ROOT, ddl, partition_by=["part"],
+        clock=lambda: 1_700_000_000.0 + 60.0 * next(counter),
+    )
+    t.write(
+        spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ddl)
+        .coalesce(1).sortWithinPartitions("id")
+    )
+    staged = t.write(
+        spark.createDataFrame([(4, "c")], ddl).coalesce(1), branch="stage"
+    )
+    t.delete_where("id = 1")  # COW: rewrites partition a
+    t.cherry_pick_snapshot(staged)
+    return t
+
+
+@query(
+    "q_meta_summary_lifecycle",
+    # deterministic lifecycle -> the spec's parent-relative counters are a
+    # CONSTANT relation (the q_meta_dml pattern): the COW rewrite shows
+    # 1 added / 1 deleted file, and the cherry-pick — whose incoming dirs
+    # stay owned by the STAGED snapshot — must still show its file as
+    # added (the pre-r11 owner-id derivation reported 0 here)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('append', CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+      ('delete', 1, 1, 1, 2, 2),
+      ('append', 1, 1, 0, 0, 3))
+    AS t(operation, added_files, added_records, deleted_files, deleted_records, total_records)
+    """,
+    tags=("meta:snapshot-summary", "tablemeta", "interop"),
+)
+def q_meta_summary_lifecycle(spark, sf_dir) -> DataFrame:
+    """Parent-relative snapshot-summary counters over a NON-APPEND
+    lifecycle (COW rewrite + cherry-pick), read from the EMITTED
+    metadata.json — the surface external engines consume. Pins the r11
+    semantics fix driver-visibly (the append-only summary fixture cannot
+    catch owner-id-vs-parent-relative drift)."""
+    import json as _json
+
+    from ..iceberg_meta import write_iceberg_metadata
+
+    t = _summary_lifecycle_table(spark)
+    md = write_iceberg_metadata(t)
+    with open(md) as f:
+        doc = _json.load(f)
+    # spec operation values: append / replace / overwrite / delete —
+    # a cherry-pick emits "append" (it re-applies an append), so the two
+    # append rows are distinguished by their counters
+    rows = [
+        (
+            s["summary"]["operation"],
+            int(s["summary"]["added-data-files"]),
+            int(s["summary"]["added-records"]),
+            int(s["summary"].get("deleted-data-files", 0)),
+            int(s["summary"].get("deleted-records", 0)),
+            int(s["summary"]["total-records"]),
+        )
+        for s in doc["snapshots"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "operation string, added_files long, added_records long,"
+        " deleted_files long, deleted_records long, total_records long",
+    )
