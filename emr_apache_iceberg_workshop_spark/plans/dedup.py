@@ -1275,7 +1275,12 @@ def _bands_long(df: DataFrame, id_alias: str) -> DataFrame:
 
 
 def dedup_batch_incremental(
-    spark, batch_docs: DataFrame, store, append: bool = True
+    spark,
+    batch_docs: DataFrame,
+    store,
+    append: bool = True,
+    batch_sig: DataFrame | None = None,
+    summary_extra: dict | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against the persisted signature store in
     O(batch + matches) text work: signature the batch (the only pass over
@@ -1284,10 +1289,20 @@ def dedup_batch_incremental(
     signature agreement alone — no shingle arrays, no text columns — and,
     when `append`, commit the batch's signatures to the store as a new
     snapshot so the NEXT batch sees them. Returns (doc_a, doc_b, est_sim)
-    with doc_a < doc_b, one row per banded candidate pair."""
-    batch_sig = minhash_signature_df(batch_docs).localCheckpoint(eager=True)
+    with doc_a < doc_b, one row per banded candidate pair.
+
+    `batch_sig` lets a caller that already signatured the batch (the
+    exactly-once streaming shape, which must stamp the append with a
+    replay guard BEFORE computing verdicts) pass it in; `summary_extra`
+    is stamped into the append commit atomically (the store-side half of
+    that guard). The verdict computation itself is REPLAY-IDEMPOTENT:
+    the store side anti-joins the batch's own ids out, so running with
+    append=False against a store that already holds this batch's
+    signatures returns exactly what the original append=True run did."""
+    if batch_sig is None:
+        batch_sig = minhash_signature_df(batch_docs).localCheckpoint(eager=True)
     if append:
-        store.write(batch_sig)
+        store.write(batch_sig, summary_extra=summary_extra)
     store_sig = store.scan()
     mh_arr = "array(" + ", ".join(_SIG_COLS) + ")"
 
@@ -1350,14 +1365,15 @@ def _incremental_store_for(spark, sf_dir: str) -> str:
     return root
 
 
-@query(
-    "d_incremental",
-    # Ground truth: the FULL-corpus LSH recompute on the union (identical
-    # machinery to d_minhash_lsh's oracle), restricted to the pairs the
-    # incremental run is responsible for — those touching the new batch
-    # (doc_id % 5 = 0). Agreement proves batch-vs-corpus AND
-    # batch-vs-batch candidate completeness plus signature-exact est_sim.
-    oracle=f"""
+# Ground truth for the incremental MinHash tier: the FULL-corpus LSH
+# recompute on the union (identical machinery to d_minhash_lsh's oracle),
+# restricted to the pairs the incremental run is responsible for — those
+# touching the new batch (doc_id % 5 = 0). Agreement proves batch-vs-corpus
+# AND batch-vs-batch candidate completeness plus signature-exact est_sim.
+# Shared by d_incremental (one-shot batch) and q_stream_incremental_dedup
+# (the same work split across micro-batches — the union of per-batch
+# verdicts is batching-invariant, so ONE contract covers both).
+INCR_PAIRS_ORACLE = f"""
     WITH s AS (SELECT doc_id, {SHINGLES_D} AS __sh FROM documents),
          hs AS (SELECT doc_id, {HASHED_SHINGLES_D} AS __hs FROM s),
          m AS (SELECT doc_id, {', '.join(_minhash_exprs('duck'))} FROM hs),
@@ -1380,7 +1396,12 @@ def _incremental_store_for(spark, sf_dir: str) -> str:
                   [mb.mh0, mb.mh1, mb.mh2, mb.mh3, mb.mh4, mb.mh5, mb.mh6, mb.mh7, mb.mh8, mb.mh9, mb.mh10, mb.mh11]),
                 p -> p[1] = p[2])) AS DOUBLE) / {N_MINHASH} AS est_sim
     FROM cand JOIN m ma ON ma.doc_id = doc_a JOIN m mb ON mb.doc_id = doc_b
-    """,
+    """
+
+
+@query(
+    "d_incremental",
+    oracle=INCR_PAIRS_ORACLE,
     tags=("dedup:incremental", "join", "snapshot-table"),
 )
 def d_incremental(spark, sf_dir) -> DataFrame:
@@ -1397,6 +1418,125 @@ def d_incremental(spark, sf_dir) -> DataFrame:
     # append=False: the graded query must be idempotent across runs in one
     # process; the append path is exercised by the pytest
     return dedup_batch_incremental(spark, batch, store, append=False)
+
+
+# --------------------------------------------------------------------------
+# Incremental EXACT tier: the cheapest cross-run dedup — the persisted
+# store holds one md5 per doc (16 bytes), the batch run hashes batch text
+# ONLY, and group statistics are computed in hash space on the store rows
+# the batch actually touches (a semi-join keeps the store STREAMED and
+# prunes untouched groups before any aggregation). Verdict per batch doc
+# is identical to the full-corpus d_exact_dup window restricted to the
+# batch: group_size / canonical_id / is_dup over store ∪ batch.
+
+_EXACT_DDL = "doc_id bigint, text_hash string"
+
+
+def build_exact_hash_store(spark, docs: DataFrame, root: str):
+    """Day-1 build: hash the corpus ONCE (md5(text), the same key as
+    d_exact_dup) and persist as a SnapshotTable."""
+    from ..tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, root, _EXACT_DDL)
+    t.write(docs.select("doc_id", F.md5("text").alias("text_hash")))
+    return t
+
+
+def dedup_batch_incremental_exact(
+    spark, batch_docs: DataFrame, store, append: bool = True
+) -> DataFrame:
+    """Exact-dup verdicts for a NEW batch in O(batch + matches) work:
+    hash the batch (the only pass over text), semi-join the persisted
+    hash store down to the hash groups the batch touches, aggregate
+    group_size / canonical_id per hash, and join back to the batch. When
+    `append`, the batch's hashes commit to the store as a new snapshot so
+    the NEXT batch sees them. Returns one verdict row PER BATCH DOC
+    (bounded output — never a pair stream): (doc_id, text_hash,
+    group_size, canonical_id, is_dup), equal to the full-corpus
+    d_exact_dup window over store ∪ batch restricted to batch docs."""
+    batch_h = batch_docs.select(
+        "doc_id", F.md5("text").alias("text_hash")
+    ).localCheckpoint(eager=True)
+    if append:
+        store.write(batch_h)
+    # store docs that pre-date this batch (exclude the just-appended ids)
+    others = store.scan().join(batch_h.select("doc_id"), "doc_id", "left_anti")
+    all_h = others.unionByName(batch_h)
+    # prune to groups the batch touches BEFORE aggregating — the store is
+    # streamed through a semi-join against the (small, AQE-broadcast)
+    # batch hash set, so untouched corpus groups never reach the shuffle
+    touched = all_h.join(
+        batch_h.select("text_hash").distinct(), "text_hash", "left_semi"
+    )
+    g = touched.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return batch_h.join(g, "text_hash").select(
+        "doc_id",
+        "text_hash",
+        "group_size",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
+_incr_exact_store_cache: dict[str, str] = {}
+
+
+def _incremental_exact_store_for(spark, sf_dir: str) -> str:
+    """Per-sf_dir persisted hash store, built ONCE per process from the
+    corpus slice (doc_id % 5 != 0) — same day-1/day-2 split as the
+    MinHash and SimHash incremental tiers."""
+    import tempfile
+
+    from ..tables import SnapshotTable
+
+    key = os.path.abspath(sf_dir)
+    root = _incr_exact_store_cache.get(key)
+    if root and SnapshotTable.exists(root):
+        return root
+    root = os.path.join(tempfile.mkdtemp(prefix="eiws_increxact_"), "hashes")
+    corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 5 != 0"
+    ).select("doc_id", "text")
+    build_exact_hash_store(spark, corpus, root)
+    _incr_exact_store_cache[key] = root
+    return root
+
+
+@query(
+    "d_incremental_exact",
+    # Ground truth: the full-corpus exact-dup recompute (d_exact_dup's
+    # hash-group window, in join form) restricted to the batch docs the
+    # incremental run verdicts — agreement proves the store semi-join
+    # loses no group member and the canonical/min tie-break matches.
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+         g AS (SELECT text_hash, COUNT(*) AS group_size,
+                      MIN(doc_id) AS canonical_id
+               FROM h GROUP BY text_hash)
+    SELECT h.doc_id, h.text_hash, g.group_size, g.canonical_id,
+           h.doc_id <> g.canonical_id AS is_dup
+    FROM h JOIN g USING (text_hash)
+    WHERE h.doc_id % 5 = 0
+    """,
+    tags=("dedup:incremental-exact", "join", "snapshot-table"),
+)
+def d_incremental_exact(spark, sf_dir) -> DataFrame:
+    """Incremental EXACT dedup of a new batch (doc_id % 5 = 0) against
+    the persisted md5 store — completes the cross-run family's cheapest
+    tier (exact ↔ MinHash ↔ SimHash ↔ semantic). Batch text is hashed
+    once; the corpus contributes only its 16-byte-per-doc hash parquet."""
+    from ..tables import SnapshotTable
+
+    store = SnapshotTable(spark, _incremental_exact_store_for(spark, sf_dir))
+    batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 5 = 0"
+    ).select("doc_id", "text")
+    # append=False: graded query stays idempotent across in-process runs;
+    # the append path is exercised by pytest
+    return dedup_batch_incremental_exact(spark, batch, store, append=False)
 
 
 # --------------------------------------------------------------------------

@@ -108,9 +108,12 @@ _PREFIX_ORDER = [
     # counters' semantics actually changed -> re-sign)
     "q_meta_snapshot_summary",
     # --- below the 50-slot window: prior prefix order (r10 window first,
-    # then the earlier cohorts). s_incremental_semdedup is r11-new but the
-    # window is full; battery-verified this round, driver-signs at r12.
+    # then the earlier cohorts). s_incremental_semdedup,
+    # d_incremental_exact and q_stream_incremental_dedup are r11-new but
+    # the window is full; battery-verified this round, driver-sign at r12.
     "s_incremental_semdedup",
+    "d_incremental_exact",
+    "q_stream_incremental_dedup",
     "q_meta_summary_lifecycle",
     "s_semdedup",
     "q_meta_metadata_log",

@@ -35,6 +35,7 @@ designs (SCALE.md §Streaming).
 from __future__ import annotations
 
 import itertools
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, functions as F
@@ -647,3 +648,174 @@ def q_stream_heavy_hitters(spark, sf_dir) -> DataFrame:
     )
     out = _run_to_memory(counts, spark, "complete", "stream_hh")
     return top_k(out, [F.col("freq").desc(), F.col("token")], _STREAM_HH_K)
+
+
+# --------------------------------------------------------------------------
+# Streaming INCREMENTAL DEDUP: the day-2+ production shape end-to-end —
+# an unbounded document feed deduplicated micro-batch by micro-batch
+# against the PERSISTED MinHash signature store. foreachBatch runs the
+# same `dedup_batch_incremental` the one-shot d_incremental query uses
+# (signature the batch — the only pass over text — band-join the store
+# and itself, append the batch's signatures) so batch N+1 sees batch N.
+#
+# The union of per-batch verdicts is BATCHING-INVARIANT: a cross-batch
+# pair is emitted exactly once (in the later doc's batch, against the
+# store), an intra-batch pair exactly once (the band self-join; the
+# store join anti-excludes the batch's own ids). The streamed result
+# therefore equals the one-shot incremental run over the concatenated
+# batches — and shares d_incremental's full-recompute oracle verbatim.
+
+
+def _incr_stream_src_dir(spark, sf_dir: str) -> str:
+    """Stage the batch docs (doc_id % 5 = 0) as THREE parquet files in a
+    per-sf_dir cached directory — with maxFilesPerTrigger=1 the file
+    source turns them into three micro-batches. Built once per process;
+    the split rule is arbitrary (any batching yields the same union)."""
+    import os
+    import shutil as _shutil
+
+    from ..catalog import load_table
+
+    key = os.path.abspath(sf_dir)
+    d = _docs_stream_cache.get(key + "#incr")
+    if d is not None and os.path.isdir(d):
+        return d
+    base = tempfile.mkdtemp(prefix="eiws_incr_feed_")
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 5 = 0")
+        .select("doc_id", "text")
+    )
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    for k in range(3):
+        sub = os.path.join(base, f"p{k}")
+        batch.filter(F.pmod(F.col("doc_id"), F.lit(3)) == k).coalesce(
+            1
+        ).sortWithinPartitions("doc_id").write.parquet(sub)
+        for fn in sorted(os.listdir(sub)):
+            if fn.endswith(".parquet"):
+                _shutil.copy(os.path.join(sub, fn), os.path.join(flat, f"b{k}.parquet"))
+    _docs_stream_cache[key + "#incr"] = flat
+    return flat
+
+
+def incremental_dedup_stream_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    store,
+    out_dir: str,
+    scope: str | None = None,
+) -> bool:
+    """One EXACTLY-ONCE incremental-dedup micro-batch (the dedup twin of
+    `streaming/jobs.py append_stream_batch`): the (query scope, batch id)
+    pair is stamped into the signature-append commit atomically, so a
+    replayed batch never double-appends signatures; verdicts for batch N
+    land in `out_dir`/batch=N with OVERWRITE, so a replay rewrites the
+    same partition instead of duplicating rows. The verdict computation
+    is replay-correct by construction: the store side anti-joins the
+    batch's own ids out, so recomputing against a store that already
+    holds this batch's signatures yields the original result. Returns
+    True when this call appended the signatures (False = replay skip)."""
+    from .dedup import dedup_batch_incremental, minhash_signature_df
+
+    if batch_df.isEmpty():
+        return False
+    sig = minhash_signature_df(
+        batch_df.select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    done = [
+        s.summary.get("streaming.batch-id")
+        for s in store.snapshots()
+        if s.summary.get("streaming.batch-id") is not None
+        and s.summary.get("streaming.query-scope") in (None, scope)
+    ]
+    replayed = bool(done) and batch_id <= max(done)
+    summary = {"streaming.batch-id": int(batch_id)}
+    if scope is not None:
+        summary["streaming.query-scope"] = scope
+    res = dedup_batch_incremental(
+        spark, None, store,
+        append=not replayed, batch_sig=sig, summary_extra=summary,
+    )
+    res.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+    return not replayed
+
+
+def stream_incremental_dedup(
+    spark, stream_df: DataFrame, store, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drive a bounded document stream through per-micro-batch
+    incremental dedup against `store` (exactly-once signature appends —
+    scope-stamped batch ids — so later batches see earlier ones exactly
+    once); verdicts accumulate per-batch in `out_dir`. Returns the
+    accumulated (doc_a, doc_b, est_sim) verdicts."""
+    from ..streaming.jobs import _checkpoint_scope
+
+    def _fb(bdf: DataFrame, batch_id: int) -> None:
+        incremental_dedup_stream_batch(
+            bdf.sparkSession, bdf, batch_id, store, out_dir,
+            scope=_checkpoint_scope(checkpoint_dir),
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, est_sim double"
+        )
+    return spark.read.parquet(out_dir).select("doc_a", "doc_b", "est_sim")
+
+
+from .dedup import INCR_PAIRS_ORACLE as _INCR_PAIRS_ORACLE  # noqa: E402
+
+
+@query(
+    "q_stream_incremental_dedup",
+    # d_incremental's oracle VERBATIM: the micro-batched union answers
+    # the same full-recompute contract as the one-shot batch run
+    oracle=_INCR_PAIRS_ORACLE,
+    tags=("streaming:incremental-dedup", "snapshot-table", "foreachBatch"),
+)
+def q_stream_incremental_dedup(spark, sf_dir) -> DataFrame:
+    """Micro-batched incremental dedup: three document micro-batches
+    band-joined in turn against the persisted signature store, each
+    batch's signatures committed before the next arrives. The union of
+    per-batch verdicts must equal the FULL-corpus LSH recompute
+    restricted to pairs touching the feed — the same oracle as the
+    one-shot d_incremental, proving the micro-batch decomposition loses
+    and invents nothing."""
+    import os
+    import shutil as _shutil
+
+    from .dedup import _incremental_store_for
+    from ..tables import SnapshotTable
+
+    # fresh store CLONE per run (the run appends 3 snapshots to it):
+    # day-1 corpus signatures are built once per process and copied —
+    # SnapshotTable paths are root-relative, so a copied root scans as-is
+    day1 = _incremental_store_for(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="eiws_incr_stream_")
+    store_root = os.path.join(base, "sigs")
+    _shutil.copytree(day1, store_root)
+    store = SnapshotTable(spark, store_root)
+
+    src = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(_incr_stream_src_dir(spark, sf_dir))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return stream_incremental_dedup(
+            spark, src, store,
+            os.path.join(base, "verdicts"), os.path.join(base, "cp"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

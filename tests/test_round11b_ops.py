@@ -1,0 +1,269 @@
+"""Round-11 late additions: the incremental EXACT dedup tier, the
+streaming (foreachBatch) incremental dedup shape, and signature-store
+maintenance invariance (compact/expire must not change dedup verdicts)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+
+DDL = "doc_id bigint, text string"
+BASE = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _mk_store(spark, tmp_path, rows, name="hashes"):
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_exact_hash_store,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / name)
+    build_exact_hash_store(spark, spark.createDataFrame(rows, DDL), root)
+    return SnapshotTable(spark, root)
+
+
+# -- incremental exact tier -------------------------------------------------
+def test_incremental_exact_matches_full_recompute(spark, tmp_path):
+    """Batch verdicts ≡ the full-corpus d_exact_dup window over
+    store ∪ batch restricted to batch docs (the d_incremental_exact
+    oracle contract, asserted engine-side on a controlled fixture
+    including a batch doc whose canonical is ANOTHER batch doc)."""
+    from pyspark.sql import functions as F
+
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        dedup_batch_incremental_exact,
+    )
+
+    corpus = [(1, BASE), (2, "corpus only text"), (3, BASE)]
+    batch = [(10, BASE), (11, "batch only text"), (12, "batch only text")]
+    store = _mk_store(spark, tmp_path, corpus)
+    got = {
+        (r.doc_id, r.group_size, r.canonical_id, r.is_dup)
+        for r in dedup_batch_incremental_exact(
+            spark, spark.createDataFrame(batch, DDL), store, append=False
+        ).collect()
+    }
+    # full recompute over the union, restricted to batch ids
+    all_df = spark.createDataFrame(corpus + batch, DDL).withColumn(
+        "text_hash", F.md5("text")
+    )
+    g = all_df.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    want = {
+        (r.doc_id, r.group_size, r.canonical_id, r.is_dup)
+        for r in all_df.join(g, "text_hash")
+        .filter("doc_id >= 10")
+        .select(
+            "doc_id", "group_size", "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+        .collect()
+    }
+    assert got == want
+    # spot semantics: 10 groups with corpus 1/3 (canonical 1, dup);
+    # 11/12 group intra-batch (canonical 11; 12 is the dup)
+    assert (10, 3, 1, True) in got
+    assert (11, 2, 11, False) in got and (12, 2, 11, True) in got
+
+
+def test_incremental_exact_never_rescans_corpus_text(spark, tmp_path):
+    """The batch run's plan reads batch text + the hash store's parquet
+    ONLY; appends commit a snapshot the NEXT batch sees."""
+    import re
+
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_exact_hash_store,
+        dedup_batch_incremental_exact,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus_pq = str(tmp_path / "corpus_docs")
+    batch_pq = str(tmp_path / "batch_docs")
+    spark.createDataFrame([(1, BASE), (2, "other")], DDL).write.parquet(corpus_pq)
+    spark.createDataFrame([(10, BASE), (11, "new")], DDL).write.parquet(batch_pq)
+
+    root = str(tmp_path / "hstore")
+    build_exact_hash_store(spark, spark.read.parquet(corpus_pq), root)
+    store = SnapshotTable(spark, root)
+    assert len(store.snapshots()) == 1
+
+    batch = spark.read.parquet(batch_pq)
+    out = dedup_batch_incremental_exact(spark, batch, store, append=True)
+    assert {(r.doc_id, r.is_dup) for r in out.collect()} == {
+        (10, True), (11, False),
+    }
+    assert len(store.snapshots()) == 2  # batch hashes committed
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    out2 = dedup_batch_incremental_exact(spark, batch, store, append=False)
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    scanned = " ".join(
+        set(re.findall(r"Location:[^\[]*\[([^\]]*)\]", plan))
+        | set(re.findall(r"file:[^\s,\]]*", plan))
+    )
+    assert "corpus_docs" not in scanned, scanned
+    assert "batch_docs" in scanned or "hstore" in scanned
+
+    # next batch sees the appended hashes: 20 dups against 10 (and 1)
+    m2 = dedup_batch_incremental_exact(
+        spark, spark.createDataFrame([(20, BASE)], DDL), store, append=False
+    ).collect()
+    assert [(r.group_size, r.canonical_id, r.is_dup) for r in m2] == [(3, 1, True)]
+
+
+# -- streaming incremental dedup ---------------------------------------------
+def test_stream_incremental_equals_one_shot(spark, tmp_path):
+    """The union of per-micro-batch verdicts equals the ONE-SHOT
+    incremental run over the concatenated batches (batching invariance:
+    cross-batch pairs emit once via the store, intra-batch pairs once via
+    the self-join), and each micro-batch appends a store snapshot."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_signature_store,
+        dedup_batch_incremental,
+    )
+    from emr_apache_iceberg_workshop_spark.plans.streamingq import (
+        stream_incremental_dedup,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = [(1, BASE), (2, "corpus only original text here")]
+    b1 = [(10, BASE), (11, "totally unrelated fresh content one")]
+    b2 = [(20, BASE + " tail"), (21, BASE)]
+
+    sig_root = str(tmp_path / "sigs")
+    build_signature_store(spark, spark.createDataFrame(corpus, DDL), sig_root)
+
+    # streamed: two files -> two micro-batches against a CLONE
+    clone = str(tmp_path / "sigs_stream")
+    shutil.copytree(sig_root, clone)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for k, rows in ((0, b1), (1, b2)):
+        sub = str(tmp_path / f"p{k}")
+        spark.createDataFrame(rows, DDL).coalesce(1).write.parquet(sub)
+        for fn in sorted(os.listdir(sub)):
+            if fn.endswith(".parquet"):
+                shutil.copy(os.path.join(sub, fn), os.path.join(feed, f"b{k}.parquet"))
+    store = SnapshotTable(spark, clone)
+    src = spark.readStream.schema(DDL).option("maxFilesPerTrigger", "1").parquet(feed)
+    streamed = {
+        (r.doc_a, r.doc_b, r.est_sim)
+        for r in stream_incremental_dedup(
+            spark, src, store, str(tmp_path / "verdicts"), str(tmp_path / "cp")
+        ).collect()
+    }
+    assert len(store.snapshots()) == 3  # day-1 + one per micro-batch
+
+    # one-shot: the SAME docs as a single batch against a fresh clone
+    clone2 = str(tmp_path / "sigs_oneshot")
+    shutil.copytree(sig_root, clone2)
+    oneshot = {
+        (r.doc_a, r.doc_b, r.est_sim)
+        for r in dedup_batch_incremental(
+            spark,
+            spark.createDataFrame(b1 + b2, DDL),
+            SnapshotTable(spark, clone2),
+            append=False,
+        ).collect()
+    }
+    assert streamed == oneshot and len(oneshot) > 0
+    # the cross-micro-batch pair (10, 21) must be present: 21 arrived in
+    # batch 2 and found 10 only through the store append from batch 1
+    assert any(a == 10 and b in (20, 21) for a, b, _ in streamed)
+
+
+def test_stream_incremental_dedup_replay_exactly_once(spark, tmp_path):
+    """A replayed micro-batch (same scope + batch id — the crash-restart
+    shape) must NOT double-append signatures, must rewrite the same
+    verdict partition instead of duplicating rows, and must return the
+    ORIGINAL verdicts (the store-side anti-join makes recomputation
+    against the already-appended signatures idempotent). A LATER batch id
+    under the same scope still commits."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_signature_store,
+    )
+    from emr_apache_iceberg_workshop_spark.plans.streamingq import (
+        incremental_dedup_stream_batch,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "sigs")
+    build_signature_store(
+        spark, spark.createDataFrame([(1, BASE), (2, "unrelated corpus")], DDL), root
+    )
+    store = SnapshotTable(spark, root)
+    out = str(tmp_path / "verdicts")
+    b1 = spark.createDataFrame([(10, BASE), (11, BASE)], DDL)
+
+    assert incremental_dedup_stream_batch(spark, b1, 0, store, out, scope="q1")
+    first = sorted(
+        (r.doc_a, r.doc_b, r.est_sim)
+        for r in spark.read.parquet(out).select("doc_a", "doc_b", "est_sim").collect()
+    )
+    assert len(store.snapshots()) == 2 and len(first) > 0
+
+    # replay batch 0: no new snapshot, verdicts identical (not doubled)
+    assert not incremental_dedup_stream_batch(spark, b1, 0, store, out, scope="q1")
+    again = sorted(
+        (r.doc_a, r.doc_b, r.est_sim)
+        for r in spark.read.parquet(out).select("doc_a", "doc_b", "est_sim").collect()
+    )
+    assert len(store.snapshots()) == 2
+    assert again == first
+
+    # a LATER batch commits and sees batch 0's docs through the store
+    b2 = spark.createDataFrame([(20, BASE)], DDL)
+    assert incremental_dedup_stream_batch(spark, b2, 1, store, out, scope="q1")
+    assert len(store.snapshots()) == 3
+    partners = {
+        r.doc_a
+        for r in spark.read.parquet(out).filter("doc_b = 20").collect()
+    }
+    assert {1, 10, 11} <= partners
+
+
+# -- store maintenance invariance ---------------------------------------------
+def test_signature_store_maintenance_invariance(spark, tmp_path):
+    """compact() + expire_snapshots() on the signature store must leave
+    incremental dedup verdicts IDENTICAL — maintenance rewrites layout,
+    never state. (The store is an ordinary SnapshotTable, so the table
+    maintenance surface composes with the incremental dedup family.)"""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_signature_store,
+        dedup_batch_incremental,
+        minhash_signature_df,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = [(i, BASE + f" v{i % 3}") for i in range(1, 7)]
+    day2 = [(10, BASE + " v1"), (11, "nothing in common with anything")]
+    root = str(tmp_path / "sigs")
+    build_signature_store(spark, spark.createDataFrame(corpus, DDL), root)
+    store = SnapshotTable(spark, root)
+    # a second day of appends so expire has history to drop
+    store.write(minhash_signature_df(spark.createDataFrame(day2, DDL)))
+
+    pristine = str(tmp_path / "sigs_pristine")
+    shutil.copytree(root, pristine)
+
+    batch = spark.createDataFrame([(100, BASE + " v2"), (101, BASE + " v1")], DDL)
+    store.compact()
+    expired = store.expire_snapshots(keep_last=1)
+    assert expired  # history actually dropped
+    got = {
+        (r.doc_a, r.doc_b, r.est_sim)
+        for r in dedup_batch_incremental(spark, batch, store, append=False).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.est_sim)
+        for r in dedup_batch_incremental(
+            spark, batch, SnapshotTable(spark, pristine), append=False
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -68,6 +68,11 @@ QUERIES = (
     # fixed-K caveat applies to the WITHIN-CLUSTER pair stream exactly as
     # for s_semdedup; the batch-vs-store join is batch-bounded
     "s_incremental_semdedup",
+    # r11 close: the exact tier (hash the batch + semi-join the store —
+    # should be the flattest probe in the family) and the foreachBatch
+    # streaming shape (3 micro-batches, per-batch fixed streaming cost on
+    # top of the same store band-join; the store clone is per-run setup)
+    "d_incremental_exact", "q_stream_incremental_dedup",
 )
 FACTOR = 10
 
