@@ -2708,7 +2708,10 @@ def _summary_lifecycle_table(spark):
     try:
         with open(_SUMLC_META) as f:
             ops = [s["operation"] for s in _json.load(f)["snapshots"]]
-        if ops == ["append", "delete", "append", "cherrypick"]:
+        # recorded in WALL order: the staged branch append (s2) commits
+        # before the COW delete — a mismatch here meant the fixture was
+        # rebuilt (new file UUIDs, git churn) on every process until r11
+        if ops == ["append", "append", "delete", "cherrypick"]:
             return SnapshotTable(spark, SUMLC_ROOT)
     except Exception:
         pass
@@ -2755,10 +2758,16 @@ def q_meta_summary_lifecycle(spark, sf_dir) -> DataFrame:
     catch owner-id-vs-parent-relative drift)."""
     import json as _json
 
-    from ..iceberg_meta import write_iceberg_metadata
+    from ..iceberg_meta import discover_latest_metadata, write_iceberg_metadata
 
     t = _summary_lifecycle_table(spark)
-    md = write_iceberg_metadata(t)
+    # the fixture's lifecycle is FIXED — reuse the committed emission when
+    # present (re-emitting would mint a new metadata version per process:
+    # the same rebuild-churn the _meta.json ops guard prevents for data)
+    try:
+        md = discover_latest_metadata(SUMLC_ROOT)
+    except (FileNotFoundError, OSError):
+        md = write_iceberg_metadata(t)
     with open(md) as f:
         doc = _json.load(f)
     # spec operation values: append / replace / overwrite / delete —
