@@ -1303,18 +1303,20 @@ def dedup_batch_incremental(
         batch_sig = minhash_signature_df(batch_docs).localCheckpoint(eager=True)
     if append:
         store.write(batch_sig, summary_extra=summary_extra)
-    store_sig = store.scan()
     mh_arr = "array(" + ", ".join(_SIG_COLS) + ")"
+    # store doc_ids that pre-date this batch (the store scan includes the
+    # just-appended snapshot when append=True — exclude the batch's own
+    # ids to avoid self-pairs; batch-internal pairs come from the
+    # self-join below). The anti-join streams the store against the
+    # (small, AQE-broadcast) batch id set and feeds BOTH the band join
+    # and the signature lookup — `others ∪ batch` is duplicate-free by
+    # construction, so no distinct (a distinct here would shuffle the
+    # ENTIRE 17-column store per batch, the exact cost this day-2 shape
+    # exists to avoid).
+    others = store.scan().join(batch_sig.select("doc_id"), "doc_id", "left_anti")
 
     bl = _bands_long(batch_sig, "b_id")
-    # batch vs store: store doc_ids that pre-date this batch (the store
-    # scan includes the just-appended snapshot when append=True — exclude
-    # the batch's own ids to avoid self-pairs; batch-internal pairs come
-    # from the self-join below)
-    sl = _bands_long(
-        store_sig.join(batch_sig.select("doc_id"), "doc_id", "left_anti"),
-        "s_id",
-    )
+    sl = _bands_long(others, "s_id")
     vs_store = bl.join(sl, ["band_idx", "band_key"]).selectExpr(
         "least(b_id, s_id) AS doc_a", "greatest(b_id, s_id) AS doc_b"
     )
@@ -1327,10 +1329,11 @@ def dedup_batch_incremental(
     ).selectExpr("b_id AS doc_a", "y_id AS doc_b")
     cand = vs_store.unionByName(vs_self).distinct()
 
-    # signature lookup for BOTH endpoints: store ∪ batch, signatures only
-    sigs = store_sig.select("doc_id", *_SIG_COLS).unionByName(
+    # signature lookup for BOTH endpoints: (store minus batch) ∪ batch —
+    # duplicate-free without a distinct
+    sigs = others.select("doc_id", *_SIG_COLS).unionByName(
         batch_sig.select("doc_id", *_SIG_COLS)
-    ).distinct()
+    )
     ma = sigs.selectExpr("doc_id AS doc_a", f"{mh_arr} AS mha")
     mb = sigs.selectExpr("doc_id AS doc_b", f"{mh_arr} AS mhb")
     return cand.join(ma, "doc_a").join(mb, "doc_b").selectExpr(

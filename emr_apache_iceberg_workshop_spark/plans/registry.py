@@ -39,18 +39,21 @@ _MODULES = [
 # r10 covered the r10 additions + the 44 r06-stale names.
 #
 # r11 (this round's rotation, per the r10 verdict's tasks 2/7): leads
-# with (a) the 2 queries NEW this round (d_incremental — cross-run dedup
-# against a persisted signature store; q_meta_metadata_log_reloc — the
-# SQL-facade metadata-log chain over a RELOCATED warehouse; never
+# with (a) the 3 queries NEW this round that fit the window
+# (d_incremental and d_incremental_simhash — cross-run dedup against
+# persisted signature/fingerprint stores; q_meta_metadata_log_reloc —
+# the SQL-facade metadata-log chain over a RELOCATED warehouse; never
 # driver-signed), then (b) ALL 46 names whose most-recent driver
-# confirmation is r07 — the stale cohort, oldest-first — then (c) 2
-# names whose CODE changed this round: q_meta_snapshot_summary (added-*
+# confirmation is r07 — the stale cohort, oldest-first — then (c) 1
+# name whose CODE changed this round: q_meta_snapshot_summary (added-*
 # counters now parent-relative on both surfaces; values identical on the
-# append-only fixture, re-signed anyway) and s_semdedup (assignment
-# routed through assign_clusters; inline path at fixture K, plan
-# unchanged). 2 + 46 + 2 = 50. The r10-fresh additions (q_meta_add_files
-# etc.) stay out of the window so the stale cohort gets the slots; after
-# this window every query's driver signal is >= r08.
+# append-only fixture, re-signed anyway). s_semdedup's assignment was
+# routed through assign_clusters but takes the inline path at fixture K
+# (plan unchanged), so it does NOT spend a slot. 3 + 46 + 1 = 50. The
+# r10-fresh additions (q_meta_add_files etc.) and the later r11
+# additions listed just below the window stay out of it so the stale
+# cohort gets the slots; after this window every query's driver signal
+# is >= r08.
 _PREFIX_ORDER = [
     # (a) new in r11
     "d_incremental",

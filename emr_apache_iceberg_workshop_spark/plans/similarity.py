@@ -233,11 +233,20 @@ def assign_clusters(
     spark = n.sparkSession
     if cn2 is None:
         # one tiny JVM job: ‖c‖² per centroid, exact-decimal — identical
-        # to the inline form's sdot(a, a) evaluation
-        row = spark.range(1).selectExpr(
-            *[f"{sdot(_arr(c), _arr(c))} AS c{i}" for i, (_, c) in enumerate(cents)]
-        ).collect()[0]
-        cn2 = [row[f"c{i}"] for i in range(len(cents))]
+        # arithmetic to the inline form's sdot(a, a), but evaluated as ONE
+        # expression over K rows instead of a single projection holding
+        # K·d literals (which is the codegen/parser blow-up past a few
+        # hundred centroids that this branch exists to avoid — the
+        # k-means training rounds pass cn2=None at production K)
+        ndf = spark.createDataFrame(
+            [(i, list(map(float, c))) for i, (_, c) in enumerate(cents)],
+            "i int, ce array<double>",
+        )
+        cn2 = [
+            r["c2"]
+            for r in ndf.selectExpr("i", f"{sdot('ce', 'ce')} AS c2")
+            .orderBy("i").collect()
+        ]
     cdf = spark.createDataFrame(
         [(int(k), list(map(float, comps)), float(c2)) for (k, comps), c2 in zip(cents, cn2)],
         "cluster int, ce array<double>, cn2 double",

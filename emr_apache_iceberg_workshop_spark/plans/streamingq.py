@@ -725,11 +725,17 @@ def incremental_dedup_stream_batch(
     sig = minhash_signature_df(
         batch_df.select("doc_id", "text")
     ).localCheckpoint(eager=True)
+    # EXACT scope match only — never adopt a FOREIGN writer's unscoped
+    # batch ids as this query's history (the dsv2 legacy-adoption hazard:
+    # a scoped query resuming against a store populated by unscoped
+    # writers would classify its own first batches as replays and
+    # silently drop their signature appends). This function is new in
+    # r11, so there is no legacy-unscoped migration to honor.
     done = [
         s.summary.get("streaming.batch-id")
         for s in store.snapshots()
         if s.summary.get("streaming.batch-id") is not None
-        and s.summary.get("streaming.query-scope") in (None, scope)
+        and s.summary.get("streaming.query-scope") == scope
     ]
     replayed = bool(done) and batch_id <= max(done)
     summary = {"streaming.batch-id": int(batch_id)}

@@ -2026,13 +2026,20 @@ class SnapshotTable:
         meta = self._load()
         by_sid = {s["snapshot_id"]: s for s in meta["snapshots"]}
         rows = []
-        parent = None
         # the same dir (and the same mask files) recur in many snapshots'
         # active sets — resolve each distinct ENTRY once, or this
         # metadata-only call does O(snapshots × dirs) repeated mask-file
         # parquet reads on long histories
         entry_cache: dict[str, dict[str, tuple[int, int]]] = {}
-        prev_live: dict[str, tuple[int, int]] = {}
+        # added-* diffs against the snapshot's ACTUAL parent, not the
+        # wall-order list predecessor: meta["snapshots"] interleaves
+        # branch/staged commits, so a cherry-pick immediately following
+        # its staged snapshot would otherwise diff against the staged
+        # state (which already holds the picked files) and report
+        # added=0 while the emitted metadata — which walks the main
+        # lineage — reports them added. An expired/unretained parent
+        # diffs against empty, like the oldest retained snapshot.
+        live_by_sid: dict[int, dict[str, tuple[int, int]]] = {}
         for s in meta["snapshots"]:
             live: dict[str, tuple[int, int]] = {}
             for e in s.get("active_dirs", []):
@@ -2048,12 +2055,15 @@ class SnapshotTable:
                         if json.dumps(f["partition"], sort_keys=True) not in excl_set
                     }
                 live.update(ent)
-            added = [v for p, v in live.items() if p not in prev_live]
+            live_by_sid[s["snapshot_id"]] = live
+            parent = self._parent_id(s)
+            parent_live = live_by_sid.get(parent, {}) if parent is not None else {}
+            added = [v for p, v in live.items() if p not in parent_live]
             rows.append(
                 (
                     s["snapshot_id"],
                     float(s["made_current_at"]),
-                    parent,
+                    parent if parent in by_sid else None,
                     s["operation"],
                     len(added),
                     sum(v[0] for v in added),
@@ -2063,8 +2073,6 @@ class SnapshotTable:
                     sum(v[1] for v in live.values()),
                 )
             )
-            parent = s["snapshot_id"]
-            prev_live = live
         return self.spark.createDataFrame(
             rows,
             "snapshot_id long, committed_at_sec double, parent_id long,"

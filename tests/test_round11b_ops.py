@@ -267,3 +267,87 @@ def test_signature_store_maintenance_invariance(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+# -- parent-relative counters: true parent, not wall-order predecessor --------
+def test_snapshot_summary_cherry_pick_no_intervening_write(spark, tmp_path):
+    """A cherry-pick IMMEDIATELY following its staged snapshot (no main
+    write in between) must still report the picked files as added:
+    meta["snapshots"] wall order is [s1, staged, pick], so a
+    predecessor-relative diff would see the staged state (which already
+    holds the picked file) and report added=0 — while the emitted
+    metadata, which walks the main lineage, reports it added. Both
+    surfaces must agree counter-for-counter."""
+    import json
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import (
+        write_iceberg_metadata,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    ddl = "k long, v string"
+    t = SnapshotTable.create(spark, str(tmp_path / "cp2"), ddl)
+    t.write(spark.createDataFrame([(1, "a")], ddl).coalesce(1))
+    staged = t.write(
+        spark.createDataFrame([(2, "b"), (3, "c")], ddl).coalesce(1),
+        branch="audit",
+    )
+    pick_sid = t.cherry_pick_snapshot(staged)  # no main write in between
+
+    st = {r.snapshot_id: r for r in t.snapshots_table().collect()}
+    assert st[pick_sid].added_files == 1
+    assert st[pick_sid].added_rows == 2
+    assert st[pick_sid].total_records == 3
+    # parent_id is the TRUE parent (the main head it was applied onto),
+    # not the staged wall-order predecessor
+    assert st[pick_sid].parent_id == 1
+
+    md = write_iceberg_metadata(t)
+    with open(md) as f:
+        doc = json.load(f)
+    summ = {s["snapshot-id"]: s["summary"] for s in doc["snapshots"]}[pick_sid]
+    assert int(summ["added-data-files"]) == st[pick_sid].added_files
+    assert int(summ["added-records"]) == st[pick_sid].added_rows
+
+
+def test_stream_incremental_dedup_ignores_foreign_unscoped_ids(spark, tmp_path):
+    """A scoped streaming query consuming a store whose batch-id stamps
+    were written UNSCOPED (a manual/foreign writer) must not adopt them
+    as its own history: its batch 0 commits instead of being classified
+    a replay (the dsv2 legacy-adoption hazard, kept out of this new
+    surface by exact-scope matching)."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_signature_store,
+    )
+    from emr_apache_iceberg_workshop_spark.plans.streamingq import (
+        incremental_dedup_stream_batch,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "sigs")
+    build_signature_store(
+        spark, spark.createDataFrame([(1, BASE)], DDL), root
+    )
+    store = SnapshotTable(spark, root)
+    out = str(tmp_path / "verdicts")
+    # foreign writer: unscoped stamps for batch ids 0 and 1
+    assert incremental_dedup_stream_batch(
+        spark, spark.createDataFrame([(10, BASE)], DDL), 0, store, out, scope=None
+    )
+    assert incremental_dedup_stream_batch(
+        spark, spark.createDataFrame([(11, BASE)], DDL), 1, store, out, scope=None
+    )
+    assert len(store.snapshots()) == 3
+
+    # a SCOPED query starting at batch 0 must still append (not a replay)
+    assert incremental_dedup_stream_batch(
+        spark, spark.createDataFrame([(20, BASE)], DDL), 0, store,
+        str(tmp_path / "v2"), scope="q-scoped",
+    )
+    assert len(store.snapshots()) == 4
+    # and ITS OWN replay of batch 0 is still skipped
+    assert not incremental_dedup_stream_batch(
+        spark, spark.createDataFrame([(20, BASE)], DDL), 0, store,
+        str(tmp_path / "v2"), scope="q-scoped",
+    )
+    assert len(store.snapshots()) == 4
