@@ -60,7 +60,10 @@ Supported grammar (case-insensitive keywords; one statement per call):
   ``fast_forward('<table>', '<branch>', '<to>')`` (Iceberg CALL shape:
   move ref `branch` forward to `to`'s head; both args required) /
   ``vacuum('<name>'[, <retain_last>[, <max_files_per_partition>]])``
-  (maintain → expire → orphan sweep in one call) — named
+  (maintain → expire → orphan sweep in one call) /
+  ``dedup_batch('<store>', source => '<view>'[, algo => 'minhash'|'exact']
+  [, append => true])`` (extension: incremental dedup of a batch against
+  a persisted signature store; returns the verdict DataFrame) — named
   (``arg => v``) or positional.
 - ``ALTER TABLE <name> RENAME TO <new>`` (catalog re-key, data in place)
   / ``ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
@@ -837,6 +840,29 @@ class SqlCatalog:
                 raise ValueError("add_files requires (table, source_table)")
             pm = re.match(r"`?parquet`?\s*\.\s*`(?P<p>[^`]+)`$", src)
             return t.add_files(pm.group("p") if pm else src)
+        if proc == "dedup_batch":
+            # extension procedure (no Iceberg equivalent): incremental
+            # dedup of a batch (a registered view/table of doc_id + text)
+            # against a PERSISTED signature store registered as `table`.
+            # algo => 'minhash' (banded LSH pairs) | 'exact' (md5 group
+            # verdicts); append => true commits the batch's signatures so
+            # the next call sees them. Returns the verdict DataFrame.
+            src = val("source", 1)
+            if src is None:
+                raise ValueError("dedup_batch requires (table, source)")
+            algo = (val("algo", 2, "minhash") or "minhash").lower()
+            append = (val("append", 3, "false") or "false").lower() in ("true", "1")
+            from .plans.dedup import (
+                dedup_batch_incremental,
+                dedup_batch_incremental_exact,
+            )
+
+            batch = self.spark.sql(self._rewrite_reads(f"SELECT * FROM {src}"))
+            if algo == "minhash":
+                return dedup_batch_incremental(self.spark, batch, t, append=append)
+            if algo == "exact":
+                return dedup_batch_incremental_exact(self.spark, batch, t, append=append)
+            raise ValueError(f"dedup_batch: unknown algo {algo!r}")
         if proc == "rollback_to_snapshot":
             return t.rollback_to_snapshot(int(val("snapshot_id", 1)))
         if proc == "cherrypick_snapshot":

@@ -351,3 +351,60 @@ def test_stream_incremental_dedup_ignores_foreign_unscoped_ids(spark, tmp_path):
         str(tmp_path / "v2"), scope="q-scoped",
     )
     assert len(store.snapshots()) == 4
+
+
+# -- SQL facade: CALL system.dedup_batch ---------------------------------------
+def test_call_dedup_batch_facade_parity(spark, tmp_path):
+    """CALL system.dedup_batch must return exactly what the library call
+    returns, for both algos, and append => true must commit the batch's
+    signatures (visible as a new store snapshot)."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_exact_hash_store,
+        build_signature_store,
+        dedup_batch_incremental,
+        dedup_batch_incremental_exact,
+    )
+    from emr_apache_iceberg_workshop_spark.sqlext import SqlCatalog
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = [(1, BASE), (2, "corpus only text"), (3, BASE)]
+    batch = [(10, BASE), (11, "fresh batch content")]
+    mh_root = str(tmp_path / "mh_store")
+    ex_root = str(tmp_path / "ex_store")
+    build_signature_store(spark, spark.createDataFrame(corpus, DDL), mh_root)
+    build_exact_hash_store(spark, spark.createDataFrame(corpus, DDL), ex_root)
+
+    cat = SqlCatalog(spark)
+    cat.register("mh_sigs", mh_root)
+    cat.register("ex_hashes", ex_root)
+    spark.createDataFrame(batch, DDL).createOrReplaceTempView("day2_batch")
+
+    got_mh = cat.sql(
+        "CALL system.dedup_batch('mh_sigs', source => 'day2_batch')"
+    )
+    want_mh = dedup_batch_incremental(
+        spark, spark.table("day2_batch"), SnapshotTable(spark, mh_root),
+        append=False,
+    )
+    assert sorted(map(tuple, got_mh.collect())) == sorted(map(tuple, want_mh.collect()))
+
+    got_ex = cat.sql(
+        "CALL system.dedup_batch('ex_hashes', source => 'day2_batch', algo => 'exact')"
+    )
+    want_ex = dedup_batch_incremental_exact(
+        spark, spark.table("day2_batch"), SnapshotTable(spark, ex_root),
+        append=False,
+    )
+    assert sorted(map(tuple, got_ex.collect())) == sorted(map(tuple, want_ex.collect()))
+
+    # append => true commits the batch signatures
+    assert len(SnapshotTable(spark, mh_root).snapshots()) == 1
+    cat.sql(
+        "CALL system.dedup_batch('mh_sigs', source => 'day2_batch', append => true)"
+    ).collect()
+    assert len(SnapshotTable(spark, mh_root).snapshots()) == 2
+
+    with pytest.raises(ValueError, match="unknown algo"):
+        cat.sql("CALL system.dedup_batch('mh_sigs', source => 'day2_batch', algo => 'nope')")
+    with pytest.raises(ValueError, match="requires"):
+        cat.sql("CALL system.dedup_batch('mh_sigs')")
