@@ -117,6 +117,7 @@ _PREFIX_ORDER = [
     "s_incremental_semdedup",
     "d_incremental_exact",
     "q_stream_incremental_dedup",
+    "t_incremental_decontam",
     "q_meta_summary_lifecycle",
     "s_semdedup",
     "q_meta_metadata_log",

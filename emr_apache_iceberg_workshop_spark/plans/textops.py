@@ -496,6 +496,133 @@ def t_decontaminate(spark, sf_dir) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental decontamination: the day-2 production twin of
+# t_decontaminate — benchmark n-grams live in a PERSISTED SnapshotTable
+# (built once when the eval suite is frozen, appended to when a NEW
+# benchmark lands), and each new training batch is checked against the
+# store in O(batch + matches) text work: only batch text is n-grammed;
+# the benchmark corpus contributes nothing but its gram parquet. The
+# same store pattern as the incremental dedup tiers, applied to the
+# contamination gate every training pipeline runs on ingest.
+
+_BENCH_DDL = "g string"
+
+
+def build_benchmark_store(spark, bench_docs: DataFrame, root: str):
+    """Freeze an eval suite: distinct 4-grams of the benchmark docs,
+    persisted as a SnapshotTable (one `g` column)."""
+    from ..tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, root, _BENCH_DDL)
+    t.write(
+        bench_docs.selectExpr(f"explode({NGRAM4_S}) AS g").distinct()
+    )
+    return t
+
+
+def decontaminate_batch(
+    spark, batch_docs: DataFrame, store, append_bench: DataFrame | None = None
+) -> DataFrame:
+    """Contamination report for a NEW training batch against the
+    persisted benchmark-gram store: (doc_id, n_ngrams, n_contaminated,
+    contamination_ratio), one row per batch doc with >= 1 benchmark
+    gram. `append_bench` registers a NEW benchmark's grams as a store
+    snapshot first (the eval-suite-grew path), so the check covers it.
+    The store side is a distinct-gram stream — the join key is the gram
+    itself, so AQE picks broadcast vs sort-merge by the store's actual
+    size; per-doc totals ride the exploded batch rows (no second pass
+    over text)."""
+    if append_bench is not None:
+        store.write(
+            append_bench.selectExpr(f"explode({NGRAM4_S}) AS g").distinct()
+        )
+    # store snapshots may repeat a gram (each benchmark appends ITS
+    # distinct set) — dedup the one store column, not the batch side
+    bench = store.scan().distinct()
+    # materialize the gram ARRAYS before the explode (the documented
+    # explode-of-expensive-expression pitfall: project-collapse would
+    # otherwise re-evaluate the tokenize+shingle expression per OUTPUT
+    # row), then take size + explode in ONE projection — a single pass
+    # over batch text
+    ng = batch_docs.selectExpr(
+        "doc_id", f"{NGRAM4_S} AS ng"
+    ).localCheckpoint(eager=True)
+    train = ng.selectExpr(
+        "doc_id", "CAST(size(ng) AS BIGINT) AS n_ngrams", "explode(ng) AS g"
+    )
+    return (
+        train.join(bench, "g")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .selectExpr(
+            "doc_id", "n_ngrams", "n_contaminated",
+            "CAST(n_contaminated AS DOUBLE) / n_ngrams AS contamination_ratio",
+        )
+    )
+
+
+_bench_store_cache: dict[str, str] = {}
+
+
+def _benchmark_store_for(spark, sf_dir: str) -> str:
+    """Per-sf_dir persisted benchmark store (doc_id % 20 = 0 — the same
+    bench slice as t_decontaminate), built once per process."""
+    import os
+    import tempfile
+
+    from ..tables import SnapshotTable
+
+    key = os.path.abspath(sf_dir)
+    root = _bench_store_cache.get(key)
+    if root and SnapshotTable.exists(root):
+        return root
+    root = os.path.join(tempfile.mkdtemp(prefix="eiws_benchstore_"), "grams")
+    bench = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 20 = 0"
+    ).select("doc_id", "text")
+    build_benchmark_store(spark, bench, root)
+    _bench_store_cache[key] = root
+    return root
+
+
+@query(
+    "t_incremental_decontam",
+    # Ground truth: t_decontaminate's full recompute restricted to the
+    # batch slice (train docs with doc_id % 5 = 0; bench docs excluded
+    # from the batch — a doc cannot contaminate itself)
+    oracle=f"""
+    WITH ng AS (
+      SELECT doc_id, {NGRAM4_D} AS ng FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(ng) AS g FROM ng WHERE doc_id % 20 = 0
+    ), train AS (
+      SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS g
+      FROM ng WHERE doc_id % 20 <> 0 AND doc_id % 5 = 0
+    )
+    SELECT t.doc_id,
+           t.n_ngrams AS n_ngrams,
+           COUNT(*) AS n_contaminated,
+           CAST(COUNT(*) AS DOUBLE) / t.n_ngrams AS contamination_ratio
+    FROM train t JOIN bench b USING (g)
+    GROUP BY t.doc_id, t.n_ngrams
+    """,
+    tags=("textops:incremental-decontam", "join", "snapshot-table"),
+)
+def t_incremental_decontam(spark, sf_dir) -> DataFrame:
+    """Incremental decontamination of a new training batch (doc_id % 5
+    = 0, bench slice excluded) against the persisted benchmark-gram
+    store — batch text n-grammed once, benchmark text never rescanned
+    (plan-asserted in tests/test_round11b_ops.py)."""
+    from ..tables import SnapshotTable
+
+    store = SnapshotTable(spark, _benchmark_store_for(spark, sf_dir))
+    batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 5 = 0 AND doc_id % 20 != 0"
+    ).select("doc_id", "text")
+    return decontaminate_batch(spark, batch, store)
+
+
+# --------------------------------------------------------------------------
 # Unigram language-model quality score — the KenLM-style perplexity filter
 # of training-data pipelines, reduced to its deterministic core: a unigram
 # LM fit on the corpus itself (token frequencies with add-one smoothing),

@@ -408,3 +408,64 @@ def test_call_dedup_batch_facade_parity(spark, tmp_path):
         cat.sql("CALL system.dedup_batch('mh_sigs', source => 'day2_batch', algo => 'nope')")
     with pytest.raises(ValueError, match="requires"):
         cat.sql("CALL system.dedup_batch('mh_sigs')")
+
+
+# -- incremental decontamination ------------------------------------------------
+def test_incremental_decontam_never_rescans_benchmark_text(spark, tmp_path):
+    """The batch check's plan reads batch text + the benchmark-gram
+    store's parquet ONLY; appending a NEW benchmark as a store snapshot
+    catches previously-clean docs."""
+    import re
+
+    from emr_apache_iceberg_workshop_spark.plans.textops import (
+        build_benchmark_store,
+        decontaminate_batch,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    bench_pq = str(tmp_path / "bench_docs")
+    batch_pq = str(tmp_path / "batch_docs")
+    eval_text = "the quick brown fox jumps over the lazy dog near the river bank"
+    spark.createDataFrame([(1, eval_text)], DDL).write.parquet(bench_pq)
+    spark.createDataFrame(
+        [
+            (10, eval_text + " and beyond"),  # contaminated
+            (11, "completely novel training content with original phrasing"
+                 " that shares no four gram with any benchmark at all"),
+        ],
+        DDL,
+    ).write.parquet(batch_pq)
+
+    root = str(tmp_path / "grams")
+    build_benchmark_store(spark, spark.read.parquet(bench_pq), root)
+    store = SnapshotTable(spark, root)
+    assert len(store.snapshots()) == 1
+
+    batch = spark.read.parquet(batch_pq)
+    rep = {r.doc_id: r for r in decontaminate_batch(spark, batch, store).collect()}
+    assert 10 in rep and rep[10].contamination_ratio > 0.5
+    assert 11 not in rep  # clean doc: no benchmark gram
+
+    # plan audit: benchmark TEXT is never rescanned
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    rep2 = decontaminate_batch(spark, batch, store)
+    plan = rep2._jdf.queryExecution().executedPlan().toString()
+    scanned = " ".join(
+        set(re.findall(r"Location:[^\[]*\[([^\]]*)\]", plan))
+        | set(re.findall(r"file:[^\s,\]]*", plan))
+    )
+    assert "bench_docs" not in scanned, scanned
+
+    # a NEW benchmark lands: append its grams; doc 11 is now caught
+    new_bench = spark.createDataFrame(
+        [(2, "completely novel training content with original phrasing")], DDL
+    )
+    rep3 = {
+        r.doc_id: r
+        for r in decontaminate_batch(
+            spark, batch, store, append_bench=new_bench
+        ).collect()
+    }
+    assert len(store.snapshots()) == 2
+    assert 11 in rep3 and rep3[11].n_contaminated > 0
+    assert rep3[10].n_contaminated == rep[10].n_contaminated  # unchanged

@@ -73,6 +73,11 @@ QUERIES = (
     # streaming shape (3 micro-batches, per-batch fixed streaming cost on
     # top of the same store band-join; the store clone is per-run setup)
     "d_incremental_exact", "q_stream_incremental_dedup",
+    # r11 close: incremental decontamination — batch text n-grammed once,
+    # the benchmark-gram store streamed through the join; the probe's
+    # batch grows 10x while the benchmark slice also grows 10x, so the
+    # watch-point is the gram-join shuffle staying linear in batch rows
+    "t_incremental_decontam",
 )
 FACTOR = 10
 
