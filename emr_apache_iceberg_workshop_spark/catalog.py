@@ -114,3 +114,27 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def persisted_store_for(
+    spark, sf_dir: str, cache: dict, prefix: str, leaf: str, build
+) -> str:
+    """Shared per-sf_dir persisted-store fixture for the incremental
+    (day-2) operator family: return the cached SnapshotTable root for
+    `sf_dir`, building it once per process via `build(root)` when absent
+    or stale. One implementation for every signature/fingerprint/
+    assignment/benchmark store — the cache key is the absolute sf_dir,
+    the existence guard re-validates a cached path whose temp dir was
+    cleaned up externally."""
+    import tempfile
+
+    from .tables import SnapshotTable
+
+    key = os.path.abspath(sf_dir)
+    root = cache.get(key)
+    if root and SnapshotTable.exists(root):
+        return root
+    root = os.path.join(tempfile.mkdtemp(prefix=prefix), leaf)
+    build(root)
+    cache[key] = root
+    return root

@@ -1351,21 +1351,17 @@ def _incremental_store_for(spark, sf_dir: str) -> str:
     """Per-sf_dir persisted signature store, built ONCE per process from
     the corpus slice (doc_id % 5 != 0) — the day-1 state the graded query
     deduplicates its batch against."""
-    import tempfile
+    from ..catalog import persisted_store_for
 
-    from ..tables import SnapshotTable
+    def build(root):
+        corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
+            "doc_id % 5 != 0"
+        ).select("doc_id", "text")
+        build_signature_store(spark, corpus, root)
 
-    key = os.path.abspath(sf_dir)
-    root = _incr_store_cache.get(key)
-    if root and SnapshotTable.exists(root):
-        return root
-    root = os.path.join(tempfile.mkdtemp(prefix="eiws_incrdedup_"), "sigs")
-    corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
-        "doc_id % 5 != 0"
-    ).select("doc_id", "text")
-    build_signature_store(spark, corpus, root)
-    _incr_store_cache[key] = root
-    return root
+    return persisted_store_for(
+        spark, sf_dir, _incr_store_cache, "eiws_incrdedup_", "sigs", build
+    )
 
 
 # Ground truth for the incremental MinHash tier: the FULL-corpus LSH
@@ -1491,21 +1487,17 @@ def _incremental_exact_store_for(spark, sf_dir: str) -> str:
     """Per-sf_dir persisted hash store, built ONCE per process from the
     corpus slice (doc_id % 5 != 0) — same day-1/day-2 split as the
     MinHash and SimHash incremental tiers."""
-    import tempfile
+    from ..catalog import persisted_store_for
 
-    from ..tables import SnapshotTable
+    def build(root):
+        corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
+            "doc_id % 5 != 0"
+        ).select("doc_id", "text")
+        build_exact_hash_store(spark, corpus, root)
 
-    key = os.path.abspath(sf_dir)
-    root = _incr_exact_store_cache.get(key)
-    if root and SnapshotTable.exists(root):
-        return root
-    root = os.path.join(tempfile.mkdtemp(prefix="eiws_increxact_"), "hashes")
-    corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
-        "doc_id % 5 != 0"
-    ).select("doc_id", "text")
-    build_exact_hash_store(spark, corpus, root)
-    _incr_exact_store_cache[key] = root
-    return root
+    return persisted_store_for(
+        spark, sf_dir, _incr_exact_store_cache, "eiws_increxact_", "hashes", build
+    )
 
 
 @query(
@@ -1640,21 +1632,17 @@ _incr_sh_store_cache: dict[str, str] = {}
 
 
 def _incremental_sh_store_for(spark, sf_dir: str) -> str:
-    import tempfile
+    from ..catalog import persisted_store_for
 
-    from ..tables import SnapshotTable
+    def build(root):
+        corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
+            "doc_id % 5 != 0"
+        ).select("doc_id", "text")
+        build_simhash_store(spark, corpus, root)
 
-    key = os.path.abspath(sf_dir)
-    root = _incr_sh_store_cache.get(key)
-    if root and SnapshotTable.exists(root):
-        return root
-    root = os.path.join(tempfile.mkdtemp(prefix="eiws_incrsh_"), "sigs")
-    corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
-        "doc_id % 5 != 0"
-    ).select("doc_id", "text")
-    build_simhash_store(spark, corpus, root)
-    _incr_sh_store_cache[key] = root
-    return root
+    return persisted_store_for(
+        spark, sf_dir, _incr_sh_store_cache, "eiws_incrsh_", "sigs", build
+    )
 
 
 def simhash_batch_verdicts(

@@ -1036,25 +1036,21 @@ _incr_sem_store_cache: dict[str, str] = {}
 def _incremental_sem_store_for(spark, sf_dir: str) -> str:
     """Day-1 state: corpus-slice vectors assigned under the corpus-trained
     index and persisted (vec_id, cluster, nrm, e)."""
-    import os
-    import tempfile
-
+    from ..catalog import persisted_store_for
     from ..tables import SnapshotTable
 
-    key = os.path.abspath(sf_dir)
-    root = _incr_sem_store_cache.get(key)
-    if root and SnapshotTable.exists(root):
-        return root
-    root = os.path.join(tempfile.mkdtemp(prefix="eiws_incrsem_"), "asg")
-    cents, cn2 = _kmeans_centroids(spark, sf_dir, where=SEM_INCR_WHERE)
-    corpus = _normed(spark, sf_dir).filter(SEM_INCR_WHERE)
-    assigned = assign_clusters(corpus, cents, cn2)
-    t = SnapshotTable.create(
-        spark, root, "vec_id bigint, cluster int, nrm double, e array<float>"
+    def build(root):
+        cents, cn2 = _kmeans_centroids(spark, sf_dir, where=SEM_INCR_WHERE)
+        corpus = _normed(spark, sf_dir).filter(SEM_INCR_WHERE)
+        assigned = assign_clusters(corpus, cents, cn2)
+        t = SnapshotTable.create(
+            spark, root, "vec_id bigint, cluster int, nrm double, e array<float>"
+        )
+        t.write(assigned.select("vec_id", "cluster", "nrm", "e"))
+
+    return persisted_store_for(
+        spark, sf_dir, _incr_sem_store_cache, "eiws_incrsem_", "asg", build
     )
-    t.write(assigned.select("vec_id", "cluster", "nrm", "e"))
-    _incr_sem_store_cache[key] = root
-    return root
 
 
 _SEM_INCR_ORACLE = f"""

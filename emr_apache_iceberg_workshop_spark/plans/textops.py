@@ -454,16 +454,33 @@ def _ngram4_for(spark, sf_dir) -> DataFrame:
     return df
 
 
-@query(
-    "t_decontaminate",
-    oracle=f"""
+def _contamination_report(train: DataFrame, bench: DataFrame) -> DataFrame:
+    """Shared report shape for the whole-corpus and incremental
+    decontamination queries: per contaminated doc, benchmark-gram match
+    count and ratio. `train` = (doc_id, n_ngrams, g) exploded rows;
+    `bench` = distinct grams."""
+    return (
+        train.join(bench, "g")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .selectExpr(
+            "doc_id", "n_ngrams", "n_contaminated",
+            "CAST(n_contaminated AS DOUBLE) / n_ngrams AS contamination_ratio",
+        )
+    )
+
+
+def _decontam_oracle(train_pred: str) -> str:
+    """One oracle template for both decontamination queries — only the
+    train-slice predicate differs."""
+    return f"""
     WITH ng AS (
       SELECT doc_id, {NGRAM4_D} AS ng FROM documents
     ), bench AS (
       SELECT DISTINCT unnest(ng) AS g FROM ng WHERE doc_id % 20 = 0
     ), train AS (
       SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS g
-      FROM ng WHERE doc_id % 20 <> 0
+      FROM ng WHERE {train_pred}
     )
     SELECT t.doc_id,
            t.n_ngrams AS n_ngrams,
@@ -471,7 +488,12 @@ def _ngram4_for(spark, sf_dir) -> DataFrame:
            CAST(COUNT(*) AS DOUBLE) / t.n_ngrams AS contamination_ratio
     FROM train t JOIN bench b USING (g)
     GROUP BY t.doc_id, t.n_ngrams
-    """,
+    """
+
+
+@query(
+    "t_decontaminate",
+    oracle=_decontam_oracle("doc_id % 20 <> 0"),
     tags=("textops:decontaminate", "join"),
 )
 def t_decontaminate(spark, sf_dir) -> DataFrame:
@@ -484,15 +506,7 @@ def t_decontaminate(spark, sf_dir) -> DataFrame:
     train = ng.filter("doc_id % 20 != 0").selectExpr(
         "doc_id", "CAST(size(ng) AS BIGINT) AS n_ngrams", "explode(ng) AS g"
     )
-    return (
-        train.join(bench, "g")
-        .groupBy("doc_id", "n_ngrams")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-        .selectExpr(
-            "doc_id", "n_ngrams", "n_contaminated",
-            "CAST(n_contaminated AS DOUBLE) / n_ngrams AS contamination_ratio",
-        )
-    )
+    return _contamination_report(train, bench)
 
 
 # --------------------------------------------------------------------------
@@ -533,12 +547,11 @@ def decontaminate_batch(
     size; per-doc totals ride the exploded batch rows (no second pass
     over text)."""
     if append_bench is not None:
-        store.write(
-            append_bench.selectExpr(f"explode({NGRAM4_S}) AS g").distinct()
-        )
-    # store snapshots may repeat a gram (each benchmark appends ITS
-    # distinct set) — dedup the one store column, not the batch side
-    bench = store.scan().distinct()
+        # anti-join the new benchmark's grams against the current store
+        # so appends stay duplicate-free — the per-batch check must not
+        # pay an O(store) distinct for cross-snapshot repeats
+        new_g = append_bench.selectExpr(f"explode({NGRAM4_S}) AS g").distinct()
+        store.write(new_g.join(store.scan(), "g", "left_anti"))
     # materialize the gram ARRAYS before the explode (the documented
     # explode-of-expensive-expression pitfall: project-collapse would
     # otherwise re-evaluate the tokenize+shingle expression per OUTPUT
@@ -550,15 +563,15 @@ def decontaminate_batch(
     train = ng.selectExpr(
         "doc_id", "CAST(size(ng) AS BIGINT) AS n_ngrams", "explode(ng) AS g"
     )
-    return (
-        train.join(bench, "g")
-        .groupBy("doc_id", "n_ngrams")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-        .selectExpr(
-            "doc_id", "n_ngrams", "n_contaminated",
-            "CAST(n_contaminated AS DOUBLE) / n_ngrams AS contamination_ratio",
-        )
-    )
+    # prune the store to grams the batch touches BEFORE deduplicating:
+    # appends are anti-joined above so duplicates only arise from racing
+    # concurrent appends, but a duplicated gram would DOUBLE-COUNT every
+    # match — so the distinct stays for correctness, applied after the
+    # semi-join where it costs O(matched grams), not O(store)
+    bench = store.scan().join(
+        train.select("g").distinct(), "g", "left_semi"
+    ).distinct()
+    return _contamination_report(train, bench)
 
 
 _bench_store_cache: dict[str, str] = {}
@@ -567,45 +580,26 @@ _bench_store_cache: dict[str, str] = {}
 def _benchmark_store_for(spark, sf_dir: str) -> str:
     """Per-sf_dir persisted benchmark store (doc_id % 20 = 0 — the same
     bench slice as t_decontaminate), built once per process."""
-    import os
-    import tempfile
+    from ..catalog import persisted_store_for
 
-    from ..tables import SnapshotTable
+    def build(root):
+        bench = fan_out(load_table(spark, sf_dir, "documents")).filter(
+            "doc_id % 20 = 0"
+        ).select("doc_id", "text")
+        build_benchmark_store(spark, bench, root)
 
-    key = os.path.abspath(sf_dir)
-    root = _bench_store_cache.get(key)
-    if root and SnapshotTable.exists(root):
-        return root
-    root = os.path.join(tempfile.mkdtemp(prefix="eiws_benchstore_"), "grams")
-    bench = fan_out(load_table(spark, sf_dir, "documents")).filter(
-        "doc_id % 20 = 0"
-    ).select("doc_id", "text")
-    build_benchmark_store(spark, bench, root)
-    _bench_store_cache[key] = root
-    return root
+    return persisted_store_for(
+        spark, sf_dir, _bench_store_cache, "eiws_benchstore_", "grams", build
+    )
 
 
 @query(
     "t_incremental_decontam",
-    # Ground truth: t_decontaminate's full recompute restricted to the
-    # batch slice (train docs with doc_id % 5 = 0; bench docs excluded
-    # from the batch — a doc cannot contaminate itself)
-    oracle=f"""
-    WITH ng AS (
-      SELECT doc_id, {NGRAM4_D} AS ng FROM documents
-    ), bench AS (
-      SELECT DISTINCT unnest(ng) AS g FROM ng WHERE doc_id % 20 = 0
-    ), train AS (
-      SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS g
-      FROM ng WHERE doc_id % 20 <> 0 AND doc_id % 5 = 0
-    )
-    SELECT t.doc_id,
-           t.n_ngrams AS n_ngrams,
-           COUNT(*) AS n_contaminated,
-           CAST(COUNT(*) AS DOUBLE) / t.n_ngrams AS contamination_ratio
-    FROM train t JOIN bench b USING (g)
-    GROUP BY t.doc_id, t.n_ngrams
-    """,
+    # Ground truth: t_decontaminate's full recompute (same oracle
+    # template) restricted to the batch slice (train docs with
+    # doc_id % 5 = 0; bench docs excluded from the batch — a doc cannot
+    # contaminate itself)
+    oracle=_decontam_oracle("doc_id % 20 <> 0 AND doc_id % 5 = 0"),
     tags=("textops:incremental-decontam", "join", "snapshot-table"),
 )
 def t_incremental_decontam(spark, sf_dir) -> DataFrame:

@@ -63,8 +63,9 @@ Supported grammar (case-insensitive keywords; one statement per call):
   (maintain → expire → orphan sweep in one call) /
   ``dedup_batch('<store>', source => '<view>'[, algo => 'minhash'|'exact']
   [, append => true])`` (extension: incremental dedup of a batch against
-  a persisted signature store; returns the verdict DataFrame) — named
-  (``arg => v``) or positional.
+  a persisted signature store; returns the verdict DataFrame; append
+  defaults to FALSE here — read-only unless asked — unlike the library
+  functions' append=True) — named (``arg => v``) or positional.
 - ``ALTER TABLE <name> RENAME TO <new>`` (catalog re-key, data in place)
   / ``ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
   / ``ADD PARTITION FIELD <spec>`` / ``DROP PARTITION FIELD <spec>`` /
@@ -851,7 +852,15 @@ class SqlCatalog:
             if src is None:
                 raise ValueError("dedup_batch requires (table, source)")
             algo = (val("algo", 2, "minhash") or "minhash").lower()
-            append = (val("append", 3, "false") or "false").lower() in ("true", "1")
+            # SQL default is append=false (a CALL should be read-only
+            # unless asked) — NOTE this deliberately diverges from the
+            # library functions' append=True default; reject anything
+            # that isn't an explicit boolean rather than silently
+            # treating it as false
+            raw_append = (val("append", 3, "false") or "false").lower()
+            if raw_append not in ("true", "1", "false", "0"):
+                raise ValueError(f"dedup_batch: append must be true/false, got {raw_append!r}")
+            append = raw_append in ("true", "1")
             from .plans.dedup import (
                 dedup_batch_incremental,
                 dedup_batch_incremental_exact,
