@@ -118,6 +118,7 @@ _PREFIX_ORDER = [
     "d_incremental_exact",
     "q_stream_incremental_dedup",
     "t_incremental_decontam",
+    "t_incremental_token_freq",
     "q_meta_summary_lifecycle",
     "s_semdedup",
     "q_meta_metadata_log",

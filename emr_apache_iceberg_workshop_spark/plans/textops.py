@@ -1264,3 +1264,101 @@ def t_heavy_hitters(spark, sf_dir) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return top_k(counted, [F.col("freq").desc(), F.col("token")], _HH_K)
+
+
+# --------------------------------------------------------------------------
+# Incremental token-frequency maintenance: the persisted-state twin of
+# t_token_freq — the corpus's token counts live in a SnapshotTable
+# created MERGE-ON-READ, and each new batch updates it with one
+# O(batch-vocabulary) MERGE (append + equality delete, no table
+# rewrite): count the batch, add the current counts for the tokens the
+# batch touches (store semi-joined down to the batch vocabulary), merge
+# the summed rows back. This is the vocabulary/frequency table every
+# tokenizer-training pipeline maintains across ingest runs, expressed
+# through the table format's row-level DML instead of a full recount.
+# (doc_freq is deliberately absent: distinct-doc counts are not
+# incrementally maintainable from per-token state alone.)
+
+_TF_DDL = "token string, freq bigint"
+
+
+def build_token_freq_store(spark, docs: DataFrame, root: str):
+    """Day-1 build: one token-frequency aggregation of the corpus,
+    persisted MERGE-ON-READ so day-2 updates commit O(batch) deltas."""
+    from ..tables import SnapshotTable
+
+    t = SnapshotTable.create(
+        spark, root, _TF_DDL,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.write(
+        docs.selectExpr(f"explode({TOKS_S}) AS token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return t
+
+
+def update_token_freq(spark, batch_docs: DataFrame, store) -> int:
+    """Fold a NEW batch into the persisted frequency table: batch text
+    is tokenized once; the store contributes only the rows the batch's
+    vocabulary touches (semi-join — untouched tokens never move); the
+    MERGE commits the summed counts. Returns the merge snapshot id."""
+    delta = (
+        batch_docs.selectExpr(f"explode({TOKS_S}) AS token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+    cur = store.scan().join(delta.select("token"), "token", "left_semi")
+    src = delta.join(cur, "token", "left").selectExpr(
+        "token", "dfreq + coalesce(freq, CAST(0 AS BIGINT)) AS freq"
+    )
+    return store.merge(src, keys=["token"])
+
+
+_tf_store_cache: dict[str, str] = {}
+
+
+def _token_freq_store_for(spark, sf_dir: str) -> str:
+    """Day-1 corpus build (doc_id % 5 != 0) PLUS the day-2 batch merge
+    (doc_id % 5 = 0), cached per process — the graded query reads the
+    maintained state, whose equality with the full-corpus recount is the
+    maintenance-math proof."""
+    from ..catalog import persisted_store_for
+    from ..tables import SnapshotTable
+
+    def build(root):
+        docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "text"
+        )
+        t = build_token_freq_store(spark, docs.filter("doc_id % 5 != 0"), root)
+        update_token_freq(spark, docs.filter("doc_id % 5 = 0"), t)
+
+    return persisted_store_for(
+        spark, sf_dir, _tf_store_cache, "eiws_tfstore_", "freqs", build
+    )
+
+
+@query(
+    "t_incremental_token_freq",
+    # Ground truth: the from-scratch recount over the FULL corpus — the
+    # maintained store (day-1 counts + one day-2 MERGE) must equal it
+    # token-for-token; top-50 under the same total order as t_token_freq
+    oracle=f"""
+    SELECT token, freq FROM (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest({TOKS_D}) AS token FROM documents)
+      GROUP BY token)
+    ORDER BY freq DESC, token LIMIT 50
+    """,
+    tags=("textops:incremental-token-freq", "merge", "snapshot-table", "topk"),
+)
+def t_incremental_token_freq(spark, sf_dir) -> DataFrame:
+    """Top-50 tokens read from the INCREMENTALLY MAINTAINED frequency
+    store (merge-on-read MERGE of the day-2 batch into day-1 corpus
+    counts) — equality with the full recount proves the O(batch)
+    maintenance path loses and invents nothing."""
+    from ..tables import SnapshotTable
+
+    store = SnapshotTable(spark, _token_freq_store_for(spark, sf_dir))
+    return top_k(store.scan(), [F.col("freq").desc(), F.col("token")], 50)

@@ -469,3 +469,42 @@ def test_incremental_decontam_never_rescans_benchmark_text(spark, tmp_path):
     assert len(store.snapshots()) == 2
     assert 11 in rep3 and rep3[11].n_contaminated > 0
     assert rep3[10].n_contaminated == rep[10].n_contaminated  # unchanged
+
+
+# -- incremental token-frequency maintenance --------------------------------------
+def test_update_token_freq_sequential_batches(spark, tmp_path):
+    """Two sequential batch merges into the MOR frequency store must
+    leave state equal to the from-scratch recount over all docs; each
+    update is a merge commit (no table rewrite), and untouched tokens'
+    rows are not rewritten."""
+    from pyspark.sql import functions as F
+
+    from emr_apache_iceberg_workshop_spark.plans.textops import (
+        build_token_freq_store,
+        update_token_freq,
+    )
+
+    corpus = [(1, "alpha beta beta gamma"), (2, "alpha delta")]
+    b1 = [(10, "beta epsilon epsilon")]
+    b2 = [(20, "alpha beta zeta")]
+    root = str(tmp_path / "freqs")
+    store = build_token_freq_store(
+        spark, spark.createDataFrame(corpus, DDL), root
+    )
+    assert store.properties()["write.merge.mode"] == "merge-on-read"
+
+    update_token_freq(spark, spark.createDataFrame(b1, DDL), store)
+    update_token_freq(spark, spark.createDataFrame(b2, DDL), store)
+
+    got = {r.token: r.freq for r in store.scan().collect()}
+    all_docs = spark.createDataFrame(corpus + b1 + b2, DDL)
+    want = {
+        r.token: r.freq
+        for r in all_docs.selectExpr(
+            "explode(regexp_extract_all(text, '[a-z0-9]+', 0)) AS token"
+        ).groupBy("token").agg(F.count(F.lit(1)).alias("freq")).collect()
+    }
+    assert got == want
+    # three commits: day-1 append + two MOR merges
+    ops = [s.operation for s in store.snapshots()]
+    assert ops == ["append", "merge", "merge"]

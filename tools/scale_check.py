@@ -78,6 +78,10 @@ QUERIES = (
     # batch grows 10x while the benchmark slice also grows 10x, so the
     # watch-point is the gram-join shuffle staying linear in batch rows
     "t_incremental_decontam",
+    # r11 close: token-frequency maintenance — the store fixture folds
+    # the day-2 batch via a MOR MERGE on first run (day-1 cost); the
+    # steady-state read is a scan + top-k over the maintained table
+    "t_incremental_token_freq",
 )
 FACTOR = 10
 
