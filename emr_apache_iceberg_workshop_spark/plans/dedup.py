@@ -1667,30 +1667,54 @@ def simhash_batch_verdicts(
     if not append:
         other = other.unionByName(batch_sig.select("doc_id", "simhash"))
 
-    # per-fingerprint stats over the full universe: count + two smallest
-    # doc ids (min2 lets the same-fingerprint bucket exclude the batch
-    # doc itself when IT is the minimum)
-    s1 = other.groupBy("simhash").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.min("doc_id").alias("min1"),
-    )
-    m2 = (
-        other.join(s1, "simhash")
-        .filter(F.col("doc_id") > F.col("min1"))
-        .groupBy("simhash")
-        .agg(F.min("doc_id").alias("min2"))
-    )
-    stats = s1.join(m2, "simhash", "left")
-
     bfp = _sh_bands(batch_sig, "fa")
     ofp = _sh_bands(other, "fb")
+    # fingerprint-pair candidates are O(distinct batch fps × band
+    # collisions) — tiny. Materialize them eagerly so (a) the band join
+    # runs ONCE (fpp feeds both the touched-fingerprint prune and the
+    # cross aggregate) and (b) every downstream join sees exact small-side
+    # stats and plans as a broadcast, not a SortMergeJoin.
     fpp = (
         bfp.join(ofp, ["band_idx", "band_val"])
         .select("fa", "fb")
         .distinct()
         .withColumn("hamming", F.expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
         .filter(F.col("hamming") <= max_hamming)
+        .localCheckpoint(eager=True)
     )
+    # per-fingerprint stats (count + two smallest doc ids; min2 lets the
+    # same-fingerprint bucket exclude the batch doc itself when IT is the
+    # minimum) — computed over the TOUCHED slice only: fingerprints the
+    # batch carries (the `same` join) or bands into (`cross`'s fb side).
+    # The semi-join streams the 16 B/doc store scan against the small
+    # candidate set, so untouched corpus fingerprints never reach the
+    # stats shuffle or the min2 join — the same prune the exact tier
+    # applies to its hash groups.
+    # touched_fp is PROVABLY corpus-size-free: each batch fingerprint's
+    # hamming<=3 ball in 32-bit space holds at most C(32,0)+C(32,1)+
+    # C(32,2)+C(32,3) = 5489 fingerprints, so |fpp| <= |batch fps| x 5489
+    # no matter how large the store grows — hence the explicit broadcast
+    # hint (the localCheckpoint above preserves the band-join's inflated
+    # origin estimate, which would otherwise force a full-store
+    # SortMergeJoin in the static plan).
+    tfp = (
+        batch_sig.select("simhash")
+        .unionByName(fpp.select(F.col("fb").alias("simhash")))
+        .distinct()
+    )
+    touched_fp = F.broadcast(tfp)
+    other_t = other.join(touched_fp, "simhash", "left_semi")
+    s1 = other_t.groupBy("simhash").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("doc_id").alias("min1"),
+    )
+    m2 = (
+        other_t.join(s1, "simhash")
+        .filter(F.col("doc_id") > F.col("min1"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("min2"))
+    )
+    stats = s1.join(m2, "simhash", "left")
     # cross-bucket aggregate per batch fingerprint: total partner count
     # and the lexicographic-min (hamming, partner) pair — doc-independent
     cross = fpp.filter(F.col("fa") != F.col("fb")).join(
@@ -1706,7 +1730,9 @@ def simhash_batch_verdicts(
     b = batch_sig.selectExpr("doc_id", "simhash", "simhash AS fa")
     out = (
         b.join(same, "fa")  # every batch doc's fingerprint is in `other`
-        .join(cross_agg, "fa", "left")
+        # cross_agg is one row per batch fingerprint (groupBy fa over the
+        # hamming-bounded pair set) — corpus-size-free, safe to hint
+        .join(F.broadcast(cross_agg), "fa", "left")
         .selectExpr(
             "doc_id",
             "simhash",

@@ -102,6 +102,17 @@ BROADCAST_HINT_ALLOWED = {
         "nat", "n1", "n2", "cust_nat", "supp_nat",  # nation-derived (<=25 rows)
         "avg_bal", "total", "mx", "avg_qty",  # 1-row scalar aggregates
     },
+    "plans/dedup.py": {
+        # touched-fingerprint prune set for the incremental SimHash
+        # verdict tier: bounded by |batch fingerprints| x 5489 (the
+        # hamming<=3 ball size in 32-bit fingerprint space, C(32,0..3)),
+        # corpus-size-free at ANY store scale — see simhash_batch_verdicts
+        "tfp",
+        # one row per batch fingerprint (groupBy fa over the hamming-
+        # bounded candidate pair set) — bounded by |batch fps|, never by
+        # the store
+        "cross_agg",
+    },
     "plans/similarity.py": {
         "q",  # fixed 5-id query set (QUERY_FILTER bounds it at any SF)
         "qs",  # the same fixed query set, quantized tier
