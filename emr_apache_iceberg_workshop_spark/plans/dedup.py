@@ -1419,6 +1419,208 @@ def d_incremental(spark, sf_dir) -> DataFrame:
     return dedup_batch_incremental(spark, batch, store, append=False)
 
 
+def minhash_batch_verdicts(
+    spark,
+    batch_docs: DataFrame,
+    store,
+    append: bool = True,
+    batch_sig: DataFrame | None = None,
+) -> DataFrame:
+    """BOUNDED-output incremental MinHash dedup: one row per batch doc
+    that has >= 1 LSH-banded partner in the store or the batch —
+    (doc_id, n_partners, best_sim, best_partner), best = highest
+    signature-estimated similarity, ties broken by smallest partner id.
+
+    The pair form (`dedup_batch_incremental`) enumerates every banded
+    doc pair and is output-bound on dup-dense corpora (the same
+    enumeration bound SCALE.md measured at 113x/decade for the simhash
+    pair form). This twin computes verdicts ENTIRELY at the signature
+    level, with the store pruned by a PROVABLY bounded broadcast:
+
+    1. the batch's distinct (band_idx, band_key) set (<= N_BANDS x
+       |batch| rows at ANY store scale) broadcast-semi-joins the store's
+       band-long projection — a map-only pass over the 100 B/doc
+       signature parquet; only candidate docs (sharing >= 1 band with
+       the batch) survive;
+    2. per-signature stats (count, min id, second-min id for the
+       same-signature bucket's self-exclusion) aggregate CANDIDATES
+       only — untouched corpus signatures never reach a shuffle;
+    3. banded signature pairs (batch sigs x candidate sigs) carry the
+       signature-agreement similarity; a per-batch-signature aggregate
+       (one row per batch sig — corpus-size-free, broadcast) folds
+       partner counts and the (max sim, min partner) tie-break;
+    4. batch docs join their same-signature bucket and the cross
+       aggregate — identical-signature partners (sim = 1.0) always
+       dominate cross partners (sim <= 11/12), matching the oracle's
+       composite-key MIN.
+
+    Docs sharing the batch doc's exact signature share all bands, so the
+    band prune loses no partner; every partner doc is counted exactly
+    once (same-bucket via its group count, cross via its signature's
+    candidate count, signatures disjoint)."""
+    if batch_sig is None:
+        batch_sig = minhash_signature_df(batch_docs).localCheckpoint(eager=True)
+    if append:
+        store.write(batch_sig)
+    other = store.scan()
+    if not append:
+        other = other.unionByName(batch_sig)
+
+    skey = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in _SIG_COLS]))
+    mh_arr = "array(" + ", ".join(_SIG_COLS) + ")"
+    band_cols = [f"band{b}" for b in range(N_BANDS)]
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(N_BANDS))
+
+    # (1) map-only band prune of the store against the bounded batch
+    # band-key set
+    bb = _bands_long(batch_sig, "b_id").select("band_idx", "band_key").distinct()
+    u_long = other.selectExpr(
+        "doc_id",
+        *_SIG_COLS,
+        *band_cols,
+        f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)",
+    )
+    cand = (
+        u_long.join(F.broadcast(bb), ["band_idx", "band_key"], "left_semi")
+        .dropDuplicates(["doc_id"])  # a doc can match on several bands
+        .drop("band_idx", "band_key")
+        .withColumn("skey", skey)
+    )
+
+    # (2) per-signature stats over candidates only
+    s1 = cand.groupBy("skey", *_SIG_COLS, *band_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("doc_id").alias("min1"),
+    )
+    bs = batch_sig.withColumn("skey", skey)
+    bsk = bs.select("skey").distinct()
+    cand_b = cand.join(F.broadcast(bsk), "skey", "left_semi")
+    m2 = (
+        cand_b.join(s1.select("skey", "min1"), "skey")
+        .filter(F.col("doc_id") > F.col("min1"))
+        .groupBy("skey")
+        .agg(F.min("doc_id").alias("min2"))
+    )
+
+    # (3) banded signature pairs + per-batch-signature cross aggregate
+    bdist = bs.select("skey", *_SIG_COLS, *band_cols).distinct()
+    bl = bdist.selectExpr(
+        "skey AS ka",
+        f"{mh_arr} AS mha",
+        f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)",
+    )
+    ol = s1.selectExpr(
+        "skey AS kb",
+        f"{mh_arr} AS mhb",
+        "cnt AS cntb",
+        "min1 AS minb",
+        f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)",
+    )
+    spp = (
+        bl.join(ol, ["band_idx", "band_key"])
+        .filter("ka <> kb")
+        .select("ka", "kb", "mha", "mhb", "cntb", "minb")
+        .distinct()
+        .withColumn(
+            "invk",
+            F.expr(
+                f"CAST({N_MINHASH} - size(filter("
+                "zip_with(mha, mhb, (x, y) -> x = y), v -> v)) AS BIGINT)"
+            ),
+        )
+    )
+    cross_agg = (
+        spp.groupBy("ka")
+        .agg(
+            F.sum("cntb").cast("long").alias("cnt1"),
+            F.min(F.struct(F.col("invk"), F.col("minb"))).alias("best1"),
+        )
+        .withColumnRenamed("ka", "skey")
+    )
+
+    # (4) verdict per batch doc; identical-signature partners dominate.
+    # m2 groups the batch-signature slice, so it holds <= |batch sigs|
+    # rows at any store scale — safe to hint
+    same = s1.selectExpr("skey", "cnt AS cnt0", "min1 AS s_min1").join(
+        F.broadcast(m2), "skey", "left"
+    )
+    return (
+        bs.select("doc_id", "skey")
+        .join(same, "skey")  # every batch doc's signature is a candidate
+        .join(F.broadcast(cross_agg), "skey", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST((cnt0 - 1) + coalesce(cnt1, 0) AS BIGINT) AS n_partners",
+            f"CAST(CASE WHEN cnt0 >= 2 THEN {N_MINHASH}"
+            f" ELSE {N_MINHASH} - best1.invk END AS DOUBLE) / {N_MINHASH}"
+            " AS best_sim",
+            "CAST(CASE WHEN cnt0 >= 2 THEN"
+            " (CASE WHEN s_min1 <> doc_id THEN s_min1 ELSE min2 END)"
+            " ELSE best1.minb END AS BIGINT) AS best_partner",
+        )
+        .filter("n_partners > 0")
+    )
+
+
+@query(
+    "d_incremental_verdicts",
+    # Ground truth: the full-corpus LSH recompute on the union, aggregated
+    # to the SAME bounded per-batch-doc verdict — partner count over
+    # distinct banded partners, best similarity, and the smallest partner
+    # at the best similarity (composite-key MIN makes the tie-break
+    # identical in both engines; identical-signature partners carry
+    # k = N_MINHASH so they dominate exactly as the Spark same-bucket
+    # branch does)
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_D} AS __sh FROM documents),
+         hs AS (SELECT doc_id, {HASHED_SHINGLES_D} AS __hs FROM s),
+         m AS (SELECT doc_id, {', '.join(_minhash_exprs('duck'))} FROM hs),
+         b AS (SELECT *, {', '.join(_band_exprs())} FROM m),
+         long AS (
+           SELECT doc_id, band_idx, band_key FROM (
+             SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM b
+             UNION ALL SELECT doc_id, 1, band1 FROM b
+             UNION ALL SELECT doc_id, 2, band2 FROM b
+             UNION ALL SELECT doc_id, 3, band3 FROM b)
+         ),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS partner
+                  FROM long x JOIN long y
+                  ON x.band_key = y.band_key AND x.band_idx = y.band_idx
+                     AND x.doc_id <> y.doc_id
+                  WHERE x.doc_id % 5 = 0),
+         p AS (SELECT c.doc_id, c.partner,
+                      len(list_filter(list_zip(
+                        [ma.mh0, ma.mh1, ma.mh2, ma.mh3, ma.mh4, ma.mh5, ma.mh6, ma.mh7, ma.mh8, ma.mh9, ma.mh10, ma.mh11],
+                        [mb.mh0, mb.mh1, mb.mh2, mb.mh3, mb.mh4, mb.mh5, mb.mh6, mb.mh7, mb.mh8, mb.mh9, mb.mh10, mb.mh11]),
+                        q -> q[1] = q[2])) AS k
+               FROM cand c JOIN m ma ON ma.doc_id = c.doc_id
+                           JOIN m mb ON mb.doc_id = c.partner)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_partners,
+           CAST({N_MINHASH} - (MIN(({N_MINHASH} - k) * 10000000000 + partner)
+                               // 10000000000) AS DOUBLE) / {N_MINHASH}
+             AS best_sim,
+           CAST(MIN(({N_MINHASH} - k) * 10000000000 + partner) % 10000000000
+                AS BIGINT) AS best_partner
+    FROM p GROUP BY doc_id
+    """,
+    tags=("dedup:incremental", "join", "snapshot-table"),
+)
+def d_incremental_verdicts(spark, sf_dir) -> DataFrame:
+    """Incremental MinHash dedup of the batch slice (doc_id % 5 = 0)
+    against the persisted signature store, BOUNDED-OUTPUT verdict form —
+    the twin of `d_incremental` that a 100 TB ingest gate actually ships:
+    one row per batch doc, no doc-pair enumeration, store pruned by the
+    batch's broadcast band-key set before any shuffle."""
+    from ..tables import SnapshotTable
+
+    store = SnapshotTable(spark, _incremental_store_for(spark, sf_dir))
+    batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 5 = 0"
+    ).select("doc_id", "text")
+    return minhash_batch_verdicts(spark, batch, store, append=False)
+
+
 # --------------------------------------------------------------------------
 # Incremental EXACT tier: the cheapest cross-run dedup — the persisted
 # store holds one md5 per doc (16 bytes), the batch run hashes batch text

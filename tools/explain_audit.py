@@ -108,10 +108,17 @@ BROADCAST_HINT_ALLOWED = {
         # hamming<=3 ball size in 32-bit fingerprint space, C(32,0..3)),
         # corpus-size-free at ANY store scale — see simhash_batch_verdicts
         "tfp",
-        # one row per batch fingerprint (groupBy fa over the hamming-
-        # bounded candidate pair set) — bounded by |batch fps|, never by
-        # the store
+        # one row per batch fingerprint/signature (groupBy over the
+        # candidate pair set) — bounded by the batch, never by the store
         "cross_agg",
+        # the batch's distinct (band_idx, band_key) set: <= N_BANDS x
+        # |batch| rows at ANY store scale (minhash_batch_verdicts prune)
+        "bb",
+        # the batch's distinct signature keys: <= |batch| rows
+        "bsk",
+        # second-min ids grouped from the batch-signature slice:
+        # <= |batch signatures| rows at any store scale
+        "m2",
     },
     "plans/similarity.py": {
         "q",  # fixed 5-id query set (QUERY_FILTER bounds it at any SF)

@@ -82,6 +82,11 @@ QUERIES = (
     # the day-2 batch via a MOR MERGE on first run (day-1 cost); the
     # steady-state read is a scan + top-k over the maintained table
     "t_incremental_token_freq",
+    # r12: the bounded MinHash verdict twin (VERDICT r11 task 4) — one
+    # row per batch doc, signature-level compute, store pruned by the
+    # broadcast batch band-key set. Watch-point: intermediates must track
+    # distinct CANDIDATE signatures, not the pair form's doc-pair stream.
+    "d_incremental_verdicts",
 )
 FACTOR = 10
 
