@@ -2665,6 +2665,66 @@ class SnapshotTable:
             target, pred, survivors, "delete", {"mode": mode, "predicate": predicate}
         )
 
+    def delete_keys(self, keys_df: DataFrame, keys: list[str]) -> int:
+        """CDC/retraction fast path: merge-on-read equality delete straight
+        from a DataFrame of key values — the Iceberg Op='D' CDC shape
+        (reference `datagen/raw-datagen.py:16` emits that column). Unlike
+        `delete_where`, no predicate scan of the table runs: the distinct
+        key frame IS the equality-delete file, so the commit cost is
+        O(|keys|) regardless of table size. Deletes are sequence-aware
+        exactly like `delete_where`'s merge-on-read mode — they mask only
+        rows committed BEFORE this snapshot, so a later re-append of the
+        same key is visible (retract-then-upsert). A keyed delete frame
+        is inherently merge-on-read; tables configured copy-on-write can
+        still take it (COW users wanting a rewrite use `delete_where`).
+        Keys absent from the table are harmless no-ops, as in Iceberg."""
+        if not keys:
+            raise ValueError("delete_keys needs at least one key column")
+        schema = {f.name: f.dataType for f in self.schema().fields}
+        unknown = [k for k in keys if k not in schema]
+        if unknown:
+            raise ValueError(f"unknown key column(s) {unknown!r}")
+        frame = keys_df.select(
+            *[F.col(k).cast(schema[k]).alias(k) for k in keys]
+        ).distinct()
+        meta = self._load()
+        snaps = meta["snapshots"]
+        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        drel = f"deletes/s{sid}"
+        dstage = os.path.join(self.root, f"deletes/.stage-{uuid.uuid4().hex[:12]}")
+        frame.write.mode("overwrite").parquet(dstage)
+        entry = {"file": drel, "sid": sid, "keys": list(keys)}
+        self._publish_dir(
+            dstage, os.path.join(self.root, drel), cleanup_on_conflict=True
+        )
+        prev = self._head(meta)
+        snaps.append(
+            {
+                "snapshot_id": sid,
+                "parent_id": prev["snapshot_id"] if prev else None,
+                "made_current_at": self._clock(),
+                "operation": "delete",
+                "dirs": [],
+                "active_dirs": prev["active_dirs"] if prev else [],
+                "partitions": [],
+                "files": [],
+                "delete_file": drel,
+                "delete_file_stats": self._file_stats(drel),
+                "active_deletes": (
+                    list(prev.get("active_deletes", [])) if prev else []
+                )
+                + [entry],
+                "summary": {
+                    "mode": "merge-on-read",
+                    "style": "equality",
+                    "predicate": f"keys:{','.join(keys)}",
+                },
+            }
+        )
+        self._advance(meta, "main", sid, None)
+        self._commit(meta)
+        return sid
+
     def update_where(
         self, predicate: str, assignments: dict[str, str], keys: list[str] | None = None
     ) -> int:

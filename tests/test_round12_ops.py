@@ -101,3 +101,126 @@ def test_minhash_verdicts_bounded_twin(spark, tmp_path):
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     plan = v2._jdf.queryExecution().executedPlan().toString()
     assert "corpus_docs" not in plan
+
+
+def test_retraction_equals_full_recompute(spark, tmp_path):
+    """After retract_batch, batch verdicts against the store equal a
+    FULL recompute against a fresh store built from corpus-minus-deleted
+    — for both the MinHash and exact tiers (VERDICT r11 task 3)."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_exact_hash_store,
+        build_signature_store,
+        dedup_batch_incremental,
+        dedup_batch_incremental_exact,
+        minhash_batch_verdicts,
+        retract_batch,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),  # retracted below
+            (3, "completely different corpus words drawn from an entirely"
+                " separate vocabulary and domain altogether"),
+        ],
+        DDL,
+    )
+    kept = corpus.filter("doc_id <> 2")
+    batch = spark.createDataFrame([(10, BASE), (11, BASE)], DDL)
+
+    # MinHash tier: pair form + verdict form
+    r1 = str(tmp_path / "sigs_retract")
+    build_signature_store(spark, corpus, r1)
+    s_retract = SnapshotTable(spark, r1)
+    retract_batch(s_retract, corpus.filter("doc_id = 2").select("doc_id"))
+    r2 = str(tmp_path / "sigs_fresh")
+    build_signature_store(spark, kept, r2)
+    s_fresh = SnapshotTable(spark, r2)
+    for fn, id_cols in (
+        (dedup_batch_incremental, ("doc_a", "doc_b")),
+        (minhash_batch_verdicts, ("doc_id", "best_partner")),
+    ):
+        got_rows = fn(spark, batch, s_retract, append=False).collect()
+        want = sorted(map(tuple, fn(spark, batch, s_fresh, append=False).collect()))
+        assert sorted(map(tuple, got_rows)) == want, fn.__name__
+        # and the retracted doc is really gone from every id field
+        assert not any(r[c] == 2 for r in got_rows for c in id_cols), fn.__name__
+
+    # exact tier: retracting doc 2 shrinks the hash group and can move
+    # group_size (canonical stays doc 1)
+    e1 = str(tmp_path / "hash_retract")
+    build_exact_hash_store(spark, corpus, e1)
+    h_retract = SnapshotTable(spark, e1)
+    retract_batch(h_retract, corpus.filter("doc_id = 2").select("doc_id"))
+    e2 = str(tmp_path / "hash_fresh")
+    build_exact_hash_store(spark, kept, e2)
+    h_fresh = SnapshotTable(spark, e2)
+    got = sorted(map(tuple, dedup_batch_incremental_exact(
+        spark, batch, h_retract, append=False).collect()))
+    want = sorted(map(tuple, dedup_batch_incremental_exact(
+        spark, batch, h_fresh, append=False).collect()))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[10][2] == 3  # group {1, 10, 11} — doc 2 no longer counted
+    assert by_id[10][3] == 1  # canonical unaffected
+
+
+def test_cdc_batch_fold_into_store(spark, tmp_path):
+    """apply_cdc_batch folds an I/U/D micro-batch (the reference
+    datagen's CDC shape): D retracts, U retracts-then-reappends, I
+    appends — the store state afterwards equals a fresh build from the
+    post-CDC corpus."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        apply_cdc_batch,
+        build_signature_store,
+        minhash_signature_df,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " old revision of this doc"), (3, "short")],
+        DDL,
+    )
+    root = str(tmp_path / "cdc_sigs")
+    build_signature_store(spark, corpus, root)
+    store = SnapshotTable(spark, root)
+
+    cdc = spark.createDataFrame(
+        [
+            ("D", 3, None),
+            ("U", 2, BASE + " new revision entirely rewritten words"),
+            ("I", 4, "a brand new document inserted by cdc"),
+        ],
+        "Op string, doc_id bigint, text string",
+    )
+    apply_cdc_batch(spark, store, cdc, minhash_signature_df)
+
+    post = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE + " new revision entirely rewritten words"),
+            (4, "a brand new document inserted by cdc"),
+        ],
+        DDL,
+    )
+    want = sorted(map(tuple, minhash_signature_df(post).collect()))
+    got = sorted(map(tuple, store.scan().collect()))
+    assert got == want
+    # two commits: the equality delete, then the signature append
+    ops = [s.operation for s in store.snapshots()]
+    assert ops == ["append", "delete", "append"]
+
+
+def test_delete_keys_retract_then_upsert_visible(spark, tmp_path):
+    """delete_keys is sequence-aware: a re-append AFTER the delete is
+    visible (Iceberg's sequence-number rule), and absent keys no-op."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), "k bigint, v string")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t.delete_keys(spark.createDataFrame([(1,), (99,)], "k bigint"), ["k"])
+    assert {r.k for r in t.scan().collect()} == {2}
+    t.write(spark.createDataFrame([(1, "a2")], "k bigint, v string"))
+    got = {(r.k, r.v) for r in t.scan().collect()}
+    assert got == {(2, "b"), (1, "a2")}
