@@ -662,18 +662,26 @@ def t_unigram_logprob(spark, sf_dir) -> DataFrame:
     )
 
 
-def _unigram_perdoc(spark, sf_dir) -> DataFrame:
-    """(doc_id, n_tokens, mean_nlp): the unigram-LM scoring core shared by
-    t_unigram_logprob and t_ccnet_buckets."""
-    tok = _toks_for(spark, sf_dir).selectExpr("doc_id", "explode(toks) AS tk")
-    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+def _score_unigram(tok: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_nlp) of `tok` (doc_id, tk) under the
+    add-one-smoothed unigram LM given by `vocab` (tk, cnt). The left
+    join + coalesce(cnt, 0) handles OOV tokens (cnt=0 → the add-one
+    floor), which makes the same core usable whether the vocabulary is
+    refit from the scored corpus itself (no OOV possible) or read from a
+    maintained store."""
     tot = vocab.agg(
         F.sum("cnt").cast("bigint").alias("n"), F.count(F.lit(1)).alias("v")
     )
     scored = (
-        tok.join(vocab, "tk")
+        tok.join(vocab, "tk", "left")
         .crossJoin(F.broadcast(tot))  # 1-row scalar: total count + vocab size
-        .withColumn("nlp", -F.log((F.col("cnt") + F.lit(1.0)) / (F.col("n") + F.col("v"))))
+        .withColumn(
+            "nlp",
+            -F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                / (F.col("n") + F.col("v"))
+            ),
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -689,6 +697,15 @@ def _unigram_perdoc(spark, sf_dir) -> DataFrame:
             9,
         ).alias("mean_nlp"),
     )
+
+
+def _unigram_perdoc(spark, sf_dir) -> DataFrame:
+    """(doc_id, n_tokens, mean_nlp): the unigram-LM scoring core shared by
+    t_unigram_logprob and t_ccnet_buckets — vocabulary refit from the
+    corpus itself."""
+    tok = _toks_for(spark, sf_dir).selectExpr("doc_id", "explode(toks) AS tk")
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    return _score_unigram(tok, vocab)
 
 
 # --------------------------------------------------------------------------
@@ -1362,3 +1379,52 @@ def t_incremental_token_freq(spark, sf_dir) -> DataFrame:
 
     store = SnapshotTable(spark, _token_freq_store_for(spark, sf_dir))
     return top_k(store.scan(), [F.col("freq").desc(), F.col("token")], 50)
+
+
+@query(
+    "t_incremental_lm",
+    # Ground truth: the FULL REFIT — tokenize the whole corpus, count the
+    # vocabulary from scratch, score the batch under it. The Spark side
+    # never recounts: it reads the maintained store, so equality proves
+    # the end-to-end incremental ingest gate (maintain counts via MERGE,
+    # score new batches under the maintained LM) matches a from-scratch
+    # retrain token-for-token and ulp-for-rounded-ulp.
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS_D}) AS tk FROM documents),
+         vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM vocab),
+         scored AS (
+           SELECT t.doc_id,
+                  -ln((vocab.cnt + 1.0) / (tot.n + tot.v)) AS nlp
+           FROM tok t JOIN vocab ON t.tk = vocab.tk CROSS JOIN tot
+           WHERE t.doc_id % 5 = 0),
+         per_doc AS (
+           SELECT doc_id, COUNT(*) AS n_tokens,
+                  ROUND(CAST(CAST(SUM(CAST(nlp AS DECIMAL(38,12))) AS DOUBLE)
+                             / COUNT(*) AS DOUBLE), 9) AS mean_nlp
+           FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_tokens, mean_nlp,
+           mean_nlp <= 8.0 AS passes_lm_gate
+    FROM per_doc
+    """,
+    tags=("textops:incremental-lm", "join", "snapshot-table"),
+)
+def t_incremental_lm(spark, sf_dir) -> DataFrame:
+    """Unigram-LM quality gate for the day-2 batch (doc_id % 5 = 0) with
+    the language model read from the MAINTAINED token-frequency store
+    (`t_incremental_token_freq`'s MERGE-maintained table) instead of a
+    per-run corpus refit — the fully incremental ingest-gate path
+    (VERDICT r11 task 5): batch text is tokenized once, the corpus
+    contributes only its vocabulary-sized frequency table."""
+    from ..tables import SnapshotTable
+
+    store = SnapshotTable(spark, _token_freq_store_for(spark, sf_dir))
+    vocab = store.scan().selectExpr("token AS tk", "freq AS cnt")
+    tok = (
+        _toks_for(spark, sf_dir)
+        .filter("doc_id % 5 = 0")
+        .selectExpr("doc_id", "explode(toks) AS tk")
+    )
+    return _score_unigram(tok, vocab).withColumn(
+        "passes_lm_gate", F.col("mean_nlp") <= 8.0
+    )
