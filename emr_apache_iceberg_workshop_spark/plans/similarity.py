@@ -990,7 +990,16 @@ def semdedup_batch_verdicts(
     basg = assign_clusters(batch, cents, cn2).localCheckpoint(eager=True)
     if append:
         store.write(basg.select("vec_id", "cluster", "nrm", "e"))
-    universe = store.scan().select("vec_id", "cluster", "nrm", "e")
+    # the store is CLUSTER-PARTITIONED (see _incremental_sem_store_for):
+    # the cluster-equality join can only match store rows in the batch's
+    # own clusters, so prune the scan to that file set before any read.
+    # The cluster-id list is <= K values — the same driver-state bound as
+    # the centroid list already passed in. Unpartitioned stores degrade
+    # gracefully (plan_files_in keeps every file; bounds may still prune).
+    bclusters = [r[0] for r in basg.select("cluster").distinct().collect()]
+    universe = store.scan_pruned_in("cluster", bclusters).select(
+        "vec_id", "cluster", "nrm", "e"
+    )
     if not append:
         universe = universe.unionByName(basg.select("vec_id", "cluster", "nrm", "e"))
 
@@ -1035,7 +1044,11 @@ _incr_sem_store_cache: dict[str, str] = {}
 
 def _incremental_sem_store_for(spark, sf_dir: str) -> str:
     """Day-1 state: corpus-slice vectors assigned under the corpus-trained
-    index and persisted (vec_id, cluster, nrm, e)."""
+    index and persisted (vec_id, cluster, nrm, e), PARTITIONED BY cluster
+    so day-2 scans prune to the batch's clusters. At fixture K=8 identity
+    partitioning is right; at production K (~100k) the same spec becomes
+    `bucket(N, cluster)` — plan_files_in prunes through bucket images
+    identically while keeping per-snapshot file counts at N, not K."""
     from ..catalog import persisted_store_for
     from ..tables import SnapshotTable
 
@@ -1043,8 +1056,15 @@ def _incremental_sem_store_for(spark, sf_dir: str) -> str:
         cents, cn2 = _kmeans_centroids(spark, sf_dir, where=SEM_INCR_WHERE)
         corpus = _normed(spark, sf_dir).filter(SEM_INCR_WHERE)
         assigned = assign_clusters(corpus, cents, cn2)
+        # cluster-partitioned: each day-2 batch prunes its store scan to
+        # the batch's own clusters (semdedup_batch_verdicts' cluster-
+        # equality join can match nothing outside them) — at production K
+        # the scan reads |batch clusters| / K of the store files
         t = SnapshotTable.create(
-            spark, root, "vec_id bigint, cluster int, nrm double, e array<float>"
+            spark,
+            root,
+            "vec_id bigint, cluster int, nrm double, e array<float>",
+            partition_by=["cluster"],
         )
         t.write(assigned.select("vec_id", "cluster", "nrm", "e"))
 

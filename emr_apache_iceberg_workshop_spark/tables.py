@@ -3168,6 +3168,58 @@ class SnapshotTable:
         dtype = dict((sf.name, sf.dataType) for sf in self.schema().fields)[pf.source]
         return lambda value: iceberg_bucket(value, pf.param, dtype)
 
+    def plan_files_in(self, col: str, values) -> tuple[list[tuple[str, dict]], int]:
+        """Manifest-only planning for an IN (set-membership) predicate —
+        the Iceberg `col IN (...)` partition-pruning shape `plan_files`'
+        single range cannot express (a batch's cluster set is not a
+        contiguous range). A file survives if ANY value's equality
+        predicate keeps it: identity partitions prune to the exact value
+        set, `bucket(N, col)` prunes to the values' bucket images,
+        monotone transforms to their transform-space images; file column
+        bounds prune against [min(values), max(values)]. Driver cost is
+        O(files x |values|) — callers pass bounded sets (e.g. a batch's
+        cluster ids, <= K, the same driver-state bound as the centroid
+        list itself)."""
+        vals = [v for v in values if v is not None]
+        total = len(self._live_files())
+        if not vals:
+            return [], total
+        lo, hi = min(vals), max(vals)
+        meta = self._load()
+        fields = [f for f in self._part_fields(meta) if f.source == col]
+        bucket_of = {
+            f.name: self._bucket_of(f) for f in fields if f.transform == "bucket"
+        }
+        renames = self._renames(meta)
+        kept = []
+        for rel, f in self._live_files():
+            hist_col = self._name_at(renames, _dir_sid(rel), col, None)
+            b = f.get("bounds", {}).get(hist_col)
+            if b is not None and (hi < b[0] or lo > b[1]):
+                continue
+            part = f.get("partition", {})
+            if any(
+                pf.name in part
+                and not any(
+                    prune_keep(
+                        pf, part[pf.name], v, v, bucket_of=bucket_of.get(pf.name)
+                    )
+                    for v in vals
+                )
+                for pf in fields
+            ):
+                continue
+            kept.append((rel, f))
+        return kept, total
+
+    def scan_pruned_in(self, col: str, values) -> DataFrame:
+        """Current-state scan reading only the files `plan_files_in`
+        keeps for `col IN (values)`. Same contract as `scan_pruned`:
+        rows are unfiltered (callers apply their predicate on top),
+        correctness identical to `scan()`, MOR deletes still apply."""
+        kept, _total = self.plan_files_in(col, values)
+        return self._scan_files(kept)
+
     def scan_pruned(self, col: str, lo, hi) -> DataFrame:
         """Current-state scan reading ONLY the files `plan_files` keeps.
         Rows are still unfiltered (bounds overlap ≠ row match): callers
@@ -3175,6 +3227,11 @@ class SnapshotTable:
         `scan().filter(...)` because pruning only drops files that cannot
         contain matching rows. MOR delete files still apply."""
         kept, _total = self.plan_files(col, lo, hi)
+        return self._scan_files(kept)
+
+    def _scan_files(self, kept: list[tuple[str, dict]]) -> DataFrame:
+        """Assemble the current-state DataFrame from a planned file list
+        (shared by `scan_pruned` / `scan_pruned_in`)."""
         schema = self.schema()
         by_dir: dict[str, list[str]] = {}
         for rel, f in kept:

@@ -224,3 +224,80 @@ def test_delete_keys_retract_then_upsert_visible(spark, tmp_path):
     t.write(spark.createDataFrame([(1, "a2")], "k bigint, v string"))
     got = {(r.k, r.v) for r in t.scan().collect()}
     assert got == {(2, "b"), (1, "a2")}
+
+
+def test_plan_files_in_prunes_partitions(spark, tmp_path):
+    """plan_files_in: identity partitions prune to the exact value set;
+    bucket partitions prune to the values' bucket images; scan_pruned_in
+    stays row-identical to scan().filter(IN)."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    rows = [(i, i % 4, f"v{i}") for i in range(40)]
+    ddl = "id bigint, cluster int, v string"
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "ident"), ddl, partition_by=["cluster"]
+    )
+    t.write(spark.createDataFrame(rows, ddl))
+    kept, total = t.plan_files_in("cluster", [1, 3])
+    assert 0 < len(kept) < total
+    got = {(r.id, r.cluster) for r in
+           t.scan_pruned_in("cluster", [1, 3]).filter("cluster IN (1,3)").collect()}
+    want = {(i, i % 4) for i in range(40) if i % 4 in (1, 3)}
+    assert got == want
+    # empty value set plans nothing
+    k0, _ = t.plan_files_in("cluster", [])
+    assert k0 == []
+
+    b = SnapshotTable.create(
+        spark, str(tmp_path / "buck"), ddl, partition_by=["bucket(4, cluster)"]
+    )
+    b.write(spark.createDataFrame(rows, ddl))
+    keptb, totalb = b.plan_files_in("cluster", [2])
+    assert 0 < len(keptb) < totalb
+    gotb = {r.id for r in
+            b.scan_pruned_in("cluster", [2]).filter("cluster = 2").collect()}
+    assert gotb == {i for i in range(40) if i % 4 == 2}
+
+
+def test_semdedup_store_cluster_prune_parity(spark, tmp_path):
+    """The cluster-partitioned assignment store gives verdicts identical
+    to an unpartitioned one, and the batch's scan plans only the batch's
+    cluster partitions."""
+    from emr_apache_iceberg_workshop_spark.plans.similarity import (
+        semdedup_batch_verdicts,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    # 2-d toy: cluster 3 near (1,0), cluster 5 near (0,1)
+    cents = [(3, [1.0, 0.0]), (5, [0.0, 1.0])]
+    cn2 = [1.0, 1.0]
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.01]), (2, [0.99, 0.0]), (3, [0.0, 1.0])],
+        "vec_id bigint, e array<double>",
+    ).selectExpr("vec_id", "e", "sqrt(aggregate(e, 0d, (s, x) -> s + x * x)) AS nrm")
+    batch = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id bigint, e array<double>"
+    ).selectExpr("vec_id", "e", "sqrt(aggregate(e, 0d, (s, x) -> s + x * x)) AS nrm")
+
+    ddl = "vec_id bigint, cluster int, nrm double, e array<double>"
+    stores = []
+    for name, part in (("part", ["cluster"]), ("flat", None)):
+        t = SnapshotTable.create(
+            spark, str(tmp_path / name), ddl, partition_by=part
+        )
+        from emr_apache_iceberg_workshop_spark.plans.similarity import assign_clusters
+        t.write(assign_clusters(corpus, cents, cn2).select("vec_id", "cluster", "nrm", "e"))
+        stores.append(t)
+
+    res = [
+        sorted(map(tuple, semdedup_batch_verdicts(
+            spark, batch, s, cents, cn2, append=False).collect()))
+        for s in stores
+    ]
+    assert res[0] == res[1]
+    assert res[0] and all(r[1] == 3 for r in res[0])  # batch lands in cluster 3
+
+    # the partitioned store plans ONLY the batch's cluster files
+    kept, total = stores[0].plan_files_in("cluster", [3])
+    assert 0 < len(kept) < total
