@@ -1274,6 +1274,22 @@ def _bands_long(df: DataFrame, id_alias: str) -> DataFrame:
     )
 
 
+def _append_new_ids(store, frame: DataFrame, key: str = "doc_id", **write_kw):
+    """Keyed-idempotent store append: anti-join the batch against the
+    existing store ids before writing, so calling a library append twice
+    (or `CALL system.dedup_batch(..., append => true)` replayed outside
+    the streaming scope guard) cannot double-append signatures. The
+    downstream plans treat unique-id as a store invariant (the signature
+    lookup union and the exact tier's group counts would double-count
+    duplicated rows), so the invariant is enforced at the only place
+    rows enter — the same anti-join `decontaminate_batch` applies to its
+    gram appends. Cost: one column-pruned store-id stream against the
+    (small, AQE-broadcast) batch id set per append. Text updates to an
+    EXISTING id are not an append — route them through apply_cdc_batch
+    (retract-then-upsert)."""
+    store.write(frame.join(store.scan().select(key), key, "left_anti"), **write_kw)
+
+
 def dedup_batch_incremental(
     spark,
     batch_docs: DataFrame,
@@ -1302,7 +1318,7 @@ def dedup_batch_incremental(
     if batch_sig is None:
         batch_sig = minhash_signature_df(batch_docs).localCheckpoint(eager=True)
     if append:
-        store.write(batch_sig, summary_extra=summary_extra)
+        _append_new_ids(store, batch_sig, summary_extra=summary_extra)
     mh_arr = "array(" + ", ".join(_SIG_COLS) + ")"
     # store doc_ids that pre-date this batch (the store scan includes the
     # just-appended snapshot when append=True — exclude the batch's own
@@ -1461,7 +1477,7 @@ def minhash_batch_verdicts(
     if batch_sig is None:
         batch_sig = minhash_signature_df(batch_docs).localCheckpoint(eager=True)
     if append:
-        store.write(batch_sig)
+        _append_new_ids(store, batch_sig)
     other = store.scan()
     if not append:
         other = other.unionByName(batch_sig)
@@ -1659,7 +1675,7 @@ def dedup_batch_incremental_exact(
         "doc_id", F.md5("text").alias("text_hash")
     ).localCheckpoint(eager=True)
     if append:
-        store.write(batch_h)
+        _append_new_ids(store, batch_h)
     # store docs that pre-date this batch (exclude the just-appended ids)
     others = store.scan().join(batch_h.select("doc_id"), "doc_id", "left_anti")
     all_h = others.unionByName(batch_h)
@@ -1893,7 +1909,7 @@ def dedup_batch_incremental_simhash(
     (doc_a, doc_b, simhash_a, simhash_b, hamming), doc_a < doc_b."""
     batch_sig = simhash_signature_df(batch_docs).localCheckpoint(eager=True)
     if append:
-        store.write(batch_sig)
+        _append_new_ids(store, batch_sig)
     store_sig = store.scan().select("doc_id", "simhash")
     if append:
         # the store scan now includes the batch snapshot; the union below
@@ -1962,7 +1978,7 @@ def simhash_batch_verdicts(
     ingest gate actually ships."""
     batch_sig = simhash_signature_df(batch_docs).localCheckpoint(eager=True)
     if append:
-        store.write(batch_sig)
+        _append_new_ids(store, batch_sig)
     other = store.scan().select("doc_id", "simhash")
     if not append:
         other = other.unionByName(batch_sig.select("doc_id", "simhash"))

@@ -989,7 +989,13 @@ def semdedup_batch_verdicts(
     are committed to the store so the next batch sees them."""
     basg = assign_clusters(batch, cents, cn2).localCheckpoint(eager=True)
     if append:
-        store.write(basg.select("vec_id", "cluster", "nrm", "e"))
+        # keyed-idempotent append (unique vec_id is a store invariant
+        # — see plans/dedup.py:_append_new_ids)
+        from .dedup import _append_new_ids
+
+        _append_new_ids(
+            store, basg.select("vec_id", "cluster", "nrm", "e"), key="vec_id"
+        )
     # the store is CLUSTER-PARTITIONED (see _incremental_sem_store_for):
     # the cluster-equality join can only match store rows in the batch's
     # own clusters, so prune the scan to that file set before any read.

@@ -759,10 +759,16 @@ def stream_incremental_dedup(
     accumulated (doc_a, doc_b, est_sim) verdicts."""
     from ..streaming.jobs import _checkpoint_scope
 
+    # resolved ONCE before start: _checkpoint_scope now CREATES the
+    # checkpoint's query-id file when absent (Spark adopts it on start),
+    # so batch 0 stamps under the same scope every restart resolves —
+    # the ADVICE r11 fallback-scope mismatch cannot occur
+    scope = _checkpoint_scope(checkpoint_dir)
+
     def _fb(bdf: DataFrame, batch_id: int) -> None:
         incremental_dedup_stream_batch(
             bdf.sparkSession, bdf, batch_id, store, out_dir,
-            scope=_checkpoint_scope(checkpoint_dir),
+            scope=scope,
         )
 
     q = (

@@ -2758,7 +2758,11 @@ def q_meta_summary_lifecycle(spark, sf_dir) -> DataFrame:
     catch owner-id-vs-parent-relative drift)."""
     import json as _json
 
-    from ..iceberg_meta import discover_latest_metadata, write_iceberg_metadata
+    from ..iceberg_meta import (
+        _OP_SUMMARY,
+        discover_latest_metadata,
+        write_iceberg_metadata,
+    )
 
     t = _summary_lifecycle_table(spark)
     # the fixture's lifecycle is FIXED — reuse the committed emission when
@@ -2770,6 +2774,33 @@ def q_meta_summary_lifecycle(spark, sf_dir) -> DataFrame:
         md = write_iceberg_metadata(t)
     with open(md) as f:
         doc = _json.load(f)
+
+    def _emission_fresh(d) -> bool:
+        """Freshness guard (ADVICE r11): the committed emission must agree
+        with the engine's CURRENT summary semantics, independently
+        recomputed by snapshots_table — spec operation + added-* +
+        total-records per snapshot id. A later-round change to
+        write_iceberg_metadata's counters would otherwise leave the
+        committed v1.metadata.json silently stale (the data side already
+        has the _meta.json ops guard; this is its emission twin)."""
+        st = {r.snapshot_id: r for r in t.snapshots_table().collect()}
+        for s in d.get("snapshots", []):
+            r = st.get(s["snapshot-id"])
+            su = s.get("summary", {})
+            if (
+                r is None
+                or su.get("operation") != _OP_SUMMARY.get(r.operation, "overwrite")
+                or int(su.get("added-data-files", -1)) != r.added_files
+                or int(su.get("added-records", -1)) != r.added_rows
+                or int(su.get("total-records", -1)) != r.total_records
+            ):
+                return False
+        return True
+
+    if not _emission_fresh(doc):
+        md = write_iceberg_metadata(t)
+        with open(md) as f:
+            doc = _json.load(f)
     # spec operation values: append / replace / overwrite / delete —
     # a cherry-pick emits "append" (it re-applies an append), so the two
     # append rows are distinguished by their counters

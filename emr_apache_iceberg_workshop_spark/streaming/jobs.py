@@ -346,11 +346,15 @@ def stream_append_table(
     use scan_incremental/changes over the committed snapshot ids."""
     from ..tables import SnapshotTable
 
+    # resolved ONCE before start (creating <checkpoint>/metadata if
+    # absent — Spark adopts it), closed over by every batch
+    scope = _checkpoint_scope(checkpoint_dir)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         append_stream_batch(
             spark, batch_df, batch_id, table_root,
             partition_by=partition_by,
-            scope=_checkpoint_scope(checkpoint_dir),
+            scope=scope,
         )
 
     q = (
@@ -367,16 +371,33 @@ def _checkpoint_scope(checkpoint_dir: str) -> str:
     """Replay-guard scope for a foreachBatch stream: the streaming query
     id Spark persists at `<checkpoint>/metadata` — stable across restarts
     from the SAME checkpoint, fresh for a new one (the exact lifetime of
-    the checkpoint's batch-id sequence). Falls back to the checkpoint path
-    itself before the metadata file exists."""
+    the checkpoint's batch-id sequence). If the metadata file does not
+    exist yet (stream not started), it is CREATED here with a fresh query
+    id: Spark ADOPTS a pre-existing `<checkpoint>/metadata` on start
+    (that is how checkpoint resumption works), so the scope resolved
+    before `start()` is the same one every batch and every restart sees —
+    batch 0 can no longer stamp under a path-fallback scope that a
+    restart's query-id scope would fail to match (ADVICE r11). Callers
+    resolve ONCE before starting the stream and close over the value."""
     import json
     import os
+    import uuid
 
+    path = os.path.join(checkpoint_dir, "metadata")
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        with open(path) as f:
             return str(json.load(f)["id"])
     except (OSError, ValueError, KeyError):
-        return os.path.abspath(checkpoint_dir)
+        pass
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    qid = str(uuid.uuid4())
+    try:
+        with open(path, "x") as f:
+            json.dump({"id": qid}, f)
+    except FileExistsError:  # racing writer: adopt whoever won
+        with open(path) as f:
+            return str(json.load(f)["id"])
+    return qid
 
 
 def stream_cdc_upsert(
@@ -438,14 +459,16 @@ def stream_cdc_upsert(
         .csv(input_dir)
     )
 
+    # resolved ONCE before start (creating <checkpoint>/metadata if
+    # absent — Spark adopts it), closed over by every batch
+    scope = _checkpoint_scope(checkpoint_dir)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_cdc_batch(
             spark, batch_df, batch_id, table_root, keys,
             order_col=order_col, op_col=op_col, delete_value=delete_value,
             partition_by=partition_by, merge_mode=merge_mode,
-            # read per batch: Spark writes the checkpoint's query-id file
-            # at stream start, before the first batch runs
-            scope=_checkpoint_scope(checkpoint_dir),
+            scope=scope,
         )
 
     q = (

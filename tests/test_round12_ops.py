@@ -8,6 +8,8 @@ plans/dedup.py (driver-checked via oracle_sql)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -301,3 +303,77 @@ def test_semdedup_store_cluster_prune_parity(spark, tmp_path):
     # the partitioned store plans ONLY the batch's cluster files
     kept, total = stores[0].plan_files_in("cluster", [3])
     assert 0 < len(kept) < total
+
+
+def test_double_append_is_idempotent(spark, tmp_path):
+    """Calling the library append twice on the same batch (the replay
+    shape outside the streaming scope guard) must not double-append
+    signatures: the store stays unique per doc_id and later verdicts are
+    unchanged (ADVICE r11)."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_exact_hash_store,
+        build_signature_store,
+        dedup_batch_incremental,
+        dedup_batch_incremental_exact,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = spark.createDataFrame([(1, BASE)], DDL)
+    batch = spark.createDataFrame([(10, BASE), (11, BASE)], DDL)
+
+    root = str(tmp_path / "sigs")
+    build_signature_store(spark, corpus, root)
+    store = SnapshotTable(spark, root)
+    first = sorted(map(tuple, dedup_batch_incremental(
+        spark, batch, store, append=True).collect()))
+    again = sorted(map(tuple, dedup_batch_incremental(
+        spark, batch, store, append=True).collect()))
+    assert first == again
+    ids = [r.doc_id for r in store.scan().select("doc_id").collect()]
+    assert sorted(ids) == sorted(set(ids)) == [1, 10, 11]
+
+    eroot = str(tmp_path / "hashes")
+    build_exact_hash_store(spark, corpus, eroot)
+    estore = SnapshotTable(spark, eroot)
+    f1 = sorted(map(tuple, dedup_batch_incremental_exact(
+        spark, batch, estore, append=True).collect()))
+    f2 = sorted(map(tuple, dedup_batch_incremental_exact(
+        spark, batch, estore, append=True).collect()))
+    assert f1 == f2
+    # group_size must count each doc ONCE (a double-append would say 5)
+    assert {t[2] for t in f1} == {3}
+
+
+def test_summary_lifecycle_emission_freshness_guard(spark, tmp_path, monkeypatch):
+    """A tampered (stale-semantics) committed metadata emission is
+    detected by the snapshots_table cross-check and regenerated — the
+    emission twin of the fixture's _meta.json ops guard (ADVICE r11)."""
+    import glob
+    import json
+    import shutil
+
+    from emr_apache_iceberg_workshop_spark.plans import tablemeta as tm
+
+    # work on a COPY of the committed fixture so the repo state is
+    # untouched
+    root = str(tmp_path / "sumlc")
+    shutil.copytree(tm.SUMLC_ROOT, root)
+    monkeypatch.setattr(tm, "SUMLC_ROOT", root)
+    monkeypatch.setattr(tm, "_SUMLC_META", os.path.join(root, "_meta.json"))
+
+    from emr_apache_iceberg_workshop_spark.plans.registry import registry
+
+    fn = registry()["q_meta_summary_lifecycle"].fn
+    want = sorted(map(tuple, fn(spark, "unused").collect()))
+
+    # tamper the latest emitted metadata: corrupt one counter
+    mds = sorted(glob.glob(os.path.join(root, "metadata", "*.metadata.json")))
+    assert mds
+    with open(mds[-1]) as f:
+        doc = json.load(f)
+    doc["snapshots"][0]["summary"]["added-records"] = "999"
+    with open(mds[-1], "w") as f:
+        json.dump(doc, f)
+
+    got = sorted(map(tuple, fn(spark, "unused").collect()))
+    assert got == want  # guard regenerated; stale 999 never surfaced

@@ -387,19 +387,28 @@ def test_two_streams_one_table_no_lost_batches(spark, tmp_path):
 
 
 def test_checkpoint_scope_reads_query_id(tmp_path):
-    """_checkpoint_scope: the persisted streaming query id when present,
-    else the checkpoint path (pre-start fallback)."""
+    """_checkpoint_scope: adopts the persisted streaming query id when
+    present; when absent it CREATES <checkpoint>/metadata with a fresh id
+    (which Spark then adopts on start), so pre-start and post-start calls
+    resolve the SAME scope — no path-fallback scope that a restart's
+    query-id scope would fail to match (ADVICE r11)."""
     import json as _json
     import os as _os
 
     from emr_apache_iceberg_workshop_spark.streaming.jobs import _checkpoint_scope
 
     cp = str(tmp_path / "cp")
-    assert _checkpoint_scope(cp) == _os.path.abspath(cp)
-    _os.makedirs(cp)
-    with open(_os.path.join(cp, "metadata"), "w") as f:
+    first = _checkpoint_scope(cp)  # pre-start: creates the metadata file
+    assert first != _os.path.abspath(cp)
+    with open(_os.path.join(cp, "metadata")) as f:
+        assert _json.load(f)["id"] == first
+    assert _checkpoint_scope(cp) == first  # stable across calls
+
+    cp2 = str(tmp_path / "cp2")
+    _os.makedirs(cp2)
+    with open(_os.path.join(cp2, "metadata"), "w") as f:
         _json.dump({"id": "11111111-2222-3333-4444-555555555555"}, f)
-    assert _checkpoint_scope(cp) == "11111111-2222-3333-4444-555555555555"
+    assert _checkpoint_scope(cp2) == "11111111-2222-3333-4444-555555555555"
 
 
 def test_jsonl_stream_ingest_quarantines_and_is_exactly_once(spark, tmp_path):
