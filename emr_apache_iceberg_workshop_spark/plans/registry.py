@@ -38,28 +38,80 @@ _MODULES = [
 # round-9 additions + the r05-aged overflow + the r09 code-touched names,
 # r10 covered the r10 additions + the 44 r06-stale names.
 #
-# r11 (this round's rotation, per the r10 verdict's tasks 2/7): leads
-# with (a) the 3 queries NEW this round that fit the window
-# (d_incremental and d_incremental_simhash — cross-run dedup against
-# persisted signature/fingerprint stores; q_meta_metadata_log_reloc —
-# the SQL-facade metadata-log chain over a RELOCATED warehouse; never
-# driver-signed), then (b) ALL 46 names whose most-recent driver
-# confirmation is r07 — the stale cohort, oldest-first — then (c) 1
-# name whose CODE changed this round: q_meta_snapshot_summary (added-*
-# counters now parent-relative on both surfaces; values identical on the
-# append-only fixture, re-signed anyway). s_semdedup's assignment was
-# routed through assign_clusters but takes the inline path at fixture K
-# (plan unchanged), so it does NOT spend a slot. 3 + 46 + 1 = 50. The
-# r10-fresh additions (q_meta_add_files etc.) and the later r11
-# additions listed just below the window stay out of it so the stale
-# cohort gets the slots; after this window every query's driver signal
-# is >= r08.
+# r12 rotation (per the r11 verdict's task 2): leads with (a) the 3
+# queries NEW this round (d_incremental_verdicts — the bounded MinHash
+# verdict twin; d_incremental_retract — batch verdicts against a store
+# that took an equality-delete retraction; t_incremental_lm — the
+# unigram gate scored from the maintained token-freq store), then (b)
+# the 6 r11-late additions that were battery-verified but never
+# driver-signed, then (c) the 5 names whose CODE changed this round
+# (d_incremental_simhash stats-prune reshape; d_incremental +
+# d_incremental_exact keyed-idempotent appends — exact is already in
+# (b); t_unigram_logprob/t_ccnet_buckets through the refactored
+# _score_unigram core; q_stream_append's hoisted checkpoint scope),
+# then (d) ALL 31 names whose most-recent driver confirmation is r08 —
+# the stale cohort — and 5 of the r09 cohort, oldest-first
+# alphabetical. 3 + 6 + 5 + 31 + 5 = 50; after this window the union
+# freshness floor is r09 and no registry query is never-driver-checked.
 _PREFIX_ORDER = [
-    # (a) new in r11
-    "d_incremental",
+    # (a) new in r12
+    "d_incremental_verdicts",
+    "d_incremental_retract",
+    "t_incremental_lm",
+    # (b) r11 additions awaiting their first driver signature
+    "s_incremental_semdedup",
+    "d_incremental_exact",
+    "q_stream_incremental_dedup",
+    "t_incremental_decontam",
+    "t_incremental_token_freq",
+    "q_meta_summary_lifecycle",
+    # (c) r12 code-touched
     "d_incremental_simhash",
+    "d_incremental",
+    "t_unigram_logprob",
+    "t_ccnet_buckets",
+    "q_stream_append",
+    # (d) the 31 r08-stale names
+    "d_ngram_jaccard",
+    "d_simhash",
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_bracket_discounts",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q_above_avg_orders",
+    "q_column_profile",
+    "q_cube_orders",
+    "q_first_last_order",
+    "q_grouping_sets",
+    "q_meta_changes",
+    "q_meta_incremental",
+    "q_meta_refs",
+    "q_meta_time_travel",
+    "q_ntile_deciles",
+    "q_order_gaps",
+    "q_percentiles",
+    # ... and the 5 oldest of the r09 cohort
+    "c_epoch_shuffle",
+    "c_quality_funnel",
+    "c_temperature_mix",
+    "d_containment",
+    "d_embedding_neardup",
+    # --- below the 50-slot window: prior prefix order (r11 window first,
+    # then the earlier cohorts).
     "q_meta_metadata_log_reloc",
-    # (b) the 46 r07-stale names
     "c_curated_corpus",
     "c_dup_groups",
     "c_mix_corpora",
@@ -94,7 +146,6 @@ _PREFIX_ORDER = [
     "q_set_ops",
     "q_sketch_distinct",
     "q_sql_ctas",
-    "q_stream_append",
     "q_stream_cdc",
     "q_top_customers",
     "q_trailing_window",
@@ -106,20 +157,7 @@ _PREFIX_ORDER = [
     "t_lang_profile",
     "t_scrub_pii",
     "t_token_freq",
-    # (c) r11 code-touched (s_semdedup's assign refactor is
-    # plan-identical at fixture K and stays below the window; the summary
-    # counters' semantics actually changed -> re-sign)
     "q_meta_snapshot_summary",
-    # --- below the 50-slot window: prior prefix order (r10 window first,
-    # then the earlier cohorts). s_incremental_semdedup,
-    # d_incremental_exact and q_stream_incremental_dedup are r11-new but
-    # the window is full; battery-verified this round, driver-sign at r12.
-    "s_incremental_semdedup",
-    "d_incremental_exact",
-    "q_stream_incremental_dedup",
-    "t_incremental_decontam",
-    "t_incremental_token_freq",
-    "q_meta_summary_lifecycle",
     "s_semdedup",
     "q_meta_metadata_log",
     "q_meta_add_files",
@@ -167,19 +205,15 @@ _PREFIX_ORDER = [
     "t_quality_score",
     "t_tfidf_keywords",
     "t_token_stats",
-    "t_unigram_logprob",
     "q_dsv2_stream",
     "q_meta_analyze",
     "d_url_dedup",
-    "c_quality_funnel",
     "t_heavy_hitters",
     "q_meta_stats_puffin",
     "m_exif_parse",
     "s_ann_recall",
-    "d_containment",
     "q_stream_heavy_hitters",
     "q_meta_position_deletes",
-    "c_epoch_shuffle",
     "m_png_pixels",
     "m_gif_pixels",
     "m_jpeg_coeffs",
@@ -209,46 +243,12 @@ _PREFIX_ORDER = [
     "m_bmp_pixels",
     "d_simhash64",
     "t_bigram_logprob",
-    "c_temperature_mix",
     "t_bm25_topk",
-    "t_ccnet_buckets",
     "s_rp_quality",
     "t_entropy",
     "q_meta_dyn_overwrite",
-    "d_embedding_neardup",
     "d_exact_dup",
     "d_minhash_lsh",
-    "d_ngram_jaccard",
-    "d_simhash",
-    "q02_min_cost_supplier",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q13_custdist",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_bracket_discounts",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q_above_avg_orders",
-    "q_column_profile",
-    "q_cube_orders",
-    "q_first_last_order",
-    "q_grouping_sets",
-    "q_meta_changes",
-    "q_meta_incremental",
-    "q_meta_refs",
-    "q_meta_time_travel",
-    "q_ntile_deciles",
-    "q_order_gaps",
-    "q_percentiles",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -61,11 +61,16 @@ Supported grammar (case-insensitive keywords; one statement per call):
   move ref `branch` forward to `to`'s head; both args required) /
   ``vacuum('<name>'[, <retain_last>[, <max_files_per_partition>]])``
   (maintain → expire → orphan sweep in one call) /
-  ``dedup_batch('<store>', source => '<view>'[, algo => 'minhash'|'exact']
-  [, append => true])`` (extension: incremental dedup of a batch against
-  a persisted signature store; returns the verdict DataFrame; append
-  defaults to FALSE here — read-only unless asked — unlike the library
-  functions' append=True) — named (``arg => v``) or positional.
+  ``dedup_batch('<store>', source => '<view>'
+  [, algo => 'minhash'|'exact'|'verdicts'][, append => true])``
+  (extension: incremental dedup of a batch against a persisted signature
+  store; 'verdicts' is the bounded one-row-per-batch-doc MinHash form;
+  returns the verdict DataFrame; append defaults to FALSE here —
+  read-only unless asked — unlike the library functions' append=True) /
+  ``retract_batch('<store>', source => '<view>'[, key => 'doc_id'])``
+  (extension: CDC retraction — equality-deletes the source's key values
+  from the store; returns the delete snapshot id) — named (``arg => v``)
+  or positional.
 - ``ALTER TABLE <name> RENAME TO <new>`` (catalog re-key, data in place)
   / ``ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
   / ``ADD PARTITION FIELD <spec>`` / ``DROP PARTITION FIELD <spec>`` /
@@ -864,6 +869,7 @@ class SqlCatalog:
             from .plans.dedup import (
                 dedup_batch_incremental,
                 dedup_batch_incremental_exact,
+                minhash_batch_verdicts,
             )
 
             batch = self.spark.sql(self._rewrite_reads(f"SELECT * FROM {src}"))
@@ -871,7 +877,26 @@ class SqlCatalog:
                 return dedup_batch_incremental(self.spark, batch, t, append=append)
             if algo == "exact":
                 return dedup_batch_incremental_exact(self.spark, batch, t, append=append)
+            if algo == "verdicts":
+                # the bounded MinHash verdict twin (one row per batch doc)
+                return minhash_batch_verdicts(self.spark, batch, t, append=append)
             raise ValueError(f"dedup_batch: unknown algo {algo!r}")
+        if proc == "retract_batch":
+            # extension procedure: CDC retraction (takedown / license
+            # filter) for an incremental store registered as `table` —
+            # one merge-on-read equality-delete commit of the source's
+            # key values (`source` is a registered view/table carrying
+            # the key column). Returns the delete snapshot id.
+            src = val("source", 1)
+            if src is None:
+                raise ValueError("retract_batch requires (table, source)")
+            key = val("key", 2, "doc_id") or "doc_id"
+            from .plans.dedup import retract_batch
+
+            ids = self.spark.sql(
+                self._rewrite_reads(f"SELECT {key} FROM {src}")
+            )
+            return retract_batch(t, ids, key=key)
         if proc == "rollback_to_snapshot":
             return t.rollback_to_snapshot(int(val("snapshot_id", 1)))
         if proc == "cherrypick_snapshot":

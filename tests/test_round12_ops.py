@@ -377,3 +377,55 @@ def test_summary_lifecycle_emission_freshness_guard(spark, tmp_path, monkeypatch
 
     got = sorted(map(tuple, fn(spark, "unused").collect()))
     assert got == want  # guard regenerated; stale 999 never surfaced
+
+
+def test_call_verdicts_and_retract_facade_parity(spark, tmp_path):
+    """CALL system.dedup_batch(algo => 'verdicts') matches the library
+    verdict twin; CALL system.retract_batch equality-deletes the
+    source's keys and verdicts reflect it."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_signature_store,
+        minhash_batch_verdicts,
+    )
+    from emr_apache_iceberg_workshop_spark.sqlext import SqlCatalog
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = [(1, BASE), (2, "corpus only text"), (3, BASE)]
+    batch = [(10, BASE), (11, "fresh batch content")]
+    root = str(tmp_path / "mh_store")
+    build_signature_store(spark, spark.createDataFrame(corpus, DDL), root)
+
+    cat = SqlCatalog(spark)
+    cat.register("mh_sigs", root)
+    spark.createDataFrame(batch, DDL).createOrReplaceTempView("day2_batch")
+
+    got = cat.sql(
+        "CALL system.dedup_batch('mh_sigs', source => 'day2_batch',"
+        " algo => 'verdicts')"
+    )
+    want = minhash_batch_verdicts(
+        spark, spark.table("day2_batch"), SnapshotTable(spark, root),
+        append=False,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    pre = sorted(map(tuple, got.collect()))
+    assert pre and all(r[3] in (1, 3) for r in pre)  # partners: corpus dups
+
+    # retract the dup corpus docs; verdicts lose their partners
+    spark.createDataFrame([(1,), (3,)], "doc_id bigint").createOrReplaceTempView(
+        "takedown"
+    )
+    sid = cat.sql("CALL system.retract_batch('mh_sigs', source => 'takedown')")
+    assert isinstance(sid, int)
+    assert [s.operation for s in SnapshotTable(spark, root).snapshots()] == [
+        "append",
+        "delete",
+    ]
+    post = cat.sql(
+        "CALL system.dedup_batch('mh_sigs', source => 'day2_batch',"
+        " algo => 'verdicts')"
+    ).collect()
+    assert post == []  # nothing left to match
+
+    with pytest.raises(ValueError, match="requires"):
+        cat.sql("CALL system.retract_batch('mh_sigs')")

@@ -87,6 +87,14 @@ QUERIES = (
     # broadcast batch band-key set. Watch-point: intermediates must track
     # distinct CANDIDATE signatures, not the pair form's doc-pair stream.
     "d_incremental_verdicts",
+    # r12: retraction — the store took an equality-delete before the
+    # batch run; steady-state cost is the exact tier's semi-join plus the
+    # delete-file anti-join at scan (O(retracted) extra rows streamed)
+    "d_incremental_retract",
+    # r12: the store-backed unigram LM gate — batch tokenized once, the
+    # corpus contributes only the vocabulary-sized frequency table; the
+    # probe watches the vocab join staying linear in batch tokens
+    "t_incremental_lm",
 )
 FACTOR = 10
 
