@@ -1428,3 +1428,180 @@ def t_incremental_lm(spark, sf_dir) -> DataFrame:
     return _score_unigram(tok, vocab).withColumn(
         "passes_lm_gate", F.col("mean_nlp") <= 8.0
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental BM25 — the retrieval-side twin of `t_incremental_lm`
+# (VERDICT r11 "missing #3", final member): the corpus state BM25 needs
+# (per-token DOCUMENT frequencies + the corpus doc/token totals behind
+# avgdl) lives in two MERGE-ON-READ SnapshotTables and is maintained with
+# one O(batch-vocabulary) MERGE per batch — df[token] += batch docs
+# containing token; (n_docs, total_tokens) += batch totals — so scoring a
+# new batch never recounts the corpus. (df IS incrementally maintainable
+# for appends, unlike distinct-doc counts from per-token unigram state
+# alone — the reason t_incremental_token_freq deliberately omitted it;
+# retraction of a doc would need its token set, which apply_cdc_batch has
+# in hand for U/D rows.)
+
+_DF_DDL = "token string, df bigint"
+_CS_DDL = "k int, n_docs bigint, total_tokens bigint"
+
+
+def build_doc_freq_store(spark, docs: DataFrame, df_root: str, stats_root: str):
+    """Day-1 build: one pass over corpus text → per-token document
+    frequencies (df table) + the 1-row corpus totals (stats table), both
+    merge-on-read so day-2 updates commit O(batch) deltas."""
+    from ..tables import SnapshotTable
+
+    toks = docs.selectExpr(f"{TOKS_S} AS toks").localCheckpoint(eager=True)
+    df_t = SnapshotTable.create(
+        spark, df_root, _DF_DDL,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    df_t.write(
+        toks.selectExpr("explode(array_distinct(toks)) AS token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    st_t = SnapshotTable.create(
+        spark, stats_root, _CS_DDL,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    st_t.write(
+        toks.selectExpr("CAST(size(toks) AS BIGINT) AS dl").selectExpr(
+            "CAST(0 AS INT) AS k",
+            "CAST(COUNT(*) AS BIGINT) AS n_docs",
+            "CAST(SUM(dl) AS BIGINT) AS total_tokens",
+        )
+    )
+    return df_t, st_t
+
+
+def update_doc_freq(spark, batch_docs: DataFrame, df_store, stats_store) -> None:
+    """Fold a NEW batch into the maintained BM25 state: batch text is
+    tokenized ONCE; the df table contributes only the rows the batch's
+    vocabulary touches (semi-join); both MERGEs commit O(batch) deltas."""
+    toks = batch_docs.selectExpr(f"{TOKS_S} AS toks").localCheckpoint(eager=True)
+    delta = (
+        toks.selectExpr("explode(array_distinct(toks)) AS token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ddf"))
+    )
+    cur = df_store.scan().join(delta.select("token"), "token", "left_semi")
+    src = delta.join(cur, "token", "left").selectExpr(
+        "token", "ddf + coalesce(df, CAST(0 AS BIGINT)) AS df"
+    )
+    df_store.merge(src, keys=["token"])
+    batch_tot = toks.selectExpr("CAST(size(toks) AS BIGINT) AS dl").selectExpr(
+        "CAST(0 AS INT) AS k",
+        "CAST(COUNT(*) AS BIGINT) AS bn",
+        "CAST(SUM(dl) AS BIGINT) AS bt",
+    )
+    prev = stats_store.scan()
+    ssrc = batch_tot.join(prev, "k", "left").selectExpr(
+        "k",
+        "bn + coalesce(n_docs, CAST(0 AS BIGINT)) AS n_docs",
+        "bt + coalesce(total_tokens, CAST(0 AS BIGINT)) AS total_tokens",
+    )
+    stats_store.merge(ssrc, keys=["k"])
+
+
+_bm25_store_cache: dict[str, str] = {}
+
+
+def _bm25_store_for(spark, sf_dir: str) -> str:
+    """Day-1 corpus build (doc_id % 5 != 0) PLUS the day-2 batch merge
+    (doc_id % 5 = 0), cached per process — returns the df table root; the
+    stats table is its sibling `stats` dir."""
+    import os
+
+    from ..catalog import persisted_store_for
+
+    def build(df_root):
+        stats_root = os.path.join(os.path.dirname(df_root), "stats")
+        docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "text"
+        )
+        df_t, st_t = build_doc_freq_store(
+            spark, docs.filter("doc_id % 5 != 0"), df_root, stats_root
+        )
+        update_doc_freq(spark, docs.filter("doc_id % 5 = 0"), df_t, st_t)
+
+    return persisted_store_for(
+        spark, sf_dir, _bm25_store_cache, "eiws_bm25store_", "df", build
+    )
+
+
+@query(
+    "t_incremental_bm25",
+    # Ground truth: the FULL REFIT — df and avgdl recounted from the
+    # whole corpus, batch docs scored under them (t_bm25_topk's oracle
+    # with tf restricted to the batch). The Spark side reads the
+    # MERGE-maintained df/stats tables instead, so equality proves the
+    # incremental maintenance math (df adds, totals adds) and the scoring
+    # parity together.
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {TOKS_D} AS toks FROM documents),
+         stats AS (SELECT COUNT(*) AS n_docs,
+                          CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+                   FROM tok),
+         q AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tk FROM tok),
+         qt AS (SELECT * FROM q WHERE tk IN ({_BM25_IN})),
+         tf AS (SELECT doc_id, dl, tk, COUNT(*) AS tf FROM qt
+                WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+         idf AS (SELECT tk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM qt GROUP BY 1),
+         scored AS (
+           SELECT tf.doc_id,
+                  CAST({_BM25_EXPR} AS DECIMAL(38,12)) AS s
+           FROM tf JOIN idf USING (tk) CROSS JOIN stats),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms_hit,
+                        ROUND(CAST(SUM(s) AS DOUBLE), 9) AS bm25
+                 FROM scored GROUP BY 1)
+    SELECT doc_id, n_terms_hit, bm25
+    FROM agg ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
+    """,
+    tags=("textops:incremental-bm25", "retrieval", "merge", "snapshot-table", "topk"),
+)
+def t_incremental_bm25(spark, sf_dir) -> DataFrame:
+    """BM25 top-10 of the day-2 batch (doc_id % 5 = 0) scored with idf
+    and avgdl read from the MERGE-MAINTAINED document-frequency + corpus
+    stats tables — batch text tokenized once, the corpus contributing
+    only a |Q|-row df lookup and a 1-row totals read. The query-term
+    filter pushes down to the df table's parquet scan."""
+    import os
+
+    from ..tables import SnapshotTable
+
+    df_root = _bm25_store_for(spark, sf_dir)
+    df_store = SnapshotTable(spark, df_root)
+    stats_store = SnapshotTable(
+        spark, os.path.join(os.path.dirname(df_root), "stats")
+    )
+    idf = df_store.scan().filter(f"token IN ({_BM25_IN})").selectExpr(
+        "token AS tk", "df"
+    )
+    stats = stats_store.scan().selectExpr(
+        "n_docs", "CAST(total_tokens AS DOUBLE) / n_docs AS avgdl"
+    )
+    qt = (
+        _toks_for(spark, sf_dir)
+        .filter("doc_id % 5 = 0")
+        .selectExpr("doc_id", "size(toks) AS dl", "explode(toks) AS tk")
+        .filter(f"tk IN ({_BM25_IN})")
+    )
+    tf = qt.groupBy("doc_id", "dl", "tk").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(idf), "tk")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", f"CAST({_BM25_EXPR} AS DECIMAL(38,12)) AS s")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        F.round(F.sum("s").cast("double"), 9).alias("bm25"),
+    )
+    return (
+        agg.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_K)
+        .select("doc_id", "n_terms_hit", "bm25")
+    )

@@ -429,3 +429,46 @@ def test_call_verdicts_and_retract_facade_parity(spark, tmp_path):
 
     with pytest.raises(ValueError, match="requires"):
         cat.sql("CALL system.retract_batch('mh_sigs')")
+
+
+def test_incremental_bm25_maintenance_math(spark, tmp_path):
+    """The MERGE-maintained df + corpus-stats tables equal a full
+    recount after the day-2 merge AND after a further batch (two MERGEs
+    stacked), token-for-token."""
+    from emr_apache_iceberg_workshop_spark.plans.textops import (
+        TOKS_S,
+        build_doc_freq_store,
+        update_doc_freq,
+    )
+
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha delta")], DDL
+    )
+    b2 = spark.createDataFrame([(3, "beta epsilon epsilon")], DDL)
+    b3 = spark.createDataFrame([(4, "alpha beta zeta")], DDL)
+
+    df_t, st_t = build_doc_freq_store(
+        spark, day1, str(tmp_path / "df"), str(tmp_path / "stats")
+    )
+    update_doc_freq(spark, b2, df_t, st_t)
+    update_doc_freq(spark, b3, df_t, st_t)
+
+    full = day1.unionByName(b2).unionByName(b3)
+    want_df = sorted(
+        map(
+            tuple,
+            full.selectExpr(f"explode(array_distinct({TOKS_S})) AS token")
+            .groupBy("token")
+            .count()
+            .selectExpr("token", "CAST(count AS BIGINT) AS df")
+            .collect(),
+        )
+    )
+    got_df = sorted(map(tuple, df_t.scan().collect()))
+    assert got_df == want_df
+
+    (row,) = st_t.scan().collect()
+    want_tot = full.selectExpr(f"size({TOKS_S}) AS dl").agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).collect()[0]
+    assert (row.n_docs, row.total_tokens) == (want_tot[0], want_tot[1])

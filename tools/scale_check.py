@@ -95,6 +95,10 @@ QUERIES = (
     # corpus contributes only the vocabulary-sized frequency table; the
     # probe watches the vocab join staying linear in batch tokens
     "t_incremental_lm",
+    # r12: store-backed BM25 — idf is a |Q|-row pushdown read of the
+    # maintained df table, stats a 1-row read; only batch text is
+    # tokenized, so the probe should track batch token volume
+    "t_incremental_bm25",
 )
 FACTOR = 10
 
