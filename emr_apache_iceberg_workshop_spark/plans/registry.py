@@ -109,10 +109,12 @@ _PREFIX_ORDER = [
     "c_temperature_mix",
     "d_containment",
     "d_embedding_neardup",
-    # --- below the 50-slot window: t_incremental_bm25 is r12-new but the
-    # window is full (battery-verified this round; driver-sign at r13),
-    # then the prior prefix order (r11 window first, earlier cohorts).
+    # --- below the 50-slot window: t_incremental_bm25 and
+    # q_stream_cdc_store are r12-new but the window is full
+    # (battery-verified this round; driver-sign at r13), then the prior
+    # prefix order (r11 window first, earlier cohorts).
     "t_incremental_bm25",
+    "q_stream_cdc_store",
     "q_meta_metadata_log_reloc",
     "c_curated_corpus",
     "c_dup_groups",

@@ -472,3 +472,73 @@ def test_incremental_bm25_maintenance_math(spark, tmp_path):
         F.count(F.lit(1)), F.sum("dl")
     ).collect()[0]
     assert (row.n_docs, row.total_tokens) == (want_tot[0], want_tot[1])
+
+
+def test_stream_cdc_store_exactly_once_replay(spark, tmp_path):
+    """The CDC signature-store stream: re-draining with the same
+    checkpoint is a no-op (no new snapshots), a direct replay of a
+    stamped batch skips, and the store state equals a fresh signature of
+    the post-CDC corpus."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        _SIG_DDL,
+        minhash_signature_df,
+    )
+    from emr_apache_iceberg_workshop_spark.plans.streamingq import (
+        cdc_sig_stream_batch,
+        stream_cdc_sig_store,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    cdc_ddl = "Op string, doc_id bigint, text string"
+    b0 = spark.createDataFrame(
+        [("I", 1, BASE), ("I", 2, "second doc original words")], cdc_ddl
+    )
+    b1 = spark.createDataFrame(
+        [("U", 2, "second doc rewritten entirely"), ("I", 3, "third doc")],
+        cdc_ddl,
+    )
+    b2 = spark.createDataFrame([("D", 1, None)], cdc_ddl)
+    for k, b in enumerate((b0, b1, b2)):
+        sub = str(tmp_path / f"p{k}")
+        b.coalesce(1).write.parquet(sub)
+        import glob
+        import shutil
+
+        shutil.copy(glob.glob(sub + "/*.parquet")[0], f"{feed}/b{k}.parquet")
+
+    store = SnapshotTable.create(
+        spark, str(tmp_path / "sigs"), _SIG_DDL,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    cp = str(tmp_path / "cp")
+    src = (
+        spark.readStream.schema(cdc_ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    stream_cdc_sig_store(spark, src, store, cp)
+    n_snaps = len(store.snapshots())
+    assert n_snaps == 3  # one atomic merge per micro-batch
+
+    post = spark.createDataFrame(
+        [(2, "second doc rewritten entirely"), (3, "third doc")], DDL
+    )
+    want = sorted(map(tuple, minhash_signature_df(post).collect()))
+    assert sorted(map(tuple, store.scan().collect())) == want
+
+    # re-drain with the same checkpoint: Spark replays nothing
+    src2 = (
+        spark.readStream.schema(cdc_ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    stream_cdc_sig_store(spark, src2, store, cp)
+    assert len(store.snapshots()) == n_snaps
+
+    # direct replay of a stamped batch id under the resolved scope: skip
+    from emr_apache_iceberg_workshop_spark.streaming.jobs import _checkpoint_scope
+
+    assert cdc_sig_stream_batch(spark, b1, 1, store, scope=_checkpoint_scope(cp)) is False
+    assert sorted(map(tuple, store.scan().collect())) == want
