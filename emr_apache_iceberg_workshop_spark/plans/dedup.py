@@ -1478,9 +1478,13 @@ def minhash_batch_verdicts(
         batch_sig = minhash_signature_df(batch_docs).localCheckpoint(eager=True)
     if append:
         _append_new_ids(store, batch_sig)
-    other = store.scan()
-    if not append:
-        other = other.unionByName(batch_sig)
+    # replay-proof universe: (store minus batch ids) ∪ batch — exactly one
+    # row per doc whether or not the store already holds this batch (the
+    # dropDuplicates below would mask an accidental double-count of
+    # IDENTICAL rows, but the invariant belongs here, not downstream)
+    other = store.scan().join(
+        batch_sig.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(batch_sig)
 
     skey = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in _SIG_COLS]))
     mh_arr = "array(" + ", ".join(_SIG_COLS) + ")"
@@ -1910,13 +1914,14 @@ def dedup_batch_incremental_simhash(
     batch_sig = simhash_signature_df(batch_docs).localCheckpoint(eager=True)
     if append:
         _append_new_ids(store, batch_sig)
-    store_sig = store.scan().select("doc_id", "simhash")
-    if append:
-        # the store scan now includes the batch snapshot; the union below
-        # must not double-count it
-        other_sig = store_sig
-    else:
-        other_sig = store_sig.unionByName(batch_sig)
+    # replay-proof universe: (store minus batch ids) ∪ batch — exactly one
+    # row per doc whether or not the store already holds this batch
+    other_sig = (
+        store.scan()
+        .select("doc_id", "simhash")
+        .join(batch_sig.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(batch_sig.select("doc_id", "simhash"))
+    )
 
     bfp = _sh_bands(batch_sig, "fa")
     ofp = _sh_bands(other_sig, "fb")
@@ -1979,9 +1984,16 @@ def simhash_batch_verdicts(
     batch_sig = simhash_signature_df(batch_docs).localCheckpoint(eager=True)
     if append:
         _append_new_ids(store, batch_sig)
-    other = store.scan().select("doc_id", "simhash")
-    if not append:
-        other = other.unionByName(batch_sig.select("doc_id", "simhash"))
+    # replay-proof universe: (store minus batch ids) ∪ batch — exactly one
+    # row per doc whether or not the store already holds this batch
+    # (append=True just wrote it; append=False may be a replay against a
+    # store that saw it earlier). Same shape as the exact/pair tiers.
+    other = (
+        store.scan()
+        .select("doc_id", "simhash")
+        .join(batch_sig.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(batch_sig.select("doc_id", "simhash"))
+    )
 
     bfp = _sh_bands(batch_sig, "fa")
     ofp = _sh_bands(other, "fb")

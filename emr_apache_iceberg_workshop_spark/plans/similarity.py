@@ -1003,11 +1003,15 @@ def semdedup_batch_verdicts(
     # the centroid list already passed in. Unpartitioned stores degrade
     # gracefully (plan_files_in keeps every file; bounds may still prune).
     bclusters = [r[0] for r in basg.select("cluster").distinct().collect()]
-    universe = store.scan_pruned_in("cluster", bclusters).select(
-        "vec_id", "cluster", "nrm", "e"
+    # replay-proof universe: (pruned store minus batch ids) ∪ batch —
+    # exactly one row per vector whether or not the store already holds
+    # this batch (same shape as the lexical tiers in plans/dedup.py)
+    universe = (
+        store.scan_pruned_in("cluster", bclusters)
+        .select("vec_id", "cluster", "nrm", "e")
+        .join(basg.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(basg.select("vec_id", "cluster", "nrm", "e"))
     )
-    if not append:
-        universe = universe.unionByName(basg.select("vec_id", "cluster", "nrm", "e"))
 
     from ..functions.exact import sdot_approx
 

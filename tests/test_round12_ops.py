@@ -542,3 +542,30 @@ def test_stream_cdc_store_exactly_once_replay(spark, tmp_path):
 
     assert cdc_sig_stream_batch(spark, b1, 1, store, scope=_checkpoint_scope(cp)) is False
     assert sorted(map(tuple, store.scan().collect())) == want
+
+
+def test_verdict_forms_replay_after_append(spark, tmp_path):
+    """append=False against a store that ALREADY holds the batch (the
+    replay shape) reproduces the original verdicts exactly for the
+    simhash and semantic verdict forms too — the universe is
+    (store minus batch ids) ∪ batch in every tier."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_simhash_store,
+        simhash_batch_verdicts,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = spark.createDataFrame([(1, BASE)], DDL)
+    batch = spark.createDataFrame([(10, BASE), (11, BASE)], DDL)
+    root = str(tmp_path / "shsigs")
+    build_simhash_store(spark, corpus, root)
+    store = SnapshotTable(spark, root)
+    v1 = sorted(map(tuple, simhash_batch_verdicts(
+        spark, batch, store, append=True).collect()))
+    v2 = sorted(map(tuple, simhash_batch_verdicts(
+        spark, batch, store, append=False).collect()))
+    assert v1 == v2
+    # n_partners must count each partner once (a double-counted batch
+    # would report 4 for doc 10: {1, 10dup, 11, 11dup})
+    by_id = {t[0]: t for t in v2}
+    assert by_id[10][2] == 2
