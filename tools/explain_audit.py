@@ -56,6 +56,11 @@ SCALAR_BROADCAST_OK = {
     # round-4: unigram-LM scorer joins every token row against the 1-row
     # (total tokens, vocab size) aggregate — same scalar-broadcast shape
     "t_unigram_logprob",
+    # round-12: the store-backed LM gate and BM25 twins carry the same
+    # 1-row scalar crossJoins (corpus totals / BM25 stats) as their
+    # refit originals
+    "t_incremental_lm",
+    "t_incremental_bm25",
     # round-8: the bigram scorer's add-k smoothing crossJoins the 1-row
     # vocabulary-size aggregate (textops.py `vsz`) — same scalar shape
     "t_bigram_logprob",
