@@ -1002,13 +1002,21 @@ def semdedup_batch_verdicts(
     # The cluster-id list is <= K values — the same driver-state bound as
     # the centroid list already passed in. Unpartitioned stores degrade
     # gracefully (plan_files_in keeps every file; bounds may still prune).
-    bclusters = [r[0] for r in basg.select("cluster").distinct().collect()]
+    bclusters = {r[0] for r in basg.select("cluster").distinct().collect()}
+    # fast path when the batch touches EVERY cluster (small-K fixtures,
+    # or production batches wider than the index): no file can prune, so
+    # skip the per-dir planned-scan assembly and read the store in one
+    # scan node. At production K a normal batch touches a small fraction
+    # of clusters and takes the pruned path.
+    if len(bclusters) >= len(cents):
+        pruned = store.scan()
+    else:
+        pruned = store.scan_pruned_in("cluster", sorted(bclusters))
     # replay-proof universe: (pruned store minus batch ids) ∪ batch —
     # exactly one row per vector whether or not the store already holds
     # this batch (same shape as the lexical tiers in plans/dedup.py)
     universe = (
-        store.scan_pruned_in("cluster", bclusters)
-        .select("vec_id", "cluster", "nrm", "e")
+        pruned.select("vec_id", "cluster", "nrm", "e")
         .join(basg.select("vec_id"), "vec_id", "left_anti")
         .unionByName(basg.select("vec_id", "cluster", "nrm", "e"))
     )
