@@ -1316,11 +1316,47 @@ def build_token_freq_store(spark, docs: DataFrame, root: str):
     return t
 
 
-def update_token_freq(spark, batch_docs: DataFrame, store) -> int:
+def _merge_replayed(store, batch_id, scope) -> bool:
+    """Replay guard for MERGE-maintained stores: unlike the signature
+    APPENDS (keyed-idempotent by construction — re-appending an existing
+    id is anti-joined away), a summed-count MERGE folded twice
+    DOUBLE-COUNTS. Callers that can replay (streaming, retried jobs)
+    pass (batch_id, scope); the stamp rides the merge commit atomically
+    and a same-scope batch id at or below the high-water mark skips —
+    the same contract as the dedup stream batches."""
+    if batch_id is None:
+        return False
+    done = [
+        sn.summary.get("streaming.batch-id")
+        for sn in store.snapshots()
+        if sn.summary.get("streaming.batch-id") is not None
+        and sn.summary.get("streaming.query-scope") == scope
+    ]
+    return bool(done) and batch_id <= max(done)
+
+
+def _merge_stamp(batch_id, scope) -> dict | None:
+    if batch_id is None:
+        return None
+    out = {"streaming.batch-id": int(batch_id)}
+    if scope is not None:
+        out["streaming.query-scope"] = scope
+    return out
+
+
+def update_token_freq(
+    spark, batch_docs: DataFrame, store, batch_id: int | None = None,
+    scope: str | None = None,
+) -> int | None:
     """Fold a NEW batch into the persisted frequency table: batch text
     is tokenized once; the store contributes only the rows the batch's
     vocabulary touches (semi-join — untouched tokens never move); the
-    MERGE commits the summed counts. Returns the merge snapshot id."""
+    MERGE commits the summed counts. Returns the merge snapshot id.
+    Pass (batch_id, scope) from a replayable caller to make the fold
+    exactly-once (returns None on a replay skip) — a summed MERGE run
+    twice double-counts, unlike the keyed-idempotent signature appends."""
+    if _merge_replayed(store, batch_id, scope):
+        return None
     delta = (
         batch_docs.selectExpr(f"explode({TOKS_S}) AS token")
         .groupBy("token")
@@ -1330,7 +1366,7 @@ def update_token_freq(spark, batch_docs: DataFrame, store) -> int:
     src = delta.join(cur, "token", "left").selectExpr(
         "token", "dfreq + coalesce(freq, CAST(0 AS BIGINT)) AS freq"
     )
-    return store.merge(src, keys=["token"])
+    return store.merge(src, keys=["token"], summary_extra=_merge_stamp(batch_id, scope))
 
 
 _tf_store_cache: dict[str, str] = {}
@@ -1477,10 +1513,16 @@ def build_doc_freq_store(spark, docs: DataFrame, df_root: str, stats_root: str):
     return df_t, st_t
 
 
-def update_doc_freq(spark, batch_docs: DataFrame, df_store, stats_store) -> None:
+def update_doc_freq(
+    spark, batch_docs: DataFrame, df_store, stats_store,
+    batch_id: int | None = None, scope: str | None = None,
+) -> None:
     """Fold a NEW batch into the maintained BM25 state: batch text is
     tokenized ONCE; the df table contributes only the rows the batch's
-    vocabulary touches (semi-join); both MERGEs commit O(batch) deltas."""
+    vocabulary touches (semi-join); both MERGEs commit O(batch) deltas.
+    Pass (batch_id, scope) from a replayable caller for exactly-once —
+    EACH table guards itself, so a crash between the two merges replays
+    only the missing one and the tables cannot diverge."""
     toks = batch_docs.selectExpr(f"{TOKS_S} AS toks").localCheckpoint(eager=True)
     delta = (
         toks.selectExpr("explode(array_distinct(toks)) AS token")
@@ -1491,7 +1533,10 @@ def update_doc_freq(spark, batch_docs: DataFrame, df_store, stats_store) -> None
     src = delta.join(cur, "token", "left").selectExpr(
         "token", "ddf + coalesce(df, CAST(0 AS BIGINT)) AS df"
     )
-    df_store.merge(src, keys=["token"])
+    if not _merge_replayed(df_store, batch_id, scope):
+        df_store.merge(
+            src, keys=["token"], summary_extra=_merge_stamp(batch_id, scope)
+        )
     batch_tot = toks.selectExpr("CAST(size(toks) AS BIGINT) AS dl").selectExpr(
         "CAST(0 AS INT) AS k",
         "CAST(COUNT(*) AS BIGINT) AS bn",
@@ -1503,7 +1548,10 @@ def update_doc_freq(spark, batch_docs: DataFrame, df_store, stats_store) -> None
         "bn + coalesce(n_docs, CAST(0 AS BIGINT)) AS n_docs",
         "bt + coalesce(total_tokens, CAST(0 AS BIGINT)) AS total_tokens",
     )
-    stats_store.merge(ssrc, keys=["k"])
+    if not _merge_replayed(stats_store, batch_id, scope):
+        stats_store.merge(
+            ssrc, keys=["k"], summary_extra=_merge_stamp(batch_id, scope)
+        )
 
 
 _bm25_store_cache: dict[str, str] = {}

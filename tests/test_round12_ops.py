@@ -569,3 +569,54 @@ def test_verdict_forms_replay_after_append(spark, tmp_path):
     # would report 4 for doc 10: {1, 10dup, 11, 11dup})
     by_id = {t[0]: t for t in v2}
     assert by_id[10][2] == 2
+
+
+def test_maintenance_merge_replay_guard(spark, tmp_path):
+    """A stamped maintenance MERGE folded twice applies once: the token
+    frequencies and BM25 df/stats tables stay at the single-fold values;
+    a crash between the BM25 pair's merges replays only the missing one."""
+    from emr_apache_iceberg_workshop_spark.plans.textops import (
+        build_doc_freq_store,
+        build_token_freq_store,
+        update_doc_freq,
+        update_token_freq,
+    )
+
+    day1 = spark.createDataFrame([(1, "alpha beta")], DDL)
+    b2 = spark.createDataFrame([(2, "beta gamma")], DDL)
+
+    tf = build_token_freq_store(spark, day1, str(tmp_path / "tf"))
+    sid = update_token_freq(spark, b2, tf, batch_id=0, scope="s1")
+    assert sid is not None
+    assert update_token_freq(spark, b2, tf, batch_id=0, scope="s1") is None
+    got = {r.token: r.freq for r in tf.scan().collect()}
+    assert got == {"alpha": 1, "beta": 2, "gamma": 1}
+    # a DIFFERENT scope's batch 0 is not a replay
+    assert update_token_freq(spark, b2, tf, batch_id=0, scope="s2") is not None
+    assert {r.token: r.freq for r in tf.scan().collect()}["beta"] == 3
+
+    df_t, st_t = build_doc_freq_store(
+        spark, day1, str(tmp_path / "df"), str(tmp_path / "stats")
+    )
+    update_doc_freq(spark, b2, df_t, st_t, batch_id=0, scope="s1")
+    update_doc_freq(spark, b2, df_t, st_t, batch_id=0, scope="s1")  # replay
+    assert {r.token: r.df for r in df_t.scan().collect()} == {
+        "alpha": 1, "beta": 2, "gamma": 1
+    }
+    (row,) = st_t.scan().collect()
+    assert (row.n_docs, row.total_tokens) == (2, 4)
+
+    # crash window: df already folded batch 1, stats missed it — the
+    # replay folds ONLY stats
+    from emr_apache_iceberg_workshop_spark.plans.textops import _merge_stamp
+
+    b3 = spark.createDataFrame([(3, "delta")], DDL)
+    # simulate the crash: fold df alone, stamped, as the dying run did
+    df_t.merge(
+        spark.createDataFrame([("delta", 1)], "token string, df bigint"),
+        keys=["token"], summary_extra=_merge_stamp(1, "s1"),
+    )
+    update_doc_freq(spark, b3, df_t, st_t, batch_id=1, scope="s1")
+    assert {r.token: r.df for r in df_t.scan().collect()}["delta"] == 1  # once
+    (row2,) = st_t.scan().collect()
+    assert (row2.n_docs, row2.total_tokens) == (3, 5)  # stats caught up
