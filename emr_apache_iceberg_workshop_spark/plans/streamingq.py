@@ -730,14 +730,11 @@ def incremental_dedup_stream_batch(
     # a scoped query resuming against a store populated by unscoped
     # writers would classify its own first batches as replays and
     # silently drop their signature appends). This function is new in
-    # r11, so there is no legacy-unscoped migration to honor.
-    done = [
-        s.summary.get("streaming.batch-id")
-        for s in store.snapshots()
-        if s.summary.get("streaming.batch-id") is not None
-        and s.summary.get("streaming.query-scope") == scope
-    ]
-    replayed = bool(done) and batch_id <= max(done)
+    # r11, so there is no legacy-unscoped migration to honor. O(1)
+    # property lookup, stamped atomically with the signature-append
+    # commit — per-batch guard cost does not grow with store history.
+    done = store.max_stream_batch_id(scope, adopt_unscoped=False)
+    replayed = done is not None and batch_id <= done
     summary = {"streaming.batch-id": int(batch_id)}
     if scope is not None:
         summary["streaming.query-scope"] = scope
@@ -855,13 +852,10 @@ def cdc_sig_stream_batch(
 
     if batch_df.isEmpty():
         return False
-    done = [
-        s.summary.get("streaming.batch-id")
-        for s in store.snapshots()
-        if s.summary.get("streaming.batch-id") is not None
-        and s.summary.get("streaming.query-scope") == scope
-    ]
-    if bool(done) and batch_id <= max(done):
+    # O(1) scoped guard-property lookup (stamped atomically with the
+    # merge commit) — no per-batch snapshot-log walk
+    done = store.max_stream_batch_id(scope, adopt_unscoped=False)
+    if done is not None and batch_id <= done:
         return False
     sig = minhash_signature_df(
         batch_df.filter("Op IN ('I', 'U')").select("doc_id", "text")
@@ -945,7 +939,14 @@ def _cdc_stream_src_dir(spark, sf_dir: str) -> str:
         b.coalesce(1).sortWithinPartitions("doc_id").write.parquet(sub)
         for fn in sorted(os.listdir(sub)):
             if fn.endswith(".parquet"):
-                _shutil.copy(os.path.join(sub, fn), os.path.join(flat, f"b{k}.parquet"))
+                dst = os.path.join(flat, f"b{k}.parquet")
+                _shutil.copy(os.path.join(sub, fn), dst)
+                # pin strictly-increasing mtimes: the file source orders
+                # by modification time, and copy mtimes can tie on fast
+                # filesystems — CDC correctness REQUIRES b0→b1→b2 (U
+                # after I, D last), so the order must not rest on a
+                # lexicographic tiebreak (ADVICE r12)
+                os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
     _docs_stream_cache[key + "#cdc"] = flat
     return flat
 

@@ -2736,6 +2736,35 @@ def _summary_lifecycle_table(spark):
     return t
 
 
+def _summaries_match_engine(doc: dict, t) -> bool:
+    """Freshness guard core (ADVICE r11 + r12): the emitted metadata doc
+    must agree with the engine's CURRENT summary semantics, independently
+    recomputed by snapshots_table — spec operation + added-* +
+    total-records per snapshot id, AND the snapshot-id sets must be equal
+    BOTH ways (a truncated/stale emission MISSING a snapshot the engine
+    has fails here too, not just per-snapshot counter drift on the ids it
+    does carry). A later-round change to write_iceberg_metadata's
+    counters would otherwise leave a committed v1.metadata.json silently
+    stale (the data side already has the _meta.json ops guard; this is
+    its emission twin)."""
+    from ..iceberg_meta import _OP_SUMMARY
+
+    st = {r.snapshot_id: r for r in t.snapshots_table().collect()}
+    if {s["snapshot-id"] for s in doc.get("snapshots", [])} != set(st):
+        return False
+    for s in doc.get("snapshots", []):
+        r = st[s["snapshot-id"]]
+        su = s.get("summary", {})
+        if (
+            su.get("operation") != _OP_SUMMARY.get(r.operation, "overwrite")
+            or int(su.get("added-data-files", -1)) != r.added_files
+            or int(su.get("added-records", -1)) != r.added_rows
+            or int(su.get("total-records", -1)) != r.total_records
+        ):
+            return False
+    return True
+
+
 @query(
     "q_meta_summary_lifecycle",
     # deterministic lifecycle -> the spec's parent-relative counters are a
@@ -2760,11 +2789,7 @@ def q_meta_summary_lifecycle(spark, sf_dir) -> DataFrame:
     catch owner-id-vs-parent-relative drift)."""
     import json as _json
 
-    from ..iceberg_meta import (
-        _OP_SUMMARY,
-        discover_latest_metadata,
-        write_iceberg_metadata,
-    )
+    from ..iceberg_meta import discover_latest_metadata, write_iceberg_metadata
 
     t = _summary_lifecycle_table(spark)
     # the fixture's lifecycle is FIXED — reuse the committed emission when
@@ -2778,30 +2803,11 @@ def q_meta_summary_lifecycle(spark, sf_dir) -> DataFrame:
         doc = _json.load(f)
 
     def _emission_fresh(d) -> bool:
-        """Freshness guard (ADVICE r11): the committed emission must agree
-        with the engine's CURRENT summary semantics, independently
-        recomputed by snapshots_table — spec operation + added-* +
-        total-records per snapshot id. A later-round change to
-        write_iceberg_metadata's counters would otherwise leave the
-        committed v1.metadata.json silently stale (the data side already
-        has the _meta.json ops guard; this is its emission twin). The
-        verdict is cached per (path, mtime) for the process — semantics
-        can only drift across code versions, not across calls."""
         ck = (md, os.path.getmtime(md))
         if _sumlc_fresh_cache.get("key") == ck:
             return True
-        st = {r.snapshot_id: r for r in t.snapshots_table().collect()}
-        for s in d.get("snapshots", []):
-            r = st.get(s["snapshot-id"])
-            su = s.get("summary", {})
-            if (
-                r is None
-                or su.get("operation") != _OP_SUMMARY.get(r.operation, "overwrite")
-                or int(su.get("added-data-files", -1)) != r.added_files
-                or int(su.get("added-records", -1)) != r.added_rows
-                or int(su.get("total-records", -1)) != r.total_records
-            ):
-                return False
+        if not _summaries_match_engine(d, t):
+            return False
         _sumlc_fresh_cache["key"] = ck
         return True
 

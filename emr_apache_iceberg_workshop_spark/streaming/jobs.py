@@ -262,13 +262,11 @@ def apply_cdc_batch(
     src = dedup_latest(batch_df, keys, [F.col(order_col).desc(), *keys])
     if SnapshotTable.exists(table_root):
         table = SnapshotTable(spark, table_root)
-        done = [
-            s.summary.get("streaming.batch-id")
-            for s in table.snapshots()
-            if s.summary.get("streaming.batch-id") is not None
-            and s.summary.get("streaming.query-scope") in (None, scope)
-        ]
-        if done and batch_id <= max(done):
+        # O(1) property lookup (stamped atomically with every commit below)
+        # — never a per-batch walk of the snapshot log; unscoped commits
+        # count for every scope (pre-scoping writers, old behavior)
+        done = table.max_stream_batch_id(scope, adopt_unscoped=True)
+        if done is not None and batch_id <= done:
             return False  # at-least-once replay of a committed batch
     else:
         data_cols = [c for c in src.columns if op_col is None or c != op_col]
@@ -309,13 +307,8 @@ def append_stream_batch(
         return False
     if SnapshotTable.exists(table_root):
         table = SnapshotTable(spark, table_root)
-        done = [
-            s.summary.get("streaming.batch-id")
-            for s in table.snapshots()
-            if s.summary.get("streaming.batch-id") is not None
-            and s.summary.get("streaming.query-scope") in (None, scope)
-        ]
-        if done and batch_id <= max(done):
+        done = table.max_stream_batch_id(scope, adopt_unscoped=True)
+        if done is not None and batch_id <= done:
             return False
     else:
         table = SnapshotTable.create(

