@@ -32,7 +32,7 @@ from ..catalog import fan_out, load_table
 from ..functions import dsum, osum
 from .registry import query
 from .dedup import SHINGLES_D, MAX_SHINGLE_DF
-from .textops import TOKS_S, TOKS_D, LANG_MARKERS, _LANG_ORDER, _predicted
+from .textops import TOKS_S, TOKS_D, LANG_MARKERS, _LANG_ORDER, NGRAM4_D, _predicted
 
 # Two-round minstd multiplicative hash mod the Mersenne prime 2^31-1.
 # `key % P` BEFORE the first multiply keeps every intermediate < 2^48
@@ -832,4 +832,151 @@ def c_epoch_shuffle(spark, sf_dir) -> DataFrame:
     return (
         keyed.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _SHUFFLE_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# The END-TO-END corpus build (VERDICT r12 task 6): every stage of the
+# training-data pipeline — benchmark holdout, the five-rule quality
+# funnel, exact dedup, decontamination against the persisted benchmark
+# gram store, token-budget sequence packing — composed into ONE connected
+# DataFrame plan over `documents`. No intermediate action runs between
+# stages (the only materialized state is the day-1 benchmark store the
+# decontamination tier already owns); Catalyst sees the whole pipeline,
+# so column pruning and filter placement cross stage boundaries exactly
+# as they would in the production job. At 100 TB the shape is: one
+# codegen'd scan pass (funnel metrics), one hash shuffle (md5 dedup
+# window — dup groups are small so the window partitions are bounded),
+# one gram equi-join against the store (AQE sizes it), one window shuffle
+# per (lang, shard) packing domain, one final agg.
+
+# a survivor sharing >= this many distinct-position 4-grams with any
+# benchmark doc is dropped as contaminated (absolute-count gate: scale-
+# free, no per-doc n_ngrams recompute alongside the explode)
+DECON_MIN_HITS = 4
+
+
+@query(
+    "c_corpus_build",
+    # staged CTEs of the existing stage oracles: funnel verdict
+    # (c_quality_funnel), min-doc_id-per-md5 dedup (c_curated_corpus),
+    # gram-hit gate (t_decontaminate's join, absolute-count form),
+    # prefix-sum packing (c_pack_sequences)
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang, text,
+             len({TOKS_D}) AS n_toks,
+             CASE WHEN len({TOKS_D}) > 0
+                  THEN CAST(list_sum(list_transform({TOKS_D}, x -> length(x))) AS DOUBLE)
+                       / len({TOKS_D}) ELSE 0.0 END AS mwl,
+             CASE WHEN len({TOKS_D}) > 0
+                  THEN CAST(len(list_distinct({TOKS_D})) AS DOUBLE)
+                       / len({TOKS_D}) ELSE 0.0 END AS ttr,
+             {_predicted('duck')} AS pred
+      FROM documents WHERE doc_id % 20 <> 0
+    ),
+    p AS (SELECT doc_id, lang, text FROM m
+          WHERE {_funnel_verdict('duck')} = 'pass'),
+    d AS (SELECT doc_id, lang, text FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM p) WHERE rn = 1),
+    bench AS (
+      SELECT DISTINCT unnest({NGRAM4_D}) AS g
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    tr AS (SELECT doc_id, unnest({NGRAM4_D}) AS g FROM d),
+    contaminated AS (
+      SELECT doc_id FROM tr JOIN bench USING (g)
+      GROUP BY doc_id HAVING COUNT(*) >= {DECON_MIN_HITS}
+    ),
+    clean AS (SELECT * FROM d
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    toks AS (
+      SELECT doc_id, lang,
+             {_hash2_expr('doc_id')} % {PACK_SHARDS} AS shard,
+             len({TOKS_D}) AS n_tokens
+      FROM clean
+    ),
+    packed AS (
+      SELECT lang, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {PACK_BUDGET} AS bin_id
+      FROM toks
+    )
+    SELECT lang, shard, CAST(bin_id AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY lang, shard, bin_id
+    """,
+    tags=("curation:corpus-build", "pipeline", "window", "snapshot-table"),
+)
+def c_corpus_build(spark, sf_dir) -> DataFrame:
+    """The composed corpus build: benchmark holdout (doc_id % 20) →
+    quality funnel (keep 'pass') → exact dedup (min doc_id per
+    md5(text)) → decontamination gate (drop docs sharing >=
+    DECON_MIN_HITS 4-grams with the persisted benchmark store) →
+    sequence packing — one connected plan, per-bin stats out."""
+    from pyspark.sql import Window
+
+    from ..tables import SnapshotTable
+    from .textops import NGRAM4_S, _benchmark_store_for
+
+    store = SnapshotTable(spark, _benchmark_store_for(spark, sf_dir))
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 20 != 0"
+    )
+    m = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "text",
+        f"size({TOKS_S}) AS n_toks",
+        f"""CASE WHEN size({TOKS_S}) > 0
+             THEN CAST(aggregate({TOKS_S}, 0L, (acc, x) -> acc + length(x)) AS DOUBLE)
+                  / size({TOKS_S}) ELSE 0.0 END AS mwl""",
+        f"""CASE WHEN size({TOKS_S}) > 0
+             THEN CAST(size(array_distinct({TOKS_S})) AS DOUBLE)
+                  / size({TOKS_S}) ELSE 0.0 END AS ttr""",
+        f"{_predicted('spark')} AS pred",
+    )
+    passed = m.filter(
+        F.expr(f"{_funnel_verdict('spark')} = 'pass'")
+    ).select("doc_id", "lang", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        passed.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    # gram gate: NGRAM4_S evaluates once per input row inside the
+    # Generate; the drop set is an aggregate over matched grams only
+    train = deduped.selectExpr("doc_id", f"explode({NGRAM4_S}) AS g")
+    contaminated = (
+        train.join(store.scan(), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= DECON_MIN_HITS)
+        .select("doc_id")
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    toks = clean.selectExpr(
+        "doc_id",
+        "lang",
+        f"{_hash2_expr('doc_id')} % {PACK_SHARDS} AS shard",
+        f"CAST(size({TOKS_S}) AS BIGINT) AS n_tokens",
+    )
+    w2 = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        (F.coalesce(F.sum("n_tokens").over(w2), F.lit(0)) / F.lit(PACK_BUDGET))
+        .cast("bigint"),
+    )
+    return packed.groupBy("lang", "shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
     )

@@ -38,40 +38,90 @@ _MODULES = [
 # round-9 additions + the r05-aged overflow + the r09 code-touched names,
 # r10 covered the r10 additions + the 44 r06-stale names.
 #
-# r12 rotation (per the r11 verdict's task 2): leads with (a) the 3
-# queries NEW this round (d_incremental_verdicts — the bounded MinHash
-# verdict twin; d_incremental_retract — batch verdicts against a store
-# that took an equality-delete retraction; t_incremental_lm — the
-# unigram gate scored from the maintained token-freq store), then (b)
-# the 6 r11-late additions that were battery-verified but never
-# driver-signed, then (c) the 5 names whose CODE changed this round
-# (d_incremental_simhash stats-prune reshape; d_incremental +
-# d_incremental_exact keyed-idempotent appends — exact is already in
-# (b); t_unigram_logprob/t_ccnet_buckets through the refactored
-# _score_unigram core; q_stream_append's hoisted checkpoint scope),
-# then (d) ALL 31 names whose most-recent driver confirmation is r08 —
-# the stale cohort — and 5 of the r09 cohort, oldest-first
-# alphabetical. 3 + 6 + 5 + 31 + 5 = 50; after this window the union
-# freshness floor is r09 and no registry query is never-driver-checked.
+# r13 rotation (per the r12 verdict's task 1): leads with (a) the 2
+# r12-late additions battery-verified by the judge but never
+# driver-signed (t_incremental_bm25, q_stream_cdc_store), then (b) the
+# 2 queries NEW this round (d_incremental_clusters — persisted
+# component labels folded per batch; c_corpus_build — the composed
+# funnel→dedup→decontam→pack pipeline), then (c) the 5 names whose
+# CODE changed this round (q_meta_analyze's snapshot-scoped stats
+# short-circuit; q_meta_summary_lifecycle's both-ways freshness guard;
+# q_stream_incremental_dedup + q_stream_append through the O(1)
+# replay-guard property lookup; d_incremental_retract through the
+# delete_keys summary_extra path), then (d) 41 of the 43 names whose
+# most-recent driver confirmation is r09, oldest-first alphabetical
+# (q_meta_analyze is already in (c); t_repetition spills just below —
+# it driver-signs at r14). 2 + 2 + 5 + 41 = 50; after this window the
+# union freshness floor is r10.
 _PREFIX_ORDER = [
-    # (a) new in r12
-    "d_incremental_verdicts",
+    # (a) r12-late, awaiting first driver signature
+    "t_incremental_bm25",
+    "q_stream_cdc_store",
+    # (b) new in r13
+    "d_incremental_clusters",
+    "c_corpus_build",
+    # (c) r13 code-touched
+    "q_meta_analyze",
+    "q_meta_summary_lifecycle",
+    "q_stream_incremental_dedup",
+    "q_stream_append",
     "d_incremental_retract",
+    # (d) 41 oldest r09-stale names, alphabetical
+    "d_exact_dup",
+    "d_minhash_lsh",
+    "d_simhash64",
+    "d_simhash_clusters",
+    "d_url_dedup",
+    "m_bmp_pixels",
+    "m_decode_metadata",
+    "m_exif_parse",
+    "m_gif_pixels",
+    "m_jpeg_coeffs",
+    "m_pcm_features",
+    "m_png_pixels",
+    "m_real_codecs",
+    "q_catalog_format_read",
+    "q_dsv2_incremental",
+    "q_dsv2_pushdown",
+    "q_dsv2_scan",
+    "q_dsv2_write",
+    "q_meta_dml",
+    "q_meta_dyn_overwrite",
+    "q_meta_iceberg_v2",
+    "q_meta_position_deletes",
+    "q_meta_stats_puffin",
+    "q_pivot_status",
+    "q_props_stats",
+    "q_salted_engagement",
+    "q_sketch_quantiles",
+    "q_sql_surface",
+    "q_stream_dedup",
+    "q_stream_event_windows",
+    "q_stream_heavy_hitters",
+    "q_string_funcs",
+    "s_ann_recall",
+    "s_cosine_topk",
+    "s_ivf_topk",
+    "s_lsh_topk",
+    "s_rp_quality",
+    "t_bigram_logprob",
+    "t_bm25_topk",
+    "t_entropy",
+    "t_heavy_hitters",
+    # --- below the 50-slot window: t_repetition is the one r09-stale
+    # name the window could not fit (driver-signs at r14), then the
+    # prior prefix order.
+    "t_repetition",
+    "d_incremental_verdicts",
     "t_incremental_lm",
-    # (b) r11 additions awaiting their first driver signature
     "s_incremental_semdedup",
     "d_incremental_exact",
-    "q_stream_incremental_dedup",
     "t_incremental_decontam",
     "t_incremental_token_freq",
-    "q_meta_summary_lifecycle",
-    # (c) r12 code-touched
     "d_incremental_simhash",
     "d_incremental",
     "t_unigram_logprob",
     "t_ccnet_buckets",
-    "q_stream_append",
-    # (d) the 31 r08-stale names
     "d_ngram_jaccard",
     "d_simhash",
     "q02_min_cost_supplier",
@@ -103,18 +153,11 @@ _PREFIX_ORDER = [
     "q_ntile_deciles",
     "q_order_gaps",
     "q_percentiles",
-    # ... and the 5 oldest of the r09 cohort
     "c_epoch_shuffle",
     "c_quality_funnel",
     "c_temperature_mix",
     "d_containment",
     "d_embedding_neardup",
-    # --- below the 50-slot window: t_incremental_bm25 and
-    # q_stream_cdc_store are r12-new but the window is full
-    # (battery-verified this round; driver-sign at r13), then the prior
-    # prefix order (r11 window first, earlier cohorts).
-    "t_incremental_bm25",
-    "q_stream_cdc_store",
     "q_meta_metadata_log_reloc",
     "c_curated_corpus",
     "c_dup_groups",
@@ -210,49 +253,6 @@ _PREFIX_ORDER = [
     "t_tfidf_keywords",
     "t_token_stats",
     "q_dsv2_stream",
-    "q_meta_analyze",
-    "d_url_dedup",
-    "t_heavy_hitters",
-    "q_meta_stats_puffin",
-    "m_exif_parse",
-    "s_ann_recall",
-    "q_stream_heavy_hitters",
-    "q_meta_position_deletes",
-    "m_png_pixels",
-    "m_gif_pixels",
-    "m_jpeg_coeffs",
-    "d_simhash_clusters",
-    "q_catalog_format_read",
-    "q_string_funcs",
-    "q_pivot_status",
-    "q_props_stats",
-    "q_salted_engagement",
-    "s_cosine_topk",
-    "s_lsh_topk",
-    "s_ivf_topk",
-    "q_sketch_quantiles",
-    "q_stream_event_windows",
-    "q_stream_dedup",
-    "t_repetition",
-    "q_meta_iceberg_v2",
-    "m_real_codecs",
-    "q_sql_surface",
-    "q_meta_dml",
-    "q_dsv2_scan",
-    "q_dsv2_incremental",
-    "q_dsv2_pushdown",
-    "q_dsv2_write",
-    "m_decode_metadata",
-    "m_pcm_features",
-    "m_bmp_pixels",
-    "d_simhash64",
-    "t_bigram_logprob",
-    "t_bm25_topk",
-    "s_rp_quality",
-    "t_entropy",
-    "q_meta_dyn_overwrite",
-    "d_exact_dup",
-    "d_minhash_lsh",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
