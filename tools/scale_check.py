@@ -99,6 +99,20 @@ QUERIES = (
     # maintained df table, stats a 1-row read; only batch text is
     # tokenized, so the probe should track batch token volume
     "t_incremental_bm25",
+    # r13 (VERDICT r12 task 7): the foreachBatch streaming class carries
+    # a 4-8 s per-run fixed cost (3 micro-batch spins + checkpoint +
+    # store staging) that dominates its bench rows — the decade splits
+    # that fixed cost from per-row work. q_stream_incremental_dedup is
+    # already probed above; this is its CDC-MERGE twin.
+    "q_stream_cdc_store",
+    # r13: incremental cluster maintenance — watch-point: the
+    # re-contraction subgraph stays bounded by batch edges + touched
+    # components, carried labels stream map-side (one anti-join pass)
+    "d_incremental_clusters",
+    # r13: the composed corpus build — sum of measured-linear stage
+    # shapes (funnel scan, md5 window, gram join, packing window); the
+    # probe watches the composition staying linear end-to-end
+    "c_corpus_build",
 )
 FACTOR = 10
 
