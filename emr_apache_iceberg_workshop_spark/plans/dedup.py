@@ -1927,11 +1927,11 @@ def d_incremental_retract(spark, sf_dir) -> DataFrame:
 # labels are carried verbatim. Equivalence to the full recompute is exact:
 # a component no new edge touches is final, and the star edges put every
 # old member (including the old min) into the re-contraction, so merged
-# components land on the true global min. APPEND-ONLY by design: a
-# retraction (doc removed from the corpus) can SPLIT a component, which
-# star edges cannot witness — retract via `retract_batch` on the signature
-# store and rebuild the affected labels with a fresh `build_label_store`
-# (documented trade-off; the signature stores stay retraction-correct).
+# components land on the true global min. Retraction (a doc REMOVED from
+# the corpus) can SPLIT a component — star edges cannot witness a split,
+# so `retract_batch_clusters` re-derives the affected components' true
+# edges from the SIGNATURE store (survivor-restricted banded self-join)
+# and re-labels only those components, O(affected members).
 
 _LABELS_DDL = "doc_id bigint, label bigint"
 
@@ -2030,6 +2030,64 @@ def fold_batch_clusters(
     return carried.unionByName(changed)
 
 
+def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> None:
+    """Retraction for the cluster tier — closes the append-only caveat: a
+    doc REMOVED from the corpus can SPLIT its component, which carried
+    star edges cannot witness, so the affected components' true edges are
+    RE-DERIVED from the signature store (the signatures are the edge
+    source of record) and only those components are re-labeled.
+
+    Steps, all bounded by the affected components' member count:
+    1. affected labels = labels of the retracted ids (≤ |ids|, broadcast);
+    2. survivors = affected components' members minus the retracted ids —
+       their signatures are pulled from `sig_store` by a semi-join
+       (column-pruned store stream, never a full materialization);
+    3. survivor edges = the banded self-join over THAT subset only
+       (identical arithmetic to `build_label_store`, so recomputed labels
+       match a from-scratch build on corpus-minus-retracted exactly);
+    4. ONE atomic MOR MERGE commits the rebuilt labels (op-column form:
+       retracted ids ride as D rows, survivor labels as upserts — no
+       delete/append crash window), then the ids are equality-deleted
+       from the signature store (`retract_batch`), so later batch folds
+       can neither pair with nor re-contract against retracted docs.
+
+    Replay: re-running re-derives identical labels and re-deletes already
+    -absent keys — idempotent end to end (pytest). Components not
+    containing a retracted id are never touched."""
+    from ..operators.graph import connected_components
+
+    ids = ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    labels = label_store.scan()
+    affected = (
+        labels.join(ids, "doc_id", "left_semi")
+        .select("label")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    members = labels.join(F.broadcast(affected), "label", "left_semi").select(
+        "doc_id"
+    )
+    survivors = members.join(ids, "doc_id", "left_anti")
+    sub_sigs = sig_store.scan().join(survivors, "doc_id", "left_semi")
+    a = _bands_long(sub_sigs, "u")
+    b = _bands_long(sub_sigs, "v")
+    edges = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    relabeled, _rounds = connected_components(edges)
+    full = survivors.join(relabeled, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
+    )
+    cdc = full.withColumn("Op", F.lit("U")).unionByName(
+        ids.selectExpr("doc_id", "CAST(NULL AS BIGINT) AS label", "'D' AS Op")
+    )
+    label_store.merge(cdc, keys=["doc_id"], op_col="Op")
+    retract_batch(sig_store, ids)
+
+
 _incr_labels_cache: dict[str, str] = {}
 
 
@@ -2046,6 +2104,97 @@ def _incremental_labels_store_for(spark, sf_dir: str) -> str:
     return persisted_store_for(
         spark, sf_dir, _incr_labels_cache, "eiws_incrlabels_", "labels", build
     )
+
+
+_incr_cluster_retract_cache: dict[str, str] = {}
+
+
+def _cluster_retract_stores_for(spark, sf_dir: str) -> str:
+    """Per-sf_dir BASE dir holding a (sigs, labels) store pair that has
+    ALREADY taken a retraction: day-1 builds both over the corpus slice
+    (doc_id % 5 != 0), day-1.5 retracts the takedown slice (doc_id % 7
+    = 1) through `retract_batch_clusters` — affected components
+    re-labeled from re-derived edges, signatures equality-deleted."""
+    from ..catalog import persisted_store_for
+    from ..tables import SnapshotTable
+
+    def build(sig_root):
+        # labels live NEXT TO the sigs table (persisted_store_for's
+        # existence re-check validates the sigs root; both are built in
+        # the same pass, so sigs-present implies labels-present)
+        label_root = os.path.join(os.path.dirname(sig_root), "labels")
+        corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
+            "doc_id % 5 != 0"
+        ).select("doc_id", "text")
+        build_signature_store(spark, corpus, sig_root)
+        sig_store = SnapshotTable(spark, sig_root)
+        build_label_store(spark, sig_store, label_root)
+        retract_batch_clusters(
+            spark,
+            corpus.filter("doc_id % 7 = 1").select("doc_id"),
+            sig_store,
+            SnapshotTable(spark, label_root),
+        )
+
+    sig_root = persisted_store_for(
+        spark, sf_dir, _incr_cluster_retract_cache,
+        "eiws_clusterretract_", "sigs", build,
+    )
+    return os.path.dirname(sig_root)
+
+
+@query(
+    "d_incremental_cluster_retract",
+    # Ground truth: from-scratch components over (corpus MINUS the
+    # retracted slice) ∪ batch — if the retraction left a stale label, a
+    # ghost signature, or failed to SPLIT a component the removed doc
+    # was bridging, a row's label differs and the hash comparison fails
+    oracle=f"""
+    WITH RECURSIVE
+         u AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 5 = 0 OR doc_id % 7 <> 1),
+         s AS (SELECT doc_id, {SHINGLES_D} AS __sh FROM u),
+         hs AS (SELECT doc_id, {HASHED_SHINGLES_D} AS __hs FROM s),
+         m AS (SELECT doc_id, {', '.join(_minhash_exprs('duck'))} FROM hs),
+         b AS (SELECT *, {', '.join(_band_exprs())} FROM m),
+         long AS (
+           SELECT doc_id, band_idx, band_key FROM (
+             SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM b
+             UNION ALL SELECT doc_id, 1, band1 FROM b
+             UNION ALL SELECT doc_id, 2, band2 FROM b
+             UNION ALL SELECT doc_id, 3, band3 FROM b)
+         ),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM long x JOIN long y
+                  ON x.band_key = y.band_key AND x.band_idx = y.band_idx
+                     AND x.doc_id < y.doc_id),
+         edges AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+         reach(s2, t) AS (
+             SELECT doc_id, doc_id FROM u
+             UNION
+             SELECT r.s2, e.b FROM reach r JOIN edges e ON r.t = e.a
+         )
+    SELECT s2 AS doc_id, MIN(t) AS label FROM reach GROUP BY s2
+    """,
+    tags=("dedup:incremental-cluster-retract", "graph", "snapshot-table"),
+)
+def d_incremental_cluster_retract(spark, sf_dir) -> DataFrame:
+    """Fold the day-2 batch into a label store that RETRACTED the
+    takedown slice (doc_id % 7 = 1 of the day-1 corpus) via
+    `retract_batch_clusters` — proves the cluster tier's deletion path
+    end-to-end: affected components were re-labeled from re-derived
+    survivor edges (splits included), retracted signatures are masked,
+    and the post-fold labels match the full recompute on
+    corpus-minus-retracted ∪ batch."""
+    from ..tables import SnapshotTable
+
+    base = _cluster_retract_stores_for(spark, sf_dir)
+    sig_store = SnapshotTable(spark, os.path.join(base, "sigs"))
+    label_store = SnapshotTable(spark, os.path.join(base, "labels"))
+    batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        "doc_id % 5 = 0"
+    ).select("doc_id", "text")
+    return fold_batch_clusters(spark, batch, sig_store, label_store, append=False)
 
 
 @query(

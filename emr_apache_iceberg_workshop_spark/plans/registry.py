@@ -41,18 +41,20 @@ _MODULES = [
 # r13 rotation (per the r12 verdict's task 1): leads with (a) the 2
 # r12-late additions battery-verified by the judge but never
 # driver-signed (t_incremental_bm25, q_stream_cdc_store), then (b) the
-# 2 queries NEW this round (d_incremental_clusters — persisted
+# 3 queries NEW this round (d_incremental_clusters — persisted
 # component labels folded per batch; c_corpus_build — the composed
-# funnel→dedup→decontam→pack pipeline), then (c) the 5 names whose
+# funnel→dedup→decontam→pack pipeline; d_incremental_cluster_retract —
+# the cluster tier's deletion path), then (c) the 5 names whose
 # CODE changed this round (q_meta_analyze's snapshot-scoped stats
 # short-circuit; q_meta_summary_lifecycle's both-ways freshness guard;
 # q_stream_incremental_dedup + q_stream_append through the O(1)
 # replay-guard property lookup; d_incremental_retract through the
 # delete_keys summary_extra path), then (d) 41 of the 43 names whose
 # most-recent driver confirmation is r09, oldest-first alphabetical
-# (q_meta_analyze is already in (c); t_repetition spills just below —
-# it driver-signs at r14). 2 + 2 + 5 + 41 = 50; after this window the
-# union freshness floor is r10.
+# (q_meta_analyze is already in (c); t_heavy_hitters + t_repetition
+# spill just below — they driver-sign at r14). 2 + 3 + 5 + 40 = 50;
+# after this window the
+# the union freshness floor is r10 except those two names.
 _PREFIX_ORDER = [
     # (a) r12-late, awaiting first driver signature
     "t_incremental_bm25",
@@ -60,13 +62,14 @@ _PREFIX_ORDER = [
     # (b) new in r13
     "d_incremental_clusters",
     "c_corpus_build",
+    "d_incremental_cluster_retract",
     # (c) r13 code-touched
     "q_meta_analyze",
     "q_meta_summary_lifecycle",
     "q_stream_incremental_dedup",
     "q_stream_append",
     "d_incremental_retract",
-    # (d) 41 oldest r09-stale names, alphabetical
+    # (d) 40 oldest r09-stale names, alphabetical
     "d_exact_dup",
     "d_minhash_lsh",
     "d_simhash64",
@@ -107,10 +110,10 @@ _PREFIX_ORDER = [
     "t_bigram_logprob",
     "t_bm25_topk",
     "t_entropy",
+    # --- below the 50-slot window: t_heavy_hitters / t_repetition are
+    # the two r09-stale names the window could not fit (driver-sign at
+    # r14), then the prior prefix order.
     "t_heavy_hitters",
-    # --- below the 50-slot window: t_repetition is the one r09-stale
-    # name the window could not fit (driver-signs at r14), then the
-    # prior prefix order.
     "t_repetition",
     "d_incremental_verdicts",
     "t_incremental_lm",

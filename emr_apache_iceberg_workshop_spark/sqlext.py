@@ -62,15 +62,21 @@ Supported grammar (case-insensitive keywords; one statement per call):
   ``vacuum('<name>'[, <retain_last>[, <max_files_per_partition>]])``
   (maintain → expire → orphan sweep in one call) /
   ``dedup_batch('<store>', source => '<view>'
-  [, algo => 'minhash'|'exact'|'verdicts'][, append => true])``
+  [, algo => 'minhash'|'exact'|'verdicts'|'clusters']
+  [, append => true][, labels => '<label store>'])``
   (extension: incremental dedup of a batch against a persisted signature
   store; 'verdicts' is the bounded one-row-per-batch-doc MinHash form;
-  returns the verdict DataFrame; append defaults to FALSE here —
-  read-only unless asked — unlike the library functions' append=True) /
-  ``retract_batch('<store>', source => '<view>'[, key => 'doc_id'])``
+  'clusters' folds the batch into persisted component labels — requires
+  ``labels``; returns the verdict/label DataFrame; append defaults to
+  FALSE here — read-only unless asked — unlike the library functions'
+  append=True) /
+  ``retract_batch('<store>', source => '<view>'[, key => 'doc_id']
+  [, labels => '<label store>'])``
   (extension: CDC retraction — equality-deletes the source's key values
-  from the store; returns the delete snapshot id) — named (``arg => v``)
-  or positional.
+  from the store and returns the delete snapshot id; with ``labels``,
+  runs the CLUSTER-tier retraction instead: affected components
+  re-labeled from re-derived signature edges, ids deleted from both
+  stores) — named (``arg => v``) or positional.
 - ``ALTER TABLE <name> RENAME TO <new>`` (catalog re-key, data in place)
   / ``ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
   / ``ADD PARTITION FIELD <spec>`` / ``DROP PARTITION FIELD <spec>`` /
@@ -880,6 +886,22 @@ class SqlCatalog:
             if algo == "verdicts":
                 # the bounded MinHash verdict twin (one row per batch doc)
                 return minhash_batch_verdicts(self.spark, batch, t, append=append)
+            if algo == "clusters":
+                # incremental dup-cluster maintenance: fold the batch into
+                # the persisted component labels (labels => the label
+                # store registered name); append commits signatures + the
+                # changed-label MERGE
+                labels_name = val("labels", 4)
+                if labels_name is None:
+                    raise ValueError(
+                        "dedup_batch(algo => 'clusters') requires "
+                        "labels => '<label store>'"
+                    )
+                from .plans.dedup import fold_batch_clusters
+
+                return fold_batch_clusters(
+                    self.spark, batch, t, self.table(labels_name), append=append
+                )
             raise ValueError(f"dedup_batch: unknown algo {algo!r}")
         if proc == "retract_batch":
             # extension procedure: CDC retraction (takedown / license
@@ -891,11 +913,20 @@ class SqlCatalog:
             if src is None:
                 raise ValueError("retract_batch requires (table, source)")
             key = val("key", 2, "doc_id") or "doc_id"
-            from .plans.dedup import retract_batch
+            from .plans.dedup import retract_batch, retract_batch_clusters
 
             ids = self.spark.sql(
                 self._rewrite_reads(f"SELECT {key} FROM {src}")
             )
+            labels_name = val("labels", 3)
+            if labels_name is not None:
+                # cluster-tier retraction: re-derive affected components'
+                # edges from the signature store, re-label survivors,
+                # equality-delete the ids from BOTH stores — one call
+                retract_batch_clusters(
+                    self.spark, ids, t, self.table(labels_name)
+                )
+                return None
             return retract_batch(t, ids, key=key)
         if proc == "rollback_to_snapshot":
             return t.rollback_to_snapshot(int(val("snapshot_id", 1)))

@@ -356,6 +356,116 @@ def test_incremental_cluster_fold_replay_idempotent(spark, tmp_path):
     ) == sigs1
 
 
+def _sig_rows(spark, rows):
+    """Hand-constructed signature rows (doc_id, [band0..band3]) — mh
+    columns are synthetic; edges depend on band keys only, so the chain
+    topology is DETERMINISTIC (text-derived banding is probabilistic)."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import _SIG_DDL, N_MINHASH
+
+    data = [
+        tuple([doc_id] + [doc_id * 100 + i for i in range(N_MINHASH)] + bands)
+        for doc_id, bands in rows
+    ]
+    return spark.createDataFrame(data, _SIG_DDL)
+
+
+def test_cluster_retraction_splits_component(spark, tmp_path):
+    """Removing the BRIDGE doc of a chain component 1—2—3 must split it:
+    star edges alone cannot witness the split, so retract_batch_clusters
+    re-derives the survivors' edges from the signature store. The result
+    must equal a from-scratch build on the store-minus-retracted."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        _SIG_DDL,
+        build_label_store,
+        retract_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    # 1~2 share band X (slot 0), 2~3 share band Y (slot 1), 1~3 share
+    # nothing; 4 is isolated
+    rows = [
+        (1, ["X", "a1", "a2", "a3"]),
+        (2, ["X", "Y", "b2", "b3"]),
+        (3, ["z0", "Y", "c2", "c3"]),
+        (4, ["q0", "q1", "q2", "q3"]),
+    ]
+    sig_store = SnapshotTable.create(spark, str(tmp_path / "sigs"), _SIG_DDL)
+    sig_store.write(_sig_rows(spark, rows))
+    label_store = build_label_store(spark, sig_store, str(tmp_path / "labels"))
+    pre = {r.doc_id: r.label for r in label_store.scan().collect()}
+    # precondition: the bridge connects 1—2—3 into one component
+    assert pre == {1: 1, 2: 1, 3: 1, 4: 4}
+
+    ids = spark.createDataFrame([(2,)], "doc_id bigint")
+    retract_batch_clusters(spark, ids, sig_store, label_store)
+    post = {r.doc_id: r.label for r in label_store.scan().collect()}
+    # ground truth: from-scratch build on the retracted store
+    fresh_sig = SnapshotTable.create(spark, str(tmp_path / "fsigs"), _SIG_DDL)
+    fresh_sig.write(_sig_rows(spark, [r for r in rows if r[0] != 2]))
+    fresh = build_label_store(spark, fresh_sig, str(tmp_path / "flabels"))
+    truth = {r.doc_id: r.label for r in fresh.scan().collect()}
+    assert post == truth == {1: 1, 3: 3, 4: 4}  # the split happened
+    # signature store retracted too: no ghost signatures
+    assert 2 not in {
+        r.doc_id for r in sig_store.scan().select("doc_id").collect()
+    }
+    # untouched component 4 kept its label without a rewrite
+    # replay: idempotent
+    retract_batch_clusters(spark, ids, sig_store, label_store)
+    assert {r.doc_id: r.label for r in label_store.scan().collect()} == truth
+
+
+def test_sql_facade_cluster_ops(spark, tmp_path):
+    """CALL system.dedup_batch(algo => 'clusters', labels => ...) and
+    CALL system.retract_batch(..., labels => ...) are facade parity for
+    fold_batch_clusters / retract_batch_clusters."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_label_store,
+        build_signature_store,
+        fold_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.sqlext import SqlCatalog
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = spark.createDataFrame([(1, BASE), (2, BASE + " tail")], DDL)
+    batch = spark.createDataFrame([(10, BASE + " tails")], DDL)
+    sig_root = str(tmp_path / "sigs")
+    build_signature_store(spark, corpus, sig_root)
+    sig_store = SnapshotTable(spark, sig_root)
+    label_root = str(tmp_path / "labels")
+    build_label_store(spark, sig_store, label_root)
+
+    cat = SqlCatalog(spark)
+    cat.register("sig_store", sig_root)
+    cat.register("lbl_store", label_root)
+    batch.createOrReplaceTempView("cluster_batch")
+    via_sql = cat.sql(
+        "CALL system.dedup_batch('sig_store', source => 'cluster_batch', "
+        "algo => 'clusters', labels => 'lbl_store')"
+    )
+    via_lib = fold_batch_clusters(
+        spark, batch, sig_store,
+        SnapshotTable(spark, label_root), append=False,
+    )
+    assert sorted(via_sql.collect()) == sorted(via_lib.collect())
+
+    spark.createDataFrame([(2,)], "doc_id bigint").createOrReplaceTempView(
+        "takedown"
+    )
+    cat.sql(
+        "CALL system.retract_batch('sig_store', source => 'takedown', "
+        "labels => 'lbl_store')"
+    )
+    assert 2 not in {
+        r.doc_id for r in sig_store.scan().select("doc_id").collect()
+    }
+    labels = {
+        r.doc_id: r.label
+        for r in SnapshotTable(spark, label_root).scan().collect()
+    }
+    assert labels == {1: 1}
+
+
 # --------------------------------------------------------------------------
 # emission freshness guard: both-ways snapshot-set comparison
 

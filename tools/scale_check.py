@@ -113,6 +113,11 @@ QUERIES = (
     # shapes (funnel scan, md5 window, gram join, packing window); the
     # probe watches the composition staying linear end-to-end
     "c_corpus_build",
+    # r13: cluster-tier retraction — the store pair took an equality
+    # retraction at build (day-1 cost, absorbed); steady state is the
+    # cluster fold against the post-retraction stores, so the probe
+    # should track d_incremental_clusters
+    "d_incremental_cluster_retract",
 )
 FACTOR = 10
 
