@@ -2045,15 +2045,22 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> Non
     3. survivor edges = the banded self-join over THAT subset only
        (identical arithmetic to `build_label_store`, so recomputed labels
        match a from-scratch build on corpus-minus-retracted exactly);
-    4. ONE atomic MOR MERGE commits the rebuilt labels (op-column form:
-       retracted ids ride as D rows, survivor labels as upserts — no
-       delete/append crash window), then the ids are equality-deleted
-       from the signature store (`retract_batch`), so later batch folds
-       can neither pair with nor re-contract against retracted docs.
+    4. the ids are equality-deleted from the SIGNATURE store first
+       (`retract_batch` — survivor signatures are untouched, so the
+       edge re-derivation above, which is still lazy at this point,
+       semi-joins survivors only and is unaffected), THEN one atomic
+       MOR MERGE commits the rebuilt labels (op-column form: retracted
+       ids ride as D rows, survivor labels as upserts).
 
-    Replay: re-running re-derives identical labels and re-deletes already
-    -absent keys — idempotent end to end (pytest). Components not
-    containing a retracted id are never touched."""
+    Crash ordering (r13 review): the signature delete commits FIRST so a
+    crash between the two commits can never leave a ghost signature for
+    a later `fold_batch_clusters` to resurrect into the label store —
+    the worst post-crash state is a stale (unsplit) label entry, which
+    re-running this retraction repairs: the re-run re-derives survivor
+    edges from the already-retracted signature store and re-commits the
+    same labels. Replay is idempotent end to end (pytest, including from
+    the mid-crash state). Components not containing a retracted id are
+    never touched."""
     from ..operators.graph import connected_components
 
     ids = ids.select("doc_id").distinct().localCheckpoint(eager=True)
@@ -2083,9 +2090,9 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> Non
     )
     cdc = full.withColumn("Op", F.lit("U")).unionByName(
         ids.selectExpr("doc_id", "CAST(NULL AS BIGINT) AS label", "'D' AS Op")
-    )
-    label_store.merge(cdc, keys=["doc_id"], op_col="Op")
+    ).localCheckpoint(eager=True)  # labels computed BEFORE the sig delete
     retract_batch(sig_store, ids)
+    label_store.merge(cdc, keys=["doc_id"], op_col="Op")
 
 
 _incr_labels_cache: dict[str, str] = {}

@@ -49,12 +49,12 @@ _MODULES = [
 # short-circuit; q_meta_summary_lifecycle's both-ways freshness guard;
 # q_stream_incremental_dedup + q_stream_append through the O(1)
 # replay-guard property lookup; d_incremental_retract through the
-# delete_keys summary_extra path), then (d) 41 of the 43 names whose
+# delete_keys summary_extra path), then (d) 40 of the 43 names whose
 # most-recent driver confirmation is r09, oldest-first alphabetical
 # (q_meta_analyze is already in (c); t_heavy_hitters + t_repetition
-# spill just below — they driver-sign at r14). 2 + 3 + 5 + 40 = 50;
-# after this window the
-# the union freshness floor is r10 except those two names.
+# spill just below the window — they driver-sign at r14).
+# 2 + 3 + 5 + 40 = 50; after this window the union freshness floor is
+# r10 for every name except those two spilled r09 stragglers.
 _PREFIX_ORDER = [
     # (a) r12-late, awaiting first driver signature
     "t_incremental_bm25",

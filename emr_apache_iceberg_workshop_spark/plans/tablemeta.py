@@ -2736,22 +2736,51 @@ def _summary_lifecycle_table(spark):
     return t
 
 
+def _main_lineage_ids(t) -> set:
+    """Snapshot ids on the MAIN head's parent chain — the set
+    write_iceberg_metadata emits. Off-lineage snapshots (staged/WAP
+    branch commits later cherry-picked) exist in the engine's snapshot
+    list but are NOT part of an Iceberg metadata doc's snapshot log.
+    parent_id None means root for branched tables; for legacy dense
+    linear histories (no parent_id anywhere) the parent is sid-1."""
+    snaps = {s.snapshot_id: s for s in t.snapshots()}
+    lineage: set = set()
+    cur = t.latest_snapshot_id()
+    while cur is not None and cur in snaps and cur not in lineage:
+        lineage.add(cur)
+        parent = snaps[cur].parent_id
+        cur = parent if parent is not None else (
+            cur - 1 if (cur - 1) in snaps else None
+        )
+    return lineage
+
+
 def _summaries_match_engine(doc: dict, t) -> bool:
     """Freshness guard core (ADVICE r11 + r12): the emitted metadata doc
     must agree with the engine's CURRENT summary semantics, independently
     recomputed by snapshots_table — spec operation + added-* +
     total-records per snapshot id, AND the snapshot-id sets must be equal
-    BOTH ways (a truncated/stale emission MISSING a snapshot the engine
-    has fails here too, not just per-snapshot counter drift on the ids it
-    does carry). A later-round change to write_iceberg_metadata's
+    BOTH ways (a truncated/stale emission MISSING a lineage snapshot the
+    engine has fails here too, not just per-snapshot counter drift on the
+    ids it does carry). The comparison is against the MAIN-LINEAGE set,
+    not the raw snapshot list: an off-lineage staged/WAP commit is
+    engine-visible but never emitted, and comparing against it would fail
+    every branched fixture forever (the r13 review caught exactly that —
+    the lifecycle fixture re-emitted a byte-identical metadata version
+    per process). A later-round change to write_iceberg_metadata's
     counters would otherwise leave a committed v1.metadata.json silently
     stale (the data side already has the _meta.json ops guard; this is
     its emission twin)."""
     from ..iceberg_meta import _OP_SUMMARY
 
-    st = {r.snapshot_id: r for r in t.snapshots_table().collect()}
-    if {s["snapshot-id"] for s in doc.get("snapshots", [])} != set(st):
+    lineage = _main_lineage_ids(t)
+    if {s["snapshot-id"] for s in doc.get("snapshots", [])} != lineage:
         return False
+    st = {
+        r.snapshot_id: r
+        for r in t.snapshots_table().collect()
+        if r.snapshot_id in lineage
+    }
     for s in doc.get("snapshots", []):
         r = st[s["snapshot-id"]]
         su = s.get("summary", {})

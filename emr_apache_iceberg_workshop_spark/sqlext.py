@@ -76,7 +76,8 @@ Supported grammar (case-insensitive keywords; one statement per call):
   from the store and returns the delete snapshot id; with ``labels``,
   runs the CLUSTER-tier retraction instead: affected components
   re-labeled from re-derived signature edges, ids deleted from both
-  stores) — named (``arg => v``) or positional.
+  stores — doc_id-keyed, mutually exclusive with ``key``) — named
+  (``arg => v``) or positional.
 - ``ALTER TABLE <name> RENAME TO <new>`` (catalog re-key, data in place)
   / ``ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
   / ``ADD PARTITION FIELD <spec>`` / ``DROP PARTITION FIELD <spec>`` /
@@ -922,7 +923,16 @@ class SqlCatalog:
             if labels_name is not None:
                 # cluster-tier retraction: re-derive affected components'
                 # edges from the signature store, re-label survivors,
-                # equality-delete the ids from BOTH stores — one call
+                # equality-delete the ids from BOTH stores — one call.
+                # The cluster stores are doc_id-keyed by construction, so
+                # a custom key cannot combine with labels (r13 review:
+                # silently selecting `key` then reading doc_id would
+                # crash or retract the wrong ids)
+                if key != "doc_id":
+                    raise ValueError(
+                        "retract_batch: key => is not supported together "
+                        "with labels => (cluster stores are doc_id-keyed)"
+                    )
                 retract_batch_clusters(
                     self.spark, ids, t, self.table(labels_name)
                 )

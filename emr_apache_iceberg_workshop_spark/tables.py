@@ -285,14 +285,35 @@ class SnapshotTable:
         """Fold `summary_extra`'s (streaming.query-scope,
         streaming.batch-id) stamp into the guard property. Called by the
         commit paths streaming sinks use, on the in-flight `meta`, before
-        `_commit` — never a separate metadata version."""
+        `_commit` — never a separate metadata version.
+
+        The FIRST guard stamp on a table also MIGRATES every legacy
+        in-summary stamp (pre-property streaming history) into per-scope
+        properties — one O(history) pass, once per table ever. Without
+        this, a table mixing property-era commits in one scope with
+        legacy-only stamps in another would hide the legacy scope's
+        replay history from the property-only lookup (r13 review
+        finding): scope B's pre-upgrade max must stay visible even after
+        scope A creates the first property."""
         if not summary_extra:
             return
         bid = summary_extra.get("streaming.batch-id")
         if bid is None:
             return
-        key = _stream_guard_key(summary_extra.get("streaming.query-scope"))
         props = meta.setdefault("properties", {})
+        if not any(
+            k == _STREAM_GUARD_PROP or k.startswith(_STREAM_GUARD_PROP + ".")
+            for k in props
+        ):
+            for s in meta["snapshots"]:
+                su = s.get("summary", {})
+                b = su.get("streaming.batch-id")
+                if b is None:
+                    continue
+                k = _stream_guard_key(su.get("streaming.query-scope"))
+                if props.get(k) is None or int(b) > int(props[k]):
+                    props[k] = str(int(b))
+        key = _stream_guard_key(summary_extra.get("streaming.query-scope"))
         cur = props.get(key)
         if cur is None or int(bid) > int(cur):
             props[key] = str(int(bid))
@@ -329,13 +350,12 @@ class SnapshotTable:
         incremental-dedup sinks pass False for exact-scope isolation.
 
         Cost: one metadata load + two property reads. The snapshot-log
-        walk runs ONLY for a table carrying legacy in-summary stamps but
-        no guard property (a table written entirely by pre-r13 code);
-        the first post-upgrade commit stamps the property and every later
-        lookup is property-only. A table mixing property-era commits in
-        one scope with legacy-only stamps in ANOTHER would miss the
-        legacy side — impossible here because all writers upgrade
-        together, and the failure mode is the pre-r13 behavior anyway."""
+        walk runs ONLY for a table with NO guard property at all (pure
+        pre-r13 streaming history): the first post-upgrade stamp MIGRATES
+        every legacy in-summary stamp into per-scope properties
+        (_stamp_stream_guard), so once any guard property exists the
+        property map is complete for every scope — a mixed-era table
+        cannot hide a legacy scope's replay history from this lookup."""
         meta = self._load()
         props = meta.get("properties", {})
         vals = []

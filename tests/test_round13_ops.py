@@ -470,6 +470,118 @@ def test_sql_facade_cluster_ops(spark, tmp_path):
 # emission freshness guard: both-ways snapshot-set comparison
 
 
+def test_stamp_migrates_legacy_scopes_on_first_property(spark, tmp_path):
+    """r13 review: the FIRST guard property stamp migrates every legacy
+    in-summary stamp — a mixed-era table cannot hide a legacy scope's
+    replay history from the property-only lookup."""
+    t = _mk_table(spark, tmp_path)
+    df = spark.createDataFrame([(1, "a")], DDL)
+    # legacy history: stamps in summaries only (strip properties after)
+    t.write(df, summary_extra={"streaming.batch-id": 6, "streaming.query-scope": "qB"})
+    t.write(df, summary_extra={"streaming.batch-id": 9})  # unscoped
+    meta_path = os.path.join(t.root, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    for k in list(meta.get("properties", {})):
+        if k.startswith("streaming.max-batch-id"):
+            del meta["properties"][k]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    # post-upgrade: scope A commits its first batch -> migration fires
+    t.write(df, summary_extra={"streaming.batch-id": 0, "streaming.query-scope": "qA"})
+    props = t.properties()
+    assert props["streaming.max-batch-id.qA"] == "0"
+    assert props["streaming.max-batch-id.qB"] == "6"  # migrated
+    assert props["streaming.max-batch-id"] == "9"  # migrated unscoped
+    # scope B's replay history stays visible property-only
+    assert t.max_stream_batch_id("qB", adopt_unscoped=False) == 6
+    assert t.max_stream_batch_id("qB", adopt_unscoped=True) == 9
+
+
+def test_cluster_retraction_recovers_from_mid_crash(spark, tmp_path):
+    """r13 review: the signature delete commits FIRST; re-running the
+    retraction from the mid-crash state (sigs deleted, labels stale)
+    repairs the labels."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        _SIG_DDL,
+        build_label_store,
+        retract_batch,
+        retract_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    rows = [
+        (1, ["X", "a1", "a2", "a3"]),
+        (2, ["X", "Y", "b2", "b3"]),
+        (3, ["z0", "Y", "c2", "c3"]),
+    ]
+    sig_store = SnapshotTable.create(spark, str(tmp_path / "sigs"), _SIG_DDL)
+    sig_store.write(_sig_rows(spark, rows))
+    label_store = build_label_store(spark, sig_store, str(tmp_path / "labels"))
+    ids = spark.createDataFrame([(2,)], "doc_id bigint")
+    # simulate the crash point: sig delete landed, label merge did not
+    retract_batch(sig_store, ids)
+    stale = {r.doc_id: r.label for r in label_store.scan().collect()}
+    assert stale == {1: 1, 2: 1, 3: 1}  # labels stale but no ghosts
+    # recovery = re-run the retraction
+    retract_batch_clusters(spark, ids, sig_store, label_store)
+    assert {r.doc_id: r.label for r in label_store.scan().collect()} == {
+        1: 1, 3: 3,
+    }
+
+
+def test_sql_retract_batch_rejects_key_with_labels(spark, tmp_path):
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        _SIG_DDL,
+        build_label_store,
+    )
+    from emr_apache_iceberg_workshop_spark.sqlext import SqlCatalog
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    sig_store = SnapshotTable.create(spark, str(tmp_path / "sigs"), _SIG_DDL)
+    sig_store.write(_sig_rows(spark, [(1, ["X", "a1", "a2", "a3"])]))
+    build_label_store(spark, sig_store, str(tmp_path / "labels"))
+    cat = SqlCatalog(spark)
+    cat.register("sig_s", str(tmp_path / "sigs"))
+    cat.register("lbl_s", str(tmp_path / "labels"))
+    spark.createDataFrame([(1,)], "g bigint").createOrReplaceTempView("wd")
+    with pytest.raises(ValueError, match="not supported together"):
+        cat.sql(
+            "CALL system.retract_batch('sig_s', source => 'wd', "
+            "key => 'g', labels => 'lbl_s')"
+        )
+
+
+def test_emission_guard_ignores_off_lineage_snapshots(spark, tmp_path):
+    """r13 review (top finding): a staged/WAP branch snapshot is
+    engine-visible but never emitted — the both-ways set comparison must
+    run against the MAIN LINEAGE, or every branched fixture re-emits a
+    byte-identical metadata version per process forever."""
+    import json as _json
+
+    from emr_apache_iceberg_workshop_spark.iceberg_meta import write_iceberg_metadata
+    from emr_apache_iceberg_workshop_spark.plans.tablemeta import (
+        _main_lineage_ids,
+        _summaries_match_engine,
+    )
+
+    t = _mk_table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, "a")], DDL))
+    staged = t.write(spark.createDataFrame([(2, "b")], DDL), branch="stage")
+    t.write(spark.createDataFrame([(3, "c")], DDL))
+    t.cherry_pick_snapshot(staged)
+    all_ids = {s.snapshot_id for s in t.snapshots()}
+    lineage = _main_lineage_ids(t)
+    assert lineage < all_ids  # the staged snapshot is off-lineage
+    md = write_iceberg_metadata(t)
+    with open(md) as f:
+        doc = _json.load(f)
+    assert {s["snapshot-id"] for s in doc["snapshots"]} == lineage
+    assert _summaries_match_engine(doc, t) is True  # fresh, no re-emission
+    truncated = dict(doc, snapshots=doc["snapshots"][:-1])
+    assert _summaries_match_engine(truncated, t) is False
+
+
 def test_summaries_match_engine_detects_missing_snapshot(spark, tmp_path):
     """ADVICE r12 (low): an emission doc MISSING a snapshot the engine has
     (truncated/stale) must fail the guard, not pass by vacuous iteration."""

@@ -128,6 +128,11 @@ BROADCAST_HINT_ALLOWED = {
         # <= one label per edge endpoint <= 2 x the batch's candidate
         # pairs (O(|batch|) by the banding analysis) — corpus-size-free
         "touched",
+        # affected component labels for the cluster-tier retraction:
+        # <= one label per RETRACTED id (distinct labels of the ids'
+        # own store rows) — bounded by the takedown batch, never the
+        # store (retract_batch_clusters)
+        "affected",
     },
     "plans/similarity.py": {
         "q",  # fixed 5-id query set (QUERY_FILTER bounds it at any SF)
