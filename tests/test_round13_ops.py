@@ -466,6 +466,104 @@ def test_sql_facade_cluster_ops(spark, tmp_path):
     assert labels == {1: 1}
 
 
+def test_cluster_fold_plan_never_scans_corpus_text(spark, tmp_path):
+    """Plan audit (the incremental-family invariant): a cluster fold's
+    only parquet scans are the batch file and the two stores — corpus
+    TEXT is never rescanned."""
+    import re as _re
+
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_label_store,
+        build_signature_store,
+        fold_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " tail"), (3, "different words entirely here")],
+        DDL,
+    )
+    corpus_pq = str(tmp_path / "corpus_docs")
+    corpus.write.parquet(corpus_pq)
+    sig_root = str(tmp_path / "sigs")
+    build_signature_store(spark, spark.read.parquet(corpus_pq), sig_root)
+    sig_store = SnapshotTable(spark, sig_root)
+    label_store = build_label_store(spark, sig_store, str(tmp_path / "labels"))
+
+    batch_pq = str(tmp_path / "batch_docs")
+    spark.createDataFrame([(10, BASE + " tails")], DDL).write.parquet(batch_pq)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    out = fold_batch_clusters(
+        spark, spark.read.parquet(batch_pq), sig_store, label_store,
+        append=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scanned = set(_re.findall(r"Location:[^\[]*\[([^\]]*)\]", plan)) | set(
+        _re.findall(r"file:[^\s,\]]*", plan)
+    )
+    flat = " ".join(scanned)
+    assert "corpus_docs" not in flat, flat
+    # the batch signature / edge work sits behind eager localCheckpoints,
+    # so the only LIVE parquet scan in the returned plan is the label
+    # store stream (carried labels)
+    assert "labels" in flat, flat
+
+
+def test_cluster_fold_randomized_equivalence(spark, tmp_path):
+    """Seeded randomized fuzz: random dup-group topology, random 2-batch
+    split — two sequential folds must equal the from-scratch build on the
+    union, for every seed."""
+    import random
+
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_label_store,
+        build_signature_store,
+        fold_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        # ~6 dup-group seeds; each doc is a group text + tiny suffix noise
+        groups = [
+            " ".join(rng.sample(vocab, 12)) + f" group{g}"
+            for g in range(6)
+        ]
+        docs = []
+        for i in range(24):
+            g = rng.randrange(6)
+            # suffix keeps most shingles shared within a group
+            docs.append((i, groups[g] + (f" v{i % 3}" if rng.random() < 0.5 else "")))
+        rng.shuffle(docs)
+        day1, b1, b2 = docs[:12], docs[12:18], docs[18:]
+
+        base = tmp_path / f"s{seed}"
+        base.mkdir()
+        corpus = spark.createDataFrame(day1, DDL)
+        sig_root = str(base / "sigs")
+        build_signature_store(spark, corpus, sig_root)
+        sig_store = SnapshotTable(spark, sig_root)
+        label_store = build_label_store(spark, sig_store, str(base / "labels"))
+        fold_batch_clusters(
+            spark, spark.createDataFrame(b1, DDL), sig_store, label_store,
+            append=True,
+        )
+        fold_batch_clusters(
+            spark, spark.createDataFrame(b2, DDL), sig_store, label_store,
+            append=True,
+        )
+        got = sorted(label_store.scan().collect())
+
+        full_sig = str(base / "fsigs")
+        build_signature_store(spark, spark.createDataFrame(docs, DDL), full_sig)
+        truth = build_label_store(
+            spark, SnapshotTable(spark, full_sig), str(base / "flabels")
+        )
+        assert got == sorted(truth.scan().collect()), f"seed {seed} diverged"
+
+
 # --------------------------------------------------------------------------
 # emission freshness guard: both-ways snapshot-set comparison
 
