@@ -99,3 +99,68 @@ def connected_components(
         .distinct(),
         rounds,
     )
+
+
+def connected_components_adaptive(
+    edges: DataFrame, local_max: int = 100_000
+) -> tuple[DataFrame, int]:
+    """Adaptive components: one count of the deduped oriented edge set;
+    at or under `local_max` edges the set is collected and solved with a
+    driver-side union-find (ONE job, zero contraction shuffle rounds),
+    above it the distributed star-contraction runs unchanged.
+
+    This is the inline-tuples-vs-mask-file adaptivity the COW planner
+    already applies (`write.cow.scope-cap`), applied to graph state: the
+    incremental cluster folds' touched subgraphs are O(batch) by
+    construction (edges = the batch's banded candidate pairs, members =
+    the components those pairs touch), so the bounded fast path is the
+    steady-state case at fixture AND production batch sizes, while a
+    pathological mega-batch falls back to the O(log d)-round contraction
+    instead of overflowing the driver. 100k edges ≈ a few MB collected —
+    the same driver-state class as the capped COW partition planning."""
+    e = (
+        edges.selectExpr("greatest(u, v) AS u", "least(u, v) AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = e.count()
+    if n == 0:
+        return e.selectExpr("u AS doc_id", "v AS label"), 0
+    if n > local_max:
+        return connected_components(e)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = e.collect()
+    for r in rows:
+        ru, rv = find(r["u"]), find(r["v"])
+        if ru != rv:
+            # union by MIN id so every root IS its component's label
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    labels = [(node, find(node)) for node in parent] + [
+        (root, root)
+        for root in {find(r["u"]) for r in rows} | {find(r["v"]) for r in rows}
+        if root not in parent
+    ]
+    # every touched node appears exactly once: non-roots via `parent`,
+    # roots via the second term (find() is idempotent post-compression)
+    out = {}
+    for node, root in labels:
+        out[node] = find(node)
+    return (
+        e.sparkSession.createDataFrame(
+            sorted(out.items()), "doc_id bigint, label bigint"
+        ),
+        0,
+    )

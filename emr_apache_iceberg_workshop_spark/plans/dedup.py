@@ -1984,7 +1984,12 @@ def fold_batch_clusters(
     map-side); `touched` — the labels those edges' endpoints carry — is
     bounded by the edge-endpoint count (≤ 2 × the batch's candidate
     pairs, itself O(|batch|) by the banding analysis), so it broadcasts;
-    the re-contraction runs over batch edges + touched members only.
+    the re-contraction runs over batch edges + touched members only —
+    via the ADAPTIVE components operator: the touched subgraph is
+    O(batch) by construction, so at steady state it is solved in one
+    bounded driver union-find (zero contraction shuffle rounds); a
+    pathological mega-batch falls back to the distributed
+    star-contraction (operators/graph.py:connected_components_adaptive).
     When `append`, the commit is ONE merge-on-read MERGE of the changed
     labels (O(batch + touched members), never a label-table rewrite) plus
     the signature append `dedup_batch_incremental` already stamps —
@@ -1992,7 +1997,7 @@ def fold_batch_clusters(
     MERGE re-asserts identical labels). The O(corpus) carried stream
     below exists only because the graded artifact is the full state; the
     production commit path is the merge."""
-    from ..operators.graph import connected_components
+    from ..operators.graph import connected_components_adaptive
 
     if batch_sig is None:
         batch_sig = minhash_signature_df(batch_docs).localCheckpoint(eager=True)
@@ -2014,7 +2019,9 @@ def fold_batch_clusters(
     )
     members = labels.join(F.broadcast(touched), "label", "left_semi")
     prior_star = members.selectExpr("doc_id AS u", "label AS v")
-    sub_labels, _rounds = connected_components(edges.unionByName(prior_star))
+    sub_labels, _rounds = connected_components_adaptive(
+        edges.unionByName(prior_star)
+    )
     singles = (
         batch_sig.select("doc_id")
         .join(labels.select("doc_id"), "doc_id", "left_anti")
@@ -2050,7 +2057,9 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> Non
        edge re-derivation above, which is still lazy at this point,
        semi-joins survivors only and is unaffected), THEN one atomic
        MOR MERGE commits the rebuilt labels (op-column form: retracted
-       ids ride as D rows, survivor labels as upserts).
+       ids ride as D rows, survivor labels as upserts). The relabeling
+       uses the adaptive components operator — bounded driver
+       union-find at steady state, distributed fallback above the cap.
 
     Crash ordering (r13 review): the signature delete commits FIRST so a
     crash between the two commits can never leave a ghost signature for
@@ -2061,7 +2070,7 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> Non
     same labels. Replay is idempotent end to end (pytest, including from
     the mid-crash state). Components not containing a retracted id are
     never touched."""
-    from ..operators.graph import connected_components
+    from ..operators.graph import connected_components_adaptive
 
     ids = ids.select("doc_id").distinct().localCheckpoint(eager=True)
     labels = label_store.scan()
@@ -2084,7 +2093,7 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> Non
         .select("u", "v")
         .distinct()
     )
-    relabeled, _rounds = connected_components(edges)
+    relabeled, _rounds = connected_components_adaptive(edges)
     full = survivors.join(relabeled, "doc_id", "left").select(
         "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
     )
@@ -2204,15 +2213,15 @@ def d_incremental_cluster_retract(spark, sf_dir) -> DataFrame:
     return fold_batch_clusters(spark, batch, sig_store, label_store, append=False)
 
 
-@query(
-    "d_incremental_clusters",
-    # Ground truth: from-scratch connected components over the FULL
-    # corpus-∪-batch banded candidate graph (the same minhash/band
-    # arithmetic, recursive-CTE transitive closure), one label per
-    # document — if the fold carried a stale label, missed a merge, or
-    # mis-rooted a merged component, a row's label differs and the hash
-    # comparison fails.
-    oracle=f"""
+# Ground truth for the cluster tier: from-scratch connected components
+# over the FULL corpus-∪-batch banded candidate graph (the same minhash/
+# band arithmetic, recursive-CTE transitive closure), one label per
+# document — if a fold carried a stale label, missed a merge, or
+# mis-rooted a merged component, a row's label differs and the hash
+# comparison fails. Shared by d_incremental_clusters (one-shot batch)
+# and q_stream_cluster_maintain (the same fold split across
+# micro-batches — folds compose, so ONE contract covers both).
+INCR_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE
          s AS (SELECT doc_id, {SHINGLES_D} AS __sh FROM documents),
          hs AS (SELECT doc_id, {HASHED_SHINGLES_D} AS __hs FROM s),
@@ -2236,7 +2245,12 @@ def d_incremental_cluster_retract(spark, sf_dir) -> DataFrame:
              SELECT r.s2, e.b FROM reach r JOIN edges e ON r.t = e.a
          )
     SELECT s2 AS doc_id, MIN(t) AS label FROM reach GROUP BY s2
-    """,
+    """
+
+
+@query(
+    "d_incremental_clusters",
+    oracle=INCR_CLUSTERS_ORACLE,
     tags=("dedup:incremental-clusters", "graph", "snapshot-table"),
 )
 def d_incremental_clusters(spark, sf_dir) -> DataFrame:

@@ -110,9 +110,12 @@ _PREFIX_ORDER = [
     "t_bigram_logprob",
     "t_bm25_topk",
     "t_entropy",
-    # --- below the 50-slot window: t_heavy_hitters / t_repetition are
-    # the two r09-stale names the window could not fit (driver-sign at
-    # r14), then the prior prefix order.
+    # --- below the 50-slot window: q_stream_cluster_maintain is
+    # r13-late (battery-verified at both SFs; driver-signs at r14) and
+    # t_heavy_hitters / t_repetition are the two r09-stale names the
+    # window could not fit (driver-sign at r14), then the prior prefix
+    # order.
+    "q_stream_cluster_maintain",
     "t_heavy_hitters",
     "t_repetition",
     "d_incremental_verdicts",

@@ -1005,3 +1005,79 @@ def q_stream_cdc_store(spark, sf_dir) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return store.scan()
+
+
+# --------------------------------------------------------------------------
+# Streaming cluster maintenance: the foreachBatch twin of
+# d_incremental_clusters — each document micro-batch folded into the
+# persisted component labels as it arrives. No replay stamp is needed
+# for correctness here (unlike the summed-count MERGE folds): both
+# commits a fold makes are idempotent by construction — the signature
+# append is keyed-idempotent (`_append_new_ids` anti-join) and the label
+# MERGE re-asserts identical labels on a replay — so the at-least-once
+# foreachBatch contract converges to exactly-once state.
+
+from .dedup import INCR_CLUSTERS_ORACLE as _INCR_CLUSTERS_ORACLE  # noqa: E402
+
+
+@query(
+    "q_stream_cluster_maintain",
+    # d_incremental_clusters' oracle VERBATIM: micro-batched folds
+    # compose (proven by the one-shot tier's pytest), so the drained
+    # store state answers the same full-recompute contract
+    oracle=_INCR_CLUSTERS_ORACLE,
+    tags=("streaming:cluster-maintain", "graph", "snapshot-table", "foreachBatch"),
+)
+def q_stream_cluster_maintain(spark, sf_dir) -> DataFrame:
+    """Micro-batched cluster maintenance: three document micro-batches
+    folded in turn into the persisted component labels (signatures
+    committed batch-by-batch, only edge-touched components
+    re-contracted); the graded output is the drained LABEL-STORE STATE,
+    matched against the from-scratch component recompute over
+    corpus ∪ batch — cross-batch merges included (a batch-N doc can
+    bridge components first seen in batches < N)."""
+    import shutil as _shutil
+
+    from ..tables import SnapshotTable
+    from .dedup import (
+        _incremental_labels_store_for,
+        _incremental_store_for,
+        fold_batch_clusters,
+    )
+
+    # fresh store-pair CLONE per run (the run appends snapshots to both)
+    day1_sigs = _incremental_store_for(spark, sf_dir)
+    day1_labels = _incremental_labels_store_for(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="eiws_cluster_stream_")
+    sig_root = os.path.join(base, "sigs")
+    label_root = os.path.join(base, "labels")
+    _shutil.copytree(day1_sigs, sig_root)
+    _shutil.copytree(day1_labels, label_root)
+    sig_store = SnapshotTable(spark, sig_root)
+    label_store = SnapshotTable(spark, label_root)
+
+    src = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(_incr_stream_src_dir(spark, sf_dir))
+
+    def _fb(bdf, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        fold_batch_clusters(
+            bdf.sparkSession, bdf.select("doc_id", "text"),
+            sig_store, label_store, append=True,
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            src.writeStream.foreachBatch(_fb)
+            .option("checkpointLocation", os.path.join(base, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return label_store.scan().select("doc_id", "label")

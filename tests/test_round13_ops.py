@@ -564,6 +564,23 @@ def test_cluster_fold_randomized_equivalence(spark, tmp_path):
         assert got == sorted(truth.scan().collect()), f"seed {seed} diverged"
 
 
+def test_adaptive_components_paths_agree(spark):
+    """The bounded driver union-find and the distributed star-contraction
+    return identical labels (local_max=0 forces the fallback)."""
+    import random
+
+    from emr_apache_iceberg_workshop_spark.operators.graph import (
+        connected_components_adaptive,
+    )
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(40)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    local = sorted(connected_components_adaptive(df)[0].collect())
+    dist = sorted(connected_components_adaptive(df, local_max=0)[0].collect())
+    assert local == dist and len(local) > 0
+
+
 # --------------------------------------------------------------------------
 # emission freshness guard: both-ways snapshot-set comparison
 

@@ -118,6 +118,11 @@ QUERIES = (
     # cluster fold against the post-retraction stores, so the probe
     # should track d_incremental_clusters
     "d_incremental_cluster_retract",
+    # r13 late: the foreachBatch cluster-maintenance twin — fixed
+    # streaming cost (3 micro-batch spins + per-run store-pair clone) on
+    # top of three touched-component folds; expect the q_stream_* fixed
+    # -cost profile with the cluster fold's near-flat per-row term
+    "q_stream_cluster_maintain",
 )
 FACTOR = 10
 
