@@ -266,6 +266,7 @@ def main() -> None:
            + ("**FAILED**\n" + "\n".join(f"- {f_}" for f_ in hint_fails) + "\n"
               if hint_fails else "OK — every F.broadcast hint feeds a bounded input "
               "(constant dims, 1-row scalars, fixed query sets).\n")]
+    errored: list[str] = []
     for name, spec in sorted(reg.items()):
         if only and name not in only:
             continue
@@ -275,6 +276,7 @@ def main() -> None:
             notes = audit(name, plan)
         except Exception as exc:  # pragma: no cover
             plan, notes = f"ERROR: {exc}", ["ERROR"]
+            errored.append(name)
         print(f"== {name}")
         for n in notes:
             print(f"   {n}")
@@ -284,6 +286,15 @@ def main() -> None:
     with open(os.path.join(root, "EXPLAIN.md"), "w") as f:
         f.write("".join(out))
     print(f"\nwrote EXPLAIN.md ({len(out) - 3} plans)")
+    if errored:
+        # A plan that fails to BUILD under this audit session (AQE off,
+        # static analysis) is a shipped defect, not a lint nit — r13's
+        # cluster tier shipped three ERROR stubs under a "lints green"
+        # commit because only hint_fails set the exit code (r13 VERDICT
+        # What's wrong #2). No allowlist: every registered query must
+        # produce a real plan.
+        print("ERROR plans (audit FAILED): " + ", ".join(sorted(errored)))
+        raise SystemExit(1)
     if hint_fails:
         raise SystemExit(1)
 
