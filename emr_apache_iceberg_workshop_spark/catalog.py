@@ -116,6 +116,22 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def clone_store(src: str, dst: str) -> None:
+    """Hardlink-clone a persisted SnapshotTable fixture (the `add_files`
+    zero-copy trick applied to store staging): the directory tree is
+    recreated but every file is an `os.link` to the fixture's inode —
+    O(files) metadata ops instead of O(bytes) copies. Safe because every
+    table mutation path either creates NEW files (data/delete/metadata
+    emission) or swaps the metadata pointer via tmp-write +
+    `os.replace` (tables.py `_commit`), which re-points the clone's
+    directory entry without touching the shared inode; nothing opens an
+    existing store file for in-place write. Clones must live on the same
+    filesystem as the fixture (both under the process tempdir here)."""
+    import shutil
+
+    shutil.copytree(src, dst, copy_function=os.link)
+
+
 def persisted_store_for(
     spark, sf_dir: str, cache: dict, prefix: str, leaf: str, build
 ) -> str:

@@ -1091,7 +1091,14 @@ def _incremental_sem_store_for(spark, sf_dir: str) -> str:
     )
 
 
-_SEM_INCR_ORACLE = f"""
+def _sem_incr_oracle(partner_pred: str = "TRUE") -> str:
+    """The incremental-SemDeDup ground truth: full recompute on the union
+    under the FROZEN day-1 index, restricted to batch verdicts.
+    `partner_pred` narrows the PARTNER universe — the retract twin passes
+    the corpus-minus-retracted predicate; the centroid CTEs stay on the
+    original day-1 slice in both (the index is frozen by design, never
+    retrained on retraction)."""
+    return f"""
     WITH
     emb AS (SELECT vec_id, embedding AS e FROM embeddings),
     corp AS (SELECT vec_id, e, {_H_D} AS h FROM emb WHERE {SEM_INCR_WHERE}),
@@ -1111,6 +1118,7 @@ _SEM_INCR_ORACLE = f"""
           FROM n a JOIN n b
             ON a.cluster = b.cluster AND b.vec_id <> a.vec_id
           WHERE a.vec_id % 5 = 0
+            AND ({partner_pred})
             AND {odot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {SEM_TAU}),
     agg AS (SELECT vec_id, cluster,
                    CAST(COUNT(*) AS BIGINT) AS n_partners,
@@ -1122,6 +1130,9 @@ _SEM_INCR_ORACLE = f"""
     FROM agg JOIN p ON p.vec_id = agg.vec_id AND p.cos = agg.best_cos
     GROUP BY 1, 2, 3, 4
     """
+
+
+_SEM_INCR_ORACLE = _sem_incr_oracle()
 
 
 @query(
@@ -1138,6 +1149,72 @@ def s_incremental_semdedup(spark, sf_dir) -> DataFrame:
     from ..tables import SnapshotTable
 
     store = SnapshotTable(spark, _incremental_sem_store_for(spark, sf_dir))
+    cents, cn2 = _kmeans_centroids(spark, sf_dir, where=SEM_INCR_WHERE)
+    batch = _normed(spark, sf_dir).filter("vec_id % 5 = 0")
+    return semdedup_batch_verdicts(spark, batch, store, cents, cn2, append=False)
+
+
+_incr_sem_retract_cache: dict[str, str] = {}
+
+
+def _incremental_sem_retract_store_for(spark, sf_dir: str) -> str:
+    """Per-sf_dir assignment store that has ALREADY taken a retraction:
+    day-1 assigns + persists the corpus slice (vec_id % 5 != 0) under the
+    frozen index, day-1.5 equality-deletes the takedown slice
+    (vec_id % 7 = 1). The index stays FROZEN — retraction removes store
+    rows, never retrains centroids (the tier's documented contract), and
+    the store holds only per-vector assignments (no derived state to
+    repair), so the equality-delete IS the complete retraction — the
+    same `delete_keys` path as the lexical tiers, applied through the
+    cluster-partitioned scan (deletes mask rows file-prune-compatibly)."""
+    from ..catalog import persisted_store_for
+    from ..tables import SnapshotTable
+
+    def build(root):
+        cents, cn2 = _kmeans_centroids(spark, sf_dir, where=SEM_INCR_WHERE)
+        corpus = _normed(spark, sf_dir).filter(SEM_INCR_WHERE)
+        assigned = assign_clusters(corpus, cents, cn2)
+        t = SnapshotTable.create(
+            spark,
+            root,
+            "vec_id bigint, cluster int, nrm double, e array<float>",
+            partition_by=["cluster"],
+        )
+        t.write(assigned.select("vec_id", "cluster", "nrm", "e"))
+        t.delete_keys(
+            corpus.filter("vec_id % 7 = 1").select("vec_id"), ["vec_id"]
+        )
+
+    return persisted_store_for(
+        spark, sf_dir, _incr_sem_retract_cache, "eiws_incrsemret_", "asg", build
+    )
+
+
+@query(
+    "s_incremental_semdedup_retract",
+    # the full-union recompute with the retracted slice removed from the
+    # partner universe; centroids unchanged (frozen index)
+    oracle=_sem_incr_oracle("b.vec_id % 5 = 0 OR b.vec_id % 7 <> 1"),
+    tags=(
+        "similarity:incremental-semdedup-retract",
+        "dedup",
+        "kmeans",
+        "snapshot-table",
+    ),
+)
+def s_incremental_semdedup_retract(spark, sf_dir) -> DataFrame:
+    """Incremental SemDeDup of the batch slice (vec_id % 5 = 0) against
+    an assignment store that RETRACTED the takedown slice (vec_id % 7 = 1
+    of the day-1 corpus) — proves the semantic tier's deletion path: the
+    equality-delete commit masks retracted assignments at scan (through
+    the cluster-pruned file planning), so verdicts match the full
+    recompute on corpus-minus-retracted under the frozen index (VERDICT
+    r13 task 5)."""
+    from ..tables import SnapshotTable
+
+    store = SnapshotTable(
+        spark, _incremental_sem_retract_store_for(spark, sf_dir)
+    )
     cents, cn2 = _kmeans_centroids(spark, sf_dir, where=SEM_INCR_WHERE)
     batch = _normed(spark, sf_dir).filter("vec_id % 5 = 0")
     return semdedup_batch_verdicts(spark, batch, store, cents, cn2, append=False)

@@ -801,18 +801,18 @@ def q_stream_incremental_dedup(spark, sf_dir) -> DataFrame:
     one-shot d_incremental, proving the micro-batch decomposition loses
     and invents nothing."""
     import os
-    import shutil as _shutil
 
     from .dedup import _incremental_store_for
+    from ..catalog import clone_store
     from ..tables import SnapshotTable
 
     # fresh store CLONE per run (the run appends 3 snapshots to it):
-    # day-1 corpus signatures are built once per process and copied —
-    # SnapshotTable paths are root-relative, so a copied root scans as-is
+    # day-1 corpus signatures are built once per process and hardlinked —
+    # SnapshotTable paths are root-relative, so a cloned root scans as-is
     day1 = _incremental_store_for(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="eiws_incr_stream_")
     store_root = os.path.join(base, "sigs")
-    _shutil.copytree(day1, store_root)
+    clone_store(day1, store_root)
     store = SnapshotTable(spark, store_root)
 
     src = spark.readStream.schema("doc_id bigint, text string").option(
@@ -1036,8 +1036,7 @@ def q_stream_cluster_maintain(spark, sf_dir) -> DataFrame:
     matched against the from-scratch component recompute over
     corpus ∪ batch — cross-batch merges included (a batch-N doc can
     bridge components first seen in batches < N)."""
-    import shutil as _shutil
-
+    from ..catalog import clone_store
     from ..tables import SnapshotTable
     from .dedup import (
         _incremental_labels_store_for,
@@ -1045,14 +1044,16 @@ def q_stream_cluster_maintain(spark, sf_dir) -> DataFrame:
         fold_batch_clusters,
     )
 
-    # fresh store-pair CLONE per run (the run appends snapshots to both)
+    # fresh store-pair CLONE per run (the run appends snapshots to both);
+    # hardlink clones — staging cost is O(files), not O(bytes) (r13
+    # VERDICT task 4: copytree was the heaviest fixed cost in the suite)
     day1_sigs = _incremental_store_for(spark, sf_dir)
     day1_labels = _incremental_labels_store_for(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="eiws_cluster_stream_")
     sig_root = os.path.join(base, "sigs")
     label_root = os.path.join(base, "labels")
-    _shutil.copytree(day1_sigs, sig_root)
-    _shutil.copytree(day1_labels, label_root)
+    clone_store(day1_sigs, sig_root)
+    clone_store(day1_labels, label_root)
     sig_store = SnapshotTable(spark, sig_root)
     label_store = SnapshotTable(spark, label_root)
 

@@ -2741,18 +2741,21 @@ def _main_lineage_ids(t) -> set:
     write_iceberg_metadata emits. Off-lineage snapshots (staged/WAP
     branch commits later cherry-picked) exist in the engine's snapshot
     list but are NOT part of an Iceberg metadata doc's snapshot log.
-    parent_id None means root for branched tables; for legacy dense
-    linear histories (no parent_id anywhere) the parent is sid-1."""
-    snaps = {s.snapshot_id: s for s in t.snapshots()}
-    lineage: set = set()
-    cur = t.latest_snapshot_id()
-    while cur is not None and cur in snaps and cur not in lineage:
-        lineage.add(cur)
-        parent = snaps[cur].parent_id
-        cur = parent if parent is not None else (
-            cur - 1 if (cur - 1) in snaps else None
-        )
-    return lineage
+
+    Derived from the SAME walk the emitter uses (`SnapshotTable._lineage`
+    / `_parent_id`, the source iceberg_meta.write_iceberg_metadata
+    iterates) rather than re-deriving parent semantics from Snapshot
+    dataclass records: `Snapshot(**s)` cannot distinguish an ABSENT
+    parent_id (legacy dense history ⇒ parent is sid-1) from an explicit
+    None (true root), so an independent walk could disagree with the
+    emitter on a branched table whose explicit-None root has a retained
+    lower-id snapshot — and the freshness guard must never disagree with
+    the emitter it guards (ADVICE r13)."""
+    meta = t._load()
+    head = t._head(meta)
+    if head is None:
+        return set()
+    return {s["snapshot_id"] for s in t._lineage(meta, head["snapshot_id"])}
 
 
 def _summaries_match_engine(doc: dict, t) -> bool:

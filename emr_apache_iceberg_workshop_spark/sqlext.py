@@ -933,10 +933,12 @@ class SqlCatalog:
                         "retract_batch: key => is not supported together "
                         "with labels => (cluster stores are doc_id-keyed)"
                     )
-                retract_batch_clusters(
+                # returns the label-store MERGE snapshot id — the commit
+                # that completes the cluster retraction — so both facade
+                # forms yield a commit handle (ADVICE r13)
+                return retract_batch_clusters(
                     self.spark, ids, t, self.table(labels_name)
                 )
-                return None
             return retract_batch(t, ids, key=key)
         if proc == "rollback_to_snapshot":
             return t.rollback_to_snapshot(int(val("snapshot_id", 1)))

@@ -280,12 +280,14 @@ class SnapshotTable:
     # snapshot per batch no longer pays an O(N)-per-batch / O(N²)-
     # cumulative summary walk (VERDICT r12 "What's wrong #2").
 
-    @staticmethod
-    def _stamp_stream_guard(meta: dict, summary_extra: dict | None) -> None:
+    def _stamp_stream_guard(self, meta: dict, summary_extra: dict | None) -> None:
         """Fold `summary_extra`'s (streaming.query-scope,
         streaming.batch-id) stamp into the guard property. Called by the
-        commit paths streaming sinks use, on the in-flight `meta`, before
-        `_commit` — never a separate metadata version.
+        MAIN-advancing commit paths streaming sinks use, on the in-flight
+        `meta`, before `_commit` — never a separate metadata version.
+        Branch/WAP-staged commits never stamp (ADVICE r13: a stamp for
+        data that may never reach main would make a later replay skip a
+        lost batch).
 
         The FIRST guard stamp on a table also MIGRATES every legacy
         in-summary stamp (pre-property streaming history) into per-scope
@@ -294,7 +296,9 @@ class SnapshotTable:
         legacy-only stamps in another would hide the legacy scope's
         replay history from the property-only lookup (r13 review
         finding): scope B's pre-upgrade max must stay visible even after
-        scope A creates the first property."""
+        scope A creates the first property. The migration walks the MAIN
+        lineage of the in-flight commit (its parent chain), so stamps on
+        off-lineage staged snapshots are never adopted."""
         if not summary_extra:
             return
         bid = summary_extra.get("streaming.batch-id")
@@ -305,7 +309,10 @@ class SnapshotTable:
             k == _STREAM_GUARD_PROP or k.startswith(_STREAM_GUARD_PROP + ".")
             for k in props
         ):
-            for s in meta["snapshots"]:
+            # every call site appends the in-flight main commit before
+            # stamping, so its parent chain IS the main lineage
+            head_sid = meta["snapshots"][-1]["snapshot_id"]
+            for s in self._lineage(meta, head_sid):
                 su = s.get("summary", {})
                 b = su.get("streaming.batch-id")
                 if b is None:
@@ -318,17 +325,23 @@ class SnapshotTable:
         if cur is None or int(bid) > int(cur):
             props[key] = str(int(bid))
 
-    @staticmethod
     def _legacy_stream_guard_walk(
-        meta: dict, scope: str | None, adopt_unscoped: bool
+        self, meta: dict, scope: str | None, adopt_unscoped: bool
     ) -> int | None:
         """Pre-property fallback: max stamped batch id found by walking the
         snapshot summaries — the original guard, kept for tables whose
         streaming history predates the guard property. O(history); only
-        reached when NO guard property exists (see max_stream_batch_id)."""
+        reached when NO guard property exists (see max_stream_batch_id).
+
+        Walks the MAIN lineage only (ADVICE r13): a stamp on a snapshot
+        staged to a never-published branch must not mark its batch id as
+        done — the data never reached main, so a replay must re-run."""
+        head = self._head(meta)
+        if head is None:
+            return None
         done = [
             int(s["summary"]["streaming.batch-id"])
-            for s in meta["snapshots"]
+            for s in self._lineage(meta, head["snapshot_id"])
             if s.get("summary", {}).get("streaming.batch-id") is not None
             and (
                 s["summary"].get("streaming.query-scope") == scope
@@ -1135,7 +1148,13 @@ class SnapshotTable:
                 "summary": dict(summary_extra or {}),
             }
         )
-        self._stamp_stream_guard(meta, summary_extra)
+        # stamp the replay guard only for commits that advance MAIN: a
+        # scope-stamped batch staged to a WAP/branch ref must not mark the
+        # batch id as done — if the branch were never cherry-picked, a
+        # later replay would be skipped while its data never reached main
+        # (ADVICE r13, latent: no streaming sink writes to branches today)
+        if branch == "main":
+            self._stamp_stream_guard(meta, summary_extra)
         self._advance(meta, branch, sid, prev_main)
         self._commit(meta)
         return sid
@@ -2535,9 +2554,13 @@ class SnapshotTable:
         upserts_local = upserts.localCheckpoint(eager=True)
         rel, parts, files = self._write_data_dir(upserts_local, meta, sid)
         drel = f"deletes/s{sid}"
-        # every source key (incl. deletes) suppresses older rows of that key
+        # every source key (incl. deletes) suppresses older rows of that key;
+        # with no op column there are no delete rows, so the key set is
+        # exactly the upserts' keys — read them from the checkpoint instead
+        # of re-running the source plan a second time
+        key_src = src if op_col is not None else upserts_local
         dstage = os.path.join(self.root, f"deletes/.stage-{uuid.uuid4().hex[:12]}")
-        src.select(*keys).distinct().write.mode("overwrite").parquet(dstage)
+        key_src.select(*keys).distinct().write.mode("overwrite").parquet(dstage)
         self._publish_dir(dstage, os.path.join(self.root, drel), cleanup_on_conflict=True)
         dfiles = self._file_stats(drel)
         prev = self._head(meta)
@@ -3532,8 +3555,14 @@ class SnapshotTable:
         unknown = [c for c in cols if c not in names]
         if unknown:
             raise ValueError(f"analyze: unknown columns {unknown}")
-        cur_sid = self.latest_snapshot_id()
-        props = self.properties()
+        # ONE metadata load for both the head snapshot id and the stored
+        # stats properties: two separate _load() calls could straddle a
+        # concurrent commit and pair a stale cur_sid with fresh stats (or
+        # vice versa), mislabeling the idempotence key (ADVICE r13)
+        meta = self._load()
+        head = self._head(meta)
+        cur_sid = head["snapshot_id"] if head else None
+        props = meta.get("properties", {})
         out: dict[str, dict] = {}
         stale = []
         for c in cols:

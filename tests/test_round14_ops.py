@@ -14,6 +14,7 @@ the engine's own incremental-cluster machinery (plans/dedup.py)."""
 from __future__ import annotations
 
 import contextlib
+import os
 
 import pytest
 
@@ -159,3 +160,165 @@ def test_explain_audit_exits_nonzero_on_error_plan(tmp_path, monkeypatch, capsys
     finally:
         with open(explain_path, "wb") as f:
             f.write(before)
+
+
+# --------------------------------------------------------------------------
+# retraction fuzz (r13 VERDICT task 6): random retraction points — bridge
+# docs, whole components, batch docs — must leave the label store equal to
+# a from-scratch build on corpus-minus-retracted, for every seed.
+
+
+def test_cluster_retraction_randomized_equivalence(spark, tmp_path):
+    import random
+
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_label_store,
+        build_signature_store,
+        fold_batch_clusters,
+        retract_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    for seed in (11, 42, 77):
+        rng = random.Random(seed)
+        groups = [
+            " ".join(rng.sample(vocab, 12)) + f" group{g}" for g in range(6)
+        ]
+        docs = []
+        for i in range(24):
+            g = rng.randrange(6)
+            docs.append((i, groups[g] + (f" v{i % 3}" if rng.random() < 0.5 else "")))
+        rng.shuffle(docs)
+        day1, batch = docs[:16], docs[16:]
+
+        base = tmp_path / f"r{seed}"
+        base.mkdir()
+        corpus = spark.createDataFrame(day1, DDL)
+        sig_root = str(base / "sigs")
+        build_signature_store(spark, corpus, sig_root)
+        sig_store = SnapshotTable(spark, sig_root)
+        label_store = build_label_store(spark, sig_store, str(base / "labels"))
+        fold_batch_clusters(
+            spark, spark.createDataFrame(batch, DDL), sig_store, label_store,
+            append=True,
+        )
+        # random retraction set: a few arbitrary docs (day-1 AND batch ids
+        # land here — bridges included by chance across seeds) plus one
+        # ENTIRE component (every doc of a random group), exercising the
+        # full-component-removal path
+        ids = {d[0] for d in rng.sample(docs, 4)}
+        g_kill = rng.randrange(6)
+        ids |= {d[0] for d in docs if f"group{g_kill}" in d[1]}
+        retract_batch_clusters(
+            spark,
+            spark.createDataFrame([(i,) for i in sorted(ids)], "doc_id bigint"),
+            sig_store,
+            label_store,
+        )
+        got = sorted(label_store.scan().collect())
+
+        survivors = [d for d in docs if d[0] not in ids]
+        full_sig = str(base / "fsigs")
+        build_signature_store(
+            spark, spark.createDataFrame(survivors, DDL), full_sig
+        )
+        truth = build_label_store(
+            spark, SnapshotTable(spark, full_sig), str(base / "flabels")
+        )
+        assert got == sorted(truth.scan().collect()), f"seed {seed} diverged"
+        assert not {r.doc_id for r in got} & ids, f"seed {seed}: ghost labels"
+
+
+# --------------------------------------------------------------------------
+# ADVICE r13 fixes
+
+
+def test_branch_write_does_not_stamp_main_guard(spark, tmp_path):
+    """A scope-stamped commit staged to a non-main branch must NOT advance
+    the main replay guard: if the branch is never cherry-picked, a later
+    replay of that batch id must still run (ADVICE r13 — silent data
+    loss otherwise)."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), DDL)
+    df = spark.createDataFrame([(1, "a")], DDL)
+    t.write(df)  # branches need a head to start from
+    t.write(
+        df, branch="stage",
+        summary_extra={"streaming.batch-id": 7, "streaming.query-scope": "q1"},
+    )
+    assert t.max_stream_batch_id("q1") is None
+    # the same stamp through a MAIN write advances it
+    t.write(
+        df,
+        summary_extra={"streaming.batch-id": 7, "streaming.query-scope": "q1"},
+    )
+    assert t.max_stream_batch_id("q1") == 7
+
+
+def test_facade_cluster_retract_returns_snapshot_id(spark, tmp_path):
+    """CALL system.retract_batch(..., labels =>) returns the label-store
+    MERGE snapshot id — a commit handle, like the plain form (ADVICE
+    r13)."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_label_store,
+        build_signature_store,
+        retract_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " tail"), (3, "something else entirely about"
+                                             " gardening tulips in spring")],
+        DDL,
+    )
+    sig_root = str(tmp_path / "sigs")
+    build_signature_store(spark, corpus, sig_root)
+    sig_store = SnapshotTable(spark, sig_root)
+    label_store = build_label_store(spark, sig_store, str(tmp_path / "labels"))
+    pre_head = label_store.latest_snapshot_id()
+    sid = retract_batch_clusters(
+        spark, spark.createDataFrame([(2,)], "doc_id bigint"),
+        sig_store, label_store,
+    )
+    assert isinstance(sid, int) and sid == label_store.latest_snapshot_id()
+    assert sid > pre_head
+
+
+def test_main_lineage_ids_agrees_with_emitter_walk(spark, tmp_path):
+    """_main_lineage_ids must equal the emitter's own lineage walk even on
+    the case the two parent conventions disagree: an EXPLICIT-None root
+    whose lower snapshot id is still retained (legacy convention would
+    walk through it; the emitter stops). White-box: rewrite parent_id in
+    the metadata json (ADVICE r13)."""
+    import json
+
+    from emr_apache_iceberg_workshop_spark.plans.tablemeta import (
+        _main_lineage_ids,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), DDL)
+    df = spark.createDataFrame([(1, "a")], DDL)
+    t.write(df)  # sid 1
+    t.write(df)  # sid 2
+    t.write(df)  # sid 3
+    meta_path = os.path.join(t.root, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    # declare sid 2 an explicit root (true branch root semantics) while
+    # sid 1 stays retained
+    for s in meta["snapshots"]:
+        if s["snapshot_id"] == 2:
+            s["parent_id"] = None
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    t2 = SnapshotTable(spark, t.root)
+    lineage = _main_lineage_ids(t2)
+    emitter = {
+        s["snapshot_id"]
+        for s in t2._lineage(t2._load(), t2.latest_snapshot_id())
+    }
+    assert lineage == emitter == {2, 3}  # sid 1 retained but off-lineage
