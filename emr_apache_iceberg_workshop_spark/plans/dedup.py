@@ -2580,14 +2580,15 @@ def _incremental_sh_retract_store_for(spark, sf_dir: str) -> str:
     from ..tables import SnapshotTable
 
     def build(root):
-        corpus = fan_out(load_table(spark, sf_dir, "documents")).filter(
-            "doc_id % 5 != 0"
-        ).select("doc_id", "text")
-        build_simhash_store(spark, corpus, root)
-        retract_batch(
-            SnapshotTable(spark, root),
-            corpus.filter("doc_id % 7 = 1").select("doc_id"),
-        )
+        # hardlink-clone the cached day-1 fingerprint fixture instead of
+        # re-fingerprinting the corpus (review r14) — the retract store
+        # differs from it by exactly one equality-delete commit, and the
+        # retracted ids come from the store scan itself (no corpus read)
+        from ..catalog import clone_store
+
+        clone_store(_incremental_sh_store_for(spark, sf_dir), root)
+        t = SnapshotTable(spark, root)
+        retract_batch(t, t.scan().filter("doc_id % 7 = 1").select("doc_id"))
 
     return persisted_store_for(
         spark, sf_dir, _incr_sh_retract_cache, "eiws_incrshret_", "sigs", build

@@ -1171,18 +1171,16 @@ def _incremental_sem_retract_store_for(spark, sf_dir: str) -> str:
     from ..tables import SnapshotTable
 
     def build(root):
-        cents, cn2 = _kmeans_centroids(spark, sf_dir, where=SEM_INCR_WHERE)
-        corpus = _normed(spark, sf_dir).filter(SEM_INCR_WHERE)
-        assigned = assign_clusters(corpus, cents, cn2)
-        t = SnapshotTable.create(
-            spark,
-            root,
-            "vec_id bigint, cluster int, nrm double, e array<float>",
-            partition_by=["cluster"],
-        )
-        t.write(assigned.select("vec_id", "cluster", "nrm", "e"))
+        # hardlink-clone the cached day-1 assignment fixture instead of
+        # re-training + re-assigning the corpus (review r14) — the
+        # retract store differs from it by exactly one equality-delete
+        # commit, and the retracted ids come from the store scan itself
+        from ..catalog import clone_store
+
+        clone_store(_incremental_sem_store_for(spark, sf_dir), root)
+        t = SnapshotTable(spark, root)
         t.delete_keys(
-            corpus.filter("vec_id % 7 = 1").select("vec_id"), ["vec_id"]
+            t.scan().filter("vec_id % 7 = 1").select("vec_id"), ["vec_id"]
         )
 
     return persisted_store_for(

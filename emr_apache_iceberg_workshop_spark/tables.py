@@ -280,7 +280,9 @@ class SnapshotTable:
     # snapshot per batch no longer pays an O(N)-per-batch / O(N²)-
     # cumulative summary walk (VERDICT r12 "What's wrong #2").
 
-    def _stamp_stream_guard(self, meta: dict, summary_extra: dict | None) -> None:
+    def _stamp_stream_guard(
+        self, meta: dict, summary_extra: dict | None, head_sid: int | None = None
+    ) -> None:
         """Fold `summary_extra`'s (streaming.query-scope,
         streaming.batch-id) stamp into the guard property. Called by the
         MAIN-advancing commit paths streaming sinks use, on the in-flight
@@ -309,9 +311,11 @@ class SnapshotTable:
             k == _STREAM_GUARD_PROP or k.startswith(_STREAM_GUARD_PROP + ".")
             for k in props
         ):
-            # every call site appends the in-flight main commit before
-            # stamping, so its parent chain IS the main lineage
-            head_sid = meta["snapshots"][-1]["snapshot_id"]
+            # commit paths append the in-flight main commit before
+            # stamping, so its parent chain IS the main lineage;
+            # fast_forward passes the post-publish head explicitly
+            if head_sid is None:
+                head_sid = meta["snapshots"][-1]["snapshot_id"]
             for s in self._lineage(meta, head_sid):
                 su = s.get("summary", {})
                 b = su.get("streaming.batch-id")
@@ -453,11 +457,18 @@ class SnapshotTable:
 
     def _lineage(self, meta: dict, head_sid: int) -> list[dict]:
         """Snapshot entries on the parent chain of `head_sid`, newest
-        first, stopping at the oldest retained ancestor."""
+        first, stopping at the oldest retained ancestor. Cycle-guarded:
+        a corrupt parent_id loop (hand-edited metadata, a future
+        commit-path bug) terminates at the first revisit instead of
+        hanging every lineage consumer — the emitter, the freshness
+        guard, and the replay-guard walks all route through here
+        (review r14)."""
         by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
         chain: list[dict] = []
+        seen: set[int] = set()
         cur: int | None = head_sid
-        while cur is not None and cur in by_id:
+        while cur is not None and cur in by_id and cur not in seen:
+            seen.add(cur)
             s = by_id[cur]
             chain.append(s)
             cur = self._parent_id(s)
@@ -1194,6 +1205,25 @@ class SnapshotTable:
                 out["main"] = head["snapshot_id"]
         return out
 
+    def _adopt_stream_stamps(
+        self, meta: dict, published: list[dict], head_sid: int
+    ) -> None:
+        """Publication-time replay-guard adoption (review r14): a
+        scope-stamped batch staged to a branch stamps the guard only when
+        its data actually reaches main — at fast_forward / cherry-pick
+        time, from the published snapshots' summaries. Branch writes
+        themselves never stamp (ADVICE r13: an unpublished batch must
+        stay replayable); without THIS half, a published WAP batch would
+        replay as duplicates on any guard-property-era table (the
+        property-only lookup never sees staged summaries). Routed through
+        _stamp_stream_guard with the POST-publish main head so a first
+        property created here still migrates legacy in-summary stamps."""
+        for s in published:
+            su = s.get("summary", {})
+            if su.get("streaming.batch-id") is None:
+                continue
+            self._stamp_stream_guard(meta, su, head_sid=head_sid)
+
     def fast_forward(self, branch: str, to: str = "main") -> int:
         """Publish step of write-audit-publish (Iceberg
         `fast_forward('main', 'audit')`): move `to` up to `branch`'s head.
@@ -1211,6 +1241,17 @@ class SnapshotTable:
                     f"{to!r} head {dst['snapshot_id']} is not an ancestor of "
                     f"{branch!r} head {src['snapshot_id']} — not a fast-forward"
                 )
+        if to == "main":
+            dst_ids = (
+                {s["snapshot_id"] for s in self._lineage(meta, dst["snapshot_id"])}
+                if dst else set()
+            )
+            self._adopt_stream_stamps(
+                meta,
+                [s for s in self._lineage(meta, src["snapshot_id"])
+                 if s["snapshot_id"] not in dst_ids],
+                head_sid=src["snapshot_id"],
+            )
         self._advance(
             meta, to, src["snapshot_id"], dst["snapshot_id"] if dst else None
         )
@@ -1274,6 +1315,14 @@ class SnapshotTable:
                 f"retroactively apply to the incoming rows"
             )
         sid = snaps[-1]["snapshot_id"] + 1
+        # carry the staged commit's streaming stamp into the published
+        # summary (main-lineage visibility for the legacy walk) and adopt
+        # it into the guard property — the publish half of the
+        # branch-write stamp skip (see _adopt_stream_stamps)
+        summary = {"cherry_picked_from": snapshot_id}
+        for k in ("streaming.batch-id", "streaming.query-scope"):
+            if k in src.get("summary", {}):
+                summary[k] = src["summary"][k]
         snaps.append(
             {
                 "snapshot_id": sid,
@@ -1288,9 +1337,10 @@ class SnapshotTable:
                 "partitions": [],
                 "files": [],
                 "active_deletes": list(head.get("active_deletes", [])),
-                "summary": {"cherry_picked_from": snapshot_id},
+                "summary": summary,
             }
         )
+        self._adopt_stream_stamps(meta, [src], head_sid=sid)
         self._advance(meta, "main", sid, head["snapshot_id"])
         self._commit(meta)
         return sid

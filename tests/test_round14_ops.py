@@ -258,6 +258,65 @@ def test_branch_write_does_not_stamp_main_guard(spark, tmp_path):
     assert t.max_stream_batch_id("q1") == 7
 
 
+def test_published_branch_stamp_adopted_at_publish(spark, tmp_path):
+    """The publish half of the branch-stamp skip (review r14): a
+    scope-stamped batch staged to a branch must advance the main replay
+    guard WHEN the branch is published — via fast_forward or cherry-pick
+    — even on a guard-property-era table (where the lookup never falls
+    back to the summary walk)."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    # fast_forward path
+    t = SnapshotTable.create(spark, str(tmp_path / "ff"), DDL)
+    df = spark.createDataFrame([(1, "a")], DDL)
+    t.write(df, summary_extra={"streaming.batch-id": 3, "streaming.query-scope": "q"})
+    t.write(df, branch="audit",
+            summary_extra={"streaming.batch-id": 4, "streaming.query-scope": "q"})
+    assert t.max_stream_batch_id("q") == 3  # staged, not yet published
+    t.fast_forward("audit", "main")  # publish: move main up to audit's head
+    assert t.max_stream_batch_id("q") == 4  # published → adopted
+
+    # cherry-pick path (main advanced past the staging point)
+    t2 = SnapshotTable.create(spark, str(tmp_path / "cp"), DDL)
+    t2.write(df, summary_extra={"streaming.batch-id": 3, "streaming.query-scope": "q"})
+    staged = t2.write(
+        df, branch="audit",
+        summary_extra={"streaming.batch-id": 5, "streaming.query-scope": "q"},
+    )
+    t2.write(df)  # main moves on — fast-forward impossible
+    assert t2.max_stream_batch_id("q") == 3
+    t2.cherry_pick_snapshot(staged)
+    assert t2.max_stream_batch_id("q") == 5
+
+
+def test_lineage_walk_terminates_on_parent_cycle(spark, tmp_path):
+    """A corrupt parent_id cycle must terminate every lineage consumer
+    instead of hanging (review r14)."""
+    import json
+
+    from emr_apache_iceberg_workshop_spark.plans.tablemeta import (
+        _main_lineage_ids,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), DDL)
+    df = spark.createDataFrame([(1, "a")], DDL)
+    t.write(df)  # sid 1
+    t.write(df)  # sid 2
+    t.write(df)  # sid 3
+    meta_path = os.path.join(t.root, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    for s in meta["snapshots"]:  # 3 → 2 → 1 → 3 cycle
+        if s["snapshot_id"] == 1:
+            s["parent_id"] = 3
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    t2 = SnapshotTable(spark, t.root)
+    assert _main_lineage_ids(t2) == {1, 2, 3}  # terminates, full visit
+    assert t2.max_stream_batch_id("q") is None  # guard walk terminates too
+
+
 def test_facade_cluster_retract_returns_snapshot_id(spark, tmp_path):
     """CALL system.retract_batch(..., labels =>) returns the label-store
     MERGE snapshot id — a commit handle, like the plain form (ADVICE
