@@ -123,6 +123,13 @@ QUERIES = (
     # top of three touched-component folds; expect the q_stream_* fixed
     # -cost profile with the cluster fold's near-flat per-row term
     "q_stream_cluster_maintain",
+    # r14: the retraction twins for the simhash fingerprint store and the
+    # cluster-partitioned semantic assignment store — steady state is the
+    # parent tier's batch path plus the delete-file anti-join at scan, so
+    # each probe should track its parent (d_incremental_simhash /
+    # s_incremental_semdedup) with the d_incremental_retract +delta
+    "d_incremental_simhash_retract",
+    "s_incremental_semdedup_retract",
 )
 FACTOR = 10
 
