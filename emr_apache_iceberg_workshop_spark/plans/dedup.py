@@ -2245,16 +2245,21 @@ def d_incremental_cluster_retract(spark, sf_dir) -> DataFrame:
 
 
 # Ground truth for the cluster tier: from-scratch connected components
-# over the FULL corpus-∪-batch banded candidate graph (the same minhash/
+# over the FULL universe's banded candidate graph (the same minhash/
 # band arithmetic, recursive-CTE transitive closure), one label per
 # document — if a fold carried a stale label, missed a merge, or
 # mis-rooted a merged component, a row's label differs and the hash
-# comparison fails. Shared by d_incremental_clusters (one-shot batch)
-# and q_stream_cluster_maintain (the same fold split across
-# micro-batches — folds compose, so ONE contract covers both).
-INCR_CLUSTERS_ORACLE = f"""
+# comparison fails. Shared by d_incremental_clusters (one-shot batch),
+# q_stream_cluster_maintain (the same fold split across micro-batches —
+# folds compose, so ONE contract covers both), and — with a post-CDC
+# universe — q_stream_cluster_cdc (retract-then-fold per micro-batch).
+def clusters_oracle(
+    universe_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    return f"""
     WITH RECURSIVE
-         s AS (SELECT doc_id, {SHINGLES_D} AS __sh FROM documents),
+         u AS ({universe_sql}),
+         s AS (SELECT doc_id, {SHINGLES_D} AS __sh FROM u),
          hs AS (SELECT doc_id, {HASHED_SHINGLES_D} AS __hs FROM s),
          m AS (SELECT doc_id, {', '.join(_minhash_exprs('duck'))} FROM hs),
          b AS (SELECT *, {', '.join(_band_exprs())} FROM m),
@@ -2271,12 +2276,15 @@ INCR_CLUSTERS_ORACLE = f"""
                      AND x.doc_id < y.doc_id),
          edges AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
          reach(s2, t) AS (
-             SELECT doc_id, doc_id FROM documents
+             SELECT doc_id, doc_id FROM u
              UNION
              SELECT r.s2, e.b FROM reach r JOIN edges e ON r.t = e.a
          )
     SELECT s2 AS doc_id, MIN(t) AS label FROM reach GROUP BY s2
     """
+
+
+INCR_CLUSTERS_ORACLE = clusters_oracle()
 
 
 @query(

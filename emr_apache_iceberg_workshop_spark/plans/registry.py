@@ -42,9 +42,11 @@ _MODULES = [
 # r14 rotation (per the r13 verdict's task 3): leads with (a) the one
 # never-driver-signed query (q_stream_cluster_maintain, r13-late,
 # judge-verified at both SFs) and the two r09-stale spillovers
-# (t_heavy_hitters, t_repetition), then (b) the 2 queries NEW this round
+# (t_heavy_hitters, t_repetition), then (b) the 3 queries NEW this round
 # (d_incremental_simhash_retract / s_incremental_semdedup_retract — the
-# retraction twins closing VERDICT r13 task 5), then (c) the 14 names
+# retraction twins closing VERDICT r13 task 5 — and the late addition
+# q_stream_cluster_cdc, the I/U/D lifecycle through the label tier),
+# then (c) the 14 names
 # whose CODE changed this round (the cluster-fold restructure + AQE-off
 # fix: d_incremental_clusters, d_incremental_cluster_retract; the
 # single-load ANALYZE: q_meta_analyze; the emitter-walk lineage guard:
@@ -53,11 +55,11 @@ _MODULES = [
 # retract-handle return: q_sql_surface; the hardlink store clone:
 # q_stream_incremental_dedup; the MOR-merge key-write reuse:
 # q_meta_incr_agg, q_stream_incr_agg, t_incremental_token_freq,
-# t_incremental_bm25, t_incremental_lm), then (d) 31 of the 45 remaining
-# r10-stale names, oldest-first alphabetical (the other 14 spill just
-# below the window — they driver-sign at r15).
-# 3 + 2 + 14 + 31 = 50; after this window the union freshness floor is
-# r10 (the 14 spilled r10 names) with everything else >= r11.
+# t_incremental_bm25, t_incremental_lm), then (d) 30 of the 45 remaining
+# r10-stale names, oldest-first alphabetical (q_meta_rollback plus the
+# other 14 spill just below the window — they driver-sign at r15).
+# 3 + 3 + 14 + 30 = 50; after this window the union freshness floor is
+# r10 (the 15 spilled r10 names) with everything else >= r11.
 _PREFIX_ORDER = [
     # (a) never-signed + r09-stale spillovers
     "q_stream_cluster_maintain",
@@ -66,6 +68,7 @@ _PREFIX_ORDER = [
     # (b) new in r14
     "d_incremental_simhash_retract",
     "s_incremental_semdedup_retract",
+    "q_stream_cluster_cdc",
     # (c) r14 code-touched
     "d_incremental_clusters",
     "d_incremental_cluster_retract",
@@ -81,7 +84,7 @@ _PREFIX_ORDER = [
     "t_incremental_token_freq",
     "t_incremental_bm25",
     "t_incremental_lm",
-    # (d) 31 oldest r10-stale names, alphabetical
+    # (d) 30 oldest r10-stale names, alphabetical
     "c_chunk_documents",
     "c_hash_sample",
     "c_pack_sequences",
@@ -112,9 +115,11 @@ _PREFIX_ORDER = [
     "q_meta_manifests",
     "q_meta_metadata_log",
     "q_meta_pos_delete",
+    # --- below the 50-slot window: q_meta_rollback slipped out when the
+    # late r14 addition q_stream_cluster_cdc took a (b) slot, then the 14
+    # r10-stale names the window could not fit (driver-sign at r15),
+    # oldest-first alphabetical
     "q_meta_rollback",
-    # --- below the 50-slot window: the 14 r10-stale names the window
-    # could not fit (driver-sign at r15), oldest-first alphabetical
     "q_meta_snapshots",
     "q_retention_cohorts",
     "q_stream_join",

@@ -1082,3 +1082,91 @@ def q_stream_cluster_maintain(spark, sf_dir) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return label_store.scan().select("doc_id", "label")
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC cluster maintenance (r14): the full I/U/D lifecycle through
+# the cluster tier — q_stream_cdc_store proves CDC folding for the
+# SIGNATURE store; this proves it for the DERIVED label state, where a
+# delete or an update's retraction can SPLIT a component. Per micro-batch:
+# retract-then-fold, the same sequence apply_cdc_batch applies to flat
+# stores — D ∪ U keys first through retract_batch_clusters (old
+# signatures equality-deleted, affected components re-labeled from the
+# store's surviving edges), then I ∪ U rows through fold_batch_clusters
+# (new signatures appended, edge-touched components re-contracted).
+# Replay-safe with NO stamp: retraction re-runs to the same state (the
+# re-derived survivor edges are unchanged) and the fold's two commits are
+# idempotent by construction — a replayed U re-deletes its own new
+# signatures and re-appends identical ones, converging to the same state.
+
+from .dedup import clusters_oracle as _clusters_oracle  # noqa: E402
+
+
+@query(
+    "q_stream_cluster_cdc",
+    # from-scratch components over the POST-CDC corpus: the % 5 = 0 slice
+    # minus the deleted % 11 = 0 docs, % 7 = 0 docs carrying updated text
+    # (the same universe q_stream_cdc_store grades its signature store on)
+    oracle=_clusters_oracle(
+        f"""SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || '{_CDC_UPD_SUFFIX}'
+                        ELSE text END AS text
+            FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id % 11 <> 0"""
+    ),
+    tags=("streaming:cluster-cdc", "graph", "snapshot-table", "foreachBatch"),
+)
+def q_stream_cluster_cdc(spark, sf_dir) -> DataFrame:
+    """CDC-maintained dup-cluster labels: the I/U/D feed drained as three
+    micro-batches into an initially-empty signature-store + label-store
+    pair, each batch applied retract-then-fold — deletes and updates
+    first retract their keys (component splits re-derived from surviving
+    signatures), then inserts and updated texts fold in (component merges
+    re-contracted). The graded output is the drained LABEL-STORE STATE,
+    matched against the from-scratch component recompute over the
+    post-CDC corpus."""
+    from ..tables import SnapshotTable
+    from .dedup import (
+        _LABELS_DDL,
+        _SIG_DDL,
+        fold_batch_clusters,
+        retract_batch_clusters,
+    )
+
+    base = tempfile.mkdtemp(prefix="eiws_cluster_cdc_")
+    sig_store = SnapshotTable.create(
+        spark, os.path.join(base, "sigs"), _SIG_DDL,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    label_store = SnapshotTable.create(
+        spark, os.path.join(base, "labels"), _LABELS_DDL,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    src = spark.readStream.schema("Op string, doc_id bigint, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(_cdc_stream_src_dir(spark, sf_dir))
+
+    def _fb(bdf, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        s = bdf.sparkSession
+        dels = bdf.filter(F.col("Op").isin("D", "U")).select("doc_id")
+        if dels.limit(1).count():
+            retract_batch_clusters(s, dels, sig_store, label_store)
+        ups = bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text")
+        if ups.limit(1).count():
+            fold_batch_clusters(s, ups, sig_store, label_store, append=True)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            src.writeStream.foreachBatch(_fb)
+            .option("checkpointLocation", os.path.join(base, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return label_store.scan().select("doc_id", "label")

@@ -231,6 +231,57 @@ def test_cluster_retraction_randomized_equivalence(spark, tmp_path):
         assert not {r.doc_id for r in got} & ids, f"seed {seed}: ghost labels"
 
 
+def test_cdc_cluster_update_replay_converges(spark, tmp_path):
+    """The q_stream_cluster_cdc per-batch sequence (retract D∪U keys,
+    fold I∪U rows) must converge under at-least-once replay — including
+    from the mid-crash state where the retract committed but the fold
+    did not — and an UPDATE that changes text must re-cluster the doc by
+    its NEW signature."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        build_label_store,
+        build_signature_store,
+        fold_batch_clusters,
+        retract_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    other = ("an entirely different document about distributed systems"
+             " and storage engines with its own vocabulary")
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " tail"), (3, other)], DDL
+    )
+    sig_root = str(tmp_path / "sigs")
+    build_signature_store(spark, corpus, sig_root)
+    sig_store = SnapshotTable(spark, sig_root)
+    label_store = build_label_store(spark, sig_store, str(tmp_path / "labels"))
+    assert {r.doc_id: r.label for r in label_store.scan().collect()} == {
+        1: 1, 2: 1, 3: 3,
+    }
+
+    # U batch: doc 2's text changes family — from BASE-near to other-near
+    def apply_u():
+        ids = spark.createDataFrame([(2,)], "doc_id bigint")
+        retract_batch_clusters(spark, ids, sig_store, label_store)
+        fold_batch_clusters(
+            spark,
+            spark.createDataFrame([(2, other + " too")], DDL),
+            sig_store, label_store, append=True,
+        )
+
+    apply_u()
+    want = {1: 1, 2: 2, 3: 2}  # 2 left 1's component, joined 3's (min id 2)
+    assert {r.doc_id: r.label for r in label_store.scan().collect()} == want
+    apply_u()  # full replay
+    assert {r.doc_id: r.label for r in label_store.scan().collect()} == want
+    # mid-crash replay: retract committed, fold lost — re-run converges
+    retract_batch_clusters(
+        spark, spark.createDataFrame([(2,)], "doc_id bigint"),
+        sig_store, label_store,
+    )
+    apply_u()
+    assert {r.doc_id: r.label for r in label_store.scan().collect()} == want
+
+
 # --------------------------------------------------------------------------
 # ADVICE r13 fixes
 

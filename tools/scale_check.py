@@ -130,6 +130,11 @@ QUERIES = (
     # s_incremental_semdedup) with the d_incremental_retract +delta
     "d_incremental_simhash_retract",
     "s_incremental_semdedup_retract",
+    # r14 late: the CDC lifecycle through the LABEL tier — retract-then-
+    # fold per micro-batch from an empty store pair (5 cluster ops + 3
+    # stream spins per drain); expect the q_stream_* fixed-cost profile
+    # with the cluster fold's near-flat marginal term on top
+    "q_stream_cluster_cdc",
 )
 FACTOR = 10
 
