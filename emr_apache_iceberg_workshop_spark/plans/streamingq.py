@@ -1147,14 +1147,20 @@ def q_stream_cluster_cdc(spark, sf_dir) -> DataFrame:
     ).parquet(_cdc_stream_src_dir(spark, sf_dir))
 
     def _fb(bdf, batch_id: int) -> None:
-        if bdf.isEmpty():
-            return
         s = bdf.sparkSession
-        dels = bdf.filter(F.col("Op").isin("D", "U")).select("doc_id")
-        if dels.limit(1).count():
+        # ONE gating job per micro-batch (isEmpty + two limit-counts would
+        # be three): count the retract and upsert sides together
+        ops = bdf.groupBy().agg(
+            F.sum(F.when(F.col("Op").isin("D", "U"), 1).otherwise(0)).alias("nd"),
+            F.sum(F.when(F.col("Op").isin("I", "U"), 1).otherwise(0)).alias("nu"),
+        ).first()
+        nd = int(ops["nd"] or 0) if ops else 0
+        nu = int(ops["nu"] or 0) if ops else 0
+        if nd:
+            dels = bdf.filter(F.col("Op").isin("D", "U")).select("doc_id")
             retract_batch_clusters(s, dels, sig_store, label_store)
-        ups = bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text")
-        if ups.limit(1).count():
+        if nu:
+            ups = bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text")
             fold_batch_clusters(s, ups, sig_store, label_store, append=True)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
