@@ -20,9 +20,26 @@ from .registry import query
 
 
 # --------------------------------------------------------------------------
-# NTILE deciles of customer spend. Two-level agg: spend per customer
-# (shuffle on o_custkey), then a global NTILE — the single-partition window
-# runs over one row per customer (already aggregated), not raw orders.
+# NTILE deciles of customer spend, WITHOUT the single-partition global
+# window (r15: the naive `Window.orderBy(spend)` plans Exchange
+# SinglePartition → Sort → Window — every customer through ONE reducer,
+# the canonical 100 TB bottleneck; r14 VERDICT What's-wrong #1).
+#
+# Scale-safe exact form — two-phase range rank:
+#   1. repartitionByRange(P, spend, o_custkey): non-overlapping sorted key
+#      ranges, partition i holds strictly smaller keys than partition i+1.
+#   2. row_number() per range partition (Window.partitionBy(pid) — P
+#      parallel reducers, never one).
+#   3. The P-row per-partition count relation yields each partition's
+#      global rank OFFSET via a cumulative window over P rows (bounded by
+#      the partition count, NOT the data — allowlisted in the explain
+#      audit's single-partition-window lint) and the total n.
+#   4. global rank = offset + local row_number; NTILE(k) is then pure
+#      arithmetic: the first (n % k) buckets take floor(n/k)+1 rows.
+# A histogram-cutoff form (the t_ccnet_buckets pattern) does NOT work
+# here: spend is near-unique per customer, so the distinct-value histogram
+# has ~n rows and its cumulative pass would itself be a single-partition
+# window over the full relation.
 @query(
     "q_ntile_deciles",
     oracle=f"""
@@ -44,15 +61,57 @@ def q_ntile_deciles(spark, sf_dir) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         dsum(F.col("o_totalprice"), 2).alias("spend"), F.count(F.lit(1)).alias("n_orders")
     )
-    w = Window.orderBy("spend", "o_custkey")
-    return (
-        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            dsum(F.col("spend"), 2).alias("decile_spend"),
-            F.sum("n_orders").alias("decile_orders"),
+    return _ntile_buckets(spark, spend, keys=("spend", "o_custkey"), k=10).groupBy(
+        "decile"
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("spend"), 2).alias("decile_spend"),
+        F.sum("n_orders").alias("decile_orders"),
+    )
+
+
+def _ntile_buckets(spark, df: DataFrame, keys: tuple[str, ...], k: int) -> DataFrame:
+    """Exact NTILE(k) over `keys` without a single-partition global window.
+
+    Range-partitions on the (unique-total-order) key tuple, row_numbers
+    within each of the P range partitions in parallel, then converts local
+    row numbers to global ranks via the P-row partition-count relation
+    (cumulative offsets — the only single-partition window, bounded by the
+    partition count at ANY data scale). The bucket id reproduces SQL
+    NTILE semantics: with n rows, the first n % k buckets hold
+    floor(n/k)+1 rows, the rest floor(n/k).
+    """
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n_part, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*keys)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pid_offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+            F.sum("_cnt").over(w_tot).alias("_n"),
         )
+    )
+    rank = F.col("_off") + F.col("_lrn")
+    q_ = F.floor(F.col("_n") / k).cast("long")  # small-bucket size
+    r_ = (F.col("_n") % k).cast("long")  # number of +1-sized buckets
+    big = q_ + F.lit(1)
+    in_big = rank <= big * r_
+    decile = F.when(in_big, F.floor((rank + big - 1) / big)).otherwise(
+        r_ + F.floor((rank - big * r_ + F.greatest(q_, F.lit(1)) - 1) / F.greatest(q_, F.lit(1)))
+    )
+    return (
+        local.join(F.broadcast(pid_offsets), "_pid")
+        .withColumn("decile", decile.cast("long"))
+        .drop("_pid", "_lrn", "_off", "_n")
     )
 
 

@@ -1,0 +1,158 @@
+"""Round-15 tests: the q_ntile_deciles single-partition global window is
+gone (r14 VERDICT What's-wrong #1 — `Window.orderBy(spend)` planned
+`Exchange SinglePartition → Sort → Window` over every customer), replaced
+by the two-phase range-partitioned rank in `_ntile_buckets`, and the
+explain audit now carries a lint (What's-wrong #2) that hard-fails any
+`Exchange SinglePartition` feeding a Window without a boundedness proof.
+
+Reference parity note: the reference repo (soumilshah1995/
+emr-apache-iceberg-workshop) has no window-profiling tier; this guards
+the engine's own NTILE machinery (plans/profiling.py) and the audit gate
+(tools/explain_audit.py).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import random
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from emr_apache_iceberg_workshop_spark.session import build_session
+
+    return build_session()
+
+
+def _plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _naive_ntile(df, keys, k):
+    from pyspark.sql import Window, functions as F
+
+    w = Window.orderBy(*keys)
+    return df.withColumn("decile", F.ntile(k).over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# the lint
+
+
+def test_sp_window_lint_fires_on_prefix_ntile_plan(spark):
+    """The exact plan shape that shipped for fourteen rounds — a global
+    NTILE window — must now FAIL the audit lint for any non-allowlisted
+    query name."""
+    from explain_audit import lint_single_partition_window
+
+    df = spark.range(100).selectExpr("id AS o_custkey", "CAST(id AS DOUBLE) AS spend")
+    plan = _plan_text(_naive_ntile(df, ("spend", "o_custkey"), 10))
+    notes = lint_single_partition_window("q_some_new_query", plan)
+    assert any(n.startswith("FAIL sp-window") for n in notes), notes
+
+
+def test_sp_window_lint_allowlist_requires_proof(spark):
+    """The same plan under an allowlisted name gets the bounded OK note —
+    and every allowlist entry carries a human-readable proof string."""
+    from explain_audit import SINGLE_PARTITION_WINDOW_OK, lint_single_partition_window
+
+    df = spark.range(100).selectExpr("id AS o_custkey", "CAST(id AS DOUBLE) AS spend")
+    plan = _plan_text(_naive_ntile(df, ("spend", "o_custkey"), 10))
+    notes = lint_single_partition_window("t_ccnet_buckets", plan)
+    assert notes and all(n.startswith("OK bounded") for n in notes), notes
+    for name, proof in SINGLE_PARTITION_WINDOW_OK.items():
+        assert isinstance(proof, str) and len(proof) > 10, name
+
+
+def test_sp_window_lint_passes_partitioned_window(spark):
+    """A window partitioned on a real key never plans SinglePartition —
+    the lint must stay silent."""
+    from pyspark.sql import Window, functions as F
+
+    from explain_audit import lint_single_partition_window
+
+    df = spark.range(100).selectExpr("id % 7 AS k", "id AS v")
+    w = Window.partitionBy("k").orderBy("v")
+    plan = _plan_text(df.withColumn("rn", F.row_number().over(w)))
+    assert lint_single_partition_window("anything", plan) == []
+
+
+def test_registered_ntile_plan_has_no_unbounded_sp_window(spark):
+    """q_ntile_deciles' shipped plan: the ONLY single-partition window is
+    the P-row offset relation (allowlisted); under a non-allowlisted name
+    the same plan must not fire on the big per-customer window."""
+    from emr_apache_iceberg_workshop_spark.plans.registry import registry
+
+    from explain_audit import lint_single_partition_window
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry()["q_ntile_deciles"].fn(spark, "/root/testdata/sf0.001")
+        plan = _plan_text(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    notes = lint_single_partition_window("q_ntile_deciles", plan)
+    assert notes and all(n.startswith("OK bounded") for n in notes), notes
+    # the per-customer ranking window itself is partitioned (by _pid):
+    # stripping the allowlist must only expose the bounded P-row window,
+    # which we accept here by counting FAIL notes — exactly the one
+    # bounded offset window may fire, never two (big window + offsets).
+    fails = [
+        n
+        for n in lint_single_partition_window("not_allowlisted", plan)
+        if n.startswith("FAIL sp-window")
+    ]
+    assert len(fails) <= 1, fails
+
+
+# ---------------------------------------------------------------------------
+# ntile parity
+
+
+@pytest.mark.parametrize("n,k", [(0, 10), (1, 10), (4, 10), (37, 10), (503, 10), (100, 7)])
+def test_ntile_buckets_matches_sql_ntile(spark, n, k):
+    """_ntile_buckets reproduces SQL NTILE(k) exactly — including the
+    first-(n%k)-buckets-get-one-extra sizing and tie-breaking by the full
+    key tuple — on tie-heavy random data and on n < k."""
+    from emr_apache_iceberg_workshop_spark.plans.profiling import _ntile_buckets
+
+    rng = random.Random(42 + n + k)
+    rows = [(i, float(rng.choice([10, 20, 30, 40]))) for i in range(n)]
+    df = spark.createDataFrame(rows, "o_custkey int, spend double")
+    got = {
+        r["o_custkey"]: r["decile"]
+        for r in _ntile_buckets(spark, df, ("spend", "o_custkey"), k).collect()
+    }
+    exp = {
+        r["o_custkey"]: r["decile"]
+        for r in _naive_ntile(df, ("spend", "o_custkey"), k).collect()
+    }
+    assert got == exp
+
+
+def test_ntile_buckets_runs_with_aqe_disabled(spark):
+    """Strict-analysis guard (the r14 class): the range-rank plan must
+    analyze and execute with AQE off."""
+    from emr_apache_iceberg_workshop_spark.plans.profiling import _ntile_buckets
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.range(64).selectExpr("id AS o_custkey", "CAST(id % 9 AS DOUBLE) AS spend")
+        out = _ntile_buckets(spark, df, ("spend", "o_custkey"), 10)
+        assert out.count() == 64
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
