@@ -126,10 +126,18 @@ def clone_store(src: str, dst: str) -> None:
     `os.replace` (tables.py `_commit`), which re-points the clone's
     directory entry without touching the shared inode; nothing opens an
     existing store file for in-place write. Clones must live on the same
-    filesystem as the fixture (both under the process tempdir here)."""
+    filesystem as the fixture (both under the process tempdir here).
+
+    A `.commit.lock` left by a fixture build that crashed mid-commit is
+    NOT cloned — each clone would otherwise inherit the orphan and pay
+    the stale-lock-break wait on its first commit."""
     import shutil
 
-    shutil.copytree(src, dst, copy_function=os.link)
+    from .tables import _LOCK
+
+    shutil.copytree(
+        src, dst, copy_function=os.link, ignore=shutil.ignore_patterns(_LOCK)
+    )
 
 
 def persisted_store_for(

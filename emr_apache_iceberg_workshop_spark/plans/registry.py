@@ -37,88 +37,22 @@ _MODULES = [
 # 45 names outside r04's window + 5 result-touched names, r09 covered the
 # round-9 additions + the r05-aged overflow + the r09 code-touched names,
 # r10 covered the r10 additions + the 44 r06-stale names, r13 covered the
-# r12-late + r13-new/touched names + 40 r09-stale names.
-#
-# r14 rotation (per the r13 verdict's task 3): leads with (a) the one
-# never-driver-signed query (q_stream_cluster_maintain, r13-late,
-# judge-verified at both SFs) and the two r09-stale spillovers
-# (t_heavy_hitters, t_repetition), then (b) the 3 queries NEW this round
-# (d_incremental_simhash_retract / s_incremental_semdedup_retract — the
-# retraction twins closing VERDICT r13 task 5 — and the late addition
-# q_stream_cluster_cdc, the I/U/D lifecycle through the label tier),
-# then (c) the 14 names
-# whose CODE changed this round (the cluster-fold restructure + AQE-off
-# fix: d_incremental_clusters, d_incremental_cluster_retract; the
-# single-load ANALYZE: q_meta_analyze; the emitter-walk lineage guard:
-# q_meta_summary_lifecycle; the branch-scoped replay-guard stamping:
-# q_meta_wap, q_stream_append, q_stream_cdc_store; the facade
-# retract-handle return: q_sql_surface; the hardlink store clone:
-# q_stream_incremental_dedup; the MOR-merge key-write reuse:
-# q_meta_incr_agg, q_stream_incr_agg, t_incremental_token_freq,
-# t_incremental_bm25, t_incremental_lm), then (d) 30 of the 45 remaining
-# r10-stale names, oldest-first alphabetical (q_meta_rollback plus the
-# other 14 spill just below the window — they driver-sign at r15).
-# 3 + 3 + 14 + 30 = 50; after this window the union freshness floor is
-# r10 (the 15 spilled r10 names) with everything else >= r11.
+# r15 rotation (per the r14 verdict's task 6): leads with (a) the 5
+# queries NEW or code-touched this round (q_ntile_deciles — the
+# range-rank NTILE rewrite; the cluster streaming twins + semantic
+# retraction pair touched by the fixed-cost/compaction tasks), then
+# (b) ALL 15 r10-stale names (the union freshness floor — after this
+# window the floor rises to r11), then (c) the first 30 of the 47-name
+# r11 cohort, oldest-first alphabetical. 5 + 15 + 30 = 50; the remaining
+# 17 r11 names spill just below the window and driver-sign at r16.
 _PREFIX_ORDER = [
-    # (a) never-signed + r09-stale spillovers
-    "q_stream_cluster_maintain",
-    "t_heavy_hitters",
-    "t_repetition",
-    # (b) new in r14
-    "d_incremental_simhash_retract",
-    "s_incremental_semdedup_retract",
+    # (a) r15 new/touched
+    "q_ntile_deciles",
     "q_stream_cluster_cdc",
-    # (c) r14 code-touched
-    "d_incremental_clusters",
-    "d_incremental_cluster_retract",
-    "q_meta_analyze",
-    "q_meta_summary_lifecycle",
-    "q_meta_wap",
-    "q_stream_append",
-    "q_stream_cdc_store",
-    "q_sql_surface",
-    "q_stream_incremental_dedup",
-    "q_meta_incr_agg",
-    "q_stream_incr_agg",
-    "t_incremental_token_freq",
-    "t_incremental_bm25",
-    "t_incremental_lm",
-    # (d) 30 oldest r10-stale names, alphabetical
-    "c_chunk_documents",
-    "c_hash_sample",
-    "c_pack_sequences",
-    "c_source_cap",
-    "c_train_split",
-    "d_minhash_accuracy",
-    "d_span_dup",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_region_revenue",
-    "q06_forecast_revenue",
-    "q_avro_roundtrip",
-    "q_bloom_join",
-    "q_dsv2_stream",
-    "q_filter_project",
-    "q_funnel_steps",
-    "q_jsonl_scan",
-    "q_latest_event_per_user",
-    "q_merge_upsert",
-    "q_meta_add_files",
-    "q_meta_as_of",
-    "q_meta_avro_java",
-    "q_meta_entries",
-    "q_meta_evolution",
-    "q_meta_history",
-    "q_meta_maintain",
-    "q_meta_manifests",
-    "q_meta_metadata_log",
-    "q_meta_pos_delete",
-    # --- below the 50-slot window: q_meta_rollback slipped out when the
-    # late r14 addition q_stream_cluster_cdc took a (b) slot, then the 14
-    # r10-stale names the window could not fit (driver-sign at r15),
-    # oldest-first alphabetical
+    "q_stream_cluster_maintain",
+    "s_incremental_semdedup_retract",
+    "s_incremental_semdedup",
+    # (b) the full r10-stale cohort — union freshness floor clears to r11
     "q_meta_rollback",
     "q_meta_snapshots",
     "q_retention_cohorts",
@@ -134,6 +68,56 @@ _PREFIX_ORDER = [
     "t_quality_score",
     "t_tfidf_keywords",
     "t_token_stats",
+    # (c) r11 cohort, first 30 oldest-first alphabetical
+    "c_curated_corpus",
+    "c_dup_groups",
+    "c_mix_corpora",
+    "c_stratified_sample",
+    "m_extract_features",
+    "m_frame_sample",
+    "m_modality_stats",
+    "m_resize_plan",
+    "q_asof_join",
+    "q_bucketed_join",
+    "q_event_windows",
+    "q_latest_event",
+    "q_meta_bounds",
+    "q_meta_bucket",
+    "q_meta_cherrypick",
+    "q_meta_compaction",
+    "q_meta_expire",
+    "q_meta_expire_age",
+    "q_meta_files",
+    "q_meta_hidden",
+    "q_meta_iceberg",
+    "q_meta_metadata_log_reloc",
+    "q_meta_multispec",
+    "q_meta_name_mapping",
+    "q_meta_partitions",
+    "q_meta_pruning",
+    "q_meta_snapshot_summary",
+    "q_meta_v2_travel",
+    "q_part_revenue_share",
+    "q_range_join",
+    # --- below the 50-slot window: the 17 remaining r11 names
+    # (driver-sign at r16), oldest-first alphabetical
+    "q_rollup_revenue",
+    "q_semi_anti",
+    "q_sessionization",
+    "q_set_ops",
+    "q_sketch_distinct",
+    "q_sql_ctas",
+    "q_stream_cdc",
+    "q_top_customers",
+    "q_trailing_window",
+    "s_dup_clusters",
+    "s_knn_graph",
+    "t_bpe_tokens",
+    "t_decontaminate",
+    "t_fingerprint",
+    "t_lang_profile",
+    "t_scrub_pii",
+    "t_token_freq",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -1148,6 +1148,14 @@ def q_stream_cluster_cdc(spark, sf_dir) -> DataFrame:
 
     def _fb(bdf, batch_id: int) -> None:
         s = bdf.sparkSession
+        # Same-key resolution within ONE micro-batch (ADVICE r14): a key
+        # carrying both D and U rows resolves UPSERT-WINS — the retract
+        # pass removes it, the fold pass re-inserts the U text. The staged
+        # feed emits each key at most once per batch, so this only matters
+        # for a general CDC producer; if final-op-wins semantics are
+        # needed there, dedupe per key by op precedence (latest op in
+        # commit order) BEFORE this gate — apply_cdc_batch documents the
+        # same sequence.
         # ONE gating job per micro-batch (isEmpty + two limit-counts would
         # be three): count the retract and upsert sides together
         ops = bdf.groupBy().agg(

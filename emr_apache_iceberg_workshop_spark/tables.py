@@ -281,7 +281,7 @@ class SnapshotTable:
     # cumulative summary walk (VERDICT r12 "What's wrong #2").
 
     def _stamp_stream_guard(
-        self, meta: dict, summary_extra: dict | None, head_sid: int | None = None
+        self, meta: dict, summary_extra: dict | None, head_sid: int
     ) -> None:
         """Fold `summary_extra`'s (streaming.query-scope,
         streaming.batch-id) stamp into the guard property. Called by the
@@ -311,11 +311,10 @@ class SnapshotTable:
             k == _STREAM_GUARD_PROP or k.startswith(_STREAM_GUARD_PROP + ".")
             for k in props
         ):
-            # commit paths append the in-flight main commit before
-            # stamping, so its parent chain IS the main lineage;
-            # fast_forward passes the post-publish head explicitly
-            if head_sid is None:
-                head_sid = meta["snapshots"][-1]["snapshot_id"]
+            # every caller passes the sid of the main head it just
+            # appended (or, for fast_forward, the post-publish head) —
+            # never inferred from list position, which a branch snapshot
+            # appended last would silently mis-anchor (ADVICE r14)
             for s in self._lineage(meta, head_sid):
                 su = s.get("summary", {})
                 b = su.get("streaming.batch-id")
@@ -866,7 +865,7 @@ class SnapshotTable:
             snap_rec["mask_file"] = mask_rel
             snap_rec["summary"]["scope"] = "mask-join"
         snaps.append(snap_rec)
-        self._stamp_stream_guard(meta, summary_extra)
+        self._stamp_stream_guard(meta, summary_extra, head_sid=sid)
         self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid
@@ -1165,7 +1164,7 @@ class SnapshotTable:
         # later replay would be skipped while its data never reached main
         # (ADVICE r13, latent: no streaming sink writes to branches today)
         if branch == "main":
-            self._stamp_stream_guard(meta, summary_extra)
+            self._stamp_stream_guard(meta, summary_extra, head_sid=sid)
         self._advance(meta, branch, sid, prev_main)
         self._commit(meta)
         return sid
@@ -2634,7 +2633,7 @@ class SnapshotTable:
                 "summary": dict({"mode": "merge-on-read"}, **(summary_extra or {})),
             }
         )
-        self._stamp_stream_guard(meta, summary_extra)
+        self._stamp_stream_guard(meta, summary_extra, head_sid=sid)
         self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid
@@ -2703,7 +2702,7 @@ class SnapshotTable:
                     ),
                 }
             )
-            self._stamp_stream_guard(meta, summary_extra)
+            self._stamp_stream_guard(meta, summary_extra, head_sid=sid)
             self._advance(meta, "main", sid, None)
             self._commit(meta)
             return sid
@@ -2739,7 +2738,7 @@ class SnapshotTable:
             snap_rec["mask_file"] = mask_rel
             snap_rec["summary"]["scope"] = "mask-join"
         snaps.append(snap_rec)
-        self._stamp_stream_guard(meta, summary_extra)
+        self._stamp_stream_guard(meta, summary_extra, head_sid=sid)
         self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid
@@ -2922,7 +2921,7 @@ class SnapshotTable:
                 ),
             }
         )
-        self._stamp_stream_guard(meta, summary_extra)
+        self._stamp_stream_guard(meta, summary_extra, head_sid=sid)
         self._advance(meta, "main", sid, None)
         self._commit(meta)
         return sid

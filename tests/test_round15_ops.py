@@ -143,6 +143,46 @@ def test_ntile_buckets_matches_sql_ntile(spark, n, k):
     assert got == exp
 
 
+# ---------------------------------------------------------------------------
+# ADVICE r14 regressions
+
+
+def test_clone_store_skips_commit_lock(spark, tmp_path):
+    """A `.commit.lock` orphaned by a crashed fixture build must NOT be
+    hardlinked into clones — each clone would inherit the stale lock and
+    pay the stale-lock-break wait on its first commit (ADVICE r14)."""
+    from emr_apache_iceberg_workshop_spark.catalog import clone_store
+    from emr_apache_iceberg_workshop_spark.tables import _LOCK, SnapshotTable
+
+    src = str(tmp_path / "src")
+    t = SnapshotTable.create(spark, src, "k bigint, v string")
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    (tmp_path / "src" / _LOCK).write_text("orphan")
+    dst = str(tmp_path / "dst")
+    clone_store(src, dst)
+    assert not os.path.exists(os.path.join(dst, _LOCK))
+    # the clone commits immediately (no stale-lock wait) and src is intact
+    t2 = SnapshotTable(spark, dst)
+    t2.write(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert t2.scan().count() == 2
+    assert t.scan().count() == 1
+
+
+def test_stamp_stream_guard_anchors_on_passed_head_sid(spark, tmp_path):
+    """The guard migration walks the lineage of the sid the commit path
+    passes, never `snapshots[-1]` (ADVICE r14) — a branch snapshot
+    appended after main's head must not change the anchored lineage."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), "k bigint, v string")
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    # legacy-era stamp on MAIN: summary-only (simulate by a main append
+    # with stream summary but no guard property yet → first property
+    # stamp must adopt it)
+    t.write(df, summary_extra={"streaming.batch-id": "3", "streaming.query-scope": "s1"})
+    assert t.max_stream_batch_id(scope="s1") == 3
+
+
 def test_ntile_buckets_runs_with_aqe_disabled(spark):
     """Strict-analysis guard (the r14 class): the range-rank plan must
     analyze and execute with AQE off."""
