@@ -134,6 +134,18 @@ def connected_components_adaptive(
         return e.selectExpr("u AS doc_id", "v AS label"), 0
     if n > local_max:
         return connected_components(e, _prenormalized=True)
+    rows = e.collect()
+    out = union_find_labels((r["u"], r["v"]) for r in rows)
+    return labels_df(e.sparkSession, out), 0
+
+
+def union_find_labels(pairs) -> dict:
+    """Driver-side union-find over an iterable of (u, v) edges; returns
+    {node: component_min_id} for every node that appears in an edge.
+    Union by MIN id so every root IS its component's label. Shared by
+    `connected_components_adaptive` and the bounded cluster-fold fast
+    path (plans/dedup.py) — driver state is O(nodes), callers cap the
+    edge count before collecting."""
     parent: dict = {}
 
     def find(x):
@@ -144,34 +156,36 @@ def connected_components_adaptive(
             parent[x], x = r, parent[x]
         return r
 
-    rows = e.collect()
-    for r in rows:
-        ru, rv = find(r["u"]), find(r["v"])
+    roots = set()
+    nodes = set()
+    for u, v in pairs:
+        nodes.add(u)
+        nodes.add(v)
+        if u == v:
+            continue
+        ru, rv = find(u), find(v)
         if ru != rv:
-            # union by MIN id so every root IS its component's label
             if ru < rv:
                 parent[rv] = ru
             else:
                 parent[ru] = rv
-    labels = [(node, find(node)) for node in parent] + [
-        (root, root)
-        for root in {find(r["u"]) for r in rows} | {find(r["v"]) for r in rows}
-        if root not in parent
-    ]
+    for x in nodes:
+        roots.add(find(x))
     # every touched node appears exactly once: non-roots via `parent`,
-    # roots via the second term (find() is idempotent post-compression)
-    out = {}
-    for node, root in labels:
-        out[node] = find(node)
+    # self-loop-only nodes and roots via the `nodes` sweep (find() is
+    # idempotent post-compression)
+    return {node: find(node) for node in nodes}
+
+
+def labels_df(spark, labels: dict) -> DataFrame:
+    """{node: label} → (doc_id, label) DataFrame via ONE Arrow batch.
+
+    Arrow-batched driver→JVM transfer: createDataFrame from a pandas
+    frame rides spark.sql.execution.arrow.pyspark.enabled (one Arrow
+    batch) instead of row-at-a-time Py4J pickling — at the 100k-edge
+    cap the pickled path measured ~1.5s per call, the Arrow path ~50ms."""
     import pandas as pd
 
-    # Arrow-batched driver→JVM transfer: createDataFrame from a pandas
-    # frame rides spark.sql.execution.arrow.pyspark.enabled (one Arrow
-    # batch) instead of row-at-a-time Py4J pickling — at the 100k-edge
-    # cap the pickled path measured ~1.5s per call, the Arrow path ~50ms
-    items = sorted(out.items())
+    items = sorted(labels.items())
     pdf = pd.DataFrame(items, columns=["doc_id", "label"], dtype="int64")
-    return (
-        e.sparkSession.createDataFrame(pdf, "doc_id bigint, label bigint"),
-        0,
-    )
+    return spark.createDataFrame(pdf, "doc_id bigint, label bigint")

@@ -59,6 +59,14 @@ N_BANDS = 4  # 3 rows per band
 # (such docs are boilerplate dups caught by d_exact_dup / d_minhash_lsh).
 MAX_SHINGLE_DF = 1000
 
+# Edge/member cap for the cluster folds' bounded driver fast path — the
+# same class as connected_components_adaptive's local_max: 100k rows ≈ a
+# few MB of driver state. At or under the cap a fold's touched subgraph
+# is probe-collected (limit(cap+1) — a short result proves completeness)
+# and solved with the shared driver union-find; above it the distributed
+# star-contraction path runs unchanged.
+_CLUSTER_LOCAL_MAX = 100_000
+
 
 def _jaccard_scored_pairs(s: "DataFrame", materialized: bool = False) -> "DataFrame":
     """Exact-jaccard near-dup pairs, candidates from the DF-capped inverted
@@ -1312,6 +1320,29 @@ def _append_new_ids(
     store.write(frame.join(existing, key, "left_anti"), **write_kw)
 
 
+def _batch_band_candidates(batch_sig: DataFrame, others: DataFrame) -> DataFrame:
+    """Banded candidate pairs for a batch: batch-vs-store band collisions
+    plus batch-internal ones — (doc_a < doc_b), distinct. Shared by
+    `dedup_batch_incremental` (which adds the signature-agreement
+    `est_sim` join on top) and the cluster folds (whose edge definition
+    IS the band collision — `build_label_store` uses the identical
+    arithmetic — so they skip the two signature-lookup joins entirely,
+    r15 fold diet)."""
+    bl = _bands_long(batch_sig, "b_id")
+    sl = _bands_long(others, "s_id")
+    vs_store = bl.join(sl, ["band_idx", "band_key"]).selectExpr(
+        "least(b_id, s_id) AS doc_a", "greatest(b_id, s_id) AS doc_b"
+    )
+    x, y = bl.alias("x"), bl.selectExpr("b_id AS y_id", "band_idx", "band_key").alias("y")
+    vs_self = x.join(
+        y,
+        (F.col("x.band_idx") == F.col("y.band_idx"))
+        & (F.col("x.band_key") == F.col("y.band_key"))
+        & (F.col("x.b_id") < F.col("y.y_id")),
+    ).selectExpr("b_id AS doc_a", "y_id AS doc_b")
+    return vs_store.unionByName(vs_self).distinct()
+
+
 def dedup_batch_incremental(
     spark,
     batch_docs: DataFrame,
@@ -1352,20 +1383,7 @@ def dedup_batch_incremental(
     # ENTIRE 17-column store per batch, the exact cost this day-2 shape
     # exists to avoid).
     others = store.scan().join(batch_sig.select("doc_id"), "doc_id", "left_anti")
-
-    bl = _bands_long(batch_sig, "b_id")
-    sl = _bands_long(others, "s_id")
-    vs_store = bl.join(sl, ["band_idx", "band_key"]).selectExpr(
-        "least(b_id, s_id) AS doc_a", "greatest(b_id, s_id) AS doc_b"
-    )
-    x, y = bl.alias("x"), bl.selectExpr("b_id AS y_id", "band_idx", "band_key").alias("y")
-    vs_self = x.join(
-        y,
-        (F.col("x.band_idx") == F.col("y.band_idx"))
-        & (F.col("x.band_key") == F.col("y.band_key"))
-        & (F.col("x.b_id") < F.col("y.y_id")),
-    ).selectExpr("b_id AS doc_a", "y_id AS doc_b")
-    cand = vs_store.unionByName(vs_self).distinct()
+    cand = _batch_band_candidates(batch_sig, others)
 
     # signature lookup for BOTH endpoints: (store minus batch) ∪ batch —
     # duplicate-free without a distinct
@@ -2012,36 +2030,91 @@ def fold_batch_clusters(
     MERGE re-asserts identical labels). The O(corpus) carried stream
     below exists only because the graded artifact is the full state; the
     production commit path is the merge."""
-    from ..operators.graph import connected_components_adaptive
+    from ..operators.graph import (
+        connected_components_adaptive,
+        labels_df,
+        union_find_labels,
+    )
 
     if batch_sig is None:
         batch_sig = minhash_signature_df(batch_docs).localCheckpoint(eager=True)
     labels = label_store.scan()  # plan pins the PRE-fold snapshot's files
-    pairs = dedup_batch_incremental(
-        spark, None, sig_store, append=append, batch_sig=batch_sig
+    if append:
+        _append_new_ids(sig_store, batch_sig)
+    # cluster edges ARE the band collisions (build_label_store uses the
+    # identical arithmetic) — no est_sim threshold, so the two
+    # signature-lookup joins dedup_batch_incremental adds are skipped
+    others = sig_store.scan().join(batch_sig.select("doc_id"), "doc_id", "left_anti")
+    edges_plan = _batch_band_candidates(batch_sig, others).selectExpr(
+        "doc_a AS u", "doc_b AS v"
     )
-    edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").localCheckpoint(eager=True)
-    endpoint_ids = (
-        edges.selectExpr("u AS doc_id")
-        .union(edges.selectExpr("v AS doc_id"))
-        .distinct()
-    )
-    # `touched` stays LAZY: it fuses into the components operator's
-    # normalize-checkpoint job (one labels scan + self-semi-join instead
-    # of a separate checkpoint job per fold). Plain parquet self-join —
-    # the analyzer's standard dedup handles it under any AQE setting
-    # (the r13 conflicting-references defect was specific to checkpointed
-    # LogicalRDD derivatives, exercised by the AQE-off pytest).
-    touched = (
-        labels.join(endpoint_ids, "doc_id", "left_semi")
-        .select("label")
-        .distinct()
-    )
-    members = labels.join(F.broadcast(touched), "label", "left_semi")
-    prior_star = members.selectExpr("doc_id AS u", "label AS v")
-    sub_labels, _rounds = connected_components_adaptive(
-        edges.unionByName(prior_star)
-    )
+
+    # Bounded driver fast path (r15 fold diet): the steady-state touched
+    # subgraph is O(batch) by construction, and the adaptive components
+    # operator COLLECTS it anyway — so probe-collect the batch edges
+    # (`limit(cap+1)`: ≤ cap rows back ⇒ the limit did not truncate and
+    # we hold the FULL set in one job), collect the touched components'
+    # members in ONE more job (the touched-label set rides inline as a
+    # broadcast subplan, bounded by the endpoint count), and solve the
+    # union-find locally. This replaces two eager localCheckpoint
+    # materializations + the operator's own normalize/count/collect.
+    # Over cap — a pathological mega-batch or a giant touched component —
+    # falls back to the distributed path below, identical to r14's code.
+    cap = _CLUSTER_LOCAL_MAX
+    edge_rows = edges_plan.limit(cap + 1).collect()
+    members_rows = None
+    if len(edge_rows) <= cap:
+        if edge_rows:
+            ep_ids = {r["u"] for r in edge_rows} | {r["v"] for r in edge_rows}
+            eps = labels_df(spark, {i: i for i in ep_ids}).select("doc_id")
+            tlbl = (
+                labels.join(F.broadcast(eps), "doc_id", "left_semi")
+                .select("label")
+                .distinct()
+            )
+            members_rows = (
+                labels.join(F.broadcast(tlbl), "label", "left_semi")
+                .limit(cap + 1)
+                .collect()
+            )
+        else:
+            members_rows = []
+    fast = members_rows is not None and len(members_rows) <= cap
+    if fast:
+        # driver union-find over batch edges + the touched components'
+        # prior star edges (member -> label) — same arithmetic as the
+        # distributed path, zero extra materialization jobs
+        local = union_find_labels(
+            [(r["u"], r["v"]) for r in edge_rows]
+            + [(r["doc_id"], r["label"]) for r in members_rows]
+        )
+        sub_labels = labels_df(spark, local)
+        touched = labels_df(
+            spark, {r["label"]: r["label"] for r in members_rows}
+        ).selectExpr("doc_id AS label")
+    else:
+        edges = _fresh_ids(edges_plan.localCheckpoint(eager=True))
+        endpoint_ids = (
+            edges.selectExpr("u AS doc_id")
+            .union(edges.selectExpr("v AS doc_id"))
+            .distinct()
+        )
+        # `touched` stays LAZY: it fuses into the components operator's
+        # normalize-checkpoint job (one labels scan + self-semi-join
+        # instead of a separate checkpoint job per fold). Plain parquet
+        # self-join — the analyzer's standard dedup handles it under any
+        # AQE setting (the r13 conflicting-references defect was specific
+        # to checkpointed LogicalRDD derivatives, AQE-off pytest).
+        touched = (
+            labels.join(endpoint_ids, "doc_id", "left_semi")
+            .select("label")
+            .distinct()
+        )
+        members = labels.join(F.broadcast(touched), "label", "left_semi")
+        prior_star = members.selectExpr("doc_id AS u", "label AS v")
+        sub_labels, _rounds = connected_components_adaptive(
+            edges.unionByName(prior_star)
+        )
     # singles: batch docs with NO candidate pair today label themselves.
     # No label-store anti-join is needed — signatures are immutable and a
     # retracted partner already relabeled its survivors
@@ -2055,7 +2128,15 @@ def fold_batch_clusters(
         .join(sub_labels.select("doc_id"), "doc_id", "left_anti")
         .selectExpr("doc_id", "doc_id AS label")
     )
-    changed = _fresh_ids(sub_labels.unionByName(singles).localCheckpoint(eager=True))
+    if fast:
+        # sub_labels is a local Arrow relation and the merge materializes
+        # its input itself — an extra eager checkpoint here would be a
+        # second materialization job for an already-cheap plan
+        changed = sub_labels.unionByName(singles)
+    else:
+        changed = _fresh_ids(
+            sub_labels.unionByName(singles).localCheckpoint(eager=True)
+        )
     if append:
         label_store.merge(changed, keys=["doc_id"])
     carried = labels.join(F.broadcast(touched), "label", "left_anti").join(
@@ -2097,42 +2178,278 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> int
     same labels. Replay is idempotent end to end (pytest, including from
     the mid-crash state). Components not containing a retracted id are
     never touched."""
-    from ..operators.graph import connected_components_adaptive
+    from ..operators.graph import (
+        connected_components_adaptive,
+        labels_df,
+        union_find_labels,
+    )
 
     ids = _fresh_ids(ids.select("doc_id").distinct().localCheckpoint(eager=True))
     labels = label_store.scan()
-    affected = _fresh_ids(
-        labels.join(ids, "doc_id", "left_semi")
-        .select("label")
-        .distinct()
-        .localCheckpoint(eager=True)
+
+    # Bounded driver fast path (r15, mirror of the fold's): collect the
+    # affected components' (member, label) rows in ONE probe-collect (the
+    # affected-label set rides inline as a bounded broadcast subplan),
+    # then the survivor-edge set the same way, and relabel locally. The
+    # distributed path below is the r14 code, taken when either probe
+    # overflows _CLUSTER_LOCAL_MAX.
+    cap = _CLUSTER_LOCAL_MAX
+    alb = labels.join(ids, "doc_id", "left_semi").select("label").distinct()
+    members_rows = (
+        labels.join(F.broadcast(alb), "label", "left_semi")
+        .limit(cap + 1)
+        .collect()
     )
-    members = labels.join(F.broadcast(affected), "label", "left_semi").select(
-        "doc_id"
-    )
-    survivors = members.join(ids, "doc_id", "left_anti")
-    sub_sigs = sig_store.scan().join(survivors, "doc_id", "left_semi")
-    a = _bands_long(sub_sigs, "u")
-    b = _bands_long(sub_sigs, "v")
-    edges = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
-    relabeled, _rounds = connected_components_adaptive(edges)
-    full = survivors.join(relabeled, "doc_id", "left").select(
-        "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
-    )
-    cdc = full.withColumn("Op", F.lit("U")).unionByName(
-        ids.selectExpr("doc_id", "CAST(NULL AS BIGINT) AS label", "'D' AS Op")
-    ).localCheckpoint(eager=True)  # labels computed BEFORE the sig delete
+    edge_rows = None
+    if len(members_rows) <= cap:
+        id_set = {r["doc_id"] for r in ids.collect()}
+        survivor_set = {
+            r["doc_id"] for r in members_rows if r["doc_id"] not in id_set
+        }
+        sdf = labels_df(spark, {i: i for i in survivor_set}).select("doc_id")
+        sub_sigs = sig_store.scan().join(F.broadcast(sdf), "doc_id", "left_semi")
+        a = _bands_long(sub_sigs, "u")
+        b = _bands_long(sub_sigs, "v")
+        edge_rows = (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+    if edge_rows is not None and len(edge_rows) <= cap:
+        relabeled = union_find_labels((r["u"], r["v"]) for r in edge_rows)
+        full_map = {i: relabeled.get(i, i) for i in survivor_set}
+        cdc = (
+            labels_df(spark, full_map)
+            .withColumn("Op", F.lit("U"))
+            .unionByName(
+                labels_df(spark, {i: i for i in id_set}).selectExpr(
+                    "doc_id", "CAST(NULL AS BIGINT) AS label", "'D' AS Op"
+                )
+            )
+        )  # local relations — labels fixed BEFORE the sig delete by value
+    else:
+        affected = _fresh_ids(
+            labels.join(ids, "doc_id", "left_semi")
+            .select("label")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        members = labels.join(F.broadcast(affected), "label", "left_semi").select(
+            "doc_id"
+        )
+        survivors = members.join(ids, "doc_id", "left_anti")
+        sub_sigs = sig_store.scan().join(survivors, "doc_id", "left_semi")
+        a = _bands_long(sub_sigs, "u")
+        b = _bands_long(sub_sigs, "v")
+        edges = (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .distinct()
+        )
+        relabeled, _rounds = connected_components_adaptive(edges)
+        full = survivors.join(relabeled, "doc_id", "left").select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
+        )
+        cdc = full.withColumn("Op", F.lit("U")).unionByName(
+            ids.selectExpr("doc_id", "CAST(NULL AS BIGINT) AS label", "'D' AS Op")
+        ).localCheckpoint(eager=True)  # labels computed BEFORE the sig delete
     retract_batch(sig_store, ids)
     # return the label-store MERGE snapshot id so facade callers get a
     # commit handle from BOTH retract_batch forms (ADVICE r13: the plain
     # path returns the delete snapshot id; this path made two commits but
     # returned None — the label merge is the one that completes the op)
     return label_store.merge(cdc, keys=["doc_id"], op_col="Op")
+
+
+def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
+    """Fused CDC apply for the cluster tier (r15, VERDICT r14 task 4):
+    one micro-batch of (Op, doc_id, text) rows — I/U/D — folded into the
+    signature + label store pair with ONE union-find and ONE label MERGE,
+    instead of the retract-then-fold pair of each (which solved two
+    overlapping subgraphs and committed four snapshots per mixed batch).
+
+    Sequence (commit order preserves the retract-then-fold crash
+    contract — signature state is correct before any label commit):
+      1. equality-delete the D ∪ U keys' signatures (`retract_batch`);
+      2. append the I ∪ U rows' new signatures (keyed-idempotent);
+      3. solve ONE driver union-find over batch candidate edges +
+         re-derived survivor edges of the D ∪ U-affected components +
+         carried star edges of batch-touched unaffected components;
+      4. ONE op-column MOR MERGE: relabeled survivors and batch docs as
+         upserts, pure-delete keys as D rows (a key carrying both D and
+         U resolves upsert-wins, the documented same-batch semantics).
+    Replay converges with no stamp for the same reasons the unfused
+    sequence does: the delete is idempotent, the append anti-joins, and
+    the merge re-asserts identical labels (pytest: full and mid-crash
+    replays). Falls back to the unfused retract+fold when the batch or
+    any probe overflows _CLUSTER_LOCAL_MAX."""
+    from ..operators.graph import labels_df, union_find_labels
+
+    cap = _CLUSTER_LOCAL_MAX
+    op_rows = bdf.select("Op", "doc_id").limit(cap + 1).collect()
+    ups_ids = {r["doc_id"] for r in op_rows if r["Op"] in ("I", "U")}
+    del_ids = {r["doc_id"] for r in op_rows if r["Op"] in ("D", "U")}
+    if len(op_rows) > cap:
+        # mega-batch: the unfused distributed sequence
+        if del_ids:
+            retract_batch_clusters(
+                spark, bdf.filter(F.col("Op").isin("D", "U")).select("doc_id"),
+                sig_store, label_store,
+            )
+        if ups_ids:
+            fold_batch_clusters(
+                spark, bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text"),
+                sig_store, label_store, append=True,
+            )
+        return
+    if not del_ids and not ups_ids:
+        return
+    if not del_ids or not ups_ids:
+        # pure-insert / pure-delete batches take the single-sided ops
+        # (each already runs its own bounded fast path)
+        if del_ids:
+            retract_batch_clusters(
+                spark, labels_df(spark, {i: i for i in del_ids}).select("doc_id"),
+                sig_store, label_store,
+            )
+        else:
+            fold_batch_clusters(
+                spark, bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text"),
+                sig_store, label_store, append=True,
+            )
+        return
+
+    labels = label_store.scan()  # pins the PRE-batch label snapshot
+    dids = labels_df(spark, {i: i for i in del_ids}).select("doc_id")
+    # affected components' members (one probe; `alb` ≤ one label per key)
+    alb = labels.join(F.broadcast(dids), "doc_id", "left_semi").select(
+        "label"
+    ).distinct()
+    aff_members = (
+        labels.join(F.broadcast(alb), "label", "left_semi").limit(cap + 1).collect()
+    )
+    batch_sig = minhash_signature_df(
+        bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    if len(aff_members) > cap:
+        retract_batch_clusters(spark, dids, sig_store, label_store)
+        fold_batch_clusters(
+            spark, None, sig_store, label_store, append=True, batch_sig=batch_sig
+        )
+        return
+    affected_labels = {r["label"] for r in aff_members}
+    survivor_set = {r["doc_id"] for r in aff_members} - del_ids
+
+    # 1. ONE atomic signature commit (VERDICT r14 task 4): the op-column
+    # MOR MERGE deletes the D ∪ U keys' old signatures and appends the
+    # I ∪ U rows' new ones in a single snapshot — strictly stronger than
+    # the delete-then-append crash contract (no window between them) and
+    # replay-idempotent (a re-merge re-asserts identical rows)
+    null_sig = [
+        f"CAST(NULL AS {'STRING' if c.startswith('band') else 'BIGINT'}) AS {c}"
+        for c in batch_sig.columns
+        if c != "doc_id"
+    ]
+    d_only_sig = labels_df(spark, {i: i for i in del_ids - ups_ids}).selectExpr(
+        "doc_id", *null_sig, "'D' AS Op"
+    )
+    sig_store.merge(
+        batch_sig.withColumn("Op", F.lit("U")).unionByName(d_only_sig),
+        keys=["doc_id"],
+        op_col="Op",
+    )
+
+    # batch candidate edges against the post-delete store + within-batch
+    others = sig_store.scan().join(batch_sig.select("doc_id"), "doc_id", "left_anti")
+    batch_edges = (
+        _batch_band_candidates(batch_sig, others)
+        .selectExpr("doc_a AS u", "doc_b AS v")
+        .limit(cap + 1)
+        .collect()
+    )
+    # survivor edges of the affected components, re-derived from the
+    # post-delete signature store (the edge source of record)
+    sdf = labels_df(spark, {i: i for i in survivor_set}).select("doc_id")
+    sub_sigs = sig_store.scan().join(F.broadcast(sdf), "doc_id", "left_semi")
+    a = _bands_long(sub_sigs, "u")
+    b = _bands_long(sub_sigs, "v")
+    surv_edges = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(batch_edges) > cap or len(surv_edges) > cap:
+        # Overflow after the signature commits: finish with the unfused
+        # label-side sequence. The re-delete inside retract is a no-op
+        # (idempotent equality delete) and the re-append anti-joins, so
+        # this is exactly the mid-crash replay path the pytests cover —
+        # retract re-labels the affected components distributed, fold
+        # re-contracts the batch-touched ones.
+        retract_batch_clusters(spark, dids, sig_store, label_store)
+        fold_batch_clusters(
+            spark, None, sig_store, label_store, append=True, batch_sig=batch_sig
+        )
+        return
+
+    # touched-but-unaffected components carry their star edges; only
+    # endpoints NOT already accounted for need the label lookup (batch
+    # docs get union-find labels; survivors' components are affected and
+    # fully re-derived — carrying their stale star would be wrong anyway)
+    ep_ids = (
+        {r["u"] for r in batch_edges} | {r["v"] for r in batch_edges}
+    ) - ups_ids - survivor_set - del_ids
+    if ep_ids:
+        eps = labels_df(spark, {i: i for i in ep_ids}).select("doc_id")
+        tlbl = labels.join(F.broadcast(eps), "doc_id", "left_semi").select(
+            "label"
+        ).distinct()
+        touched_rows = (
+            labels.join(F.broadcast(tlbl), "label", "left_semi")
+            .limit(cap + 1)
+            .collect()
+        )
+    else:
+        touched_rows = []
+    if len(touched_rows) > cap:
+        # same post-signature-commit repair as the edge-probe overflow
+        retract_batch_clusters(spark, dids, sig_store, label_store)
+        fold_batch_clusters(
+            spark, None, sig_store, label_store, append=True, batch_sig=batch_sig
+        )
+        return
+    star = [
+        (r["doc_id"], r["label"])
+        for r in touched_rows
+        if r["label"] not in affected_labels
+    ]
+    local = union_find_labels(
+        [(r["u"], r["v"]) for r in batch_edges]
+        + [(r["u"], r["v"]) for r in surv_edges]
+        + star
+    )
+    # every batch doc and every survivor gets a row: union-find label if
+    # connected, else its own id (isolated docs label themselves)
+    upsert_map = {i: local.get(i, i) for i in (ups_ids | survivor_set)}
+    for node, lab in local.items():
+        upsert_map[node] = lab
+    d_only = del_ids - ups_ids  # same-key D+U resolves upsert-wins
+    cdc = (
+        labels_df(spark, upsert_map)
+        .withColumn("Op", F.lit("U"))
+        .unionByName(
+            labels_df(spark, {i: i for i in d_only}).selectExpr(
+                "doc_id", "CAST(NULL AS BIGINT) AS label", "'D' AS Op"
+            )
+        )
+    )
+    label_store.merge(cdc, keys=["doc_id"], op_col="Op")
 
 
 _incr_labels_cache: dict[str, str] = {}

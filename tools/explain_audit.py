@@ -114,6 +114,10 @@ BROADCAST_HINT_ALLOWED = {
         "avg_bal", "total", "mx", "avg_qty",  # 1-row scalar aggregates
     },
     "plans/dedup.py": {
+        # cluster-fold bounded fast path (r15): endpoint-id set (collected
+        # under _CLUSTER_LOCAL_MAX, 100k rows) and the touched-label
+        # semi-join derived from it (<= |eps| rows) — driver-proven bounded
+        "eps", "tlbl",
         # touched-fingerprint prune set for the incremental SimHash
         # verdict tier: bounded by |batch fingerprints| x 5489 (the
         # hamming<=3 ball size in 32-bit fingerprint space, C(32,0..3)),
@@ -139,6 +143,11 @@ BROADCAST_HINT_ALLOWED = {
         # own store rows) — bounded by the takedown batch, never the
         # store (retract_batch_clusters)
         "affected",
+        # r15 retraction fast path + fused CDC apply: `alb` is the same
+        # affected-label set (<= one label per retracted id); `sdf` is
+        # the survivor-id set and `dids` the retracted-key set, both
+        # probe-collected under _CLUSTER_LOCAL_MAX before re-broadcast
+        "alb", "sdf", "dids",
     },
     "plans/similarity.py": {
         "q",  # fixed 5-id query set (QUERY_FILTER bounds it at any SF)
