@@ -183,6 +183,126 @@ def test_stamp_stream_guard_anchors_on_passed_head_sid(spark, tmp_path):
     assert t.max_stream_batch_id(scope="s1") == 3
 
 
+# ---------------------------------------------------------------------------
+# r15 cluster-fold fast paths
+
+
+def _mk_stores(spark, tmp_path, tag):
+    from emr_apache_iceberg_workshop_spark.plans.dedup import _LABELS_DDL, _SIG_DDL
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    sig = SnapshotTable.create(
+        spark, str(tmp_path / f"{tag}_sigs"), _SIG_DDL,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    lab = SnapshotTable.create(
+        spark, str(tmp_path / f"{tag}_labels"), _LABELS_DDL,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    return sig, lab
+
+
+def _cdc_batches(spark):
+    """Deterministic 3-batch I/U/D feed over synthetic near-dup texts."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest looking for more interesting things to do"
+    )
+    rows0 = [(i, f"{base} tail{i % 7}") for i in range(0, 40)]
+    rows1_i = [(i, f"{base} tail{i % 7}") for i in range(40, 60)]
+    rows1_u = [(i, f"{base} updated tail{i % 5}") for i in range(0, 40, 4)]
+    rows2_d = [(i,) for i in range(0, 60, 6)]
+    b0 = spark.createDataFrame(
+        [("I", i, t) for i, t in rows0], "Op string, doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame(
+        [("I", i, t) for i, t in rows1_i] + [("U", i, t) for i, t in rows1_u],
+        "Op string, doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [("D", i, None) for (i,) in rows2_d], "Op string, doc_id bigint, text string"
+    )
+    return [b0, b1, b2]
+
+
+def _drain(spark, batches, sig, lab, fused: bool):
+    from pyspark.sql import functions as F
+
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        apply_cdc_batch_clusters,
+        fold_batch_clusters,
+        retract_batch_clusters,
+    )
+
+    for b in batches:
+        if fused:
+            apply_cdc_batch_clusters(spark, b, sig, lab)
+        else:
+            dels = b.filter(F.col("Op").isin("D", "U")).select("doc_id")
+            if dels.count():
+                retract_batch_clusters(spark, dels, sig, lab)
+            ups = b.filter(F.col("Op").isin("I", "U")).select("doc_id", "text")
+            if ups.count():
+                fold_batch_clusters(spark, ups, sig, lab, append=True)
+    return {
+        (r["doc_id"], r["label"])
+        for r in lab.scan().select("doc_id", "label").collect()
+    }
+
+
+def test_fused_cdc_apply_equals_unfused_sequence(spark, tmp_path):
+    """apply_cdc_batch_clusters (one sig MERGE + one label MERGE + one
+    union-find per mixed batch) must land the exact label state of the
+    unfused retract-then-fold sequence across an I/U/D lifecycle."""
+    s1, l1 = _mk_stores(spark, tmp_path, "fused")
+    s2, l2 = _mk_stores(spark, tmp_path, "unfused")
+    got = _drain(spark, _cdc_batches(spark), s1, l1, fused=True)
+    exp = _drain(spark, _cdc_batches(spark), s2, l2, fused=False)
+    assert got == exp and got
+    # signature stores agree too (same survivor/new-signature content)
+    sig1 = {tuple(r) for r in s1.scan().collect()}
+    sig2 = {tuple(r) for r in s2.scan().collect()}
+    assert sig1 == sig2
+
+
+def test_fused_cdc_apply_fallback_matches_fast(spark, tmp_path, monkeypatch):
+    """Forcing every probe over the cap (cap=0) must route through the
+    distributed fallbacks and still produce the identical state."""
+    import emr_apache_iceberg_workshop_spark.plans.dedup as D
+
+    s1, l1 = _mk_stores(spark, tmp_path, "fast")
+    got = _drain(spark, _cdc_batches(spark), s1, l1, fused=True)
+    monkeypatch.setattr(D, "_CLUSTER_LOCAL_MAX", 0)
+    s2, l2 = _mk_stores(spark, tmp_path, "slow")
+    exp = _drain(spark, _cdc_batches(spark), s2, l2, fused=True)
+    assert got == exp and got
+
+
+def test_fold_fast_path_matches_fallback(spark, tmp_path, monkeypatch):
+    """fold_batch_clusters: the bounded driver path and the distributed
+    path must produce identical label stores over two sequential folds."""
+    import emr_apache_iceberg_workshop_spark.plans.dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows_a = [(i, f"{base} v{i % 5}") for i in range(30)]
+    rows_b = [(i, f"{base} v{i % 5}") for i in range(30, 55)]
+    dfa = spark.createDataFrame(rows_a, "doc_id bigint, text string")
+    dfb = spark.createDataFrame(rows_b, "doc_id bigint, text string")
+    states = {}
+    for tag, cap in (("fast", 100_000), ("slow", 0)):
+        monkeypatch.setattr(D, "_CLUSTER_LOCAL_MAX", cap)
+        sig, lab = _mk_stores(spark, tmp_path, f"fold_{tag}")
+        D.fold_batch_clusters(spark, dfa, sig, lab, append=True)
+        out = D.fold_batch_clusters(spark, dfb, sig, lab, append=True)
+        states[tag] = (
+            {(r["doc_id"], r["label"]) for r in lab.scan().select("doc_id", "label").collect()},
+            {(r["doc_id"], r["label"]) for r in out.select("doc_id", "label").collect()},
+        )
+    assert states["fast"] == states["slow"]
+    # store state and returned frame agree within each mode
+    assert states["fast"][0] == states["fast"][1]
+
+
 def test_ntile_buckets_runs_with_aqe_disabled(spark):
     """Strict-analysis guard (the r14 class): the range-rank plan must
     analyze and execute with AQE off."""
