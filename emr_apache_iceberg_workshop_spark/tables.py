@@ -3258,7 +3258,27 @@ class SnapshotTable:
         elif sort_by:
             squashed = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
         else:
-            squashed = df.coalesce(n)
+            meta = self._load()
+            fields = self._part_fields(meta)
+            if fields:
+                # Partitioned table: cluster rows by the partition key
+                # (hidden transforms included) so each partition's rows
+                # land in ONE task and the partitioned write emits ~one
+                # file per partition. A bare coalesce(n) here INTERLEAVES
+                # partitions across the n tasks, and the write then emits
+                # n x P files — a "compaction" that can INCREASE the file
+                # count (measured r15: 256 -> 284 files on the
+                # cluster-partitioned semantic store).
+                schema = T.StructType.fromDDL(meta["schema"])
+                cols = [
+                    field_expr(f, schema)
+                    if f.transform != "identity"
+                    else F.col(f.name)
+                    for f in fields
+                ]
+                squashed = df.repartition(n, *cols)
+            else:
+                squashed = df.coalesce(n)
         squashed = squashed.localCheckpoint(eager=True)
         return self.write(squashed, mode="overwrite", operation="compact")
 

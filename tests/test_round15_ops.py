@@ -143,6 +143,41 @@ def test_ntile_buckets_matches_sql_ntile(spark, n, k):
     assert got == exp
 
 
+def test_compact_partitioned_emits_one_file_per_partition(spark, tmp_path):
+    """compact() on a PARTITIONED table must cluster rows by the
+    partition key before the write — the previous bare coalesce(n)
+    interleaved partitions across n tasks and the partitioned write then
+    emitted n x P files, a compaction that INCREASED the file count
+    (measured r15 on the cluster-partitioned semantic store)."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "pc"), "id bigint, v string, part string",
+        partition_by=["part"],
+    )
+    # three commits x three partitions -> >=9 live files pre-compaction
+    for k in range(3):
+        t.write(
+            spark.createDataFrame(
+                [(k * 10 + i, f"v{i}", f"p{i % 3}") for i in range(9)],
+                "id bigint, v string, part string",
+            )
+        )
+    before = {tuple(sorted(f["partition"].items())) for _r, f in t._live_files()}
+    n_before = len(t._live_files())
+    assert n_before >= 9
+    pre = {tuple(r) for r in t.scan().collect()}
+    t.compact()
+    live = t._live_files()
+    per_part: dict = {}
+    for _rel, f in live:
+        key = tuple(sorted(f["partition"].items()))
+        per_part[key] = per_part.get(key, 0) + 1
+    assert set(per_part) == before
+    assert all(c == 1 for c in per_part.values()), per_part
+    assert {tuple(r) for r in t.scan().collect()} == pre
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r14 regressions
 
