@@ -156,7 +156,6 @@ def union_find_labels(pairs) -> dict:
             parent[x], x = r, parent[x]
         return r
 
-    roots = set()
     nodes = set()
     for u, v in pairs:
         nodes.add(u)
@@ -169,8 +168,6 @@ def union_find_labels(pairs) -> dict:
                 parent[rv] = ru
             else:
                 parent[ru] = rv
-    for x in nodes:
-        roots.add(find(x))
     # every touched node appears exactly once: non-roots via `parent`,
     # self-loop-only nodes and roots via the `nodes` sweep (find() is
     # idempotent post-compression)

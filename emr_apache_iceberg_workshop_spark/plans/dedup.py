@@ -2201,8 +2201,10 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> int
         .collect()
     )
     edge_rows = None
-    if len(members_rows) <= cap:
-        id_set = {r["doc_id"] for r in ids.collect()}
+    id_rows = ids.limit(cap + 1).collect() if len(members_rows) <= cap else []
+    if len(members_rows) <= cap and len(id_rows) <= cap:
+        # both probes proved complete (<= cap rows back from limit(cap+1))
+        id_set = {r["doc_id"] for r in id_rows}
         survivor_set = {
             r["doc_id"] for r in members_rows if r["doc_id"] not in id_set
         }
@@ -2291,21 +2293,28 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
 
     cap = _CLUSTER_LOCAL_MAX
     op_rows = bdf.select("Op", "doc_id").limit(cap + 1).collect()
-    ups_ids = {r["doc_id"] for r in op_rows if r["Op"] in ("I", "U")}
-    del_ids = {r["doc_id"] for r in op_rows if r["Op"] in ("D", "U")}
     if len(op_rows) > cap:
-        # mega-batch: the unfused distributed sequence
-        if del_ids:
+        # mega-batch: the truncated sample must not gate ANYTHING (a D
+        # row beyond the first cap+1 collected rows would be silently
+        # dropped — review r15); compute the side counts exactly with one
+        # aggregation, then run the unfused distributed sequence
+        ops = bdf.groupBy().agg(
+            F.sum(F.when(F.col("Op").isin("D", "U"), 1).otherwise(0)).alias("nd"),
+            F.sum(F.when(F.col("Op").isin("I", "U"), 1).otherwise(0)).alias("nu"),
+        ).first()
+        if ops and int(ops["nd"] or 0):
             retract_batch_clusters(
                 spark, bdf.filter(F.col("Op").isin("D", "U")).select("doc_id"),
                 sig_store, label_store,
             )
-        if ups_ids:
+        if ops and int(ops["nu"] or 0):
             fold_batch_clusters(
                 spark, bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text"),
                 sig_store, label_store, append=True,
             )
         return
+    ups_ids = {r["doc_id"] for r in op_rows if r["Op"] in ("I", "U")}
+    del_ids = {r["doc_id"] for r in op_rows if r["Op"] in ("D", "U")}
     if not del_ids and not ups_ids:
         return
     if not del_ids or not ups_ids:

@@ -86,16 +86,30 @@ def _ntile_buckets(spark, df: DataFrame, keys: tuple[str, ...], k: int) -> DataF
         "_pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("_pid").orderBy(*keys)
-    local = ranged.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    # materialize ONCE: the per-pid counts and the rank join below both
+    # derive from this frame, and RangePartitioner samples boundaries
+    # with an RDD-id-derived seed — two independently planned range
+    # exchanges (ReuseExchange can be defeated by column pruning) could
+    # place boundaries differently, silently desynchronizing _off from
+    # the actual partition sizes (review r15). One eager checkpoint pins
+    # a single physical partitioning for both consumers.
+    local = (
+        ranged.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+        .localCheckpoint(eager=True)
+    )
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     w_tot = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # `_pid` is re-aliased (fresh ExprId) because pid_offsets derives
+    # from the checkpointed `local` and joins back against it — the
+    # analyzer cannot dedup a LogicalRDD's attributes under AQE-off
+    # (the r14 conflicting-references class, plans/dedup.py:_fresh_ids)
     pid_offsets = (
         local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .select(
-            "_pid",
+            F.col("_pid").alias("_pid"),
             F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
             F.sum("_cnt").over(w_tot).alias("_n"),
         )

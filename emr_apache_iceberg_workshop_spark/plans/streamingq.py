@@ -78,9 +78,7 @@ def _run_to_memory(stream_df: DataFrame, spark, mode: str, prefix: str) -> DataF
     partition-count-independent; the session conf is restored after."""
     name = f"{prefix}_{next(_run_counter)}"
     ck = tempfile.mkdtemp(prefix=f"eiws_{prefix}_ck_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _microbatch_confs(spark):
         q = (
             stream_df.writeStream.outputMode(mode)
             .format("memory")
@@ -90,8 +88,6 @@ def _run_to_memory(stream_df: DataFrame, spark, mode: str, prefix: str) -> DataF
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -820,15 +816,11 @@ def q_stream_incremental_dedup(spark, sf_dir) -> DataFrame:
         "maxFilesPerTrigger", "1"
     ).parquet(_incr_stream_src_dir(spark, sf_dir))
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _microbatch_confs(spark):
         return stream_incremental_dedup(
             spark, src, store,
             os.path.join(base, "verdicts"), os.path.join(base, "cp"),
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # --------------------------------------------------------------------------
@@ -999,12 +991,8 @@ def q_stream_cdc_store(spark, sf_dir) -> DataFrame:
         "maxFilesPerTrigger", "1"
     ).parquet(_cdc_stream_src_dir(spark, sf_dir))
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _microbatch_confs(spark):
         stream_cdc_sig_store(spark, src, store, os.path.join(base, "cp"))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return store.scan()
 
 
@@ -1023,7 +1011,7 @@ from .dedup import INCR_CLUSTERS_ORACLE as _INCR_CLUSTERS_ORACLE  # noqa: E402
 
 @contextlib.contextmanager
 def _microbatch_confs(spark):
-    """Micro-batch tuning scope for the cluster fold queries: pin
+    """Micro-batch tuning scope for the bounded streaming queries: pin
     shuffle.partitions low (each fold moves O(batch) rows — 32-way
     shuffles are pure scheduling overhead) and disable AQE for the
     drain. Every AQE shuffle stage schedules as its OWN Spark job, and a

@@ -3224,6 +3224,19 @@ class SnapshotTable:
         expiration."""
         df = self.scan()
         n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
+        meta = self._load()
+        fields = self._part_fields(meta)
+        # Partitioned tables: every rewrite strategy must cluster rows by
+        # the partition key FIRST (hidden transforms included, same
+        # derivation maintain() uses) — otherwise the n rewrite tasks each
+        # hold rows of many partitions and the partitioned write emits up
+        # to n x P files, a "compaction" that can INCREASE the live file
+        # count (measured r15: 256 -> 284 on the cluster-partitioned
+        # semantic store). Sort/z-order then applies WITHIN the
+        # partition-clustered tasks, which is exactly Iceberg's semantics
+        # (the partition spec dominates the sort order).
+        schema = T.StructType.fromDDL(meta["schema"])
+        part_cols = [field_expr(f, schema) for f in fields]
         if zorder_by:
             if sort_by:
                 raise ValueError("sort_by and zorder_by are exclusive")
@@ -3248,37 +3261,27 @@ class SnapshotTable:
                     f" (acc, i) -> acc + shiftleft({norm} >> i & 1, i * {k} + {j}))"
                 )
             zexpr = " + ".join(interleaves)
-            squashed = (
-                df.crossJoin(F.broadcast(stats))
-                .withColumn("__z", F.expr(zexpr))
-                .repartitionByRange(n, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z", *[f"__lo_{c}" for c in zorder_by], *[f"__hi_{c}" for c in zorder_by])
+            zed = df.crossJoin(F.broadcast(stats)).withColumn("__z", F.expr(zexpr))
+            if part_cols:
+                zed = zed.repartition(n, *part_cols).sortWithinPartitions("__z")
+            else:
+                zed = zed.repartitionByRange(n, "__z").sortWithinPartitions("__z")
+            squashed = zed.drop(
+                "__z",
+                *[f"__lo_{c}" for c in zorder_by],
+                *[f"__hi_{c}" for c in zorder_by],
             )
         elif sort_by:
-            squashed = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
-        else:
-            meta = self._load()
-            fields = self._part_fields(meta)
-            if fields:
-                # Partitioned table: cluster rows by the partition key
-                # (hidden transforms included) so each partition's rows
-                # land in ONE task and the partitioned write emits ~one
-                # file per partition. A bare coalesce(n) here INTERLEAVES
-                # partitions across the n tasks, and the write then emits
-                # n x P files — a "compaction" that can INCREASE the file
-                # count (measured r15: 256 -> 284 files on the
-                # cluster-partitioned semantic store).
-                schema = T.StructType.fromDDL(meta["schema"])
-                cols = [
-                    field_expr(f, schema)
-                    if f.transform != "identity"
-                    else F.col(f.name)
-                    for f in fields
-                ]
-                squashed = df.repartition(n, *cols)
+            if part_cols:
+                squashed = df.repartition(n, *part_cols).sortWithinPartitions(*sort_by)
             else:
-                squashed = df.coalesce(n)
+                squashed = df.repartitionByRange(n, *sort_by).sortWithinPartitions(
+                    *sort_by
+                )
+        elif part_cols:
+            squashed = df.repartition(n, *part_cols)
+        else:
+            squashed = df.coalesce(n)
         squashed = squashed.localCheckpoint(eager=True)
         return self.write(squashed, mode="overwrite", operation="compact")
 

@@ -89,6 +89,31 @@ def test_sp_window_lint_passes_partitioned_window(spark):
     assert lint_single_partition_window("anything", plan) == []
 
 
+@pytest.mark.parametrize("qname", ["t_ccnet_buckets", "c_quality_funnel"])
+def test_allowlisted_sp_window_queries_have_exactly_one(spark, qname):
+    """Backstop for the name-keyed allowlist (review r15): each
+    allowlisted query's plan must contain AT MOST the one known bounded
+    single-partition window — if a future edit adds an unbounded second
+    one, the lint under a fake name counts two and this fails even
+    though the allowlist would mask it in the audit."""
+    from emr_apache_iceberg_workshop_spark.plans.registry import registry
+
+    from explain_audit import lint_single_partition_window
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan_text(registry()[qname].fn(spark, "/root/testdata/sf0.001"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    fails = [
+        n
+        for n in lint_single_partition_window("not_allowlisted", plan)
+        if n.startswith("FAIL sp-window")
+    ]
+    assert len(fails) <= 1, fails
+
+
 def test_registered_ntile_plan_has_no_unbounded_sp_window(spark):
     """q_ntile_deciles' shipped plan: the ONLY single-partition window is
     the P-row offset relation (allowlisted); under a non-allowlisted name
@@ -211,11 +236,46 @@ def test_stamp_stream_guard_anchors_on_passed_head_sid(spark, tmp_path):
 
     t = SnapshotTable.create(spark, str(tmp_path / "t"), "k bigint, v string")
     df = spark.createDataFrame([(1, "a")], "k bigint, v string")
-    # legacy-era stamp on MAIN: summary-only (simulate by a main append
-    # with stream summary but no guard property yet → first property
-    # stamp must adopt it)
     t.write(df, summary_extra={"streaming.batch-id": "3", "streaming.query-scope": "s1"})
     assert t.max_stream_batch_id(scope="s1") == 3
+
+
+def test_stamp_stream_guard_ignores_branch_snapshot_appended_last():
+    """Unit-level pin of the ADVICE-r14 fix: with a BRANCH snapshot
+    sitting LAST in meta['snapshots'] (legacy-stamped with a huge batch
+    id) and the main head passed explicitly, the first-property-stamp
+    migration must adopt the MAIN lineage's legacy stamp — the old
+    `snapshots[-1]` inference would have walked the branch and migrated
+    batch id 99 into the main guard, marking never-published batches as
+    done."""
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    meta = {
+        "snapshots": [
+            {
+                "snapshot_id": 1,
+                "parent_id": None,
+                "summary": {"streaming.batch-id": "3", "streaming.query-scope": "s1"},
+            },
+            # staged branch snapshot, appended AFTER main's head, carrying
+            # a legacy stamp for data that never reached main
+            {
+                "snapshot_id": 2,
+                "parent_id": 1,
+                "summary": {"streaming.batch-id": "99", "streaming.query-scope": "s1"},
+            },
+        ],
+        "properties": {},
+    }
+    t = SnapshotTable.__new__(SnapshotTable)  # no store needed: pure meta fold
+    t._stamp_stream_guard(
+        meta,
+        {"streaming.batch-id": "4", "streaming.query-scope": "s1"},
+        head_sid=1,
+    )
+    assert meta["properties"]["streaming.max-batch-id.s1"] == "4"
+    # the branch's 99 must NOT have been adopted by the migration
+    assert "99" not in meta["properties"].values()
 
 
 # ---------------------------------------------------------------------------
