@@ -76,8 +76,13 @@ Supported grammar (case-insensitive keywords; one statement per call):
   from the store and returns the delete snapshot id; with ``labels``,
   runs the CLUSTER-tier retraction instead: affected components
   re-labeled from re-derived signature edges, ids deleted from both
-  stores — doc_id-keyed, mutually exclusive with ``key``) — named
-  (``arg => v``) or positional.
+  stores — doc_id-keyed, mutually exclusive with ``key``) /
+  ``apply_cdc_clusters('<store>', source => '<view>',
+  labels => '<label store>')``
+  (extension, r15: the FUSED I/U/D apply for the cluster tier — one
+  op-column signature MERGE + one label MERGE per batch via
+  `apply_cdc_batch_clusters`; returns the post-apply label state) —
+  named (``arg => v``) or positional.
 - ``ALTER TABLE <name> RENAME TO <new>`` (catalog re-key, data in place)
   / ``ADD COLUMN[S] (c type, ...)`` / ``DROP COLUMN c``
   / ``ADD PARTITION FIELD <spec>`` / ``DROP PARTITION FIELD <spec>`` /
@@ -940,6 +945,30 @@ class SqlCatalog:
                     self.spark, ids, t, self.table(labels_name)
                 )
             return retract_batch(t, ids, key=key)
+        if proc == "apply_cdc_clusters":
+            # extension procedure (r15): the fused CDC apply for the
+            # cluster tier — one micro-batch of (Op, doc_id, text) rows
+            # from `source` folded into the signature store (`table`) +
+            # label store (labels =>) with ONE op-column signature MERGE
+            # and ONE label MERGE (plans/dedup.py
+            # apply_cdc_batch_clusters; same-key D+U resolves
+            # upsert-wins, documented there). Returns the post-apply
+            # label state for inspection.
+            src = val("source", 1)
+            labels_name = val("labels", 2)
+            if src is None or labels_name is None:
+                raise ValueError(
+                    "apply_cdc_clusters requires (table, source => view, "
+                    "labels => '<label store>')"
+                )
+            from .plans.dedup import apply_cdc_batch_clusters
+
+            batch = self.spark.sql(
+                self._rewrite_reads(f"SELECT Op, doc_id, text FROM {src}")
+            )
+            label_store = self.table(labels_name)
+            apply_cdc_batch_clusters(self.spark, batch, t, label_store)
+            return label_store.scan().select("doc_id", "label")
         if proc == "rollback_to_snapshot":
             return t.rollback_to_snapshot(int(val("snapshot_id", 1)))
         if proc == "cherrypick_snapshot":

@@ -278,6 +278,56 @@ def test_stamp_stream_guard_ignores_branch_snapshot_appended_last():
     assert "99" not in meta["properties"].values()
 
 
+def test_call_apply_cdc_clusters_facade_parity(spark, tmp_path):
+    """CALL system.apply_cdc_clusters must land the exact label state the
+    library call lands, and return it."""
+    from emr_apache_iceberg_workshop_spark.plans.dedup import (
+        _LABELS_DDL,
+        _SIG_DDL,
+        apply_cdc_batch_clusters,
+    )
+    from emr_apache_iceberg_workshop_spark.sqlext import SqlCatalog
+    from emr_apache_iceberg_workshop_spark.tables import SnapshotTable
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs into the "
+        "deep dark forest looking for interesting things"
+    )
+    b0 = [("I", i, f"{base} tail{i % 3}") for i in range(12)]
+    b1 = [("U", 0, f"{base} updated")] + [("D", 3, None)] + [
+        ("I", 20 + i, f"{base} tail{i % 3}") for i in range(4)
+    ]
+    cat = SqlCatalog(spark)
+    roots = {}
+    for tag in ("f", "l"):
+        sig = SnapshotTable.create(
+            spark, str(tmp_path / f"{tag}_sigs"), _SIG_DDL,
+            properties={"write.merge.mode": "merge-on-read"},
+        )
+        lab = SnapshotTable.create(
+            spark, str(tmp_path / f"{tag}_labels"), _LABELS_DDL,
+            properties={"write.merge.mode": "merge-on-read"},
+        )
+        roots[tag] = (sig, lab)
+    ddl = "Op string, doc_id bigint, text string"
+    cat.register("f_sigs", str(tmp_path / "f_sigs"))
+    cat.register("f_labels", str(tmp_path / "f_labels"))
+    got = None
+    for batch in (b0, b1):
+        spark.createDataFrame(batch, ddl).createOrReplaceTempView("cdc_b")
+        got = cat.sql(
+            "CALL system.apply_cdc_clusters('f_sigs', source => 'cdc_b', "
+            "labels => 'f_labels')"
+        )
+        apply_cdc_batch_clusters(
+            spark, spark.createDataFrame(batch, ddl), *roots["l"]
+        )
+    want = roots["l"][1].scan().select("doc_id", "label")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="apply_cdc_clusters requires"):
+        cat.sql("CALL system.apply_cdc_clusters('f_sigs', source => 'cdc_b')")
+
+
 # ---------------------------------------------------------------------------
 # r15 cluster-fold fast paths
 
