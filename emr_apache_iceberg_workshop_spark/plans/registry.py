@@ -46,12 +46,18 @@ _MODULES = [
 # r11 cohort, oldest-first alphabetical. 5 + 15 + 30 = 50; the remaining
 # 17 r11 names spill just below the window and driver-sign at r16.
 _PREFIX_ORDER = [
-    # (a) r15 new/touched
+    # (a) r15 new/touched — includes every query whose EXECUTION PATH the
+    # r15 fold fast-paths / _microbatch_confs rewrote (their r14
+    # signatures predate the change and are stale)
     "q_ntile_deciles",
     "q_stream_cluster_cdc",
     "q_stream_cluster_maintain",
     "s_incremental_semdedup_retract",
     "s_incremental_semdedup",
+    "d_incremental_clusters",
+    "d_incremental_cluster_retract",
+    "q_stream_cdc_store",
+    "q_stream_incremental_dedup",
     # (b) the full r10-stale cohort — union freshness floor clears to r11
     "q_meta_rollback",
     "q_meta_snapshots",
@@ -95,12 +101,15 @@ _PREFIX_ORDER = [
     "q_meta_name_mapping",
     "q_meta_partitions",
     "q_meta_pruning",
+    # --- below the 50-slot window: the remaining r11 names
+    # (driver-sign at r16), oldest-first alphabetical — the last four of
+    # the original r11 fill (q_meta_snapshot_summary, q_meta_v2_travel,
+    # q_part_revenue_share, q_range_join) moved here to make room for the
+    # four r15-code-touched re-signs above; union floor stays r11
     "q_meta_snapshot_summary",
     "q_meta_v2_travel",
     "q_part_revenue_share",
     "q_range_join",
-    # --- below the 50-slot window: the 17 remaining r11 names
-    # (driver-sign at r16), oldest-first alphabetical
     "q_rollup_revenue",
     "q_semi_anti",
     "q_sessionization",
