@@ -68,6 +68,12 @@ MAX_SHINGLE_DF = 1000
 _CLUSTER_LOCAL_MAX = 100_000
 
 
+# Completeness-probe collect with the incremental-limit scale-up
+# disabled (canonical implementation + rationale in tables.py — the
+# same idiom guards the COW partition-scope probes there).
+from ..tables import _probe_collect  # noqa: E402
+
+
 def _jaccard_scored_pairs(s: "DataFrame", materialized: bool = False) -> "DataFrame":
     """Exact-jaccard near-dup pairs, candidates from the DF-capped inverted
     index — WITHOUT ever joining the shingle-array table (the r02 design
@@ -2061,7 +2067,7 @@ def fold_batch_clusters(
     # Over cap — a pathological mega-batch or a giant touched component —
     # falls back to the distributed path below, identical to r14's code.
     cap = _CLUSTER_LOCAL_MAX
-    edge_rows = edges_plan.limit(cap + 1).collect()
+    edge_rows = _probe_collect(edges_plan, cap)
     members_rows = None
     if len(edge_rows) <= cap:
         if edge_rows:
@@ -2072,10 +2078,8 @@ def fold_batch_clusters(
                 .select("label")
                 .distinct()
             )
-            members_rows = (
-                labels.join(F.broadcast(tlbl), "label", "left_semi")
-                .limit(cap + 1)
-                .collect()
+            members_rows = _probe_collect(
+                labels.join(F.broadcast(tlbl), "label", "left_semi"), cap
             )
         else:
             members_rows = []
@@ -2195,13 +2199,11 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> int
     # overflows _CLUSTER_LOCAL_MAX.
     cap = _CLUSTER_LOCAL_MAX
     alb = labels.join(ids, "doc_id", "left_semi").select("label").distinct()
-    members_rows = (
-        labels.join(F.broadcast(alb), "label", "left_semi")
-        .limit(cap + 1)
-        .collect()
+    members_rows = _probe_collect(
+        labels.join(F.broadcast(alb), "label", "left_semi"), cap
     )
     edge_rows = None
-    id_rows = ids.limit(cap + 1).collect() if len(members_rows) <= cap else []
+    id_rows = _probe_collect(ids, cap) if len(members_rows) <= cap else []
     if len(members_rows) <= cap and len(id_rows) <= cap:
         # both probes proved complete (<= cap rows back from limit(cap+1))
         id_set = {r["doc_id"] for r in id_rows}
@@ -2212,13 +2214,12 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> int
         sub_sigs = sig_store.scan().join(F.broadcast(sdf), "doc_id", "left_semi")
         a = _bands_long(sub_sigs, "u")
         b = _bands_long(sub_sigs, "v")
-        edge_rows = (
+        edge_rows = _probe_collect(
             a.join(b, ["band_idx", "band_key"])
             .filter(F.col("u") < F.col("v"))
             .select("u", "v")
-            .distinct()
-            .limit(cap + 1)
-            .collect()
+            .distinct(),
+            cap,
         )
     if edge_rows is not None and len(edge_rows) <= cap:
         relabeled = union_find_labels((r["u"], r["v"]) for r in edge_rows)
@@ -2292,7 +2293,7 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
     from ..operators.graph import labels_df, union_find_labels
 
     cap = _CLUSTER_LOCAL_MAX
-    op_rows = bdf.select("Op", "doc_id").limit(cap + 1).collect()
+    op_rows = _probe_collect(bdf.select("Op", "doc_id"), cap)
     if len(op_rows) > cap:
         # mega-batch: the truncated sample must not gate ANYTHING (a D
         # row beyond the first cap+1 collected rows would be silently
@@ -2338,8 +2339,8 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
     alb = labels.join(F.broadcast(dids), "doc_id", "left_semi").select(
         "label"
     ).distinct()
-    aff_members = (
-        labels.join(F.broadcast(alb), "label", "left_semi").limit(cap + 1).collect()
+    aff_members = _probe_collect(
+        labels.join(F.broadcast(alb), "label", "left_semi"), cap
     )
     batch_sig = minhash_signature_df(
         bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text")
@@ -2374,11 +2375,11 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
 
     # batch candidate edges against the post-delete store + within-batch
     others = sig_store.scan().join(batch_sig.select("doc_id"), "doc_id", "left_anti")
-    batch_edges = (
-        _batch_band_candidates(batch_sig, others)
-        .selectExpr("doc_a AS u", "doc_b AS v")
-        .limit(cap + 1)
-        .collect()
+    batch_edges = _probe_collect(
+        _batch_band_candidates(batch_sig, others).selectExpr(
+            "doc_a AS u", "doc_b AS v"
+        ),
+        cap,
     )
     # survivor edges of the affected components, re-derived from the
     # post-delete signature store (the edge source of record)
@@ -2386,13 +2387,12 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
     sub_sigs = sig_store.scan().join(F.broadcast(sdf), "doc_id", "left_semi")
     a = _bands_long(sub_sigs, "u")
     b = _bands_long(sub_sigs, "v")
-    surv_edges = (
+    surv_edges = _probe_collect(
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
-        .distinct()
-        .limit(cap + 1)
-        .collect()
+        .distinct(),
+        cap,
     )
     if len(batch_edges) > cap or len(surv_edges) > cap:
         # Overflow after the signature commits: finish with the unfused
@@ -2419,10 +2419,8 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
         tlbl = labels.join(F.broadcast(eps), "doc_id", "left_semi").select(
             "label"
         ).distinct()
-        touched_rows = (
-            labels.join(F.broadcast(tlbl), "label", "left_semi")
-            .limit(cap + 1)
-            .collect()
+        touched_rows = _probe_collect(
+            labels.join(F.broadcast(tlbl), "label", "left_semi"), cap
         )
     else:
         touched_rows = []

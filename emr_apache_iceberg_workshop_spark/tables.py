@@ -98,6 +98,33 @@ class Snapshot:
     mask_file: str | None = None
 
 
+def _probe_collect(df, cap: int) -> list:
+    """Completeness-probe collect: `df.limit(cap + 1).collect()` with the
+    incremental-limit scale-up disabled for THIS collect only.
+
+    Spark's CollectLimit executes incrementally (1 partition, then 4×
+    more per `spark.sql.limit.scaleUpFactor`, …) — right for top-N
+    sampling, pure overhead for a completeness probe: the probe expects
+    to read the ENTIRE set (≤ cap rows back proves it did), so the first
+    attempt almost never satisfies `cap + 1` and every retry is an extra
+    scheduled job over the same shuffle output (measured r15: 5 → 3 jobs,
+    ~0.1s per probe on an idle host, more under load).
+    `initialNumPartitions` is pinned high around the collect and restored
+    after, so sampling limits elsewhere (e.g. the k-means sample window)
+    keep their early-exit."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "1000000")
+    try:
+        return df.limit(cap + 1).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _entry_rel(e) -> str:
     """active_dirs entry → data dir rel path (entries are either a plain
     rel string or {"dir": rel, "exclude": [partition tuples],
@@ -829,7 +856,7 @@ class SnapshotTable:
         df_local = df.localCheckpoint(eager=True)  # written + partition-scanned
         parts_df = df_local.select(*part_sel).distinct().localCheckpoint(eager=True)
         cap = int(meta.get("properties", {}).get("write.cow.scope-cap", 10000))
-        head_rows = parts_df.limit(cap + 1).collect()
+        head_rows = _probe_collect(parts_df, cap)
         capped = len(head_rows) > cap
         parts = (
             []
@@ -2599,8 +2626,19 @@ class SnapshotTable:
             )
         upserts = upserts.select(*data_cols)
         # materialize ONCE: both the data write and the key write read the
-        # source; a lazy plan would re-run it (it may be a streaming batch)
-        upserts_local = upserts.localCheckpoint(eager=True)
+        # source; a lazy plan would re-run it (it may be a streaming batch).
+        # Exception (r15 job diet): a source Catalyst folds to a single
+        # LocalRelation (the driver-built label/CDC frames from
+        # operators.graph.labels_df) is already materialized BY VALUE —
+        # re-evaluation cannot differ and the eager checkpoint would be a
+        # pure extra Spark job per merge commit.
+        if (
+            upserts._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+            == "LocalRelation"
+        ):
+            upserts_local = upserts
+        else:
+            upserts_local = upserts.localCheckpoint(eager=True)
         rel, parts, files = self._write_data_dir(upserts_local, meta, sid)
         drel = f"deletes/s{sid}"
         # every source key (incl. deletes) suppresses older rows of that key;
@@ -2675,7 +2713,7 @@ class SnapshotTable:
         parts_df = (
             src_parts.unionByName(tgt_parts).distinct().localCheckpoint(eager=True)
         )
-        head_rows = parts_df.limit(cap + 1).collect()
+        head_rows = _probe_collect(parts_df, cap)
         capped = len(head_rows) > cap
         parts = (
             []
@@ -3040,7 +3078,7 @@ class SnapshotTable:
         parts_df = (
             target.filter(pred).select(*part_sel).distinct().localCheckpoint(eager=True)
         )
-        head_rows = parts_df.limit(cap + 1).collect()
+        head_rows = _probe_collect(parts_df, cap)
         capped = len(head_rows) > cap
         parts = (
             []

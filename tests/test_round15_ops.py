@@ -461,3 +461,71 @@ def test_ntile_buckets_runs_with_aqe_disabled(spark):
         assert out.count() == 64
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_probe_collect_equals_plain_limit_collect(spark):
+    """The completeness-probe collect (incremental-limit scale-up
+    disabled) must return exactly what limit(cap+1).collect() returns,
+    under-cap and over-cap, and must restore the session conf after —
+    including when the conf was unset before (the default)."""
+    from emr_apache_iceberg_workshop_spark.tables import _probe_collect
+
+    key = "spark.sql.limit.initialNumPartitions"
+    # shuffled child so CollectLimit sits above an exchange (the real
+    # probe shape); deterministic content
+    df = (
+        spark.range(500)
+        .selectExpr("id % 97 AS k")
+        .groupBy("k")
+        .count()
+    )
+    for cap in (1000, 10):  # under-cap (complete) and over-cap (truncated)
+        probe = _probe_collect(df, cap)
+        plain = df.limit(cap + 1).collect()
+        assert sorted(map(tuple, probe)) == sorted(map(tuple, plain))
+        assert len(probe) == min(97, cap + 1)
+    # conf restored to its prior state (unset by default)
+    assert spark.conf.get(key, None) is None
+    # and restored to a prior EXPLICIT value too
+    spark.conf.set(key, "7")
+    try:
+        _probe_collect(df, 1000)
+        assert spark.conf.get(key) == "7"
+    finally:
+        spark.conf.unset(key)
+
+
+def test_probe_collect_schedules_fewer_jobs(spark):
+    """The probe must not pay the incremental-limit retries: on a
+    multi-partition SCAN-shaped child (no exchange under the limit — the
+    real probe shape: store scan + broadcast semi-join) whose row count
+    is far below cap+1, the probe-collect schedules strictly fewer Spark
+    jobs than the default incremental collect (the r15 measurement this
+    optimization rests on: first attempt reads 1 partition, misses,
+    retries 4× more, …). A SHUFFLED child collapses to one job either
+    way (the limit rides the exchange), which is why this test pins the
+    scan shape."""
+    import tempfile
+
+    from emr_apache_iceberg_workshop_spark.tables import _probe_collect
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        path = tempfile.mkdtemp(prefix="probe_jobs_") + "/t"
+        spark.range(2000).repartition(8).write.parquet(path)
+        df = spark.read.parquet(path).filter("id >= 0")
+        df.count()  # warm: isolate the collects' scheduling
+
+        def jobs():
+            return spark._jsc.sc().dagScheduler().nextJobId()
+
+        j0 = jobs()
+        df.limit(100_001).collect()
+        plain_jobs = jobs() - j0
+        j0 = jobs()
+        _probe_collect(df, 100_000)
+        probe_jobs = jobs() - j0
+        assert probe_jobs < plain_jobs, (probe_jobs, plain_jobs)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
