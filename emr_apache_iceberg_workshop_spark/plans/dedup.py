@@ -2373,28 +2373,39 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
         op_col="Op",
     )
 
-    # batch candidate edges against the post-delete store + within-batch
-    others = sig_store.scan().join(batch_sig.select("doc_id"), "doc_id", "left_anti")
-    batch_edges = _probe_collect(
-        _batch_band_candidates(batch_sig, others).selectExpr(
-            "doc_a AS u", "doc_b AS v"
-        ),
-        cap,
-    )
-    # survivor edges of the affected components, re-derived from the
-    # post-delete signature store (the edge source of record)
-    sdf = labels_df(spark, {i: i for i in survivor_set}).select("doc_id")
-    sub_sigs = sig_store.scan().join(F.broadcast(sdf), "doc_id", "left_semi")
-    a = _bands_long(sub_sigs, "u")
-    b = _bands_long(sub_sigs, "v")
-    surv_edges = _probe_collect(
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+    # ONE fused edge probe (r15 job diet) for both edge sets the
+    # union-find needs — the batch's candidate edges AND the affected
+    # components' survivor edges. Both are band collisions against the
+    # post-merge store (the merge just committed the batch signatures,
+    # so the batch side's stored rows equal `batch_sig` by value; the
+    # D ∪ U keys' old rows are equality-deleted in the same snapshot):
+    # stream the store's bands ONCE against bands(batch ∪ survivors) and
+    # classify the pairs on the driver from the already-known id sets.
+    #   - batch edge  ⇔ ≥1 endpoint ∈ ups_ids (= batch×store ∪
+    #     batch-internal, exactly `_batch_band_candidates`' output);
+    #   - survivor edge ⇔ both endpoints ∈ survivor_set.
+    # No extra output class exists: components are CLOSED under
+    # collision edges, so a survivor's only non-survivor collisions are
+    # with deleted rows (gone from the post-merge scan) or with batch
+    # docs (wanted batch edges anyway). Replaces two probes — and two
+    # store band streams — with one; the unfused two-probe shape remains
+    # in `fold_batch_clusters`/`retract_batch_clusters` (equivalence
+    # pytest: fused-vs-unfused stores byte-equal over an I/U/D
+    # lifecycle).
+    probe_ids = labels_df(
+        spark, {i: i for i in (ups_ids | survivor_set)}
+    ).select("doc_id")
+    sub_sigs = sig_store.scan().join(F.broadcast(probe_ids), "doc_id", "left_semi")
+    l = _bands_long(sub_sigs, "u")
+    r = _bands_long(sig_store.scan(), "v")
+    fused_rows = _probe_collect(
+        l.join(r, ["band_idx", "band_key"])
+        .filter(F.col("u") != F.col("v"))
+        .selectExpr("least(u, v) AS u", "greatest(u, v) AS v")
         .distinct(),
         cap,
     )
-    if len(batch_edges) > cap or len(surv_edges) > cap:
+    if len(fused_rows) > cap:
         # Overflow after the signature commits: finish with the unfused
         # label-side sequence. The re-delete inside retract is a no-op
         # (idempotent equality delete) and the re-append anti-joins, so
@@ -2406,6 +2417,14 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
             spark, None, sig_store, label_store, append=True, batch_sig=batch_sig
         )
         return
+    # ≤ cap ⇒ the fused set is COMPLETE; only now derive the two lists
+    # (deriving from a truncated sample would drop edges — r15 review)
+    batch_edges = [
+        e for e in fused_rows if e["u"] in ups_ids or e["v"] in ups_ids
+    ]
+    surv_edges = [
+        e for e in fused_rows if e["u"] in survivor_set and e["v"] in survivor_set
+    ]
 
     # touched-but-unaffected components carry their star edges; only
     # endpoints NOT already accounted for need the label lookup (batch
