@@ -148,6 +148,12 @@ BROADCAST_HINT_ALLOWED = {
         # the survivor-id set and `dids` the retracted-key set, both
         # probe-collected under _CLUSTER_LOCAL_MAX before re-broadcast
         "alb", "sdf", "dids",
+        # fused mixed-batch edge probe (late r15): the batch-id ∪
+        # survivor-id set, a driver-built local relation of at most
+        # 2 x _CLUSTER_LOCAL_MAX ids (ups_ids from the op_rows probe,
+        # survivor_set from the aff_members probe, both cap-proven
+        # complete before this broadcast is ever constructed)
+        "probe_ids",
     },
     "plans/similarity.py": {
         "q",  # fixed 5-id query set (QUERY_FILTER bounds it at any SF)
