@@ -29,6 +29,42 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
 
+# When the full 197-query map does not fit the 1950-char stdout line, the
+# printed subset is THIS committed list — exactly the names round 15's line
+# carried — instead of "slowest in the current run". The old rule rotated
+# with run-to-run timing jitter, so the harness's round-over-round diff saw
+# 8 phantom "dropped" and 7 phantom "new" rows in PERF_r15 (r15 verdict
+# what's-wrong #3). Pinning the same names keeps the diff key set identical
+# across rounds (0 phantom rows); the values are still measured fresh every
+# run, and the full per-query map is always in BENCH_DETAIL*.json.
+_LINE_KEEP = [
+    "c_chunk_documents", "c_corpus_build", "c_curated_corpus",
+    "c_dup_groups", "c_source_cap", "c_temperature_mix", "d_containment",
+    "d_embedding_neardup", "d_incremental", "d_incremental_cluster_retract",
+    "d_incremental_clusters", "d_incremental_exact", "d_incremental_retract",
+    "d_incremental_simhash", "d_incremental_simhash_retract",
+    "d_incremental_verdicts", "d_minhash_accuracy", "d_minhash_lsh",
+    "d_simhash", "d_simhash_clusters", "m_bmp_pixels", "m_exif_parse",
+    "m_gif_pixels", "m_jpeg_coeffs", "m_pcm_features", "m_png_pixels",
+    "m_real_codecs", "q02_min_cost_supplier", "q03_shipping_priority",
+    "q04_order_priority", "q05_region_revenue", "q07_volume_shipping",
+    "q08_market_share", "q09_product_profit", "q10_returned_items",
+    "q11_important_stock", "q16_parts_supplier", "q17_small_quantity",
+    "q18_large_orders", "q20_heavy_shippers", "q21_waiting_suppliers",
+    "q_bloom_join", "q_dsv2_incremental", "q_dsv2_pushdown", "q_dsv2_scan",
+    "q_dsv2_stream", "q_dsv2_write", "q_meta_pos_delete",
+    "q_meta_snapshot_summary", "q_ntile_deciles", "q_stream_cdc_store",
+    "q_stream_cluster_cdc", "q_stream_cluster_maintain", "q_stream_dedup",
+    "q_stream_event_windows", "q_stream_heavy_hitters", "q_stream_incr_agg",
+    "q_stream_incremental_dedup", "q_stream_join", "q_stream_sessionize",
+    "q_table_counts", "q_top_customers", "s_dup_clusters",
+    "s_incremental_semdedup", "s_incremental_semdedup_retract", "s_ivf_topk",
+    "s_semdedup", "t_bigram_logprob", "t_bm25_topk", "t_boilerplate",
+    "t_ccnet_buckets", "t_decontaminate", "t_heavy_hitters",
+    "t_incremental_bm25", "t_incremental_decontam", "t_tfidf_keywords",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -50,21 +86,40 @@ def main() -> int:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup (the driver's baseline does the same work
     # per-process; total still includes this warmup under "startup").
+    # The three warmups are independent jobs — run them concurrently from a
+    # small thread pool (guide §2.6: Spark schedules concurrent jobs FIFO
+    # and back-fills idle cores), same coverage, ~⅓ the wall clock.
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.time()
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    # spawn the Python/Arrow worker pool too — several queries use
-    # mapInPandas and the first one would otherwise absorb worker startup
-    spark.range(1024).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
-    # and the interpreted higher-order-function path (transform/filter/
-    # aggregate lambdas are not codegen'd) — the dedup/text queries run
-    # first in sorted order and would otherwise absorb its JIT warmup
-    spark.range(20000).selectExpr(
-        "aggregate(transform(sequence(1, 24), i -> conv(substr(md5(concat(id, i)), 1, 8), 16, 10)),"
-        " '0', (a, x) -> greatest(a, x)) AS w",
-        "size(filter(transform(sequence(1, 16), i -> md5(concat(id, i))), h -> substr(h, 1, 1) = 'a')) AS c",
-    ).selectExpr("max(w)", "sum(c)").collect()
+
+    def _warm_scan():
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    def _warm_python_workers():
+        # spawn the Python/Arrow worker pool — several queries use
+        # mapInPandas and the first one would otherwise absorb worker startup
+        spark.range(1024).repartition(
+            int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        ).mapInPandas(lambda it: it, "id long").count()
+
+    def _warm_hof_jit():
+        # the interpreted higher-order-function path (transform/filter/
+        # aggregate lambdas are not codegen'd) — the dedup/text queries run
+        # first in sorted order and would otherwise absorb its JIT warmup
+        spark.range(20000).selectExpr(
+            "aggregate(transform(sequence(1, 24), i -> conv(substr(md5(concat(id, i)), 1, 8), 16, 10)),"
+            " '0', (a, x) -> greatest(a, x)) AS w",
+            "size(filter(transform(sequence(1, 16), i -> md5(concat(id, i))), h -> substr(h, 1, 1) = 'a')) AS c",
+        ).selectExpr("max(w)", "sum(c)").collect()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [
+            pool.submit(_warm_scan),
+            pool.submit(_warm_python_workers),
+            pool.submit(_warm_hof_jit),
+        ]:
+            fut.result()
     startup = time.time() - t0
 
     times: dict[str, float] = {}
@@ -95,7 +150,14 @@ def main() -> int:
         "startup_sec": round(startup, 3),
     }
     # Full-precision record for humans/the judge (stdout stays one line).
+    # Written BOTH to the legacy path (tools/fold_baseline.py reads it) and
+    # to a per-core-count path so the driver's low-core scaling run cannot
+    # clobber the 32-core detail (r15: the 8-core run destroyed the 32-core
+    # per-query record beyond the truncated stdout line).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     with open(os.path.join(ROOT, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    with open(os.path.join(ROOT, f"BENCH_DETAIL_c{cpus}.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
     # The harness keeps only a bounded tail of stdout and parses the JSON
@@ -111,16 +173,18 @@ def main() -> int:
             line = cand
             break
     if line is None:
-        # keep the slowest queries that fit; the full map is in BENCH_DETAIL.json
-        by_cost = sorted(times, key=times.get, reverse=True)
-        kept: dict[str, float] = {}
-        for k in by_cost:
-            trial = dict(detail, queries=dict(kept, **{k: round(times[k], 1)}))
-            cand = json.dumps(trial, separators=(",", ":"))
-            if len(cand) > 1950:
-                break
-            kept[k] = round(times[k], 1)
-            line = cand
+        # deterministic subset: the committed _LINE_KEEP names (see above),
+        # never "slowest in this run" — values measured fresh, full map in
+        # BENCH_DETAIL*.json
+        kept_names = [q for q in _LINE_KEEP if q in times]
+        kept = {q: round(times[q], 1) for q in kept_names}
+        line = json.dumps(dict(detail, queries=kept), separators=(",", ":"))
+        while len(line) > 1950 and kept_names:
+            # only reachable if values grow far past their r15 widths;
+            # trim from the end of the committed list (still deterministic
+            # given the same measured values)
+            kept.pop(kept_names.pop())
+            line = json.dumps(dict(detail, queries=kept), separators=(",", ":"))
     if line is None:
         # even a single query entry overflows — emit the always-small base
         # record (totals only); the full map is in BENCH_DETAIL.json

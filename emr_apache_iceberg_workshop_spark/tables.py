@@ -111,7 +111,16 @@ def _probe_collect(df, cap: int) -> list:
     ~0.1s per probe on an idle host, more under load).
     `initialNumPartitions` is pinned high around the collect and restored
     after, so sampling limits elsewhere (e.g. the k-means sample window)
-    keep their early-exit."""
+    keep their early-exit.
+
+    Single-threaded-driver assumption (ADVICE r15): the pin mutates the
+    SESSION conf, so a query planned concurrently in another driver
+    thread of this session would briefly lose CollectLimit early-exit,
+    and two concurrent probes could clobber each other's saved value.
+    Every current caller runs on the single driver thread (foreachBatch
+    drains execute their batch function serially; the one-shot operators
+    are sequential) — if a multi-threaded driver path is ever added,
+    guard this with a lock or move the conf to a cloned session."""
     spark = df.sparkSession
     key = "spark.sql.limit.initialNumPartitions"
     prev = spark.conf.get(key, None)
@@ -2619,33 +2628,41 @@ class SnapshotTable:
         snaps = meta["snapshots"]
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         data_cols = [f.name for f in T.StructType.fromDDL(meta["schema"]).fields]
-        upserts = src
-        if op_col is not None:
-            upserts = upserts.filter(
-                ~(F.coalesce(F.col(op_col), F.lit("")) == F.lit(delete_value))
-            )
-        upserts = upserts.select(*data_cols)
-        # materialize ONCE: both the data write and the key write read the
-        # source; a lazy plan would re-run it (it may be a streaming batch).
+
+        # materialize the SOURCE once: the data write and the key write both
+        # read it; a lazy plan would re-run it per consumer (it may be a
+        # streaming batch, and for signature merges the source carries the
+        # batch's whole minhash text pass — r15 left the op-column key write
+        # re-deriving it from the unmaterialized source, one redundant
+        # source evaluation per merge commit, r15 verdict task 7).
         # Exception (r15 job diet): a source Catalyst folds to a single
         # LocalRelation (the driver-built label/CDC frames from
         # operators.graph.labels_df) is already materialized BY VALUE —
         # re-evaluation cannot differ and the eager checkpoint would be a
         # pure extra Spark job per merge commit.
-        if (
-            upserts._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
-            == "LocalRelation"
-        ):
-            upserts_local = upserts
+        def _is_local(df: DataFrame) -> bool:
+            return (
+                df._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+                == "LocalRelation"
+            )
+
+        if op_col is not None:
+            src_local = src if _is_local(src) else src.localCheckpoint(eager=True)
+            upserts_local = src_local.filter(
+                ~(F.coalesce(F.col(op_col), F.lit("")) == F.lit(delete_value))
+            ).select(*data_cols)
         else:
-            upserts_local = upserts.localCheckpoint(eager=True)
+            upserts = src.select(*data_cols)
+            upserts_local = (
+                upserts if _is_local(upserts) else upserts.localCheckpoint(eager=True)
+            )
         rel, parts, files = self._write_data_dir(upserts_local, meta, sid)
         drel = f"deletes/s{sid}"
         # every source key (incl. deletes) suppresses older rows of that key;
         # with no op column there are no delete rows, so the key set is
-        # exactly the upserts' keys — read them from the checkpoint instead
-        # of re-running the source plan a second time
-        key_src = src if op_col is not None else upserts_local
+        # exactly the upserts' keys — either way the keys read the
+        # checkpointed relation, never the original source plan
+        key_src = src_local if op_col is not None else upserts_local
         dstage = os.path.join(self.root, f"deletes/.stage-{uuid.uuid4().hex[:12]}")
         key_src.select(*keys).distinct().write.mode("overwrite").parquet(dstage)
         self._publish_dir(dstage, os.path.join(self.root, drel), cleanup_on_conflict=True)

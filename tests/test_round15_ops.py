@@ -495,7 +495,7 @@ def test_probe_collect_equals_plain_limit_collect(spark):
         spark.conf.unset(key)
 
 
-def test_probe_collect_schedules_fewer_jobs(spark):
+def test_probe_collect_schedules_fewer_jobs(spark, tmp_path):
     """The probe must not pay the incremental-limit retries: on a
     multi-partition SCAN-shaped child (no exchange under the limit — the
     real probe shape: store scan + broadcast semi-join) whose row count
@@ -505,14 +505,12 @@ def test_probe_collect_schedules_fewer_jobs(spark):
     retries 4× more, …). A SHUFFLED child collapses to one job either
     way (the limit rides the exchange), which is why this test pins the
     scan shape."""
-    import tempfile
-
     from emr_apache_iceberg_workshop_spark.tables import _probe_collect
 
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        path = tempfile.mkdtemp(prefix="probe_jobs_") + "/t"
+        path = str(tmp_path / "t")
         spark.range(2000).repartition(8).write.parquet(path)
         df = spark.read.parquet(path).filter("id >= 0")
         df.count()  # warm: isolate the collects' scheduling
