@@ -29,83 +29,34 @@ _MODULES = [
 ]
 
 # Registration order matters to external harnesses that check a bounded
-# 50-name prefix of the registry per round. The prefix below rotates the
-# verification window each round so every query gets a fresh correctness
-# row at least every other round: r01 covered tpch/events/textops, r02
-# front-loaded the extension surface, r03 covered tablemeta + the r01-only
-# names, r04 covered event-time + the r04-new operators, r05 covered the
-# 45 names outside r04's window + 5 result-touched names, r09 covered the
-# round-9 additions + the r05-aged overflow + the r09 code-touched names,
-# r10 covered the r10 additions + the 44 r06-stale names, r13 covered the
-# r15 rotation (per the r14 verdict's task 6): leads with (a) the 5
-# queries NEW or code-touched this round (q_ntile_deciles — the
-# range-rank NTILE rewrite; the cluster streaming twins + semantic
-# retraction pair touched by the fixed-cost/compaction tasks), then
-# (b) ALL 15 r10-stale names (the union freshness floor — after this
-# window the floor rises to r11), then (c) the first 30 of the 47-name
-# r11 cohort, oldest-first alphabetical. 5 + 15 + 30 = 50; the remaining
-# 17 r11 names spill just below the window and driver-sign at r16.
+# 50-name prefix of the registry per round (the driver's correctness
+# window). The prefix rotates each round so every query gets a fresh
+# driver-signed correctness row on a bounded cadence: r01 tpch/events/
+# textops, r02 the extension surface, r03 tablemeta + r01-only names,
+# r04-r05 event-time + aged overflow, r09/r10/r13 their additions + the
+# then-stale cohorts, r15 the fast-path/_microbatch_confs rewrites + the
+# r10-stale cohort + 26 of the 47 r11 names.
+#
+# r16 rotation: (a) the 7 queries whose EXECUTION PATH round 16 rewrote
+# (est_sim riding the band join: d_incremental + its streaming twin;
+# the single-evaluation op-column MOR merge + fused/2x-cap probes: the
+# CDC store drain, both cluster drains, the cluster one-shot pair) —
+# their r15 signatures predate the change; then (b) ALL 21 names whose
+# last driver signature is r11 (the union freshness floor rises to r12;
+# q_stream_cdc is in this group AND r16-touched — its MOR merge rides
+# the single-eval source); then (c) the first 22 of the 41 r12-stale
+# names, oldest-first alphabetical. 7 + 21 + 22 = 50; the remaining 19
+# r12 names spill just below the window and driver-sign next rotation.
 _PREFIX_ORDER = [
-    # (a) r15 new/touched — includes every query whose EXECUTION PATH the
-    # r15 fold fast-paths / _microbatch_confs rewrote (their r14
-    # signatures predate the change and are stale)
-    "q_ntile_deciles",
+    # (a) r16 code-touched
+    "q_stream_incremental_dedup",
+    "q_stream_cdc_store",
     "q_stream_cluster_cdc",
     "q_stream_cluster_maintain",
-    "s_incremental_semdedup_retract",
-    "s_incremental_semdedup",
+    "d_incremental",
     "d_incremental_clusters",
     "d_incremental_cluster_retract",
-    "q_stream_cdc_store",
-    "q_stream_incremental_dedup",
-    # (b) the full r10-stale cohort — union freshness floor clears to r11
-    "q_meta_rollback",
-    "q_meta_snapshots",
-    "q_retention_cohorts",
-    "q_stream_join",
-    "q_stream_sessionize",
-    "q_table_counts",
-    "s_quantized_topk",
-    "s_semdedup",
-    "s_topic_clusters",
-    "t_boilerplate",
-    "t_hashed_classifier",
-    "t_langid_confusion",
-    "t_quality_score",
-    "t_tfidf_keywords",
-    "t_token_stats",
-    # (c) r11 cohort, first 30 oldest-first alphabetical
-    "c_curated_corpus",
-    "c_dup_groups",
-    "c_mix_corpora",
-    "c_stratified_sample",
-    "m_extract_features",
-    "m_frame_sample",
-    "m_modality_stats",
-    "m_resize_plan",
-    "q_asof_join",
-    "q_bucketed_join",
-    "q_event_windows",
-    "q_latest_event",
-    "q_meta_bounds",
-    "q_meta_bucket",
-    "q_meta_cherrypick",
-    "q_meta_compaction",
-    "q_meta_expire",
-    "q_meta_expire_age",
-    "q_meta_files",
-    "q_meta_hidden",
-    "q_meta_iceberg",
-    "q_meta_metadata_log_reloc",
-    "q_meta_multispec",
-    "q_meta_name_mapping",
-    "q_meta_partitions",
-    "q_meta_pruning",
-    # --- below the 50-slot window: the remaining r11 names
-    # (driver-sign at r16), oldest-first alphabetical — the last four of
-    # the original r11 fill (q_meta_snapshot_summary, q_meta_v2_travel,
-    # q_part_revenue_share, q_range_join) moved here to make room for the
-    # four r15-code-touched re-signs above; union floor stays r11
+    # (b) the full r11-stale cohort — union freshness floor clears to r12
     "q_meta_snapshot_summary",
     "q_meta_v2_travel",
     "q_part_revenue_share",
@@ -127,6 +78,50 @@ _PREFIX_ORDER = [
     "t_lang_profile",
     "t_scrub_pii",
     "t_token_freq",
+    # (c) r12-stale cohort, first 22 oldest-first alphabetical
+    "c_epoch_shuffle",
+    "c_quality_funnel",
+    "c_temperature_mix",
+    "d_containment",
+    "d_embedding_neardup",
+    "d_incremental_exact",
+    "d_incremental_simhash",
+    "d_incremental_verdicts",
+    "d_ngram_jaccard",
+    "d_simhash",
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    # --- below the 50-slot window: the remaining 19 r12-stale names
+    # (driver-sign next rotation), oldest-first alphabetical
+    "q18_large_orders",
+    "q19_bracket_discounts",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q_above_avg_orders",
+    "q_column_profile",
+    "q_cube_orders",
+    "q_first_last_order",
+    "q_grouping_sets",
+    "q_meta_changes",
+    "q_meta_incremental",
+    "q_meta_refs",
+    "q_meta_time_travel",
+    "q_order_gaps",
+    "q_percentiles",
+    "t_ccnet_buckets",
+    "t_incremental_decontam",
+    "t_unigram_logprob",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -510,6 +510,18 @@ def test_cluster_fold_plan_never_scans_corpus_text(spark, tmp_path):
 
 
 def test_cluster_fold_randomized_equivalence(spark, tmp_path):
+    """One-seed default-run representative of the fold fuzz; the
+    remaining seeds run under -m slow (r16: the driver's verification
+    window could not fit the full suite)."""
+    _fold_randomized_equivalence(spark, tmp_path, (7,))
+
+
+@pytest.mark.slow
+def test_cluster_fold_randomized_sweep(spark, tmp_path):
+    _fold_randomized_equivalence(spark, tmp_path, (21, 99))
+
+
+def _fold_randomized_equivalence(spark, tmp_path, seeds):
     """Seeded randomized fuzz: random dup-group topology, random 2-batch
     split — two sequential folds must equal the from-scratch build on the
     union, for every seed."""
@@ -524,7 +536,7 @@ def test_cluster_fold_randomized_equivalence(spark, tmp_path):
 
     vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
              "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
-    for seed in (7, 21, 99):
+    for seed in seeds:
         rng = random.Random(seed)
         # ~6 dup-group seeds; each doc is a group text + tiny suffix noise
         groups = [

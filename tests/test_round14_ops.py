@@ -169,6 +169,18 @@ def test_explain_audit_exits_nonzero_on_error_plan(tmp_path, monkeypatch, capsys
 
 
 def test_cluster_retraction_randomized_equivalence(spark, tmp_path):
+    """One-seed default-run representative of the retraction fuzz; the
+    remaining seeds run under -m slow (r16: the driver's verification
+    window could not fit the full suite)."""
+    _retraction_randomized_equivalence(spark, tmp_path, (11,))
+
+
+@pytest.mark.slow
+def test_cluster_retraction_randomized_sweep(spark, tmp_path):
+    _retraction_randomized_equivalence(spark, tmp_path, (42, 77))
+
+
+def _retraction_randomized_equivalence(spark, tmp_path, seeds):
     import random
 
     from emr_apache_iceberg_workshop_spark.plans.dedup import (
@@ -181,7 +193,7 @@ def test_cluster_retraction_randomized_equivalence(spark, tmp_path):
 
     vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
              "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
-    for seed in (11, 42, 77):
+    for seed in seeds:
         rng = random.Random(seed)
         groups = [
             " ".join(rng.sample(vocab, 12)) + f" group{g}" for g in range(6)

@@ -87,6 +87,11 @@ def _run_sql_model(spark, tmp_path, seed: int) -> None:
         assert got == sorted(model), f"seed={seed} step={step} after {op}"
 
 
-@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize(
+    "seed",
+    # one-seed default-run representative; the rest under -m slow (r16:
+    # the driver's verification window could not fit the full suite)
+    [SEEDS[0]] + [pytest.param(s, marks=pytest.mark.slow) for s in SEEDS[1:]],
+)
 def test_sql_facade_dml_fuzz(spark, tmp_path, seed):
     _run_sql_model(spark, tmp_path, seed)
